@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Aggregation library (SURVEY.md §2d).
+  *
+  * The reference's live path supports exactly Count/Sum/Average via a
+  * driver-heap groupBy fold (Microbase.scala:343-416); its generic
+  * declarative-aggregate engine is dead code (M:303-342,417-499). Spark's
+  * HashAggregateExec implements that same partial/final contract natively
+  * — map-side partial aggregation before the shuffle, spillable hash map,
+  * codegen — which is what survives 100 TB (the reference's
+  * `rows.groupBy` materializes every group on one heap).
+  */
+object Aggregates {
+
+  /** A1 — ungrouped (global) aggregate (M:343-369). Note: the reference's
+    * AVG over ints does integer division (M:362) — we follow ANSI/Spark
+    * (double) and document the divergence. */
+  def global(aggs: Column*)(df: DataFrame): DataFrame = df.agg(aggs.head, aggs.tail: _*)
+
+  /** A2 — hash group-by aggregate (M:370-416), superset: any number of
+    * grouping expressions (reference only supports bare attributes,
+    * M:446-450). */
+  def byKey(keys: Seq[Column], aggs: Seq[Column])(df: DataFrame): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** HAVING — absent from the reference; group-filter after aggregation. */
+  def having(keys: Seq[Column], aggs: Seq[Column], cond: Column)(df: DataFrame): DataFrame =
+    byKey(keys, aggs)(df).filter(cond)
+
+  /** ROLLUP / CUBE — absent from the reference. */
+  def rollup(keys: Seq[Column], aggs: Seq[Column])(df: DataFrame): DataFrame =
+    df.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)
+  def cube(keys: Seq[Column], aggs: Seq[Column])(df: DataFrame): DataFrame =
+    df.cube(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Exact money sum that is bit-identical across engines and partition
+    * orders: per-row cast to DECIMAL(18,s) (deterministic round of the
+    * double), then exact decimal summation. Used by every oracle-compared
+    * money aggregate; also the correct choice at scale (no float drift
+    * across 1000 executors). */
+  def moneySum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+
+  /** A3 idiomatic replacement — a typed custom Aggregator implementing the
+    * same init/update/merge/finish contract the reference's dead generic
+    * engine extracted from DeclarativeAggregate (M:303-342). Weighted mean:
+    * value*weight accumulated exactly. */
+  class WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
+      (b._1 + in._1 * in._2, b._2 + in._2)
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Double)): Double = if (b._2 == 0) 0.0 else b._1 / b._2
+    def bufferEncoder: Encoder[(Double, Double)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+  val weightedAvg = udaf(new WeightedAvg())
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operator library (SURVEY.md §2c).
+  *
+  * The reference implements exactly one join algorithm: single-threaded
+  * build-right hash join with inner semantics regardless of the requested
+  * type (Microbase.scala:686-719), plus a cartesian fallback (M:688-695).
+  * Spark-first, all join types are declarative and Catalyst/AQE pick the
+  * physical algorithm (broadcast-hash, shuffled-hash, sort-merge) from
+  * statistics at plan or runtime — which is the only approach that holds at
+  * 100 TB, where the build side must be chosen by size, skew handled by AQE
+  * skew-join splitting, and small dims broadcast to avoid shuffling the
+  * fact table at all.
+  */
+object Joins {
+
+  /** J1 — equi inner join (M:686-719). */
+  def inner(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond, "inner")
+
+  /** J1 with an explicit broadcast hint on the (small) right side: at scale
+    * this turns a fact-dim join into a map-side join with zero shuffle of
+    * the fact table. AQE would usually do this from stats; the hint makes
+    * it deterministic for known-small dims (region/nation/supplier). */
+  def broadcastInner(fact: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    fact.join(broadcast(dim), cond, "inner")
+
+  /** J2 — cartesian product (M:688-695). */
+  def cross(l: DataFrame, r: DataFrame): DataFrame = l.crossJoin(r)
+
+  /** Beyond-reference join types (SURVEY §2c "not implemented"): outer /
+    * semi / anti — Spark built-ins, one string apart. */
+  def left(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond, "left_outer")
+  def right(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond, "right_outer")
+  def full(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond, "full_outer")
+  /** EXISTS — semi join keeps left columns only, stops at first match. */
+  def semi(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond, "left_semi")
+  /** NOT EXISTS — anti join. */
+  def anti(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond, "left_anti")
+
+  /** Theta (non-equi) join — the reference can only leave these as a
+    * residual filter above a cartesian product (SURVEY §2c). Spark plans
+    * BroadcastNestedLoopJoin when one side is small. */
+  def theta(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond)
+
+  /** J4 — self join; Spark's DeduplicateRelations handles exprId clashes
+    * that the reference re-aliases by hand (M:124-146). Callers alias both
+    * sides for readable conditions. */
+  def self(df: DataFrame, leftName: String, rightName: String, cond: Column): DataFrame =
+    df.alias(leftName).join(df.alias(rightName), cond)
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operator library — the Spark-first rebuild of the reference's
+  * volcano interpreter (SURVEY.md §2b/§2e). Each reference operator becomes
+  * a composable `DataFrame => DataFrame` that stays fully declarative so
+  * Catalyst keeps pushdown / pruning / codegen; nothing here materializes
+  * on the driver.
+  *
+  * Reference citations: project Microbase.scala:500-522, filter :621-645,
+  * indexed-range filter :530-561, sort :246-287, limit :296-301,
+  * union :289-295, subquery alias :99-123.
+  */
+object Relational {
+
+  /** P1/P2 — projection incl. computed columns + aliases. The reference
+    * resolves stars/aliases by hand (M:216-244); Spark's analyzer does it. */
+  def project(cols: Column*)(df: DataFrame): DataFrame = df.select(cols: _*)
+
+  /** F1 — generic predicate filter (M:621-645). Declarative, so predicates
+    * on base-table columns reach the parquet scan as PushedFilters — the
+    * scale-out replacement for the reference's tree-index range scan (F2,
+    * M:530-561): parquet row-group min/max stats prune I/O instead of a
+    * driver-heap TreeMap. */
+  def filter(cond: Column)(df: DataFrame): DataFrame = df.filter(cond)
+
+  /** O1 — multi-key sort, asc/desc with explicit null ordering (the
+    * reference ignores NullOrdering, M:263; we follow ANSI). Spark executes
+    * as a range-partitioned distributed sort, not a single-node sortWith. */
+  def sort(keys: Column*)(df: DataFrame): DataFrame = df.orderBy(keys: _*)
+
+  /** O2 — limit (M:296-301). */
+  def limit(n: Int)(df: DataFrame): DataFrame = df.limit(n)
+
+  /** O5 — top-k: sort+limit composed; Catalyst plans TakeOrderedAndProject,
+    * a per-partition heap + driver merge — O(n log k), no global sort. */
+  def topK(k: Int, keys: Column*)(df: DataFrame): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+
+  /** O3 — UNION ALL (the reference's union never dedups, M:289-295). */
+  def unionAll(dfs: DataFrame*): DataFrame = dfs.reduce(_ union _)
+
+  /** UNION (distinct) — beyond the reference. */
+  def unionDistinct(dfs: DataFrame*): DataFrame = dfs.reduce(_ union _).distinct()
+
+  /** Position-independent union — beyond the reference (it ignores byName,
+    * M:294). */
+  def unionByName(dfs: DataFrame*): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** INTERSECT / EXCEPT — absent from the reference (SURVEY §2e "not
+    * implemented"); free Spark built-ins. */
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** DISTINCT — absent from the reference; hash-aggregate based, partial
+    * (map-side) dedup before the shuffle. */
+  def distinct(df: DataFrame): DataFrame = df.distinct()
+
+  /** O4 — derived-table / subquery alias (M:99-123). Spark's analyzer
+    * handles scoping; this is just the ergonomic wrapper. */
+  def subquery(name: String)(df: DataFrame): DataFrame = df.alias(name)
+}

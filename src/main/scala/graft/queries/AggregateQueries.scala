@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Aggregates
+import graft.sources.Tables
+import OracleSafe._
+
+/** SURVEY.md §2d coverage plus the superset the reference lacks: min/max,
+  * HAVING, DISTINCT aggregates, ROLLUP/CUBE, approx_count_distinct, a
+  * custom typed Aggregator (the reference's dead generic-aggregate engine
+  * A3, Microbase.scala:303-342, done idiomatically).
+  */
+object AggregateQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // A1 — ungrouped aggregate (M:343-369), superset with min/max.
+    "a1_agg_global" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        exactAvg(col("l_discount")).as("avg_disc"))),
+
+    // A2 — hash group-by aggregate (M:370-416); grouping *expression*
+    // (year), which the reference's key builder can't do (M:446-450).
+    "a2_group_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             moneySum(col("o_totalprice")).as("sum_price"),
+             max(col("o_totalprice")).as("max_price"))
+        .orderBy("order_year", "o_orderstatus")),
+
+    // A4 — implicit global aggregate through the SQL text path: a Project
+    // containing agg functions becomes Aggregate (the reference hand-rolls
+    // this rewrite, M:913-935; Spark's analyzer GlobalAggregates does it).
+    "a4_implicit_agg_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS total FROM orders""")
+    }),
+
+    // HAVING — group filter (absent from the reference).
+    "agg_having" -> ((s, d) =>
+      Aggregates.having(
+        Seq(col("c_nationkey")),
+        Seq(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("sum_bal")),
+        col("n_cust") > 5)(Tables.customer(s, d))
+        .orderBy("c_nationkey")),
+
+    // DISTINCT aggregate (absent from the reference).
+    "agg_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // ROLLUP — hierarchical subtotals; grouping nulls coalesced to '(all)'
+    // so null-ordering differences between engines can't bite.
+    "agg_rollup" -> ((s, d) =>
+      Aggregates.rollup(
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty")))(
+        Tables.lineitem(s, d))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+                coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+                col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    // CUBE — all grouping combinations.
+    "agg_cube" -> ((s, d) =>
+      Aggregates.cube(
+        Seq(col("o_orderstatus"), col("o_orderpriority")),
+        Seq(count(lit(1)).as("n")))(Tables.orders(s, d))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+                coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+                col("n"))
+        .orderBy("st", "prio")),
+
+    // A3 — custom typed Aggregator (weighted average), the idiomatic Spark
+    // form of the reference's generic declarative-aggregate contract.
+    // Weights/values are integer-valued, so the double accumulation is
+    // exact and hash-stable across partition orders.
+    "a3_custom_aggregator" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Aggregates.weightedAvg(col("l_quantity").cast("double"),
+               col("l_linenumber").cast("double")).as("wavg_qty"))
+        .orderBy("l_returnflag")),
+
+    // approx_count_distinct (HLL) — the at-scale form of distinct counting;
+    // oracle is rows-only (sketch estimates are engine-specific).
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+             countDistinct(col("l_orderkey")).as("exact_orders")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_agg_global" ->
+      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc
+         FROM lineitem""",
+    "a2_group_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+           max(o_totalprice) AS max_price
+         FROM orders GROUP BY 1, 2 ORDER BY order_year, o_orderstatus""",
+    "a4_implicit_agg_sql" ->
+      """SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           AS DECIMAL(18,2)) AS total FROM orders""",
+    "agg_having" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+         FROM customer GROUP BY c_nationkey HAVING count(*) > 5
+         ORDER BY c_nationkey""",
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS st,
+           coalesce(o_orderpriority, '(all)') AS prio, count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY st, prio""",
+    "a3_custom_aggregator" ->
+      """SELECT l_returnflag,
+           sum(l_quantity * l_linenumber) / sum(CAST(l_linenumber AS DOUBLE)) AS wavg_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    // agg_approx_distinct: intentionally no oracle — HLL estimates are
+    // engine-specific; driver records rows-only.
+  )
+}

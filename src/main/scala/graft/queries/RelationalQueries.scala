@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.sources.Tables
+
+/** SURVEY.md §2a/§2b/§2e coverage: DDL/scan, project, filter, sort, limit,
+  * top-k, union (all/distinct/byName), intersect/except, distinct,
+  * derived-table subquery. Every query carries a deterministic ORDER BY on
+  * a unique key so oracle hash comparison is order-stable.
+  */
+object RelationalQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // S1/S4/S7 — DDL registration into the session catalog + scan through
+    // the SQL text path (reference: Microbase.scala:950-958, 724-728).
+    "s1_ddl_catalog_scan" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    }),
+
+    // S4 — bare table scan, full schema (M:724-728).
+    "s4_scan_nation" -> ((s, d) =>
+      Tables.nation(s, d).orderBy("n_nationkey")),
+
+    // P1 — projection with computed column + alias (M:500-522). Per-row
+    // double arithmetic is IEEE-deterministic, so net_price hashes exactly.
+    "p1_project_compute" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures — order
+        // by every output column so ties are between identical rows only.
+        .orderBy("l_orderkey", "l_linenumber", "net_price")),
+
+    // P2 — star expansion + qualified names + alias (M:216-244), via SQL.
+    "p2_star_alias" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT n.*, r.r_name AS region_name
+               FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+               ORDER BY n.n_nationkey""")
+    }),
+
+    // F1 — compound boolean predicate (M:621-645).
+    "f1_filter_compound" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter((col("l_discount") >= 0.05 && col("l_quantity") < 25.0) ||
+                col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
+
+    // F2 — range predicate on the sort/index column; the reference answers
+    // this from a driver-heap TreeMap (M:530-561), we let parquet min-max
+    // row-group pruning do it (PushedFilters — asserted in PlanSpec).
+    "f2_filter_range" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+                to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber", "ship_date")),
+
+    // O1 — multi-key sort, mixed asc/desc (M:246-287).
+    "o1_sort_multikey" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc,
+                 col("o_orderkey").asc)),
+
+    // O2 — limit over a deterministic order (M:296-301).
+    "o2_limit" -> ((s, d) =>
+      Relational.limit(100)(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey").orderBy("o_orderkey"))),
+
+    // O5 — top-k: Catalyst plans TakeOrderedAndProject (heap, not full sort).
+    "o5_topk" -> ((s, d) =>
+      Relational.topK(10, col("o_totalprice").desc, col("o_orderkey").asc)(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"))),
+
+    // O3 — UNION ALL (M:289-295; reference never dedups).
+    "o3_union_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+      Relational.unionAll(
+        li.filter(col("l_orderkey") % 100 === 0),
+        li.filter(col("l_orderkey") % 100 === 50)
+      ).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // UNION DISTINCT — beyond the reference.
+    "o3_union_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Relational.unionDistinct(
+        li.filter(col("l_returnflag") === "R").select("l_orderkey"),
+        li.filter(col("l_quantity") > 45.0).select("l_orderkey")
+      ).orderBy("l_orderkey")
+    }),
+
+    // INTERSECT / EXCEPT — beyond the reference (SURVEY §2e).
+    "setop_intersect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Relational.intersect(
+        li.filter(col("l_returnflag") === "R").select("l_orderkey"),
+        li.filter(col("l_quantity") > 45.0).select("l_orderkey")
+      ).orderBy("l_orderkey")
+    }),
+    "setop_except" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Relational.except(
+        li.filter(col("l_returnflag") === "R").select("l_orderkey"),
+        li.filter(col("l_quantity") > 45.0).select("l_orderkey")
+      ).orderBy("l_orderkey")
+    }),
+
+    // DISTINCT — beyond the reference.
+    "dist_distinct" -> ((s, d) =>
+      Relational.distinct(
+        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // O4 — FROM-clause derived table with alias (M:99-123).
+    "o4_subquery_derived" -> ((s, d) => {
+      val byStatus = Tables.orders(s, d)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      Relational.subquery("t")(byStatus)
+        .select(col("t.o_orderstatus"), col("t.cnt"))
+        .filter(col("t.cnt") > 0)
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_ddl_catalog_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s4_scan_nation" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "p1_project_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS net_price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price""",
+    "p2_star_alias" ->
+      """SELECT n.*, r.r_name AS region_name
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY n.n_nationkey""",
+    "f1_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+         FROM lineitem
+         WHERE (l_discount >= 0.05 AND l_quantity < 25.0) OR l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""",
+    "f2_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber, ship_date""",
+    "o1_sort_multikey" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""",
+    "o2_limit" ->
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100",
+    "o5_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "o3_union_all" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 100 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 100 = 50
+         ORDER BY l_orderkey, l_linenumber""",
+    "o3_union_distinct" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         UNION
+         SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
+         ORDER BY l_orderkey""",
+    "setop_intersect" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         INTERSECT
+         SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
+         ORDER BY l_orderkey""",
+    "setop_except" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         EXCEPT
+         SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
+         ORDER BY l_orderkey""",
+    "dist_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "o4_subquery_derived" ->
+      """SELECT t.o_orderstatus, t.cnt
+         FROM (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY o_orderstatus) t
+         WHERE t.cnt > 0 ORDER BY o_orderstatus"""
+  )
+}

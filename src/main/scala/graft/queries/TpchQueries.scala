@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+import graft.sources.Tables
+import OracleSafe._
+
+/** TPC-H-class flagship queries — the composite shapes the reference's
+  * README claims (8 TPC-H queries, README.md:5) re-expressed on the driver
+  * fixtures' columns. These are also the bench headline suite.
+  *
+  * Scale notes (100 TB): every join here is fact-to-dim with the dim side
+  * orders of magnitude smaller — we broadcast dims explicitly so the
+  * lineitem scan never shuffles; aggregates are partial (map-side) by
+  * construction; filters & column pruning reach the parquet scan.
+  */
+object TpchQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // Q1 — pricing summary report (flagship; scan+filter+group+agg+sort).
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          exactAvg(col("l_quantity")).as("avg_qty"),
+          exactAvg(col("l_extendedprice")).as("avg_price"),
+          exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q3 — shipping priority: 3-way join, filter both sides of the date,
+    // revenue per order, top 10. customer/orders broadcast-sized relative
+    // to lineitem at any SF.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1999-06-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1999-06-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+                 col("o_orderpriority"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Q5 — local supplier volume: 5-way join through region/nation,
+    // customer and supplier in the same nation, revenue per nation.
+    "q5_local_supplier" -> ((s, d) => {
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // Q6 — forecasting revenue change: pure scan+filter+global agg; the
+    // filters all push to parquet (PushedFilters asserted in PlanSpec).
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24.0)
+        .agg(moneySum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"), count(lit(1)).as("n_rows"))),
+
+    // Q10-shape — returned-item reporting: who returned the most revenue.
+    "q10_returned_items" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Q12-shape — shipping modes and order priority: join + conditional
+    // aggregation (CASE WHEN inside SUM).
+    "q12_priority_shipping" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      val ord = Tables.orders(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Q14-shape — promotion effect: conditional revenue share of PROMO
+    // parts. Exact: decimal sums, single final division.
+    "q14_promo_effect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-09-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1999-10-01").cast("timestamp"))
+      val part = Tables.part(s, d)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO",
+              dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .otherwise(dec(lit(0.0), 4))).cast("double") * 100.0 /
+           moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+             .cast("double")).as("promo_revenue_pct"))
+    }),
+
+    // Q19-shape — discounted revenue over disjunctive brand/qty predicates:
+    // the classic "OR of ANDs" join filter.
+    "q19_disjunctive_filter" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val part = Tables.part(s, d)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#21" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n_rows"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1999-06-01 00:00:00'
+         GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name ASC""",
+    "q6_forecast_revenue" ->
+      """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24.0""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "q12_priority_shipping" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q14_promo_effect" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+             ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0 /
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS promo_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1999-10-01 00:00:00'""",
+    "q19_disjunctive_filter" ->
+      """SELECT sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)"""
+  )
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Sources + catalog.
+  *
+  * Spark-first rebuild of the reference's catalog/loader surface
+  * (Microbase.scala:950-1024: CREATE TABLE ... USING csv OPTIONS(path,
+  * delimiter), eager materialization, uppercased registration). Here the
+  * catalog is Spark's own (temp views), materialization is `.cache()`, and
+  * the primary format is Parquet (columnar, splittable, min-max pruned) —
+  * the right call at 100 TB where an eager driver-side load is impossible.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
+
+  /** Parquet scan of one fixture table. Column pruning + predicate pushdown
+    * reach the scan automatically because this stays a plain relation. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default. Read nanos as long (legacy conf) and
+    * convert with integer division — int64 nanos (~1.7e18) exceed double's
+    * 2^53 mantissa, so a float division would silently corrupt timestamps. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  private val accessors: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+    "embeddings" -> embeddings)
+
+  /** Register every fixture table as a temp view so `spark.sql` text queries
+    * resolve — the Spark analog of the reference's global `hm` catalog map
+    * (Microbase.scala:29). Idempotent; events is registered normalized. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => accessors(n)(spark, dir).createOrReplaceTempView(n))
+
+  /** Reference-style CSV DDL (Microbase.scala:960-983): delimiter-split
+    * text with a user-declared schema. `eager=true` mirrors the reference's
+    * load-at-CREATE via Spark's cache (materialized on first action,
+    * distributed instead of driver-heap). */
+  def createCsvTable(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      schema: StructType,
+      delimiter: String = "|",
+      eager: Boolean = false): DataFrame = {
+    val df = spark.read
+      .option("delimiter", delimiter)
+      .option("header", "false")
+      .schema(schema)
+      .csv(path)
+    val out = if (eager) df.cache() else df
+    out.createOrReplaceTempView(name)
+    out
+  }
+
+  /** The five primitive types the reference supports (Microbase.scala:
+    * 971-977) mapped to Spark types; our engine supersets these (long,
+    * decimal, timestamp, boolean, array, map, struct all work natively). */
+  def referenceType(name: String): DataType = name.toLowerCase match {
+    case "int" | "integer" => IntegerType
+    case "float"           => FloatType
+    case "double"          => DoubleType
+    case "date"            => DateType
+    case "string"          => StringType
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** Build a StructType from (name, refType) pairs, uppercasing names like
+    * the reference's registration (Microbase.scala:953-958). */
+  def referenceSchema(cols: (String, String)*): StructType =
+    StructType(cols.map { case (n, t) =>
+      StructField(n.toUpperCase, referenceType(t), nullable = true)
+    })
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites — one local session, shuffle partitions
+  * sized to cores (not 200), UTC, AQE on (mirrors production settings). */
+object SparkTestBase {
+  lazy val spark: SparkSession = {
+    val cores = math.min(Runtime.getRuntime.availableProcessors(), 8)
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+abstract class GraftSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestBase.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  def sf: String = SparkTestBase.sf
+}
