@@ -16,7 +16,10 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     TpchQueries,
-    AggregateQueries
+    AggregateQueries,
+    JoinQueries,
+    WindowQueries,
+    FunctionQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

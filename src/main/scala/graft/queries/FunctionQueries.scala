@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scalar-function surface (SURVEY.md §2f). The reference exposes whatever
+  * the Catalyst ~3.1 builtin registry resolves (Microbase.scala:197-206)
+  * but only over five types with no nulls; our engine exposes the full
+  * modern `functions._` registry including JSON, regex and array/higher-
+  * order functions (needed for events.props and documents).
+  *
+  * Cross-engine caution: libm-backed transcendentals (exp/ln/pow) can
+  * differ by 1 ulp between engines, so oracle-compared math sticks to
+  * IEEE-exact ops (abs/floor/ceil/sqrt/mod/round) and polynomial forms.
+  */
+object FunctionQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // E1 string functions: case, substring, trim/pad, concat, replace.
+    "fn_string" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          length(col("c_name")).as("len"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("cat"),
+          ltrim(rtrim(col("c_name"))).as("trimmed"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"))
+        .orderBy("c_custkey")),
+
+    // LIKE / rlike-class predicates.
+    "fn_like" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%widget%") ||
+                col("p_name").rlike("^blue.*rod"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey", "p_name")),
+
+    // E1 date functions: extract fields, truncate, arithmetic.
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate")))
+            .as("age_days"))
+        .orderBy("o_orderkey", "y", "m", "dom")),
+
+    // E2 math: IEEE-exact subset + polynomial arithmetic.
+    "fn_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("absval"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          // round() on dyadic values only: x/4 has exact .25 steps, so the
+          // .5-at-scale ties are exactly representable and both engines
+          // round them away-from-zero identically. Rounding raw 2-decimal
+          // doubles would diverge (Spark rounds the shortest decimal repr,
+          // DuckDB the binary value).
+          round(col("l_quantity") / 4.0, 1).as("rd"),
+          sqrt(col("l_quantity")).as("sq"),
+          (col("l_quantity") * col("l_quantity") + lit(2.0) * col("l_quantity"))
+            .as("poly"),
+          pmod(col("l_orderkey"), lit(7L)).as("pm"),
+          signum(col("l_discount") - 0.05).as("sg"),
+          greatest(col("l_tax"), col("l_discount")).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"))
+        .orderBy("l_orderkey", "l_linenumber", "fl", "sq")),
+
+    // CASE WHEN buckets + casts (E2's Cast surface).
+    "fn_case_cast" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large").as("bucket"),
+          // explicit floor: Spark's double→int cast truncates while
+          // DuckDB's rounds, so the truncation must be spelled out.
+          floor(col("o_totalprice")).cast("int").as("price_int"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_dec"))
+        .orderBy("o_orderkey")),
+
+    // JSON extraction over events.props (get_json_object ~ ->> ).
+    "fn_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")),
+
+    // Array + higher-order functions over tokenized text: size, contains,
+    // transform/filter/aggregate (the array surface the reference lacks
+    // entirely; also the base layer for the dedup/text operators).
+    "fn_array" -> ((s, d) => {
+      val toks = split(col("text"), "\\s+")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          array_contains(toks, "spark").as("has_spark"),
+          size(array_distinct(toks)).as("n_distinct"),
+          element_at(array_sort(array_distinct(toks)), 1).as("first_token"),
+          aggregate(transform(toks, t => length(t)), lit(0),
+            (acc, x) => acc + x).as("total_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Regex extraction.
+    "fn_regex" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+        .orderBy("c_custkey")),
+
+    // Hashing: md5 (cross-engine identical), plus Spark-native xxhash64 /
+    // murmur3 kept out of the oracle (engine-specific seeds).
+    "fn_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          substring(md5(col("text")), 1, 8).as("md5_prefix"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+           upper(c_name) AS up, lower(c_mktsegment) AS lo,
+           substring(c_name, 1, 8) AS sub,
+           CAST(length(c_name) AS INT) AS len,
+           concat_ws('-', c_mktsegment, c_custkey) AS cat,
+           ltrim(rtrim(c_name)) AS trimmed,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked
+         FROM customer ORDER BY c_custkey""",
+    "fn_like" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_name LIKE '%widget%' OR regexp_matches(p_name, '^blue.*rod')
+         ORDER BY p_partkey, p_name""",
+    "fn_date" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+         FROM orders ORDER BY o_orderkey, y, m, dom""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS absval,
+           floor(l_extendedprice) AS fl,
+           ceil(l_extendedprice) AS ce,
+           round(l_quantity / 4.0, 1) AS rd,
+           sqrt(l_quantity) AS sq,
+           l_quantity * l_quantity + 2.0 * l_quantity AS poly,
+           l_orderkey % 7 AS pm,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+           greatest(l_tax, l_discount) AS gr,
+           least(l_tax, l_discount) AS le
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, fl, sq""",
+    "fn_case_cast" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           CAST(floor(o_totalprice) AS INT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+         FROM orders ORDER BY o_orderkey""",
+    "fn_json" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+         FROM events ORDER BY event_id""",
+    "fn_array" ->
+      """SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
+           list_contains(regexp_split_to_array(text, '\s+'), 'spark') AS has_spark,
+           CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS INT) AS n_distinct,
+           list_sort(list_distinct(regexp_split_to_array(text, '\s+')))[1] AS first_token,
+           CAST(list_sum(list_transform(regexp_split_to_array(text, '\s+'),
+             t -> length(t))) AS INT) AS total_chars
+         FROM documents ORDER BY doc_id""",
+    "fn_regex" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits
+         FROM customer ORDER BY c_custkey""",
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+           substring(md5(text), 1, 8) AS md5_prefix
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+import graft.sources.Tables
+
+/** SURVEY.md §2c coverage (J1-J5) plus every join type the reference lacks
+  * (outer/semi/anti/theta — SURVEY §2c "not implemented anywhere").
+  *
+  * Scale notes: dim sides (region/nation/customer/supplier) are broadcast
+  * where the query is fact-to-dim, so the fact scan never shuffles; outer
+  * joins that could produce nulls either aggregate them away or order with
+  * explicit NULLS FIRST to stay hash-deterministic cross-engine.
+  */
+object JoinQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // J1 — equi inner join (Microbase.scala:686-719; build-right hash there,
+    // Catalyst/AQE-chosen here).
+    "j1_join_inner" -> ((s, d) =>
+      Joins.inner(Tables.orders(s, d), Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_mktsegment")
+        .orderBy("o_orderkey", "c_custkey", "c_mktsegment")),
+
+    // J1 + explicit broadcast of the dim side: zero-shuffle map-side join.
+    "j1_join_broadcast" -> ((s, d) =>
+      Joins.broadcastInner(Tables.lineitem(s, d), Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy("s_suppkey")),
+
+    // J2 — cartesian product (M:688-695).
+    "j2_join_cross" -> ((s, d) =>
+      Joins.cross(Tables.region(s, d), Tables.nation(s, d))
+        .select("r_regionkey", "n_nationkey")
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    // J3 — NATURAL JOIN lowering (M:148-154): common-column resolution done
+    // by Spark's analyzer (ResolveNaturalAndUsingJoin).
+    "j3_join_natural" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT custkey, o_orderkey, c_mktsegment
+               FROM (SELECT o_custkey AS custkey, o_orderkey FROM orders) o
+               NATURAL JOIN
+               (SELECT c_custkey AS custkey, c_mktsegment FROM customer) c
+               ORDER BY custkey, o_orderkey, c_mktsegment""")
+    }),
+
+    // J4 — self join; the reference re-aliases by hand (M:124-146), Spark
+    // DeduplicateRelations handles it. Pairs of orders by the same customer.
+    "j4_join_self" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      Joins.self(o, "a", "b",
+          col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey"))
+        .select(col("a.o_custkey").as("custkey"),
+                col("a.o_orderkey").as("k1"), col("b.o_orderkey").as("k2"))
+        .orderBy("custkey", "k1", "k2")
+    }),
+
+    // LEFT OUTER — aggregate form: customers with their order count (0 kept).
+    "j6_join_left_outer" -> ((s, d) =>
+      Joins.left(Tables.customer(s, d), Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    // RIGHT OUTER — suppliers kept even with zero lineitems.
+    "j7_join_right_outer" -> ((s, d) =>
+      Joins.right(Tables.lineitem(s, d), Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(count(col("l_orderkey")).as("n_lines"))
+        .orderBy("s_suppkey")),
+
+    // FULL OUTER — row-level with explicit NULLS FIRST ordering on both
+    // sides (Spark default asc = nulls first; DuckDB default = nulls last,
+    // so the oracle says NULLS FIRST explicitly).
+    "j8_join_full_outer" -> ((s, d) => {
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("fkey")).distinct()
+      val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("pkey")).distinct()
+      Joins.full(f, p, col("fkey") === col("pkey"))
+        .orderBy(col("fkey").asc_nulls_first, col("pkey").asc_nulls_first)
+    }),
+
+    // SEMI (EXISTS) — customers having at least one urgent order.
+    "j9_join_semi" -> ((s, d) =>
+      Joins.semi(Tables.customer(s, d),
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ANTI (NOT EXISTS) — customers with no orders at all.
+    "j10_join_anti" -> ((s, d) =>
+      Joins.anti(Tables.customer(s, d), Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // THETA — non-equi conjunct in the join condition (the reference could
+    // only leave these as residual filters, SURVEY §2c): nation pairs in
+    // the same region, ordered pair.
+    "j11_join_theta" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      Joins.theta(n.alias("a"), n.alias("b"),
+          col("a.n_regionkey") === col("b.n_regionkey") &&
+          col("a.n_nationkey") < col("b.n_nationkey"))
+        .select(col("a.n_regionkey").as("rkey"),
+                col("a.n_name").as("n1"), col("b.n_name").as("n2"))
+        .orderBy("rkey", "n1", "n2")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j1_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey, c_custkey, c_mktsegment""",
+    "j1_join_broadcast" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_lines
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_suppkey, s_name ORDER BY s_suppkey""",
+    "j2_join_cross" ->
+      """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
+    "j3_join_natural" ->
+      """SELECT custkey, o_orderkey, c_mktsegment
+         FROM (SELECT o_custkey AS custkey, o_orderkey FROM orders) o
+         NATURAL JOIN
+         (SELECT c_custkey AS custkey, c_mktsegment FROM customer) c
+         ORDER BY custkey, o_orderkey, c_mktsegment""",
+    "j4_join_self" ->
+      """SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2
+         FROM orders a JOIN orders b
+           ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+         ORDER BY custkey, k1, k2""",
+    "j6_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "j7_join_right_outer" ->
+      """SELECT s_suppkey, count(l_orderkey) AS n_lines
+         FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "j8_join_full_outer" ->
+      """SELECT fkey, pkey FROM
+         (SELECT DISTINCT o_custkey AS fkey FROM orders WHERE o_orderstatus = 'F') f
+         FULL JOIN
+         (SELECT DISTINCT o_custkey AS pkey FROM orders WHERE o_orderstatus = 'P') p
+         ON fkey = pkey
+         ORDER BY fkey NULLS FIRST, pkey NULLS FIRST""",
+    "j9_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "j10_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "j11_join_theta" ->
+      """SELECT a.n_regionkey AS rkey, a.n_name AS n1, b.n_name AS n2
+         FROM nation a JOIN nation b
+           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+         ORDER BY rkey, n1, n2"""
+  )
+}

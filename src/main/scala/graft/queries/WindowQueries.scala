@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import OracleSafe._
+
+/** Window functions — entirely absent from the reference (SURVEY.md §2e
+  * "not implemented"); a required analytics surface for parity with any
+  * real engine. All built-ins: rank family, frames, lag/lead, top-k per
+  * group (the distributed replacement for the reference's sort+limit).
+  *
+  * Scale notes: window partitions shuffle once on partitionBy keys; frames
+  * evaluate within partitions with no driver state. Every window ordering
+  * is made total (unique tiebreaker) so ranks and running values are
+  * deterministic cross-engine.
+  */
+object WindowQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // rank / dense_rank / row_number per group.
+    "w1_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "rk", "drk")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running sum — ROWS frame, total order inside the partition.
+    "w2_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+                 col("l_linenumber").asc, col("l_quantity").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+                "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // lag / lead over each customer's order history.
+    "w3_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+                to_date(col("o_orderdate")).as("order_date"),
+                col("o_totalprice"), col("prev_price"), col("next_price"))
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    }),
+
+    // Distribution functions — percent_rank / cume_dist / ntile.
+    "w4_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("nt", ntile(4).over(w))
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "pr", "cd", "nt")
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    }),
+
+    // RANGE frame — sum of order values within 5000 of the current price
+    // (value-based frame, not row-based). Decimal sum keeps it exact.
+    "w5_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc)
+        .rangeBetween(-5000L, 0L)
+      Tables.orders(s, d)
+        .withColumn("nearby_sum", sum(dec(col("o_totalprice"))).over(w))
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "nearby_sum")
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    }),
+
+    // Top-k per group via window — the distributed form of the reference's
+    // global sort+limit (O5), applied per partition key.
+    "w6_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "rn")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_rank_family" ->
+      """SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
+           SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER w AS INT) AS rn,
+             CAST(rank()       OVER w AS INT) AS rk,
+             CAST(dense_rank() OVER w AS INT) AS drk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC))
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "w2_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           sum(l_quantity) OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+         FROM lineitem
+         ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity""",
+    "w3_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, order_date, o_orderkey""",
+    "w4_distribution" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd,
+           CAST(ntile(4)  OVER w AS INT) AS nt
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)
+         ORDER BY o_orderstatus, o_totalprice, o_orderkey""",
+    "w5_range_frame" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS nearby_sum
+         FROM orders
+         ORDER BY o_orderstatus, o_totalprice, o_orderkey""",
+    "w6_topk_per_group" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+           FROM customer)
+         WHERE rn <= 5 ORDER BY c_mktsegment, rn"""
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the "would this survive 100×" checks.
+  * Correctness tests say the answer is right; these say the *plan* is the
+  * one that scales: filters reach the parquet scan, scans prune columns,
+  * dim joins broadcast, top-k avoids a global sort.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("f2 range filter is pushed to the parquet scan") {
+    val p = plan(SparkEntry.queries("f2_filter_range")(spark, sf))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+           p.contains("IsNotNull(l_shipdate"), p)
+  }
+
+  test("p1 projection prunes the scan schema to 4 columns") {
+    val p = plan(SparkEntry.queries("p1_project_compute")(spark, sf))
+    // ReadSchema must not include unused cols like l_comment/l_returnflag.
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"), read)
+    assert(!read.contains("l_returnflag") && !read.contains("l_shipdate"), read)
+  }
+
+  test("q5 joins the dims with broadcast, not shuffle") {
+    val p = plan(SparkEntry.queries("q5_local_supplier")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("o5 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("o5_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1 aggregate is partial (map-side) before the shuffle") {
+    val p = plan(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    // Two HashAggregate nodes (partial + final) around one Exchange.
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, p)
+  }
+
+  test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
+    // AQE only materializes the final physical plan after execution, so
+    // run the query first and inspect executedPlan.
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    df.collect()
+    // Codegen stages render as `*(n)` prefixes in the plan string.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+  }
+}
