@@ -19,7 +19,10 @@ object SparkEntry {
     AggregateQueries,
     JoinQueries,
     WindowQueries,
-    FunctionQueries
+    FunctionQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale playbook:
+  *  - `bruteForceTopK`: exact cosine top-k via a bounded cross join —
+  *    the baseline, correct at any k, O(|queries| * |corpus|). Fine when
+  *    the query side is small or the corpus is broadcastable.
+  *  - SRP-LSH (`srpSignature` + `annTopK`): signed-random-projection
+  *    signatures bucket the corpus so the join touches only
+  *    same/neighboring buckets — the 100 TB path (shuffle on bucket keys,
+  *    never n²). Hyperplanes are derived from a deterministic splitmix64
+  *    stream, so signatures are reproducible cluster-wide.
+  *
+  * Cosine is computed in double (cast from float) with a sequential
+  * left-fold per row — deterministic, and exactly matching a sequential
+  * oracle evaluation.
+  */
+object Similarity {
+
+  /** Elementwise float→double. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two double arrays (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k neighbors for each row of `queries` against `corpus`.
+    * Output: (qid, rank, vec_id, cos). Both inputs need (idCol, vecCol). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val scored = q.crossJoin(c)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
+  /** All pairs above a cosine threshold (near-duplicate embeddings),
+    * exact within the given blocking (pass lit(0) to compare all). */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("sim_id"), col(vecCol).as("vec"))
+    t.alias("a").join(t.alias("b"), col("a.sim_id") < col("b.sim_id"))
+      .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.sim_id").as("id_a"), col("b.sim_id").as("id_b"))
+  }
+
+  // ---- SRP-LSH (signed random projection) --------------------------------
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def plane(table: Int, bit: Int, dim: Int): Double =
+    (splitmix64(table.toLong * 262147 + bit.toLong * 4099 + dim).toDouble /
+      Long.MaxValue.toDouble)
+
+  /** `bits`-bit SRP signature for hash table `table`: bit i =
+    * sign(v · r_i). Returned as an int bucket key. */
+  def srpSignature(vec: Column, table: Int, bits: Int, dim: Int): Column = {
+    val vd = asDouble(vec)
+    (0 until bits).map { b =>
+      val planeArr = array((0 until dim).map(j => lit(plane(table, b, j))): _*)
+      when(dot(vd, planeArr) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** All (table, signature) bucket keys for multi-table SRP-LSH. */
+  def srpBuckets(vec: Column, tables: Int, bits: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("t"), srpSignature(vec, t, bits, dim).as("sig"))
+    }: _*)
+
+  /** ANN top-k via multi-table SRP-LSH: L independent hash tables of
+    * `bits` hyperplanes each; a pair is a candidate if it collides in ANY
+    * table (P = 1-(1-p^bits)^tables for per-plane agreement p), then
+    * exact-cosine rerank keeps top-k. The shuffle touches only
+    * (table, bucket) groups — never the n² pair space — which is the
+    * 100 TB path; recall/cost is tuned by (tables, bits) with cost
+    * ∝ tables × |data|. */
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      tables: Int = 16, bits: Int = 6, dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vecAs: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vecAs),
+          explode(srpBuckets(col(vecCol), tables, bits, dim)).as("tb"))
+        .select(col(id), col(vecAs),
+          col("tb.t").as("t"), col("tb.sig").as("sig"))
+    val c = bucketed(corpus, "vec_id", "cvec")
+    val q = bucketed(queries, "qid", "qvec")
+    val scored = q.join(c, Seq("t", "sig"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .select("qid", "vec_id", "cos").distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
+}

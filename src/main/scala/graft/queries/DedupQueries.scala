@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Deduplication over the documents table: exact, MinHash-LSH, SimHash,
+  * char-n-gram Jaccard, and embedding-cosine near-dup. The LSH variants
+  * are the 100 TB path (shuffle on band/bucket keys only); the blocked
+  * exact variants double as their verification oracles at test scale.
+  *
+  * Queries using xxhash64-derived signatures have no DuckDB oracle (hash
+  * family is engine-specific) — they get rows-only checks here and
+  * invariant tests in DedupSpec (identical texts → identical signatures;
+  * the known near-dup pairs in the fixtures are found).
+  */
+object DedupQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // Exact dedup with auditable keep-rule (canonical = min doc_id).
+    "dd1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedupKeep(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select("doc_id", "canonical_id", "is_kept")
+        .orderBy("doc_id")),
+
+    // MinHash signatures (32 hashes over 3-word shingles) — first two
+    // signature components exposed for the rows-only check.
+    "dd2_minhash_signature" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.minhashSignature(
+            array_distinct(Dedup.wordShingles(
+              TextAnalysis.tokens(col("text")), 3)), 32).as("sig"))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("mh_0"),
+          element_at(col("sig"), 2).as("mh_1"))
+        .orderBy("doc_id")),
+
+    // Full MinHash-LSH near-dup pipeline: bands → candidates → exact
+    // Jaccard ≥ 0.5 verification. May legitimately be empty at tiny SF.
+    "dd3_minhash_dup_pairs" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash (64-bit) + first 16-bit chunk (the candidate bucket key).
+    "dd4_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+        .withColumn("chunk0",
+          element_at(Dedup.simhashChunks(col("simhash")), 1))
+        .orderBy("doc_id")),
+
+    // Char-trigram Jaccard near-dups inside same-source blocks — exact
+    // pairwise, oracle-checked (list comprehensions on both engines).
+    "dd5_ngram_neardup_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), col("doc_id"), col("text"), col("source"),
+        n = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    // Embedding-cosine near-duplicates above 0.4 — exact pairwise at test
+    // scale; the ANN path for the same job is ss2 (SRP-LSH).
+    "dd6_embedding_neardup" -> ((s, d) =>
+      graft.ops.Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b"))
+  )
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)]) /
+        (sqrt(list_sum([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in range(1,65)])) *
+         sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
+
+  val oracle: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+           doc_id = min(doc_id) OVER (PARTITION BY text) AS is_kept
+         FROM documents ORDER BY doc_id""",
+    "dd5_ngram_neardup_pairs" ->
+      """WITH t AS (SELECT doc_id, source,
+            list_distinct([substr(lower(text), i, 3)
+                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
+          FROM documents),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              AS jaccard
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+          ORDER BY id_a, id_b""",
+    "dd6_embedding_neardup" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          SELECT id_a, id_b FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+    // dd2/dd3/dd4: no oracle (xxhash64 signatures) — DedupSpec invariants.
+  )
+}

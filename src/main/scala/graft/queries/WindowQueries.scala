@@ -41,7 +41,11 @@ object WindowQueries extends QueryPack {
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
                 "running_qty")
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        // running_qty must be a sort key too: duplicate (suppkey, orderkey,
+        // linenumber, quantity) rows carry different running values whose
+        // relative output order would otherwise be nondeterministic.
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+                 "running_qty")
     }),
 
     // lag / lead over each customer's order history.
@@ -111,7 +115,7 @@ object WindowQueries extends QueryPack {
              ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
          FROM lineitem
-         ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity""",
+         ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, running_qty""",
     "w3_lag_lead" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
            o_totalprice,

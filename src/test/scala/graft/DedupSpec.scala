@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.RollingMinHash
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Invariant tests for the oracle-less dedup/fingerprint operators. */
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("rolling_min_hash matches a direct reference fold") {
+    def reference(s: String, w: Int): Long = {
+      val b = s.getBytes("UTF-8")
+      if (b.isEmpty) 0L
+      else {
+        val ww = math.min(w, b.length)
+        (0 to b.length - ww).map { st =>
+          b.slice(st, st + ww).foldLeft(0L)((h, x) => h * 257L + (x & 0xff))
+        }.min
+      }
+    }
+    val samples = Seq("hello world, this is a document", "tiny", "",
+      "aaaaaaaaaaaaaaaaaaaaaaa", "unicode: café über straße")
+    samples.foreach { s =>
+      assert(RollingMinHash.compute(UTF8String.fromString(s), 16)
+        === reference(s, 16), s"mismatch for '$s'")
+    }
+  }
+
+  test("rolling_min_hash works through SQL registration and codegen") {
+    RollingMinHash.register(spark)
+    val out = docs.limit(50).selectExpr("doc_id", "rolling_min_hash(text, 16) AS fp")
+    assert(out.count() === 50)
+    // same text → same fingerprint (applied twice stays equal)
+    val twice = docs.limit(50)
+      .select(RollingMinHash.rolling_min_hash(col("text"), 16).as("a"),
+        RollingMinHash.rolling_min_hash(col("text"), 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(twice === 0)
+  }
+
+  test("minhash signature is identical for identical texts") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document about spark joins"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+      Dedup.minhashSignature(
+        array_distinct(Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3)),
+        32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("minhash-LSH finds the known near-dup pairs that exact jaccard finds") {
+    // Ground truth: exact word-shingle jaccard >= 0.8 across all pairs.
+    val t = docs.select(col("doc_id"),
+      array_distinct(Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3))
+        .as("sh"))
+    val truth = t.alias("a").join(t.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", Dedup.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with 32 hashes / 8 bands, P(candidate) at j=0.8 is ~1; every truth
+    // pair must surface, and verification keeps exactly the truth set.
+    assert(found === truth)
+  }
+
+  test("simhash: identical texts equal; hamming grows with difference") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      (1L, "spark shuffles data between stages for wide dependencies"),
+      (2L, "spark shuffles data between stages for wide dependencies"),
+      (3L, "spark shuffles data between stages for wide dependency"),
+      (4L, "entirely unrelated content regarding cooking pasta al dente"))
+      .toDF("doc_id", "text")
+    val m = df.select(col("doc_id"),
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+
+  test("exact dedup keeps exactly one canonical row per text") {
+    val kept = Dedup.exactDedupKeep(docs, col("text"), col("doc_id"))
+      .filter(col("is_kept"))
+    assert(kept.count() === docs.select("text").distinct().count())
+  }
+}

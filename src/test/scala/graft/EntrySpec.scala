@@ -22,12 +22,16 @@ class EntrySpec extends GraftSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Queries whose empty result at tiny SF is semantically legitimate
+  // (near-dup pair finders over mostly-unique fixtures, anti joins).
+  private val mayBeEmpty = Set("j10_join_anti", "dd3_minhash_dup_pairs")
+
   test("all queries execute and return rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
           val n = fn(spark, sf).count()
-          if (n == 0 && !name.contains("anti")) Some(s"$name: 0 rows") else None
+          if (n == 0 && !mayBeEmpty(name)) Some(s"$name: 0 rows") else None
         } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("; "))

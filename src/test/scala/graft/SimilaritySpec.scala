@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Recall/consistency tests for the ANN path vs the exact baseline. */
+class SimilaritySpec extends GraftSuite {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("srp-lsh ann reaches >=50% recall@5 vs brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val ann = pairs(
+      Similarity.annTopK(q, emb, "vec_id", "embedding", 5,
+        tables = 16, bits = 6, dim = 64))
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // fixture embeddings are uniform random, the hardest case for LSH
+    // (neighbors barely closer than strangers) — 0.5 is the floor here;
+    // clustered real-world embeddings recall far higher.
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
+  test("ann results are a subset of valid ids and ranked consistently") {
+    val q = emb.filter(col("vec_id") < 5)
+    val res = Similarity.annTopK(q, emb, "vec_id", "embedding", 5)
+      .collect()
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks === (1 to ranks.length).toArray)
+      val coss = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(10)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    one.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+}
