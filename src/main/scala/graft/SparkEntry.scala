@@ -22,7 +22,9 @@ object SparkEntry {
     FunctionQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    StreamingQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads plus typed metadata, with decode / feature-extraction /
+  * resize / frame-sampling as partition-batched operators.
+  *
+  * The DECODE step is a STUB (`fakeDecode` — this container ships no
+  * image/audio codecs): it produces a deterministic pseudo-decode from the
+  * payload bytes. Everything around it is the real scale plumbing —
+  * schema, binary handling, mapPartitions batching (the Scala analog of
+  * `mapInPandas`: one JVM-side batch loop per partition, codec state
+  * initialized once per partition, never per row), and fixed-shape feature
+  * output ready for the Similarity operators.
+  */
+object Multimodal {
+
+  /** Canonical media schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", IntegerType))), nullable = true)))
+
+  /** Build a deterministic media table from the documents fixture: the
+    * text bytes stand in for an encoded payload (STUB data, real schema).
+    * Kind cycles image/audio/video; metadata is derived from sizes. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("n_chars"), lit(64)) + 32).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(48)) + 24).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") * 10).cast("int").as("duration_ms")).as("meta"))
+
+  /** ??? in spirit — deterministic fake decode: expands payload bytes into
+    * `n` "pixels/samples" by cycling with a position mix. Replace with a
+    * real codec call; the partition-batch loop, schema, and shapes stay. */
+  private def fakeDecode(payload: Array[Byte], n: Int): Array[Float] = {
+    if (payload == null || payload.isEmpty) Array.fill(n)(0.0f)
+    else {
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val b = payload(i % payload.length) & 0xff
+        out(i) = ((b * 31 + i * 7) % 256) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  private val featDim = 32
+
+  /** Decode + fixed-shape feature extraction via mapPartitions: the
+    * partition is the batch (codec init once, rows streamed through).
+    * Output: (media_id, kind, feature array<float> of featDim). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("feature", ArrayType(FloatType))))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val projected = media.select("media_id", "kind", "payload")
+    projected.mapPartitions { rows =>
+      // per-partition "codec" init happens HERE (once), not per row
+      rows.map { r =>
+        val decoded = fakeDecode(r.getAs[Array[Byte]]("payload"), 256)
+        // byte-histogram-ish pooled feature: deterministic, fixed shape
+        val feat = new Array[Float](featDim)
+        var i = 0
+        while (i < decoded.length) {
+          feat(i % featDim) += decoded(i) / (256 / featDim)
+          i += 1
+        }
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), feat.toSeq)
+      }
+    }(encoder)
+  }
+
+  /** Image resize STUB: keeps the plumbing (binary in → binary out with
+    * updated metadata); the byte-stride stands in for a real resampler. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("payload",
+        when(col("kind") === "image",
+          // stride-sample the payload to w*h bytes (STUB for resample)
+          slice_bytes(col("payload"), w * h))
+        .otherwise(col("payload")))
+      .withColumn("meta",
+        when(col("kind") === "image",
+          struct(lit(w).as("width"), lit(h).as("height"),
+            col("meta.sample_rate").as("sample_rate"),
+            col("meta.duration_ms").as("duration_ms")))
+        .otherwise(col("meta")))
+
+  private def slice_bytes(payload: org.apache.spark.sql.Column, n: Int) =
+    expr(s"CASE WHEN length(payload) >= $n THEN substring(payload, 1, $n) " +
+      s"ELSE payload END")
+
+  /** Video frame-sampling STUB: one "frame" (byte window) per second of
+    * duration, capped — demonstrates the explode-to-frames shape that a
+    * real pipeline uses before per-frame feature extraction. */
+  def sampleFrames(media: DataFrame, maxFrames: Int = 8): DataFrame =
+    media.filter(col("kind") === "video")
+      .withColumn("n_frames",
+        least(greatest((col("meta.duration_ms") / 1000).cast("int"), lit(1)),
+          lit(maxFrames)))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1)))
+      .select(col("media_id"), col("frame_idx"),
+        expr("substring(payload, frame_idx * 16 + 1, 16)").as("frame_bytes"))
+}

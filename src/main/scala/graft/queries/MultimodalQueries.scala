@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+import graft.sources.Tables
+
+/** Multimodal plumbing over binary payload columns (decode step stubbed —
+  * see Multimodal). Rows-only checks: binary/array outputs aren't oracle
+  * material, the schema/partitioning/batching contract is spec-tested in
+  * MultimodalSpec. The metadata projection (mm1) IS oracle-checked since
+  * it's plain arithmetic on documents. */
+object MultimodalQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // Media catalog: typed metadata over binary payloads (oracle on the
+    // scalar columns — payload length stands in for the binary).
+    "mm1_media_catalog" -> ((s, d) =>
+      Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("payload_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")),
+
+    // Partition-batched decode + fixed-shape features (STUB decode).
+    "mm2_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .select(col("media_id"), col("kind"),
+          size(col("feature")).as("feat_dim"),
+          round(aggregate(col("feature"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+        .orderBy("media_id")),
+
+    // Frame sampling: video → exploded frame rows.
+    "mm3_video_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len"))
+        .orderBy("media_id", "frame_idx"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm1_media_catalog" ->
+      """SELECT doc_id AS media_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+           CAST(n_chars % 64 + 32 AS INT) AS width,
+           CAST(n_chars % 48 + 24 AS INT) AS height,
+           CAST(n_chars * 10 AS INT) AS duration_ms
+         FROM documents ORDER BY media_id"""
+    // mm2/mm3: stub decode outputs — spec-tested, rows-only here.
+  )
+}

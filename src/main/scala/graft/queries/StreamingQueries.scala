@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.sources.Tables
+
+/** Batch duals of the streaming transforms — the exact same
+  * EventStreams.* code applied to the static events table (Structured
+  * Streaming's batch/stream parity makes this a meaningful check), with
+  * DuckDB oracles: tumbling = date_trunc, sliding = unnested bucket list,
+  * session = gaps-and-islands. StreamingSpec runs the same transforms as
+  * real streams (file source → memory sink) and asserts equality with
+  * these batch results.
+  */
+object StreamingQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    "st1_tumbling_window" -> ((s, d) =>
+      EventStreams.tumblingCounts(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
+
+    "st2_sliding_window" -> ((s, d) =>
+      EventStreams.slidingCounts(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
+
+    "st3_session_window" -> ((s, d) =>
+      EventStreams.sessionCounts(Tables.events(s, d))
+        .orderBy("user_id", "session_start")),
+
+    "st4_dedup_events" -> ((s, d) =>
+      EventStreams.dedupEvents(Tables.events(s, d))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_distinct_events"))
+        .orderBy("event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "st2_sliding_window" ->
+      """WITH buckets AS (
+           SELECT event_type,
+             unnest([time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k*15) MINUTE
+                     for k in range(0, 4)]) AS window_start,
+             ts
+           FROM events)
+         SELECT window_start, event_type, count(*) AS n_events
+         FROM buckets
+         WHERE ts < window_start + INTERVAL '1 hour'
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "st3_session_window" ->
+      """WITH ordered AS (
+           SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL '30 minutes' THEN 1
+                  ELSE 0 END AS new_session
+           FROM ordered),
+         numbered AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+           FROM flagged)
+         SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+         FROM numbered GROUP BY user_id, session_no
+         ORDER BY user_id, session_start""",
+    "st4_dedup_events" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

