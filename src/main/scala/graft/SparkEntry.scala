@@ -24,7 +24,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     StreamingQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    SubqueryQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

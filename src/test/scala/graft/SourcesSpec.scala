@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Source/DDL coverage (SURVEY.md §2a): the reference's pipe-delimited CSV
+  * loader with declared schema (S1/S2), eager materialization, and the
+  * five reference primitive types — rebuilt over Spark's CSV source. */
+class SourcesSpec extends GraftSuite {
+
+  test("pipe-delimited CSV round-trips the nation table") {
+    val dir = Files.createTempDirectory("graft-csv-").toString
+    val nation = Tables.nation(spark, sf)
+    nation.write.mode("overwrite").option("delimiter", "|").csv(dir)
+    val schema = Tables.referenceSchema(
+      "n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int")
+    val loaded = Tables.createCsvTable(spark, "nation_csv", dir, schema)
+    // reference uppercases registered names (Microbase.scala:953-958)
+    assert(loaded.columns.toSeq === Seq("N_NATIONKEY", "N_NAME", "N_REGIONKEY"))
+    assert(loaded.count() === nation.count())
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n FROM nation_csv WHERE N_REGIONKEY = 0")
+      .collect().head.getLong(0)
+    val expected = nation.filter(col("n_regionkey") === 0).count()
+    assert(viaSql === expected)
+  }
+
+  test("eager load materializes at create (cache) like the reference") {
+    val dir = Files.createTempDirectory("graft-csv2-").toString
+    Tables.region(spark, sf).write.mode("overwrite")
+      .option("delimiter", "|").csv(dir)
+    val schema = Tables.referenceSchema(
+      "r_regionkey" -> "int", "r_name" -> "string")
+    val df = Tables.createCsvTable(spark, "region_csv", dir, schema,
+      eager = true)
+    df.count() // force
+    assert(df.storageLevel.useMemory, "eager table should be cached")
+    df.unpersist()
+  }
+
+  test("reference type mapping covers exactly the five primitive types") {
+    import org.apache.spark.sql.types._
+    assert(Tables.referenceType("int") === IntegerType)
+    assert(Tables.referenceType("float") === FloatType)
+    assert(Tables.referenceType("double") === DoubleType)
+    assert(Tables.referenceType("date") === DateType)
+    assert(Tables.referenceType("string") === StringType)
+    intercept[IllegalArgumentException](Tables.referenceType("decimal"))
+  }
+
+  test("date columns parse as epoch-day-equivalent DateType") {
+    val dir = Files.createTempDirectory("graft-csv3-").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "s.data"),
+      "1|hello|2020-03-15\n2|world|1999-12-31\n")
+    val schema = Tables.referenceSchema(
+      "c" -> "int", "b" -> "string", "a" -> "date")
+    val df = Tables.createCsvTable(spark, "s_csv", dir, schema)
+    val dates = df.orderBy("C").select("A").collect()
+      .map(_.getDate(0).toString)
+    assert(dates === Array("2020-03-15", "1999-12-31"))
+  }
+}
