@@ -57,4 +57,29 @@ object Joins {
     * sides for readable conditions. */
   def self(df: DataFrame, leftName: String, rightName: String, cond: Column): DataFrame =
     df.alias(leftName).join(df.alias(rightName), cond)
+
+  /** Salted equi join for skewed keys: the skewed (left/fact) side gets a
+    * deterministic salt in [0, salt), the right side is replicated `salt`
+    * ways, and the join key becomes (key, salt) — splitting each hot key's
+    * rows across `salt` reducers. AQE's skew-join handles moderate skew
+    * automatically; explicit salting is the tool when one key dominates a
+    * whole executor's memory at 100 TB. Semantically identical to
+    * `l.join(r, key)` (spec-checked). Right side should be the smaller
+    * relation — it is replicated `salt` times. */
+  def salted(
+      l: DataFrame, r: DataFrame,
+      leftKey: String, rightKey: String,
+      salt: Int = 8): DataFrame = {
+    // deterministic salt from the row content keeps the operator
+    // reproducible (no rand()) while still spreading a hot key: hash all
+    // left columns, mod salt.
+    val saltedL = l.withColumn("__salt",
+      pmod(hash(l.columns.map(col): _*), lit(salt)))
+    val saltedR = r.withColumn("__salt",
+      explode(array((0 until salt).map(lit(_)): _*)))
+    saltedL.join(saltedR,
+        saltedL(leftKey) === saltedR(rightKey) &&
+        saltedL("__salt") === saltedR("__salt"))
+      .drop("__salt")
+  }
 }

@@ -75,6 +75,18 @@ object Tables {
     out
   }
 
+  /** Bucketed write: pre-partitions and pre-sorts by the join key so
+    * subsequent equi-joins/aggregations on that key need NO shuffle — the
+    * durable replacement for the reference's in-heap hash index (S5,
+    * Microbase.scala:994-1006) that actually works at 100 TB (bucket count
+    * chosen so each bucket ≈ one task's worth of data). Requires
+    * saveAsTable (bucket metadata lives in the catalog). */
+  def writeBucketed(
+      df: DataFrame, name: String, buckets: Int, keyCol: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .saveAsTable(name)
+
   /** The five primitive types the reference supports (Microbase.scala:
     * 971-977) mapped to Spark types; our engine supersets these (long,
     * decimal, timestamp, boolean, array, map, struct all work natively). */

@@ -15,6 +15,8 @@ object SparkTestBase {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh-").toString)
       .getOrCreate()
   }
   val sf: String = "/root/testdata/sf0.001"
