@@ -35,15 +35,12 @@ object Dedup {
       sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
-  /** MinHash signature: hash family i is xxhash64 seeded by mixing the
-    * family index into the hashed tuple — overflow-free under ANSI mode
-    * (wraparound affine transforms would throw), deterministic across
-    * executors, and fully codegen'd. */
+  /** MinHash signature — native expression (graft.functions.Signatures):
+    * each shingle is xxhash64'd once and mixed per family in a tight JVM
+    * loop with codegen, vs the declarative HOF form that re-hashes every
+    * shingle numHashes times interpreted. Deterministic across executors. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s =>
-        xxhash64(lit(i), s).bitwiseAND(lit(Long.MaxValue))))
-    }: _*)
+    graft.functions.Signatures.min_hash(shingles, numHashes)
 
   /** Band keys for LSH: murmur3 over each r-row slice of the signature. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -105,32 +102,13 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  private val Pow2: Column = array((0 until 64).map(k => lit(1L << k)): _*)
-
   /** 64-bit SimHash over a token array: per-bit ±1 votes from each token's
     * xxhash64, sign of the vote sum becomes the bit. Near-dup docs land at
     * small Hamming distance; bucketing by 16-bit chunks gives the LSH-style
     * candidate join (a pair within Hamming ≤ 3 of a 4-chunk split must
-    * share at least one exact chunk). */
-  def simhash64(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc,
-          transform(sequence(lit(0), lit(63)),
-            i => when(h.bitwiseAND(element_at(Pow2, i + 1)) =!= 0, 1)
-              .otherwise(-1)),
-          (x, y) => x + y)
-      })
-    aggregate(
-      sequence(lit(0), lit(63)).as("idx"),
-      lit(0L),
-      (acc, i) => acc +
-        when(element_at(votes, i + 1) > 0, element_at(Pow2, i + 1))
-          .otherwise(0L))
-  }
+    * share at least one exact chunk). Native codegen'd expression. */
+  def simhash64(toks: Column): Column =
+    graft.functions.Signatures.sim_hash(toks)
 
   /** The four 16-bit chunks of a simhash (candidate-bucket keys). */
   def simhashChunks(sim: Column): Column =

@@ -103,6 +103,31 @@ object JoinQueries extends QueryPack {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // AS-OF join — for each purchase event, the user's most recent prior
+    // view event. Spark lacks a native as-of join; per the custom-operator
+    // preference order this is COMPOSED from built-ins (range join +
+    // row_number) rather than a custom SparkPlan — the composition
+    // decorrelates into a shuffle on user_id plus a per-purchase window,
+    // which scales (candidates bounded per user, no driver state).
+    "j12_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("v_ts").desc, col("v_id").desc)
+      purchases.join(views, Seq("user_id"))
+        .filter(col("v_ts") <= col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_id", "user_id", "p_ts", "v_id", "v_ts")
+        .orderBy("p_id")
+    }),
+
     // THETA — non-equi conjunct in the join condition (the reference could
     // only leave these as residual filters, SURVEY §2c): nation pairs in
     // the same region, ordered pair.
@@ -168,6 +193,18 @@ object JoinQueries extends QueryPack {
       """SELECT a.n_regionkey AS rkey, a.n_name AS n1, b.n_name AS n2
          FROM nation a JOIN nation b
            ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
-         ORDER BY rkey, n1, n2"""
+         ORDER BY rkey, n1, n2""",
+    "j12_asof_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, event_id AS v_id, ts AS v_ts
+                  FROM events WHERE event_type = 'view'),
+            c AS (SELECT p.p_id, p.user_id, p.p_ts, v.v_id, v.v_ts,
+                    row_number() OVER (PARTITION BY p.p_id
+                      ORDER BY v.v_ts DESC, v.v_id DESC) AS rn
+                  FROM p JOIN v ON p.user_id = v.user_id
+                  WHERE v.v_ts <= p.p_ts)
+         SELECT p_id, user_id, p_ts, v_id, v_ts FROM c WHERE rn = 1
+         ORDER BY p_id"""
   )
 }

@@ -36,20 +36,19 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
-    // Label-mean centroid similarity: per-label mean embedding then each
-    // label's nearest other centroid — exercises array aggregation
-    // (posexplode + groupBy) the way an IVF coarse quantizer would.
+    // Label-mean centroids: per-label mean embedding via posexplode +
+    // groupBy — the IVF coarse-quantizer shape. Means use the exact
+    // decimal-sum policy so the dim-0 component is oracle-exact.
     "ss3_label_centroids" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val byDim = emb.select(col("label"),
           posexplode(Similarity.asDouble(col("embedding"))).as(Seq("dim", "v")))
         .groupBy("label", "dim")
-        .agg(avg(col("v")).as("mean_v"), count(lit(1)).as("n"))
-      byDim.groupBy("label")
-        .agg(max(col("n")).as("n_vecs"),
-          sum(when(col("dim") === 0, col("mean_v")).otherwise(0.0)).as("c0"))
-        .select(col("label"), col("n_vecs"),
-          round(col("c0"), 6).as("centroid_dim0"))
+        .agg(OracleSafe.moneySum(col("v"), 6).as("sum_v"),
+          count(lit(1)).as("n"))
+      byDim.filter(col("dim") === 0)
+        .select(col("label"), col("n").as("n_vecs"),
+          (col("sum_v").cast("double") / col("n")).as("centroid_dim0"))
         .orderBy("label")
     })
   )
@@ -72,9 +71,12 @@ object SimilarityQueries extends QueryPack {
               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
           FROM sc)
           SELECT qid, rank, vec_id FROM r WHERE rank <= 5
-          ORDER BY qid, rank"""
+          ORDER BY qid, rank""",
+    "ss3_label_centroids" ->
+      """SELECT label, count(*) AS n_vecs,
+           CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)))
+             AS DOUBLE) / count(*) AS centroid_dim0
+         FROM embeddings GROUP BY label ORDER BY label"""
     // ss2: no oracle (our SRP hash family); SimilaritySpec checks recall.
-    // ss3: avg-of-doubles ordering differs across engines → rows-only; the
-    //   rounded dim-0 centroid keeps it within tolerance for eyeballing.
   )
 }

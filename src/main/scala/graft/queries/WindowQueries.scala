@@ -85,6 +85,20 @@ object WindowQueries extends QueryPack {
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     }),
 
+    // first/last/nth value over the full-partition frame.
+    "w7_first_last_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("first_order", first(col("o_orderkey")).over(w))
+        .withColumn("last_order", last(col("o_orderkey")).over(w))
+        .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(w))
+        .select("o_custkey", "o_orderkey", "first_order", "last_order",
+          "second_order")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Top-k per group via window — the distributed form of the reference's
     // global sort+limit (O5), applied per partition key.
     "w6_topk_per_group" -> ((s, d) => {
@@ -140,6 +154,16 @@ object WindowQueries extends QueryPack {
              RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS nearby_sum
          FROM orders
          ORDER BY o_orderstatus, o_totalprice, o_orderkey""",
+    "w7_first_last_nth" ->
+      """SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
     "w6_topk_per_group" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
            SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -34,6 +34,14 @@ class DedupSpec extends GraftSuite {
     RollingMinHash.register(spark)
     val out = docs.limit(50).selectExpr("doc_id", "rolling_min_hash(text, 16) AS fp")
     assert(out.count() === 50)
+    // native signature expressions through the SQL path too
+    graft.functions.Signatures.register(spark)
+    val sigs = docs.limit(20).selectExpr(
+      "min_hash(split(lower(text), '\\\\s+'), 8) AS mh",
+      "sim_hash(split(lower(text), '\\\\s+')) AS sh")
+    assert(sigs.count() === 20)
+    assert(sigs.selectExpr("size(mh)").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(8))
     // same text → same fingerprint (applied twice stays equal)
     val twice = docs.limit(50)
       .select(RollingMinHash.rolling_min_hash(col("text"), 16).as("a"),
