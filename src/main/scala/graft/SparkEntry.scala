@@ -25,7 +25,8 @@ object SparkEntry {
     SimilarityQueries,
     StreamingQueries,
     MultimodalQueries,
-    SubqueryQueries
+    SubqueryQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -96,7 +96,42 @@ object AggregateQueries extends QueryPack {
     "agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-             countDistinct(col("l_orderkey")).as("exact_orders")))
+             countDistinct(col("l_orderkey")).as("exact_orders"))),
+
+    // PIVOT — long-to-wide with an explicit value list (the scalable form:
+    // implicit pivot would need a distinct-scan first).
+    "agg_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("order_year"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("order_year")),
+
+    // GROUPING SETS through the SQL path.
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT coalesce(l_returnflag, '(all)') AS rf,
+                      coalesce(l_linestatus, '(all)') AS ls,
+                      count(*) AS n
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY rf, ls""")
+    }),
+
+    // Exact interpolated percentiles over integer-valued quantities —
+    // interpolation lands on .0/.5 steps, identical across engines.
+    "agg_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy("l_returnflag"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -139,6 +174,25 @@ object AggregateQueries extends QueryPack {
     "a3_custom_aggregator" ->
       """SELECT l_returnflag,
            sum(l_quantity * l_linenumber) / sum(CAST(l_linenumber AS DOUBLE)) AS wavg_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+           count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+           count(*) FILTER (o_orderstatus = 'P') AS p_cnt
+         FROM orders GROUP BY 1 ORDER BY order_year""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY rf, ls""",
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     // agg_approx_distinct: intentionally no oracle — HLL estimates are
     // engine-specific; driver records rows-only.

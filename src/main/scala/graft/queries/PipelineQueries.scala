@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Pipeline, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data pipeline queries: sampling (rows-only, seeded RNG is
+  * engine-specific), reproducible shuffle (rows-only, xxhash order), and
+  * context-window packing (oracle-exact window arithmetic). */
+object PipelineQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // Stratified sample by language — spec asserts per-stratum rates;
+    // rows-only here (Bernoulli draws are engine-specific).
+    "pl1_stratified_sample" -> ((s, d) =>
+      Pipeline.stratifiedSample(
+        Tables.documents(s, d), "lang",
+        Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5),
+        seed = 42L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Reproducible shuffle: same seed → same permutation (spec-asserted);
+    // rows-only (hash order is ours).
+    "pl2_deterministic_shuffle" -> ((s, d) =>
+      Pipeline.deterministicShuffle(
+        Tables.documents(s, d).select("doc_id", "n_chars"), 7L, col("doc_id"))
+        .withColumn("shuffle_pos",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(xxhash64(lit(7L), col("doc_id")), col("doc_id"))))),
+
+    // Context packing by 8k-token budget over whitespace token counts.
+    "pl3_context_packing" -> ((s, d) =>
+      Pipeline.packByTokenBudget(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), budget = 8192)
+        .select("doc_id", "n_tokens", "cum_tokens", "bin")
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pl3_context_packing" ->
+      """SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(floor(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 8192)
+             AS INT) AS bin
+         FROM (SELECT doc_id,
+                 CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT)
+                   AS n_tokens
+               FROM documents)
+         ORDER BY doc_id"""
+    // pl1/pl2: rows-only — seeded sampling and hash order are engine-local;
+    //   PipelineSpec covers rates and determinism.
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pipeline
+import graft.sources.Tables
+
+/** Invariants for the training-pipeline utilities. */
+class PipelineSpec extends GraftSuite {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("stratified sample hits requested per-stratum rates (±tolerance)") {
+    val fr = Map("en" -> 0.8, "de" -> 0.2, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
+    val sampled = Pipeline.stratifiedSample(docs, "lang", fr, seed = 42L)
+    val rates = sampled.groupBy("lang").agg(count(lit(1)).as("n"))
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("total")), "lang")
+      .withColumn("rate", col("n").cast("double") / col("total"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rate")).toMap
+    fr.foreach { case (k, f) =>
+      assert(math.abs(rates.getOrElse(k, 0.0) - f) < 0.25,
+        s"stratum $k rate ${rates.get(k)} vs $f")
+    }
+  }
+
+  test("stratified sample is reproducible for a fixed seed") {
+    val fr = Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
+    val a = Pipeline.stratifiedSample(docs, "lang", fr, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Pipeline.stratifiedSample(docs, "lang", fr, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("deterministic shuffle is a stable permutation") {
+    val base = docs.select("doc_id")
+    val s1 = Pipeline.deterministicShuffle(base, 13L, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Pipeline.deterministicShuffle(base, 13L, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 === s2, "same seed must give the same order")
+    assert(s1.sorted === base.collect().map(_.getLong(0)).toSeq.sorted)
+    val other = Pipeline.deterministicShuffle(base, 14L, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 !== other, "different seeds should permute differently")
+  }
+
+  test("context packing fills bins to the budget in id order") {
+    val packed = Pipeline.packByTokenBudget(
+      docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
+      col("doc_id"), col("n_tokens"), budget = 1000)
+    // bins are contiguous in id order and nonnegative
+    val bins = packed.orderBy("doc_id").select("bin").collect().map(_.getInt(0))
+    assert(bins.head === 0)
+    assert(bins.zip(bins.tail).forall { case (a, b) => b >= a })
+    // every bin's token sum (minus its possibly-straddling last doc) fits
+    val over = packed.groupBy("bin").agg(sum(col("n_tokens")).as("s"),
+        max(col("n_tokens")).as("m"))
+      .filter(col("s") - col("m") > 1000).count()
+    assert(over === 0)
+  }
+}
