@@ -122,6 +122,19 @@ object AggregateQueries extends QueryPack {
                ORDER BY rf, ls""")
     }),
 
+    // Statistical aggregates. Both engines use order-dependent streaming
+    // moment updates, so values are rounded to 6 decimals — the one place
+    // the oracle compare is tolerance-based by construction.
+    "agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
     // Exact interpolated percentiles over integer-valued quantities —
     // interpolation lands on .0/.5 steps, identical across engines.
     "agg_percentiles" -> ((s, d) =>
@@ -188,6 +201,12 @@ object AggregateQueries extends QueryPack {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_percentiles" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.25) AS p25,

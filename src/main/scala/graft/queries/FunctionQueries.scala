@@ -125,6 +125,31 @@ object FunctionQueries extends QueryPack {
           regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
         .orderBy("c_custkey")),
 
+    // Scala UDF surface (SURVEY §2g: the reference has no UDFs at all).
+    // Registered + called through SQL; oracle mirrors the logic natively.
+    // UDFs are kept OUT of hot paths (no codegen) — this demonstrates the
+    // registration contract, not a recommended scan operator.
+    "fn_udf" -> ((s, d) => {
+      s.udf.register("slugify",
+        (x: String) => if (x == null) null else x.toLowerCase.replace("#", "_"))
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, slugify(c_name) AS slug
+               FROM customer ORDER BY c_custkey""")
+    }),
+
+    // try_-family error-safe functions (ANSI mode without the blast
+    // radius): invalid casts and div-by-zero yield NULL, coalesced here to
+    // keep the compared output null-free.
+    "fn_try" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          coalesce(try_divide(col("l_quantity"),
+            col("l_linenumber") - lit(1)), lit(-1.0)).as("qty_per_extra_line"),
+          coalesce(expr("try_cast(l_returnflag AS INT)"), lit(-1))
+            .as("flag_as_int"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_per_extra_line")),
+
     // Hashing: md5 (cross-engine identical), plus Spark-native xxhash64 /
     // murmur3 kept out of the oracle (engine-specific seeds).
     "fn_hash" -> ((s, d) =>
@@ -199,6 +224,16 @@ object FunctionQueries extends QueryPack {
     "fn_regex" ->
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits
          FROM customer ORDER BY c_custkey""",
+    "fn_udf" ->
+      """SELECT c_custkey, lower(replace(c_name, '#', '_')) AS slug
+         FROM customer ORDER BY c_custkey""",
+    "fn_try" ->
+      """SELECT l_orderkey, l_linenumber,
+           coalesce(l_quantity / nullif(l_linenumber - 1, 0), -1.0)
+             AS qty_per_extra_line,
+           coalesce(TRY_CAST(l_returnflag AS INT), -1) AS flag_as_int
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, qty_per_extra_line""",
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS text_md5,
            substring(md5(text), 1, 8) AS md5_prefix

@@ -138,6 +138,111 @@ object TpchQueries extends QueryPack {
              .cast("double")).as("promo_revenue_pct"))
     }),
 
+    // Q4-shape — order-priority checking: EXISTS with a correlated date
+    // condition (late shipment proxy: shipped >60 days after order).
+    "q4_order_priority" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderpriority, count(*) AS order_count
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+                 AND EXISTS (SELECT 1 FROM lineitem
+                             WHERE l_orderkey = o_orderkey
+                               AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // Q7-shape — volume shipping between nation pairs (supplier nation ×
+    // customer nation per year).
+    "q7_nation_volume" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      // region-level pairs: the tiny-SF fixtures have only a handful of
+      // suppliers, so nation-level pairs can be empty — regions always hit.
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_regionkey").as("supp_region"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("cust_region"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_region").isin(0, 1) &&
+                col("cust_region").isin(0, 1) &&
+                col("supp_region") =!= col("cust_region"))
+        .groupBy(col("supp_region"), col("cust_region"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    }),
+
+    // Q13-shape — customer order-count distribution (left join + two-level
+    // aggregation).
+    "q13_customer_distribution" -> ((s, d) => {
+      val cnt = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      cnt.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15-shape — top supplier via CTE + scalar-max subquery; decimal
+    // revenue makes the max-equality join exact.
+    "q15_top_supplier" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""WITH revenue AS (
+                 SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS total_revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+                 GROUP BY l_suppkey)
+               SELECT s_suppkey, s_name, total_revenue
+               FROM supplier JOIN revenue ON s_suppkey = supplier_no
+               WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+               ORDER BY s_suppkey""")
+    }),
+
+    // Q18-shape — large-volume customers: IN over a group-having subquery.
+    "q18_large_volume" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice,
+                 sum(l_quantity) AS total_qty
+               FROM customer
+                 JOIN orders ON c_custkey = o_custkey
+                 JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                    GROUP BY l_orderkey
+                                    HAVING sum(l_quantity) > 150)
+               GROUP BY c_custkey, o_orderkey, o_totalprice
+               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""")
+    }),
+
+    // Q22-shape — global sales opportunity: customers above the positive-
+    // balance average (exact decimal avg) with no orders, by country code.
+    "q22_global_sales" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+                 count(*) AS numcust,
+                 sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+               FROM customer
+               WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS
+                       DECIMAL(18,2))) AS DOUBLE) / count(*)
+                     FROM customer WHERE c_acctbal > 0.0)
+                 AND NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderpriority = '1-URGENT'
+                                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+               GROUP BY 1 ORDER BY cntrycode""")
+    }),
+
     // Q19-shape — discounted revenue over disjunctive brand/qty predicates:
     // the classic "OR of ANDs" join filter.
     "q19_disjunctive_filter" -> ((s, d) => {
@@ -230,6 +335,72 @@ object TpchQueries extends QueryPack {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
            AND l_shipdate <  TIMESTAMP '1999-10-01 00:00:00'""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q7_nation_volume" ->
+      """SELECT n1.n_regionkey AS supp_region, n2.n_regionkey AS cust_region,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_regionkey IN (0, 1)
+           AND n2.n_regionkey IN (0, 1)
+           AND n1.n_regionkey <> n2.n_regionkey
+         GROUP BY 1, 2, 3 ORDER BY supp_region, cust_region, l_year""",
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,4))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q18_large_volume" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice,
+           sum(l_quantity) AS total_qty
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(l_quantity) > 150)
+         GROUP BY c_custkey, o_orderkey, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "q22_global_sales" ->
+      """SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+           count(*) AS numcust,
+           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DOUBLE) / count(*)
+               FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT'
+                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY 1 ORDER BY cntrycode""",
     "q19_disjunctive_filter" ->
       """SELECT sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
            count(*) AS n_rows
