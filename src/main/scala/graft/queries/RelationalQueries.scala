@@ -112,6 +112,22 @@ object RelationalQueries extends QueryPack {
       ).orderBy("l_orderkey")
     }),
 
+    // ALL variants (multiset semantics) — beyond the reference.
+    "setop_intersect_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "R").select("l_orderkey")
+        .intersectAll(
+          li.filter(col("l_quantity") > 45.0).select("l_orderkey"))
+        .orderBy("l_orderkey")
+    }),
+    "setop_except_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "R").select("l_orderkey")
+        .exceptAll(
+          li.filter(col("l_quantity") > 45.0).select("l_orderkey"))
+        .orderBy("l_orderkey")
+    }),
+
     // DISTINCT — beyond the reference.
     "dist_distinct" -> ((s, d) =>
       Relational.distinct(
@@ -179,6 +195,16 @@ object RelationalQueries extends QueryPack {
     "setop_except" ->
       """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
          EXCEPT
+         SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
+         ORDER BY l_orderkey""",
+    "setop_intersect_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         INTERSECT ALL
+         SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
+         ORDER BY l_orderkey""",
+    "setop_except_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         EXCEPT ALL
          SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
          ORDER BY l_orderkey""",
     "dist_distinct" ->

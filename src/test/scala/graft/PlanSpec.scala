@@ -45,6 +45,25 @@ class PlanSpec extends GraftSuite {
     assert(aggs >= 2, p)
   }
 
+  test("no query plans an accidental cartesian product") {
+    // Queries that are *intentionally* pairwise (bounded/blocked baselines
+    // or explicit cross joins) — everything else must never plan a
+    // CartesianProduct, the #1 silent scale-killer.
+    val intentional = Set(
+      "j2_join_cross",        // explicit cartesian
+      "ss1_cosine_topk",      // bounded brute-force baseline
+      "dd5_ngram_neardup_pairs", // blocked pairwise (same-source)
+      "dd6_embedding_neardup" // bounded pairwise baseline
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !intentional(name) =>
+        val p = plan(fn(spark, sf))
+        if (p.contains("CartesianProduct")) Some(name) else None
+      case _ => None
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian products: $offenders")
+  }
+
   test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
     // AQE only materializes the final physical plan after execution, so
     // run the query first and inspect executedPlan.
