@@ -150,6 +150,23 @@ object FunctionQueries extends QueryPack {
             .as("flag_as_int"))
         .orderBy("l_orderkey", "l_linenumber", "qty_per_extra_line")),
 
+    // NULL semantics — the reference can't even represent nulls (its
+    // loader never produces them, SURVEY §1); here: three-valued logic,
+    // null-safe equality, coalesce/nullif/nvl2-style forms.
+    "fn_null" -> ((s, d) => {
+      val lagged = Tables.orders(s, d)
+        .withColumn("prev_key", lag(col("o_orderkey"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey").orderBy("o_orderkey")))
+      lagged.select(
+          col("o_orderkey"),
+          col("prev_key").isNull.as("is_first"),
+          coalesce(col("prev_key"), lit(-1L)).as("prev_or_default"),
+          (col("prev_key") <=> col("o_orderkey")).as("nullsafe_self"),
+          nullif(col("o_orderstatus"), lit("O")).isNull.as("is_open"))
+        .orderBy("o_orderkey")
+    }),
+
     // Hashing: md5 (cross-engine identical), plus Spark-native xxhash64 /
     // murmur3 kept out of the oracle (engine-specific seeds).
     "fn_hash" -> ((s, d) =>
@@ -234,6 +251,17 @@ object FunctionQueries extends QueryPack {
            coalesce(TRY_CAST(l_returnflag AS INT), -1) AS flag_as_int
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber, qty_per_extra_line""",
+    "fn_null" ->
+      """SELECT o_orderkey,
+           prev_key IS NULL AS is_first,
+           coalesce(prev_key, -1) AS prev_or_default,
+           prev_key IS NOT DISTINCT FROM o_orderkey AS nullsafe_self,
+           nullif(o_orderstatus, 'O') IS NULL AS is_open
+         FROM (SELECT o_orderkey, o_orderstatus,
+                 lag(o_orderkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderkey) AS prev_key
+               FROM orders)
+         ORDER BY o_orderkey""",
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS text_md5,
            substring(md5(text), 1, 8) AS md5_prefix

@@ -31,7 +31,26 @@ object StreamingQueries extends QueryPack {
       EventStreams.dedupEvents(Tables.events(s, d))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_distinct_events"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Gap-filled hourly series: generate the full hour spine between min
+    // and max event time, left-join the actual counts, fill zeros — the
+    // standard time-series densification (spine generation is one tiny
+    // driver-free sequence + explode; the join shuffles on the hour key).
+    "st5_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = bounds.select(
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      spine.join(hourly, Seq("hour"), "left_outer")
+        .select(col("hour"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("hour")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -72,6 +91,19 @@ object StreamingQueries extends QueryPack {
          ORDER BY user_id, session_start""",
     "st4_dedup_events" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "st5_gap_fill" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+           FROM events GROUP BY 1),
+         bounds AS (
+           SELECT date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi FROM events),
+         spine AS (
+           SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+           FROM bounds)
+         SELECT spine.hour, coalesce(hourly.n_events, 0) AS n_events
+         FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour
+         ORDER BY spine.hour"""
   )
 }
