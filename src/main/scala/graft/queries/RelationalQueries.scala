@@ -128,6 +128,15 @@ object RelationalQueries extends QueryPack {
         .orderBy("l_orderkey")
     }),
 
+    // Position-independent UNION BY NAME — the reference ignores byName
+    // entirely (Microbase.scala:294).
+    "o3_union_by_name" -> ((s, d) => {
+      val a = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val b = Tables.nation(s, d).select("n_regionkey", "n_nationkey", "n_name")
+      Relational.unionByName(a, b)
+        .orderBy("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // DISTINCT — beyond the reference.
     "dist_distinct" -> ((s, d) =>
       Relational.distinct(
@@ -207,6 +216,11 @@ object RelationalQueries extends QueryPack {
          EXCEPT ALL
          SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
          ORDER BY l_orderkey""",
+    "o3_union_by_name" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         UNION ALL
+         SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey, n_name, n_regionkey""",
     "dist_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",

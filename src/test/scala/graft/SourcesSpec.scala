@@ -49,6 +49,27 @@ class SourcesSpec extends GraftSuite {
     intercept[IllegalArgumentException](Tables.referenceType("decimal"))
   }
 
+  test("partitioned parquet writes prune partitions at read time") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-part-").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("day") === lit("2024-01-05").cast("date"))
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the day predicate must land in PartitionFilters (directory pruning),
+    // NOT in PushedFilters/post-scan Filter — at 100 TB this is the
+    // difference between listing one directory and scanning everything.
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("day"), plan)
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === lit("2024-01-05").cast("date")).count()
+    assert(pruned.count() === expected)
+  }
+
   test("date columns parse as epoch-day-equivalent DateType") {
     val dir = Files.createTempDirectory("graft-csv3-").toString
     Files.writeString(java.nio.file.Paths.get(dir, "s.data"),
