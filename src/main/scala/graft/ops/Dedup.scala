@@ -143,6 +143,57 @@ object Dedup {
         i => lowered.substr(i, lit(n))))
   }
 
+  /** GLOBAL exact Jaccard similarity join via prefix filtering (PPJoin
+    * family): order each record's grams by ascending document frequency
+    * (rarest first), keep only the prefix of length |A|-⌈t·|A|⌉+1, and
+    * join on shared prefix grams — two sets with j ≥ t MUST share at
+    * least one prefix gram, so the candidate join is lossless while only
+    * touching the rare-token inverted index. Candidates then pass the
+    * size-ratio prune and exact sorted-merge verification.
+    *
+    * This is the no-blocking, no-false-negative scale path for exact
+    * thresholds (MinHash-LSH trades a little recall for even less work).
+    * Shuffles: gram df-count, per-doc re-sort, prefix-token join — all on
+    * keys, never n². */
+  def jaccardSimilarityJoin(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val base = docs.select(id.as("sj_id"), charNgrams(text, n).as("grams0"))
+      .withColumn("grams", array_sort(col("grams0")))
+      .withColumn("sz", size(col("grams")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = base.select(col("sj_id"), col("sz"),
+      explode(col("grams0")).as("g"))
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // per doc: grams ordered rarest-first ((df, g) struct sort)
+    val ordered = exploded.join(freq, "g")
+      .groupBy("sj_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("o"),
+        first(col("sz")).as("sz"))
+      .select(col("sj_id"), col("sz"),
+        transform(col("o"), s => s.getField("g")).as("by_rarity"))
+    val withPrefix = ordered
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .select(col("sj_id"), col("sz"),
+        explode(slice(col("by_rarity"), lit(1), col("plen"))).as("g"))
+    val candidates = withPrefix.alias("a")
+      .join(withPrefix.alias("b"),
+        col("a.g") === col("b.g") && col("a.sj_id") < col("b.sj_id") &&
+        jaccardSizePrune(col("a.sz"), col("b.sz"), threshold))
+      .select(col("a.sj_id").as("id_a"), col("b.sj_id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("sj_id"), col("grams"))
+    candidates
+      .join(sets.withColumnRenamed("sj_id", "id_a")
+        .withColumnRenamed("grams", "ga"), "id_a")
+      .join(sets.withColumnRenamed("sj_id", "id_b")
+        .withColumnRenamed("grams", "gb"), "id_b")
+      .withColumn("jaccard", jaccardSorted(col("ga"), col("gb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** N-gram Jaccard near-dup pairs inside blocking buckets (same `block`
     * value), exact pairwise within a bucket. Demonstration-scale blocking;
     * the 100 TB path is minhashNearDupPairs. */

@@ -61,6 +61,14 @@ object DedupQueries extends QueryPack {
         n = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // GLOBAL exact similarity join (no blocking) via PPJoin-style prefix
+    // filtering — lossless; must equal the brute-force pair set.
+    "dd7_jaccard_simjoin" -> ((s, d) =>
+      Dedup.jaccardSimilarityJoin(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
     // Embedding-cosine near-duplicates above 0.4 — exact pairwise at test
     // scale; the ANN path for the same job is ss2 (SRP-LSH).
     "dd6_embedding_neardup" -> ((s, d) =>
@@ -90,6 +98,18 @@ object DedupQueries extends QueryPack {
               (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
               AS jaccard
           FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+          ORDER BY id_a, id_b""",
+    "dd7_jaccard_simjoin" ->
+      """WITH t AS (SELECT doc_id,
+            list_distinct([substr(lower(text), i, 3)
+                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
+          FROM documents),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
           SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
           ORDER BY id_a, id_b""",
     "dd6_embedding_neardup" ->

@@ -84,6 +84,23 @@ class DedupSpec extends GraftSuite {
     assert(found === truth)
   }
 
+  test("prefix-filtered similarity join equals brute-force ground truth") {
+    val t = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.array_sort(
+        Dedup.charNgrams(col("text"), 3)).as("grams"))
+    val truth = t.alias("a").join(t.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", Dedup.jaccardSorted(col("a.grams"), col("b.grams")))
+      .filter(col("j") >= 0.6)
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.jaccardSimilarityJoin(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.6)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === truth, "prefix filtering must be lossless")
+  }
+
   test("simhash: identical texts equal; hamming grows with difference") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val df = Seq(
