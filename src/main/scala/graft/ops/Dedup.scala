@@ -132,6 +132,30 @@ object Dedup {
     array((0 until 4).map(c =>
       shiftright(sim, c * 16).bitwiseAND(lit(0xffffL))): _*)
 
+  /** SimHash near-dup pairs: candidates from shared 16-bit chunks (by the
+    * pigeonhole principle, Hamming ≤ 3 over a 4-chunk split guarantees at
+    * least one identical chunk — lossless for maxHamming ≤ 3), verified
+    * with an exact popcount of the XOR. Shuffles on (chunk index, chunk
+    * value) only. */
+  def simhashNearDupPairs(
+      docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(id.as("sh_id"),
+      simhash64(TextAnalysis.tokens(text)).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs.select(col("sh_id"), col("sim"),
+      posexplode(simhashChunks(col("sim"))).as(Seq("chunk_idx", "chunk")))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.sh_id") < col("b.sh_id"))
+      .select(col("a.sh_id").as("id_a"), col("b.sh_id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- char n-gram Jaccard ----------------------------------------------
 
   /** Distinct character n-grams of the lowercased text. */

@@ -61,6 +61,14 @@ object DedupQueries extends QueryPack {
         n = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // SimHash near-dup pairs: chunk-bucket candidates + exact Hamming
+    // verify (lossless for Hamming ≤ 3 by pigeonhole). May be empty at
+    // tiny SF. Rows-only (our hash family).
+    "dd8_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(
+        Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     // GLOBAL exact similarity join (no blocking) via PPJoin-style prefix
     // filtering — lossless; must equal the brute-force pair set.
     "dd7_jaccard_simjoin" -> ((s, d) =>

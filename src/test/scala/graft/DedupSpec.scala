@@ -116,6 +116,22 @@ class DedupSpec extends GraftSuite {
     assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
   }
 
+  test("simhash pair-finding recovers planted near-identical docs") {
+    val base = "spark executes declarative plans with whole stage codegen " +
+      "and adaptive query execution over columnar parquet data"
+    val planted = Seq(
+      (1000001L, base),
+      (1000002L, base.replace("columnar", "vectorized")), // 1-token edit
+      (1000003L, "completely different text about cooking pasta with basil"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(planted, col("doc_id"), col("text"),
+        maxHamming = 8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000001L, 1000002L)))
+    assert(!pairs.contains((1000001L, 1000003L)))
+  }
+
   test("exact dedup keeps exactly one canonical row per text") {
     val kept = Dedup.exactDedupKeep(docs, col("text"), col("doc_id"))
       .filter(col("is_kept"))

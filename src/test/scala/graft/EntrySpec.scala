@@ -24,7 +24,8 @@ class EntrySpec extends GraftSuite {
 
   // Queries whose empty result at tiny SF is semantically legitimate
   // (near-dup pair finders over mostly-unique fixtures, anti joins).
-  private val mayBeEmpty = Set("j10_join_anti", "dd3_minhash_dup_pairs")
+  private val mayBeEmpty =
+    Set("j10_join_anti", "dd3_minhash_dup_pairs", "dd8_simhash_pairs")
 
   test("all queries execute and return rows at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
