@@ -33,6 +33,12 @@ object StreamingQueries extends QueryPack {
         .agg(count(lit(1)).as("n_distinct_events"))
         .orderBy("event_type")),
 
+    // Stream-stream interval join, batch dual (purchases × prior-hour
+    // views per user).
+    "st6_interval_join" -> ((s, d) =>
+      EventStreams.purchaseViewInterval(Tables.events(s, d))
+        .orderBy("p_id", "v_id")),
+
     // Gap-filled hourly series: generate the full hour spine between min
     // and max event time, left-join the actual counts, fill zeros — the
     // standard time-series densification (spine generation is one tiny
@@ -92,6 +98,14 @@ object StreamingQueries extends QueryPack {
     "st4_dedup_events" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "st6_interval_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+           v.event_id AS v_id, v.ts AS v_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+         ORDER BY p_id, v_id""",
     "st5_gap_fill" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events

@@ -48,6 +48,28 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("user_id"),
         col("n_events"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * views from the preceding hour. In streaming, BOTH sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state for each side is pruned once the other side's watermark passes
+    * — the only way a stream-stream join stays bounded at scale. The same
+    * code runs in batch (oracle-checked as st6). */
+  def purchaseViewInterval(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"),
+        col("v_ts"))
+  }
+
   /** Exactly-once-ish dedup on event_id within the watermark horizon. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -60,6 +60,17 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.count() > 0)
   }
 
+  test("stream-stream interval join emits a subset equal to batch rows") {
+    val streamed = runStream("t_interval",
+      EventStreams.purchaseViewInterval, "append")
+    val batch = EventStreams.purchaseViewInterval(Tables.events(spark, sf))
+    assert(streamed.exceptAll(batch).count() === 0,
+      "streamed join rows must all appear in the batch join")
+    // most of the join output must have been emitted (tail withheld by
+    // the final watermark is allowed)
+    assert(streamed.count() >= (batch.count() * 0.9).toLong)
+  }
+
   test("streaming dedup drops re-delivered events") {
     // Duplicate every event into a second file set → re-delivery.
     val dir = Files.createTempDirectory("graft-dedup-").toString
