@@ -38,7 +38,7 @@ object AggregateQueries extends QueryPack {
     "a4_implicit_agg_sql" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql("""SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                 AS DECIMAL(18,2)) AS total FROM orders""")
+                 AS DOUBLE) AS total FROM orders""")
     }),
 
     // HAVING — group filter (absent from the reference).
@@ -156,15 +156,15 @@ object AggregateQueries extends QueryPack {
     "a2_group_agg" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            max(o_totalprice) AS max_price
          FROM orders GROUP BY 1, 2 ORDER BY order_year, o_orderstatus""",
     "a4_implicit_agg_sql" ->
       """SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-           AS DECIMAL(18,2)) AS total FROM orders""",
+           AS DOUBLE) AS total FROM orders""",
     "agg_having" ->
       """SELECT c_nationkey, count(*) AS n_cust,
-           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY c_nationkey HAVING count(*) > 5
          ORDER BY c_nationkey""",
     "agg_count_distinct" ->

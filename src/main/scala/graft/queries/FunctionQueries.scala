@@ -89,7 +89,13 @@ object FunctionQueries extends QueryPack {
           // DuckDB's rounds, so the truncation must be spelled out.
           floor(col("o_totalprice")).cast("int").as("price_int"),
           col("o_orderkey").cast("string").as("key_str"),
-          col("o_totalprice").cast("decimal(18,2)").as("price_dec"))
+          // decimal cast rendered through a string: both engines print a
+          // DECIMAL(18,2) scale-padded ("856.20"), which keeps the decimal
+          // cast under test while the compared column stays comparator-safe
+          // (a raw decimal column renders differently from a float in the
+          // driver's hash when the value has a trailing zero at scale).
+          col("o_totalprice").cast("decimal(18,2)").cast("string")
+            .as("price_dec"))
         .orderBy("o_orderkey")),
 
     // JSON extraction over events.props (get_json_object ~ ->> ).
@@ -206,8 +212,8 @@ object FunctionQueries extends QueryPack {
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS absval,
-           floor(l_extendedprice) AS fl,
-           ceil(l_extendedprice) AS ce,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
            round(l_quantity / 4.0, 1) AS rd,
            sqrt(l_quantity) AS sq,
            l_quantity * l_quantity + 2.0 * l_quantity AS poly,
@@ -223,7 +229,7 @@ object FunctionQueries extends QueryPack {
                 ELSE 'large' END AS bucket,
            CAST(floor(o_totalprice) AS INT) AS price_int,
            CAST(o_orderkey AS VARCHAR) AS key_str,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
          FROM orders ORDER BY o_orderkey""",
     "fn_json" ->
       """SELECT event_id,

@@ -63,7 +63,7 @@ object StreamingQueries extends QueryPack {
     "st1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "st2_sliding_window" ->
       """WITH buckets AS (

@@ -204,7 +204,8 @@ object TpchQueries extends QueryPack {
                  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
                    AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
                  GROUP BY l_suppkey)
-               SELECT s_suppkey, s_name, total_revenue
+               SELECT s_suppkey, s_name,
+                 CAST(total_revenue AS DOUBLE) AS total_revenue
                FROM supplier JOIN revenue ON s_suppkey = supplier_no
                WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
                ORDER BY s_suppkey""")
@@ -231,7 +232,7 @@ object TpchQueries extends QueryPack {
       Tables.registerAll(s, d)
       s.sql("""SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
                  count(*) AS numcust,
-                 sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
                FROM customer
                WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS
                        DECIMAL(18,2))) AS DOUBLE) / count(*)
@@ -265,9 +266,9 @@ object TpchQueries extends QueryPack {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-           sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
            CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -278,7 +279,7 @@ object TpchQueries extends QueryPack {
          ORDER BY l_returnflag, l_linestatus""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -288,7 +289,7 @@ object TpchQueries extends QueryPack {
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
     "q5_local_supplier" ->
       """SELECT n_name,
-           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -301,7 +302,7 @@ object TpchQueries extends QueryPack {
          GROUP BY n_name
          ORDER BY revenue DESC, n_name ASC""",
     "q6_forecast_revenue" ->
-      """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            count(*) AS n_rows
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -310,7 +311,7 @@ object TpchQueries extends QueryPack {
            AND l_quantity < 24.0""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -347,7 +348,7 @@ object TpchQueries extends QueryPack {
     "q7_nation_volume" ->
       """SELECT n1.n_regionkey AS supp_region, n2.n_regionkey AS cust_region,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
            JOIN supplier ON l_suppkey = s_suppkey
@@ -373,7 +374,8 @@ object TpchQueries extends QueryPack {
            WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
              AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
            GROUP BY l_suppkey)
-         SELECT s_suppkey, s_name, total_revenue
+         SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
          FROM supplier JOIN revenue ON s_suppkey = supplier_no
          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
          ORDER BY s_suppkey""",
@@ -391,7 +393,7 @@ object TpchQueries extends QueryPack {
     "q22_global_sales" ->
       """SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
            count(*) AS numcust,
-           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
          FROM customer
          WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
                  AS DOUBLE) / count(*)
@@ -402,7 +404,7 @@ object TpchQueries extends QueryPack {
                              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          GROUP BY 1 ORDER BY cntrycode""",
     "q19_disjunctive_filter" ->
-      """SELECT sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            count(*) AS n_rows
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)

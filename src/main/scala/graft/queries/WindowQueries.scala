@@ -74,13 +74,15 @@ object WindowQueries extends QueryPack {
     }),
 
     // RANGE frame — sum of order values within 5000 of the current price
-    // (value-based frame, not row-based). Decimal sum keeps it exact.
+    // (value-based frame, not row-based). Decimal sum keeps it exact; the
+    // compared column goes out as DOUBLE (see OracleSafe).
     "w5_range_frame" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_totalprice").asc)
         .rangeBetween(-5000L, 0L)
       Tables.orders(s, d)
-        .withColumn("nearby_sum", sum(dec(col("o_totalprice"))).over(w))
+        .withColumn("nearby_sum",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
         .select("o_orderstatus", "o_orderkey", "o_totalprice", "nearby_sum")
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     }),
@@ -149,9 +151,9 @@ object WindowQueries extends QueryPack {
          ORDER BY o_orderstatus, o_totalprice, o_orderkey""",
     "w5_range_frame" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
-             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS nearby_sum
+             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum
          FROM orders
          ORDER BY o_orderstatus, o_totalprice, o_orderkey""",
     "w7_first_last_nth" ->

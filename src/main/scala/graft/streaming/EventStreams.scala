@@ -24,8 +24,10 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
+        // Exact decimal accumulation, double on the way out: the compared
+        // value renders identically across engines (see OracleSafe).
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-          .as("sum_value"))
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
