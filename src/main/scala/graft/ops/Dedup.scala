@@ -21,9 +21,17 @@ object Dedup {
   /** Exact dedup with a deterministic canonical representative: keep the
     * row whose id is the minimum within its text group. Equivalent to
     * dropDuplicates but with an explicit, auditable keep-rule (needed when
-    * 100 TB pipelines must explain *which* copy survived). */
+    * 100 TB pipelines must explain *which* copy survived).
+    *
+    * The window partitions on a 128-bit digest of the text, NOT the raw
+    * text: shuffle keys stay 32 bytes instead of multi-KB documents (the
+    * shuffled VALUE still carries the text — that's the payload — but key
+    * comparison, sorting, and the hash partitioner never touch it). An
+    * md5 collision would need 2^64 docs, far beyond any corpus; the digest
+    * is a pure function of the text, so group membership is unchanged. */
   def exactDedupKeep(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.withColumn("canonical_id", min(id).over(Window.partitionBy(text)))
+    df.withColumn("canonical_id",
+        min(id).over(Window.partitionBy(md5(text.cast("string")))))
       .withColumn("is_kept", id === col("canonical_id"))
 
   // ---- MinHash-LSH -------------------------------------------------------

@@ -25,20 +25,70 @@ object Pipeline {
   def deterministicShuffle(df: DataFrame, seed: Long, keyCols: Column*): DataFrame =
     df.orderBy(xxhash64(lit(seed) +: keyCols: _*), keyCols.head)
 
+  /** Two-phase global prefix-sum machinery. A naive global window
+    * (`Window.orderBy(key)` with no partitionBy) funnels the whole dataset
+    * through ONE task — correct on fixtures, dead at 100 TB. Instead:
+    * range-partition by the order key, run one tiny per-partition
+    * aggregate (phase 1), turn its result into broadcast exclusive
+    * offsets, and combine them with a partition-local running sum
+    * (phase 2). Every stage is balanced across executors; the only
+    * driver-side data is one row per partition.
+    *
+    * Both phases re-derive the same range boundaries: Spark's range
+    * partitioner samples deterministically, so a deterministic input sees
+    * identical `_pid` assignments in both passes.
+    *
+    * Returns the range-partitioned frame (with a `_pid` column the caller
+    * must drop) and the per-row global offset column. */
+  private def rangedWithOffsets(
+      df: DataFrame, perRow: Column, orderCols: Seq[Column]): (DataFrame, Column) = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    var acc = 0L
+    val offsets: Map[Int, Long] = ranged
+      .groupBy(col("_pid"))
+      .agg(coalesce(sum(perRow), lit(0L)).as("_subtotal"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map { r => val e = r.getInt(0) -> acc; acc += r.getLong(1); e }
+      .toMap
+    val off =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L))
+    (ranged, off)
+  }
+
   /** Context-window packing: assign documents (in a stable id order) to
     * training bins by prefix token sums — bin b holds the docs whose
     * preceding cumulative token count falls in [b*budget, (b+1)*budget).
     * Prefix-sum semantics (a doc may straddle its boundary) rather than
-    * stateful first-fit: expressible as one window, so it scales; exact
-    * first-fit would need a sequential scan per partition. */
+    * stateful first-fit: exact first-fit would need a sequential scan.
+    * Distributed via the two-phase prefix sum above — no single-task
+    * window stage anywhere in the plan (PlanSpec asserts this). */
   def packByTokenBudget(
       df: DataFrame, idCol: Column, tokensCol: Column,
       budget: Int): DataFrame = {
-    val w = Window.orderBy(idCol)
+    val (ranged, off) = rangedWithOffsets(df, tokensCol.cast("long"), Seq(idCol))
+    val local = Window.partitionBy(col("_pid")).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(tokensCol).over(w))
+    ranged
+      .withColumn("cum_tokens", sum(tokensCol.cast("long")).over(local) + off)
       .withColumn("bin",
         floor((col("cum_tokens") - tokensCol).cast("double") / budget)
           .cast("int"))
+      .drop("_pid")
+  }
+
+  /** Global 1-based position of each row under `orderCols` — the scalable
+    * form of `row_number()` over an unpartitioned window (same two-phase
+    * scheme: per-partition counts, broadcast offsets, local row_number). */
+  def globalPosition(
+      df: DataFrame, posName: String, orderCols: Column*): DataFrame = {
+    val (ranged, off) = rangedWithOffsets(df, lit(1L), orderCols)
+    val local = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+    ranged
+      .withColumn(posName, row_number().over(local).cast("long") + off)
+      .drop("_pid")
   }
 }

@@ -20,14 +20,15 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
-    // Reproducible shuffle: same seed → same permutation (spec-asserted);
-    // rows-only (hash order is ours).
+    // Reproducible shuffle position: same seed → same permutation
+    // (spec-asserted); rows-only (hash order is ours). The position column
+    // comes from the two-phase globalPosition, not a global row_number
+    // window (which would funnel everything through one task).
     "pl2_deterministic_shuffle" -> ((s, d) =>
-      Pipeline.deterministicShuffle(
-        Tables.documents(s, d).select("doc_id", "n_chars"), 7L, col("doc_id"))
-        .withColumn("shuffle_pos",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(xxhash64(lit(7L), col("doc_id")), col("doc_id"))))),
+      Pipeline.globalPosition(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        "shuffle_pos", xxhash64(lit(7L), col("doc_id")), col("doc_id"))
+        .orderBy("doc_id")),
 
     // Context packing by 8k-token budget over whitespace token counts.
     "pl3_context_packing" -> ((s, d) =>

@@ -44,6 +44,40 @@ class PipelineSpec extends GraftSuite {
     assert(s1 !== other, "different seeds should permute differently")
   }
 
+  test("two-phase packing matches the naive global-window prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+    val fast = Pipeline.packByTokenBudget(
+        base, col("doc_id"), col("n_tokens"), budget = 8192)
+      .orderBy("doc_id").select("doc_id", "cum_tokens", "bin")
+      .collect().toSeq
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = base
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / 8192)
+          .cast("int"))
+      .orderBy("doc_id").select("doc_id", "cum_tokens", "bin")
+      .collect().toSeq
+    assert(fast === naive)
+  }
+
+  test("globalPosition matches a global row_number window") {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select("doc_id")
+    val fast = Pipeline.globalPosition(
+        base, "pos", xxhash64(lit(7L), col("doc_id")), col("doc_id"))
+      .orderBy("doc_id").select("doc_id", "pos").collect().toSeq
+    val naive = base
+      .withColumn("pos", row_number().over(
+          Window.orderBy(xxhash64(lit(7L), col("doc_id")), col("doc_id")))
+        .cast("long"))
+      .orderBy("doc_id").select("doc_id", "pos").collect().toSeq
+    assert(fast === naive)
+  }
+
   test("context packing fills bins to the budget in id order") {
     val packed = Pipeline.packByTokenBudget(
       docs.select(col("doc_id"),

@@ -64,6 +64,21 @@ class PlanSpec extends GraftSuite {
     assert(offenders.isEmpty, s"unexpected cartesian products: $offenders")
   }
 
+  test("pl3 context packing plans no single-partition window stage") {
+    // The two-phase prefix sum must keep every window partition-local:
+    // an `Exchange SinglePartition` feeding a Window is the one-task
+    // bottleneck the old global-window implementation had.
+    val p = plan(SparkEntry.queries("pl3_context_packing")(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("pl2 shuffle position plans no single-partition window stage") {
+    val p = plan(SparkEntry.queries("pl2_deterministic_shuffle")(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
     // AQE only materializes the final physical plan after execution, so
     // run the query first and inspect executedPlan.

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+/** Smoke test for the interactive SQL entry point: runs the reference's
+  * own example statements (Microbase.scala:943-946 — CREATE TABLE R/S/T
+  * over pipe-delimited CSVs, then a projected/ordered/limited SELECT)
+  * through Repl.runStatement and checks the pipe-printed output. */
+class ReplSpec extends GraftSuite {
+
+  private lazy val dataDir = {
+    val dir = Files.createTempDirectory("graft-repl-")
+    Files.writeString(dir.resolve("R.data"), "1|10\n2|20\n3|30\n2|25\n")
+    Files.writeString(dir.resolve("S.data"),
+      "1|alpha|2020-01-05\n2|beta|2021-03-09\n3|gamma|2022-12-31\n")
+    Files.writeString(dir.resolve("T.data"), "1|100\n2|200\n")
+    dir
+  }
+
+  private def run(sql: String): Seq[String] =
+    Repl.runStatement(spark, sql).toSeq
+
+  test("reference DDL registers pipe-delimited CSV tables via spark.sql") {
+    // The reference's commented-in statements, M:944-946 (paths swapped
+    // for fixture copies; the dialect is identical — it IS Spark SQL).
+    assert(run(s"""CREATE TABLE r_repl (bar int, baz int) USING csv
+        OPTIONS(path '$dataDir/R.data', delimiter '|');""").isEmpty)
+    assert(run(s"""CREATE TABLE s_repl (c int, b string, a date) USING csv
+        OPTIONS(path '$dataDir/S.data', delimiter '|');""").isEmpty)
+    assert(run(s"""CREATE TABLE t_repl (c int, d int) USING csv
+        OPTIONS(path '$dataDir/T.data', delimiter '|');""").isEmpty)
+    assert(run("SELECT count(*) FROM r_repl") === Seq("4"))
+  }
+
+  test("reference SELECT prints pipe-delimited rows in order") {
+    run(s"""CREATE TABLE IF NOT EXISTS r_repl (bar int, baz int) USING csv
+        OPTIONS(path '$dataDir/R.data', delimiter '|');""")
+    // M:943 — projection with computed alias, multi-key sort, limit.
+    val out = run(
+      "SELECT bar, bar * 15 as biz, baz FROM r_repl Order by bar asc,baz asc limit 10;")
+    assert(out === Seq("1|15|10", "2|30|20", "2|30|25", "3|45|30"))
+  }
+
+  test("dates render ISO like the reference printer and nulls are safe") {
+    run(s"""CREATE TABLE IF NOT EXISTS s_repl (c int, b string, a date) USING csv
+        OPTIONS(path '$dataDir/S.data', delimiter '|');""")
+    val out = run("SELECT c, a FROM s_repl ORDER BY c")
+    assert(out === Seq("1|2020-01-05", "2|2021-03-09", "3|2022-12-31"))
+    assert(run("SELECT CAST(NULL AS INT), 'x'") === Seq("null|x"))
+  }
+
+  test("join across the repl-created tables works") {
+    run(s"""CREATE TABLE IF NOT EXISTS r_repl (bar int, baz int) USING csv
+        OPTIONS(path '$dataDir/R.data', delimiter '|');""")
+    run(s"""CREATE TABLE IF NOT EXISTS t_repl (c int, d int) USING csv
+        OPTIONS(path '$dataDir/T.data', delimiter '|');""")
+    val out = run(
+      "SELECT bar, d FROM r_repl JOIN t_repl ON bar = c ORDER BY bar, d")
+    assert(out === Seq("1|100", "2|200", "2|200"))
+  }
+}
