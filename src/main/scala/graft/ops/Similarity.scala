@@ -59,9 +59,11 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
-  /** All pairs above a cosine threshold (near-duplicate embeddings),
-    * exact within the given blocking (pass lit(0) to compare all). */
-  def cosineNearDupPairs(
+  /** All pairs above a cosine threshold — BRUTE-FORCE BASELINE (bounded
+    * all-pairs comparison). This is the verification/oracle tool, not the
+    * scale path: use `srpNearDupPairs` for the bucketed variant that
+    * shuffles on LSH keys instead of materializing n² pairs. */
+  def bruteForceNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val t = df.select(col(idCol).as("sim_id"), col(vecCol).as("vec"),
@@ -102,6 +104,40 @@ object Similarity {
     array((0 until tables).map { t =>
       struct(lit(t).as("t"), srpSignature(vec, t, bits, dim).as("sig"))
     }: _*)
+
+  /** Near-duplicate pairs above a cosine threshold via multi-table
+    * SRP-LSH — the scale path (mirror of `Dedup.minhashNearDupPairs`'s
+    * shape): bucket every vector into `tables` signature buckets, take
+    * ids colliding in ANY bucket as candidates (shuffle on (table, sig)
+    * keys — never the n² pair space), then verify candidates with the
+    * exact cosine. A pair at true cosine c collides per table with
+    * probability p^bits where p = 1 - acos(c)/π, so recall
+    * 1-(1-p^bits)^tables is tuned by (tables, bits) — at the defaults a
+    * 0.90-cosine pair is found with P ≈ 0.98. */
+  def srpNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      tables: Int = 16, bits: Int = 6, dim: Int = 64): DataFrame = {
+    val prepared = df.select(col(idCol).as("sim_id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"),
+        srpBuckets(col(vecCol), tables, bits, dim).as("buckets"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = prepared.select(col("sim_id"), explode(col("buckets")).as("tb"))
+    val candidates = keyed.alias("a")
+      .join(keyed.alias("b"),
+        col("a.tb") === col("b.tb") && col("a.sim_id") < col("b.sim_id"))
+      .select(col("a.sim_id").as("id_a"), col("b.sim_id").as("id_b"))
+      .distinct()
+    val vecs = prepared.select(col("sim_id"), col("vec"), col("nrm"))
+    candidates
+      .join(vecs.select(col("sim_id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(vecs.select(col("sim_id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
 
   /** ANN top-k via multi-table SRP-LSH: L independent hash tables of
     * `bits` hyperplanes each; a pair is a candidate if it collides in ANY

@@ -77,11 +77,24 @@ object DedupQueries extends QueryPack {
         n = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
-    // Embedding-cosine near-duplicates above 0.4 — exact pairwise at test
-    // scale; the ANN path for the same job is ss2 (SRP-LSH).
+    // Embedding-cosine near-duplicates above 0.4 — EXACT brute-force
+    // baseline (bounded all-pairs); dd9 is the bucketed scale path.
     "dd6_embedding_neardup" -> ((s, d) =>
-      graft.ops.Similarity.cosineNearDupPairs(
+      graft.ops.Similarity.bruteForceNearDupPairs(
         Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // Embedding-cosine near-duplicates via SRP-LSH buckets + exact-cosine
+    // verify — the 100 TB path (shuffles on (table, sig) keys, never n²).
+    // Fixture embeddings are uniform random (max pairwise cos ≈ 0.5), so
+    // the threshold sits at 0.4 like dd6; (tables=32, bits=4) puts
+    // per-pair miss probability ≈ 4e-3 at the boundary. Rows-only (bucket
+    // recall is ours); SimilaritySpec asserts exact precision + recall
+    // vs the brute-force baseline.
+    "dd9_srp_neardup_pairs" -> ((s, d) =>
+      graft.ops.Similarity.srpNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", 0.4,
+        tables = 32, bits = 4, dim = 64)
         .orderBy("id_a", "id_b"))
   )
 

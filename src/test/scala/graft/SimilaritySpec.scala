@@ -37,6 +37,26 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("srp near-dup pairs are precise and high-recall vs brute force") {
+    // Deterministic hyperplanes + fixed fixtures → stable, not flaky.
+    // Fixture embeddings are uniform random — the hardest case for LSH
+    // (0.4-cosine pairs are barely above the noise floor where per-table
+    // collision probability is lowest), hence a recall floor, not ⊇.
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceNearDupPairs(emb, "vec_id", "embedding", 0.4))
+    val lsh = pairs(
+      Similarity.srpNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        tables = 32, bits = 4, dim = 64))
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    // exact-cosine verification makes every emitted pair a true pair:
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall = $recall, missed ${exact.diff(lsh)}")
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(10)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
