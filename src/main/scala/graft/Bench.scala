@@ -12,6 +12,12 @@ import graft.sources.Tables
   * CREATE, Microbase.scala:960-983 — here `cache()` + force), one warmup
   * pass absorbs plan/codegen compilation, then each query is timed
   * end-to-end including result materialization.
+  *
+  * The JSON line is printed to stdout and also written to
+  * `BENCH_LAST.json` (launchers like sbt prefix stdout, which defeats a
+  * log-scrape json parse). A `bucketed` field re-times the two
+  * shuffle-dominated queries over pre-bucketed lineitem/orders — the
+  * measured version of the co-located-join story in SCALE.md.
   */
 object Bench {
 
@@ -33,6 +39,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh-").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -51,10 +59,52 @@ object Bench {
       q -> (System.nanoTime() - t0) / 1e9
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Bucketed re-timing of the two shuffle-dominated queries: lineitem
+    // and orders pre-bucketed on the join key make the fact-to-fact join
+    // exchange-free (the durable index replacement — JoinsSpec proves the
+    // plan, this measures it). Reported separately; not part of `value`.
+    // Disable with SPARK_GRAFT_BENCH_BUCKETED=0.
+    val bucketed: Option[Seq[(String, Double)]] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_BUCKETED").contains("0")) None
+      else try {
+        val b = cpus.toInt
+        Tables.writeBucketed(
+          Tables.load(spark, sfDir, "lineitem"), "bench_li_b", b, "l_orderkey")
+        Tables.writeBucketed(
+          Tables.load(spark, sfDir, "orders"), "bench_ord_b", b, "o_orderkey")
+        val li = spark.table("bench_li_b").cache()
+        val ord = spark.table("bench_ord_b").cache()
+        li.count(); ord.count()
+        val cust = Tables.load(spark, sfDir, "customer")
+        val nat = Tables.load(spark, sfDir, "nation")
+        val runs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          "q3_shipping_priority" ->
+            (() => graft.queries.TpchQueries.q3Body(li, ord, cust)),
+          "q10_returned_items" ->
+            (() => graft.queries.TpchQueries.q10Body(li, ord, cust, nat)))
+        runs.foreach(_._2().count()) // warmup
+        Some(runs.map { case (k, f) =>
+          val t0 = System.nanoTime()
+          f().count()
+          k -> (System.nanoTime() - t0) / 1e9
+        })
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] bucketed mode failed: ${e.getMessage}")
+          None
+      }
+
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val bucketedField =
+      bucketed.map(b => s""","bucketed":${jsonMap(b)}""").getOrElse("")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)}$bucketedField,"sf":"$sfDir"}"""
+    // stdout for the driver's log scrape AND a file for robust parsing
+    // (sbt prefixes stdout lines with [info], which breaks json.loads).
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     spark.stop()
   }
 }

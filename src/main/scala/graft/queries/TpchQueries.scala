@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ops.Joins
 import graft.sources.Tables
@@ -15,6 +16,37 @@ import OracleSafe._
   * construction; filters & column pruning reach the parquet scan.
   */
 object TpchQueries extends QueryPack {
+
+  /** Q3 body over supplied base relations — `Bench`'s bucketed mode reuses
+    * it with pre-bucketed lineitem/orders so the fact-to-fact join runs
+    * with zero exchanges. */
+  def q3Body(li0: DataFrame, ord0: DataFrame, cust0: DataFrame): DataFrame = {
+    val cust = cust0.filter(col("c_mktsegment") === "BUILDING")
+    val ord = ord0.filter(col("o_orderdate") < lit("1999-06-01").cast("timestamp"))
+    val li = li0.filter(col("l_shipdate") > lit("1999-06-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+               col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q10 body over supplied base relations (see q3Body). */
+  def q10Body(li0: DataFrame, ord0: DataFrame, cust0: DataFrame,
+      nat0: DataFrame): DataFrame = {
+    val li = li0.filter(col("l_returnflag") === "R")
+    li.join(ord0, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust0), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat0), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
 
   val queries: Map[String, Fn] = Map(
     // Q1 — pricing summary report (flagship; scan+filter+group+agg+sort).
@@ -38,21 +70,8 @@ object TpchQueries extends QueryPack {
     // Q3 — shipping priority: 3-way join, filter both sides of the date,
     // revenue per order, top 10. customer/orders broadcast-sized relative
     // to lineitem at any SF.
-    "q3_shipping_priority" -> ((s, d) => {
-      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val ord = Tables.orders(s, d)
-        .filter(col("o_orderdate") < lit("1999-06-01").cast("timestamp"))
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") > lit("1999-06-01").cast("timestamp"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
-                 col("o_orderpriority"))
-        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
-        .limit(10)
-    }),
+    "q3_shipping_priority" -> ((s, d) =>
+      q3Body(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
 
     // Q5 — local supplier volume: 5-way join through region/nation,
     // customer and supplier in the same nation, revenue per nation.
@@ -90,20 +109,9 @@ object TpchQueries extends QueryPack {
           .as("revenue"), count(lit(1)).as("n_rows"))),
 
     // Q10-shape — returned-item reporting: who returned the most revenue.
-    "q10_returned_items" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-      val ord = Tables.orders(s, d)
-      val cust = Tables.customer(s, d)
-      val nat = Tables.nation(s, d)
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey").asc)
-        .limit(20)
-    }),
+    "q10_returned_items" -> ((s, d) =>
+      q10Body(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
 
     // Q12-shape — shipping modes and order priority: join + conditional
     // aggregation (CASE WHEN inside SUM).

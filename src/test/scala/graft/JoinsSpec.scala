@@ -18,6 +18,28 @@ class JoinsSpec extends GraftSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("salted join handles a planted hot key and actually spreads it") {
+    import spark.implicits._
+    // hot key: 25% of all left rows share k=7 — the shape where one
+    // reducer would take a whole executor's memory at 100 TB.
+    val left = (1 to 20000)
+      .map(i => (if (i % 4 == 0) 7L else (i % 997).toLong, i))
+      .toDF("k", "v")
+    val right = (0 until 997).map(i => (i.toLong, s"r$i")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+    val salted = Joins.salted(left, right, "k", "rk", salt = 8)
+    // identical semantics...
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // ...and the hot key's rows really land in multiple salt groups, i.e.
+    // multiple reducers: the 5000 k=7 rows spread across ≥ 6 of 8 salts.
+    val spread = left.filter(col("k") === 7L)
+      .withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread >= 6, s"hot key only reached $spread of 8 salt groups")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     Tables.writeBucketed(
       Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
