@@ -58,6 +58,53 @@ object Joins {
   def self(df: DataFrame, leftName: String, rightName: String, cond: Column): DataFrame =
     df.alias(leftName).join(df.alias(rightName), cond)
 
+  /** Native as-of join (backward, inclusive): for every left row, the
+    * single right row with equal keys and the greatest right time ≤ the
+    * left time (ties broken by `rightTieBreak` ascending — greatest wins);
+    * unmatched left rows keep null right columns.
+    *
+    * This is the custom-operator path (SURVEY §2c superset): a
+    * `graft.plans.AsOfJoin` logical node planned by
+    * `graft.plans.AsOfJoinStrategy` into a sort-merge physical operator —
+    * one shuffle per side on the keys, one forward merge pass per
+    * partition, O(|l|+|r|) with a single buffered row. The compositional
+    * form (`j12`: equi join → time filter → row_number rank) materializes
+    * every (left, earlier-right) pair per key before rank-filtering; at
+    * 100 TB that intermediate is the whole history crossed with itself
+    * per key. Results are identical (spec-asserted).
+    *
+    * The strategy is registered idempotently on the call's session, so
+    * this works without `withExtensions(new GraftExtensions)`. */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val spark = left.sparkSession
+    GraftBridge.registerStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // Self-join safety: re-alias the right side so its attribute ids are
+    // fresh (the analyzer's DeduplicateRelations only rewrites built-in
+    // Join nodes).
+    val rightFresh = right.select(right.columns.map(c => right(c).as(c)).toSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightFresh.queryExecution.analyzed
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(a => caseInsensitiveResolution(a.name, name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    GraftBridge.ofRows(spark, graft.plans.AsOfJoin(
+      lPlan, rPlan,
+      keys.map(k => resolve(lPlan, k._1)),
+      keys.map(k => resolve(rPlan, k._2)),
+      resolve(lPlan, leftTime),
+      resolve(rPlan, rightTime),
+      rightTieBreak.map(resolve(rPlan, _))))
+  }
+
   /** Salted equi join for skewed keys: the skewed (left/fact) side gets a
     * deterministic salt in [0, salt), the right side is replicated `salt`
     * ways, and the join key becomes (key, salt) — splitting each hot key's
