@@ -96,12 +96,24 @@ object Joins {
       plan.output.find(a => caseInsensitiveResolution(a.name, name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val lKeyAttrs = keys.map(k => resolve(lPlan, k._1))
+    val rKeyAttrs = keys.map(k => resolve(rPlan, k._2))
+    val lTimeAttr = resolve(lPlan, leftTime)
+    val rTimeAttr = resolve(rPlan, rightTime)
+    // The physical merge compares right-side rows with orderings built from
+    // the LEFT types; a silent type mismatch would read the wrong bytes, so
+    // fail analysis-style up front (callers cast explicitly — no implicit
+    // coercion that could change as-of semantics, e.g. date vs timestamp).
+    (lKeyAttrs zip rKeyAttrs).foreach { case (la, ra) =>
+      require(la.dataType == ra.dataType,
+        s"as-of key type mismatch: ${la.name}: ${la.dataType.sql} vs ${ra.name}: ${ra.dataType.sql}")
+    }
+    require(lTimeAttr.dataType == rTimeAttr.dataType,
+      s"as-of time type mismatch: ${lTimeAttr.name}: ${lTimeAttr.dataType.sql} " +
+        s"vs ${rTimeAttr.name}: ${rTimeAttr.dataType.sql}")
     GraftBridge.ofRows(spark, graft.plans.AsOfJoin(
       lPlan, rPlan,
-      keys.map(k => resolve(lPlan, k._1)),
-      keys.map(k => resolve(rPlan, k._2)),
-      resolve(lPlan, leftTime),
-      resolve(rPlan, rightTime),
+      lKeyAttrs, rKeyAttrs, lTimeAttr, rTimeAttr,
       rightTieBreak.map(resolve(rPlan, _))))
   }
 

@@ -59,6 +59,9 @@ case class AsOfJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val nullRight = new GenericInternalRow(right.output.length)
       val joined = new JoinedRow
+      // Downstream consumers (getByteArrayRdd, exchanges) require UnsafeRow
+      // output from a leaf-consumed operator, so re-project the JoinedRow.
+      val resultProj = UnsafeProjection.create(output, output)
 
       new Iterator[InternalRow] {
         // one-row lookahead into the right side (skips null key/time rows)
@@ -80,12 +83,12 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
-          if (lk.anyNull) return joined(l, nullRight)
+          if (lk.anyNull) return resultProj(joined(l, nullRight))
           if (heldKey != null && keyOrd.compare(heldKey, lk) != 0) {
             held = null; heldKey = null
           }
           val lt = lTimeProj(l)
-          if (lt.isNullAt(0)) return joined(l, nullRight) // unknown time: no match
+          if (lt.isNullAt(0)) return resultProj(joined(l, nullRight)) // unknown time: no match
           // advance the right cursor past everything ≤ (lk, lt); the last
           // equal-key row consumed is the match (sorted by time, tiebreak).
           var done = rRow == null
@@ -98,7 +101,7 @@ case class AsOfJoinExec(
             } else done = true
             if (rRow == null) done = true
           }
-          joined(l, if (held == null) nullRight else held)
+          resultProj(joined(l, if (held == null) nullRight else held))
         }
       }
     }

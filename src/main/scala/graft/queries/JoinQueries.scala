@@ -128,6 +128,27 @@ object JoinQueries extends QueryPack {
         .orderBy("p_id")
     }),
 
+    // AS-OF join, NATIVE operator (graft.plans.AsOfJoin → AsOfJoinExec):
+    // the same question as j12 through the custom SparkPlan — one shuffle
+    // per side on user_id, one forward merge pass per partition. LEFT
+    // semantics (the operator's contract): purchases with no prior view
+    // keep null view columns.
+    "j13_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+      Joins.asOf(purchases, views,
+          keys = Seq("user_id" -> "v_user"),
+          leftTime = "p_ts", rightTime = "v_ts",
+          rightTieBreak = Seq("v_id"))
+        .select("p_id", "user_id", "p_ts", "v_id", "v_ts")
+        .orderBy("p_id")
+    }),
+
     // THETA — non-equi conjunct in the join condition (the reference could
     // only leave these as residual filters, SURVEY §2c): nation pairs in
     // the same region, ordered pair.
@@ -204,6 +225,18 @@ object JoinQueries extends QueryPack {
                       ORDER BY v.v_ts DESC, v.v_id DESC) AS rn
                   FROM p JOIN v ON p.user_id = v.user_id
                   WHERE v.v_ts <= p.p_ts)
+         SELECT p_id, user_id, p_ts, v_id, v_ts FROM c WHERE rn = 1
+         ORDER BY p_id""",
+    "j13_asof_native" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT user_id AS v_user, event_id AS v_id, ts AS v_ts
+                  FROM events WHERE event_type = 'view'),
+            c AS (SELECT p.p_id, p.user_id, p.p_ts, v.v_id, v.v_ts,
+                    row_number() OVER (PARTITION BY p.p_id
+                      ORDER BY v.v_ts DESC, v.v_id DESC) AS rn
+                  FROM p LEFT JOIN v
+                    ON p.user_id = v.v_user AND v.v_ts <= p.p_ts)
          SELECT p_id, user_id, p_ts, v_id, v_ts FROM c WHERE rn = 1
          ORDER BY p_id"""
   )

@@ -10,10 +10,18 @@ import OracleSafe._
   * README claims (8 TPC-H queries, README.md:5) re-expressed on the driver
   * fixtures' columns. These are also the bench headline suite.
   *
-  * Scale notes (100 TB): every join here is fact-to-dim with the dim side
-  * orders of magnitude smaller — we broadcast dims explicitly so the
-  * lineitem scan never shuffles; aggregates are partial (map-side) by
-  * construction; filters & column pruning reach the parquet scan.
+  * Scale notes (100 TB): explicit `broadcast()` hints appear ONLY on the
+  * bounded dims (region: 5 rows, nation: 25 rows — constant in SF). An
+  * explicit hint is honored regardless of
+  * `spark.sql.autoBroadcastJoinThreshold`, so hinting an SF-scaled
+  * relation (customer/supplier/part grow linearly with data size) would
+  * force a multi-TB broadcast at the 100 TB design point and kill the job
+  * outright (hard 8 GB / 512M-row broadcast limits). Those joins are left
+  * to AQE, which broadcasts them from runtime stats while they fit and
+  * falls back to shuffle joins when they don't — PlanSpec asserts AQE
+  * still picks BroadcastHashJoin at fixture scale. Aggregates are partial
+  * (map-side) by construction; filters & column pruning reach the parquet
+  * scan.
   */
 object TpchQueries extends QueryPack {
 
@@ -25,7 +33,7 @@ object TpchQueries extends QueryPack {
     val ord = ord0.filter(col("o_orderdate") < lit("1999-06-01").cast("timestamp"))
     val li = li0.filter(col("l_shipdate") > lit("1999-06-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // AQE broadcasts while it fits
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
                col("o_orderpriority"))
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
@@ -39,7 +47,7 @@ object TpchQueries extends QueryPack {
       nat0: DataFrame): DataFrame = {
     val li = li0.filter(col("l_returnflag") === "R")
     li.join(ord0, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust0), col("o_custkey") === col("c_custkey"))
+      .join(cust0, col("o_custkey") === col("c_custkey")) // SF-scaled: AQE decides
       .join(broadcast(nat0), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
@@ -85,8 +93,8 @@ object TpchQueries extends QueryPack {
       val cust = Tables.customer(s, d)
       val supp = Tables.supplier(s, d)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        .join(cust, col("o_custkey") === col("c_custkey")) // SF-scaled: AQE decides
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -137,7 +145,7 @@ object TpchQueries extends QueryPack {
         .filter(col("l_shipdate") >= lit("1999-09-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1999-10-01").cast("timestamp"))
       val part = Tables.part(s, d)
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
         .agg(
           (sum(when(col("p_type") === "PROMO",
               dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
@@ -174,8 +182,8 @@ object TpchQueries extends QueryPack {
       val n2 = Tables.nation(s, d)
         .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("cust_region"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey")) // SF-scaled: AQE decides
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(col("supp_region").isin(0, 1) &&
@@ -257,7 +265,7 @@ object TpchQueries extends QueryPack {
     "q19_disjunctive_filter" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val part = Tables.part(s, d)
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
         .filter(
           (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 11) &&
             col("p_size").between(1, 5)) ||

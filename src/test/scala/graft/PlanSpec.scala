@@ -33,6 +33,40 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q3's customer join broadcasts from stats, not a forced hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+    // customer scales with SF: a forced broadcast would fail outright at
+    // 100 TB (explicit hints bypass autoBroadcastJoinThreshold), so q3
+    // must carry no hint at all...
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"q3 carries broadcast hints: $hints")
+    // ...yet at fixture scale the planner still picks the broadcast join
+    // on its own from size estimates.
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("broadcast hints target only bounded dims, never SF-scaled tables") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // Key columns of the relations that grow with scale factor; a hint
+    // whose subtree outputs one of these is a 100 TB job-killer.
+    val sfScaled = Set("c_custkey", "s_suppkey", "p_partkey",
+      "l_orderkey", "o_orderkey")
+    val headline = Seq("q3_shipping_priority", "q5_local_supplier",
+      "q7_nation_volume", "q10_returned_items", "q12_priority_shipping",
+      "q14_promo_effect", "q19_disjunctive_filter")
+    for (name <- headline) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.analyzed.collect { case h: ResolvedHint =>
+        val cols = h.child.output.map(_.name).toSet
+        assert(cols.intersect(sfScaled).isEmpty,
+          s"$name force-broadcasts an SF-scaled relation: $cols")
+      }
+    }
+  }
+
   test("o5 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(SparkEntry.queries("o5_topk")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
