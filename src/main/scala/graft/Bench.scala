@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.Tables
 
 /** Benchmark main — 8-query TPC-H-class headline suite (the shapes the
@@ -59,35 +59,67 @@ object Bench {
       q -> (System.nanoTime() - t0) / 1e9
     }
 
-    // Bucketed re-timing of the two shuffle-dominated queries: lineitem
-    // and orders pre-bucketed on the join key make the fact-to-fact join
-    // exchange-free (the durable index replacement — JoinsSpec proves the
-    // plan, this measures it). Reported separately; not part of `value`.
-    // Disable with SPARK_GRAFT_BENCH_BUCKETED=0.
-    val bucketed: Option[Seq[(String, Double)]] =
+    // Bucketed-layout experiment on the two fact-to-fact queries, measured
+    // apples-to-apples (the r2 numbers were not: plain read startup-cached
+    // tables while bucketed read freshly written ones, and AQE could
+    // broadcast the small cached side — so the comparison said nothing
+    // about exchanges). Both variants here:
+    //   - read UNCACHED parquet tables freshly written to the warehouse,
+    //     identical except for the bucketing spec;
+    //   - run with autoBroadcastJoinThreshold=-1, because the 100 TB
+    //     question bucketing answers is "fact⋈fact where neither side can
+    //     broadcast" — at fixture SF AQE would otherwise broadcast orders
+    //     and hide the layout entirely;
+    //   - are gated on plan shape: the bucketed variant must execute with
+    //     strictly fewer shuffle exchanges than the shuffled one (the
+    //     fact-join Exchange pair gone), else nothing is reported.
+    // Reported as `bucketed` vs its true baseline `shuffled`; neither is
+    // part of `value`. Disable with SPARK_GRAFT_BENCH_BUCKETED=0.
+    val layout: Option[(Seq[(String, Double)], Seq[(String, Double)])] =
       if (sys.env.get("SPARK_GRAFT_BENCH_BUCKETED").contains("0")) None
       else try {
         val b = cpus.toInt
-        Tables.writeBucketed(
-          Tables.load(spark, sfDir, "lineitem"), "bench_li_b", b, "l_orderkey")
-        Tables.writeBucketed(
-          Tables.load(spark, sfDir, "orders"), "bench_ord_b", b, "o_orderkey")
-        val li = spark.table("bench_li_b").cache()
-        val ord = spark.table("bench_ord_b").cache()
-        li.count(); ord.count()
+        val liSrc = Tables.load(spark, sfDir, "lineitem")
+        val ordSrc = Tables.load(spark, sfDir, "orders")
+        liSrc.write.mode("overwrite").format("parquet").saveAsTable("bench_li_p")
+        ordSrc.write.mode("overwrite").format("parquet").saveAsTable("bench_ord_p")
+        Tables.writeBucketed(liSrc, "bench_li_b", b, "l_orderkey")
+        Tables.writeBucketed(ordSrc, "bench_ord_b", b, "o_orderkey")
         val cust = Tables.load(spark, sfDir, "customer")
         val nat = Tables.load(spark, sfDir, "nation")
-        val runs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        def runs(li: DataFrame, ord: DataFrame): Seq[(String, () => DataFrame)] = Seq(
           "q3_shipping_priority" ->
             (() => graft.queries.TpchQueries.q3Body(li, ord, cust)),
           "q10_returned_items" ->
             (() => graft.queries.TpchQueries.q10Body(li, ord, cust, nat)))
-        runs.foreach(_._2().count()) // warmup
-        Some(runs.map { case (k, f) =>
-          val t0 = System.nanoTime()
-          f().count()
-          k -> (System.nanoTime() - t0) / 1e9
-        })
+        val shuffled = runs(spark.table("bench_li_p"), spark.table("bench_ord_p"))
+        val bucketed = runs(spark.table("bench_li_b"), spark.table("bench_ord_b"))
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          // Warmup both variants; the warmup run doubles as the plan gate.
+          def exchanges(f: () => DataFrame): Int = {
+            val df = f(); df.count()
+            df.queryExecution.executedPlan.toString
+              .linesIterator.count(_.contains("Exchange"))
+          }
+          val gate = (shuffled zip bucketed).map { case ((q, sf_), (_, bf)) =>
+            (q, exchanges(sf_), exchanges(bf))
+          }
+          val bad = gate.filter { case (_, s, bk) => bk >= s }
+          if (bad.nonEmpty) {
+            System.err.println(
+              s"[bench] bucketed plans not exchange-reduced, not reporting: $bad")
+            None
+          } else {
+            def time(rs: Seq[(String, () => DataFrame)]) = rs.map { case (k, f) =>
+              val t0 = System.nanoTime()
+              f().count()
+              k -> (System.nanoTime() - t0) / 1e9
+            }
+            Some((time(shuffled), time(bucketed)))
+          }
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] bucketed mode failed: ${e.getMessage}")
@@ -97,10 +129,11 @@ object Bench {
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val bucketedField =
-      bucketed.map(b => s""","bucketed":${jsonMap(b)}""").getOrElse("")
+    val layoutField = layout.map { case (sh, bk) =>
+      s""","shuffled":${jsonMap(sh)},"bucketed":${jsonMap(bk)}"""
+    }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)}$bucketedField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)}$layoutField,"sf":"$sfDir"}"""
     // stdout for the driver's log scrape AND a file for robust parsing
     // (sbt prefixes stdout lines with [info], which breaks json.loads).
     println(line)
