@@ -98,10 +98,24 @@ object Bench {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try {
           // Warmup both variants; the warmup run doubles as the plan gate.
+          // The gate executes the inspected Dataset itself (count() would
+          // spawn a separate QueryExecution and leave this one's adaptive
+          // plan un-finalized) and counts real ShuffleExchange nodes in the
+          // FINAL adaptive plan — not substring hits, which also match
+          // Broadcast/ReusedExchange.
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          def countShuffles(p: SparkPlan): Int = p match {
+            case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+            case q: QueryStageExec => countShuffles(q.plan)
+            case s: ShuffleExchangeLike =>
+              1 + s.children.map(countShuffles).sum
+            case other => other.children.map(countShuffles).sum
+          }
           def exchanges(f: () => DataFrame): Int = {
-            val df = f(); df.count()
-            df.queryExecution.executedPlan.toString
-              .linesIterator.count(_.contains("Exchange"))
+            val df = f(); df.collect()
+            countShuffles(df.queryExecution.executedPlan)
           }
           val gate = (shuffled zip bucketed).map { case ((q, sf_), (_, bf)) =>
             (q, exchanges(sf_), exchanges(bf))

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native signed-random-projection (SRP) LSH bucket keys.
+  *
+  * The declarative form in `graft.ops.Similarity` built one literal
+  * hyperplane array per (table, bit) — tables × bits × dim literals
+  * (8,192 at the dd9 defaults) inlined into the expression tree, which
+  * bloats the plan and pressures codegen as dimensions grow. This
+  * expression derives the same hyperplanes on the fly from the same
+  * deterministic splitmix64 stream and emits every table's signature in
+  * one tight JVM loop — constant plan size in (tables, bits, dim), one
+  * codegen'd static call, bit-identical outputs (same ascending-index
+  * sequential double fold as `vec_dot`, same `(double)` widening of
+  * float inputs).
+  *
+  * Output: `array<struct<t:int, sig:int>>` of length `tables` — exactly
+  * the shape `Similarity.srpBuckets` exploded into (table, bucket) shuffle
+  * keys, so it drops in without touching downstream joins.
+  */
+object Srp {
+
+  /** Same stream as the declarative implementation (no mask — sign
+    * carries into the [-1, 1) plane component). */
+  @inline private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  @inline def plane(table: Int, bit: Int, j: Int): Double =
+    splitmix64(table.toLong * 262147 + bit.toLong * 4099 + j).toDouble /
+      Long.MaxValue.toDouble
+
+  /** All `tables` signatures of `arr` as (t, sig) rows. Fold order and
+    * float→double widening match `Vectors.dot` over the cast array, so
+    * results are bit-identical to the literal-plane form. */
+  def buckets(
+      arr: ArrayData, tables: Int, bits: Int, dim: Int,
+      isFloat: Boolean): ArrayData = {
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var b = 0
+      while (b < bits) {
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          val v = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+          acc += v * plane(t, b, j)
+          j += 1
+        }
+        if (acc > 0) sig |= (1 << b)
+        b += 1
+      }
+      out(t) = new GenericInternalRow(Array[Any](t, sig)): InternalRow
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def srp_buckets(vec: Column, tables: Int, bits: Int, dim: Int): Column =
+    GraftBridge.column(
+      SrpBuckets(GraftBridge.expression(vec), tables, bits, dim))
+}
+
+/** SRP-LSH bucket keys over array<float>/array<double> →
+  * array<struct<t:int, sig:int>> of length `tables`. */
+case class SrpBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
+    extends UnaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("t", IntegerType, nullable = false),
+      StructField("sig", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    elemType(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float> or array<double>, got ${child.dataType}")
+    }
+
+  private lazy val isFloat: Boolean =
+    elemType(child.dataType).contains(FloatType)
+
+  override def nullSafeEval(input: Any): Any =
+    Srp.buckets(input.asInstanceOf[ArrayData], tables, bits, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Srp.buckets($c, $tables, $bits, $dim, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "srp_buckets"
+}

@@ -34,9 +34,11 @@ object Pipeline {
     * (phase 2). Every stage is balanced across executors; the only
     * driver-side data is one row per partition.
     *
-    * Both phases re-derive the same range boundaries: Spark's range
-    * partitioner samples deterministically, so a deterministic input sees
-    * identical `_pid` assignments in both passes.
+    * The range-partitioned frame is persisted before the offsets action so
+    * the main job reuses the SAME partitioning instead of re-running the
+    * range sampler — correctness does not lean on re-computation
+    * determinism, and the shuffle is materialized once (evicted by Spark's
+    * LRU when memory is needed; spills to disk first).
     *
     * Returns the range-partitioned frame (with a `_pid` column the caller
     * must drop) and the per-row global offset column. */
@@ -45,6 +47,7 @@ object Pipeline {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var acc = 0L
     val offsets: Map[Int, Long] = ranged
       .groupBy(col("_pid"))

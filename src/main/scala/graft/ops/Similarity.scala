@@ -90,8 +90,12 @@ object Similarity {
       Long.MaxValue.toDouble)
 
   /** `bits`-bit SRP signature for hash table `table`: bit i =
-    * sign(v · r_i). Returned as an int bucket key. */
-  def srpSignature(vec: Column, table: Int, bits: Int, dim: Int): Column = {
+    * sign(v · r_i). Returned as an int bucket key. DECLARATIVE REFERENCE
+    * form — inlines tables × bits × dim hyperplane literals into the plan,
+    * so it is kept only as the cross-check oracle for the native
+    * expression (SimilaritySpec asserts bit-identical outputs); production
+    * paths use `srpBuckets` below. */
+  def srpSignatureReference(vec: Column, table: Int, bits: Int, dim: Int): Column = {
     val vd = asDouble(vec)
     (0 until bits).map { b =>
       val planeArr = array((0 until dim).map(j => lit(plane(table, b, j))): _*)
@@ -99,11 +103,12 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** All (table, signature) bucket keys for multi-table SRP-LSH. */
+  /** All (table, signature) bucket keys for multi-table SRP-LSH — native
+    * codegen'd expression: constant plan size in (tables, bits, dim),
+    * hyperplanes derived on the fly from the same splitmix64 stream,
+    * outputs bit-identical to the literal-plane reference form. */
   def srpBuckets(vec: Column, tables: Int, bits: Int, dim: Int): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("t"), srpSignature(vec, t, bits, dim).as("sig"))
-    }: _*)
+    graft.functions.Srp.srp_buckets(vec, tables, bits, dim)
 
   /** Near-duplicate pairs above a cosine threshold via multi-table
     * SRP-LSH — the scale path (mirror of `Dedup.minhashNearDupPairs`'s

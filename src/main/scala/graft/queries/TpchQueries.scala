@@ -25,6 +25,106 @@ import OracleSafe._
   */
 object TpchQueries extends QueryPack {
 
+  // The four hard correlated-subquery shapes (Q2/Q17/Q20/Q21) run the SAME
+  // SQL text on Spark and on the DuckDB oracle — shared constants so the
+  // two sides cannot drift. The fixtures lack partsupp and
+  // l_commitdate/l_receiptdate, so each query keeps its decorrelation
+  // shape but adapts the schema: lineitem is the part↔supplier link
+  // (min extended price for Q2's min supplycost, shipped-quantity HAVING
+  // for Q20's availability), and "late" is shipped >60 days after the
+  // order date (Q21). Numeric policy per the oracle playbook: decimal
+  // accumulation, DOUBLE at the boundary, total ORDER BY.
+
+  /** Q2-shape: minimum-cost supplier per part — correlated min subquery
+    * re-joining supplier/nation/region inside the correlation. */
+  val q2Sql: String =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+       FROM part, supplier, lineitem, nation, region
+       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         AND p_size BETWEEN 10 AND 20
+         AND n_nationkey = s_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND l_extendedprice = (
+           SELECT min(l2.l_extendedprice)
+           FROM lineitem l2, supplier s2, nation n2, region r2
+           WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+             AND n2.n_nationkey = s2.s_nationkey
+             AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_brand
+       LIMIT 100"""
+
+  /** Q8-shape: national market share — one nation's share of regional
+    * import volume per year (8-way join, conditional decimal sums,
+    * single final double division). */
+  val q8Sql: String =
+    """SELECT o_year,
+         CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                  ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+         CAST(sum(volume) AS DOUBLE) AS mkt_share
+       FROM (
+         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS volume,
+           n2.n_name AS nation
+         FROM part, supplier, lineitem, orders, customer,
+              nation n1, nation n2, region
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+           AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+           AND p_type = 'PROMO') all_nations
+       GROUP BY o_year ORDER BY o_year"""
+
+  /** Q17-shape: correlated avg — quantity below 20% of the part's own
+    * average (exact decimal sum ÷ count on both engines). */
+  val q17Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#11' AND p_size < 25
+         AND l_quantity < (
+           SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+               AS DOUBLE) / count(*))
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
+  /** Q20-shape: nested IN chains (part-pattern → grouped HAVING over
+    * lineitem → supplier filter → nation IN region set). */
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name, s_acctbal
+       FROM supplier
+       WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small%')
+             AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+           GROUP BY l_suppkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+         AND s_nationkey IN (SELECT n_nationkey FROM nation
+                             WHERE n_regionkey IN (0, 1, 2))
+       ORDER BY s_suppkey"""
+
+  /** Q21-shape: EXISTS + NOT EXISTS lineitem self-joins with non-equality
+    * correlation (l2.l_suppkey <> l1.l_suppkey) — the hardest
+    * decorrelation shape in the suite. */
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 100"""
+
   /** Q3 body over supplied base relations — `Bench`'s bucketed mode reuses
     * it with pre-bucketed lineitem/orders so the fact-to-fact join runs
     * with zero exchanges. */
@@ -260,6 +360,44 @@ object TpchQueries extends QueryPack {
                GROUP BY 1 ORDER BY cntrycode""")
     }),
 
+    // Q2-shape — minimum-cost supplier per part (correlated min over the
+    // part-supplier link; partsupp isn't in the fixtures, so lineitem is
+    // the link and min extended price stands in for min supplycost).
+    "q2_min_cost_supplier" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q2Sql)
+    }),
+
+    // Q8-shape — national market share: 8-way join through two nation
+    // roles, conditional decimal volume sums, one final division.
+    "q8_market_share" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q8Sql)
+    }),
+
+    // Q17-shape — small-quantity-order revenue: correlated avg subquery
+    // (quantity below 20% of the part's own average).
+    "q17_small_quantity" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q17Sql)
+    }),
+
+    // Q20-shape — nested IN chains: suppliers who shipped large volumes of
+    // matching parts, filtered to a region (partsupp availability replaced
+    // by shipped-quantity HAVING over lineitem).
+    "q20_part_promotion" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q20Sql)
+    }),
+
+    // Q21-shape — suppliers who kept orders waiting: EXISTS + NOT EXISTS
+    // self-joins on lineitem with non-equality correlation (the hardest
+    // decorrelation shape in the suite).
+    "q21_suppliers_waiting" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q21Sql)
+    }),
+
     // Q19-shape — discounted revenue over disjunctive brand/qty predicates:
     // the classic "OR of ANDs" join filter.
     "q19_disjunctive_filter" -> ((s, d) => {
@@ -279,6 +417,11 @@ object TpchQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Sql,
+    "q8_market_share" -> q8Sql,
+    "q17_small_quantity" -> q17Sql,
+    "q20_part_promotion" -> q20Sql,
+    "q21_suppliers_waiting" -> q21Sql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,

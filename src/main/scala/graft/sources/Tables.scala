@@ -83,7 +83,13 @@ object Tables {
     * saveAsTable (bucket metadata lives in the catalog). */
   def writeBucketed(
       df: DataFrame, name: String, buckets: Int, keyCol: String): Unit =
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket key first: Spark's repartition hash and the
+    // bucket-id hash are the same (Murmur3 pmod n), so each write task holds
+    // exactly one bucket → ONE file per bucket. That is the condition under
+    // which the scan exposes the sortBy ordering (multiple files per bucket
+    // void it), letting sort-merge joins skip both the Exchange AND the Sort.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(keyCol))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .saveAsTable(name)
 

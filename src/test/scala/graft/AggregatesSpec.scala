@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Invariant specs for aggregates whose outputs are intentionally
+  * oracle-less (engine-specific sketches). */
+class AggregatesSpec extends GraftSuite {
+
+  test("approx_count_distinct error is bounded by its rsd parameter") {
+    // agg_approx_distinct is the one rows-only entry whose justification is
+    // a sketch estimate; this bounds the claim. rsd is a relative STANDARD
+    // DEVIATION, not a hard bound, so the production query at the default
+    // rsd (0.05) is held to 3σ = 15%, and a tightened sketch (rsd 0.01)
+    // must land within 5% — on both a high-cardinality key and a grouped
+    // shape. Deterministic: HLL++ has no RNG, so these are fixed values
+    // on fixed fixtures, not flaky draws.
+    val r = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect().head
+    val approx = r.getLong(r.fieldIndex("approx_orders")).toDouble
+    val exact = r.getLong(r.fieldIndex("exact_orders")).toDouble
+    assert(exact > 0)
+    assert(math.abs(approx - exact) / exact < 3 * 0.05,
+      s"default-rsd approx=$approx exact=$exact")
+
+    val tight = Tables.lineitem(spark, sf)
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
+           countDistinct(col("l_orderkey")).as("e"))
+      .collect().head
+    val (ta, te) = (tight.getLong(0).toDouble, tight.getLong(1).toDouble)
+    assert(math.abs(ta - te) / te < 0.05, s"rsd=0.01 approx=$ta exact=$te")
+
+    val grouped = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
+           countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    grouped.foreach { g =>
+      val a = g.getLong(g.fieldIndex("a")).toDouble
+      val e = g.getLong(g.fieldIndex("e")).toDouble
+      assert(e > 0 && math.abs(a - e) / e < 0.05,
+        s"group ${g.getString(0)}: approx=$a exact=$e")
+    }
+  }
+}

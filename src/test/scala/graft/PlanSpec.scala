@@ -34,26 +34,51 @@ class PlanSpec extends GraftSuite {
   }
 
   test("q3's customer join broadcasts from stats, not a forced hint") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
     // customer scales with SF: a forced broadcast would fail outright at
     // 100 TB (explicit hints bypass autoBroadcastJoinThreshold), so q3
     // must carry no hint at all...
     val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
     assert(hints.isEmpty, s"q3 carries broadcast hints: $hints")
-    // ...yet at fixture scale the planner still picks the broadcast join
-    // on its own from size estimates.
+    // ...yet at fixture scale the planner still picks a broadcast join FOR
+    // THE CUSTOMER RELATION on its own from size estimates (asserting the
+    // build side outputs c_custkey — any other relation broadcasting would
+    // not satisfy this).
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
+    // Walk through AQE wrappers: query stages (incl. Spark 4's
+    // ResultQueryStage) are leaf nodes, so a plain collect() never
+    // descends into them.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val custBroadcast = allNodes(df.queryExecution.executedPlan).collect {
+      case b: BroadcastHashJoinExec =>
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        build.output.exists(_.name == "c_custkey")
+    }
+    assert(custBroadcast.contains(true),
+      s"no BroadcastHashJoin builds on customer:\n${df.queryExecution.executedPlan}")
   }
 
   test("broadcast hints target only bounded dims, never SF-scaled tables") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    // Key columns of the relations that grow with scale factor; a hint
-    // whose subtree outputs one of these is a 100 TB job-killer.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // Relations that grow with scale factor; a hint whose subtree reads one
+    // is a 100 TB job-killer. Guard on BOTH the hinted subtree's output
+    // columns AND its leaf scan paths — a hint over a renamed/aliased
+    // projection (as q5/q7 do for nation) carries none of the key names,
+    // so the column check alone could be slipped.
     val sfScaled = Set("c_custkey", "s_suppkey", "p_partkey",
       "l_orderkey", "o_orderkey")
+    val sfTables = Set("customer", "supplier", "part", "lineitem", "orders")
     val headline = Seq("q3_shipping_priority", "q5_local_supplier",
       "q7_nation_volume", "q10_returned_items", "q12_priority_shipping",
       "q14_promo_effect", "q19_disjunctive_filter")
@@ -63,6 +88,17 @@ class PlanSpec extends GraftSuite {
         val cols = h.child.output.map(_.name).toSet
         assert(cols.intersect(sfScaled).isEmpty,
           s"$name force-broadcasts an SF-scaled relation: $cols")
+        val scanned = h.child.collectLeaves().flatMap {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.getName)
+            case _ => Nil
+          }
+          case other => Seq(other.nodeName)
+        }
+        val offending = scanned.filter(p =>
+          sfTables.exists(t => p.startsWith(s"$t.")))
+        assert(offending.isEmpty,
+          s"$name force-broadcasts a subtree scanning SF-scaled $offending")
       }
     }
   }

@@ -57,6 +57,24 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.9, s"recall = $recall, missed ${exact.diff(lsh)}")
   }
 
+  test("native srp_buckets matches the literal-plane reference form") {
+    // The native expression derives hyperplanes on the fly; the reference
+    // form inlines them as literals. Same splitmix64 stream + same fold
+    // order → every (table, signature) key must be bit-identical.
+    val tables = 16; val bits = 6; val dim = 64
+    val ref = array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.srpSignatureReference(col("embedding"), t, bits, dim).as("sig"))
+    }: _*)
+    val mismatches = emb
+      .select(
+        Similarity.srpBuckets(col("embedding"), tables, bits, dim).as("native"),
+        ref.as("reference"))
+      .filter(col("native") =!= col("reference"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(10)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

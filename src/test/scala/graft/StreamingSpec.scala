@@ -86,6 +86,63 @@ class StreamingSpec extends GraftSuite {
     assert(spark.table("t_dedup").count() === 1000)
   }
 
+  test("watermark drops late out-of-order events exactly like the batch dual's filter") {
+    // Evidence for the late-data story beyond parity on ordered fixtures:
+    // drive the SAME file-source path through a directory where a later
+    // file re-delivers events far behind the watermark, and assert the
+    // dropped set is exactly what filtering them from the batch input
+    // predicts. One file per micro-batch (readEventStream sets
+    // maxFilesPerTrigger=1); the file source replays files in
+    // modification-time order, so the watermark advances between files.
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, typ: String): (Long, Timestamp, Long, String, Double) =
+      (id, Timestamp.valueOf(t), id % 7, typ, 1.5)
+    val f1 = (1L to 10L).map(i => ev(i, s"2024-01-01 00:${10 + i}:00", "view")) :+
+      ev(11L, "2024-01-01 01:30:00", "view")
+    // f2 advances the watermark to 03:30 - 10min = 03:20, closing (and
+    // emitting) every window ending before it — including [00:00, 01:00).
+    val f2 = Seq(ev(20L, "2024-01-01 03:00:00", "view"),
+                 ev(21L, "2024-01-01 03:30:00", "view"))
+    // f3's first two rows land in the already-closed [00:00, 01:00) window
+    // → dropped; the 05:00 row is on time and pushes the watermark to
+    // 04:50, closing the [03:00, 04:00) window too.
+    val late = Seq(ev(30L, "2024-01-01 00:15:00", "view"),
+                   ev(31L, "2024-01-01 00:45:00", "view"))
+    val f3 = late :+ ev(32L, "2024-01-01 05:00:00", "view")
+
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late-").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    Seq(f1, f2, f3).foreach { rows =>
+      rows.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = EventStreams.tumblingCounts(EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_late")
+
+    val lateIds = late.map(_._1).toSet
+    val all = (f1 ++ f2 ++ f3).toDF(cols: _*)
+    val batchOnTime = EventStreams.tumblingCounts(
+      all.filter(!col("event_id").isin(lateIds.toSeq: _*)))
+    // every emitted row matches the batch dual over the on-time rows only
+    assert(streamed.exceptAll(batchOnTime).count() === 0,
+      "streamed output diverges from the late-filtered batch dual")
+    // the targeted window counts only its 10 on-time events...
+    val w0 = streamed
+      .filter(col("window_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+      .select("n_events").collect().map(_.getLong(0))
+    assert(w0.toSeq === Seq(10L), s"late rows leaked into the closed window: ${w0.toSeq}")
+    // ...and the test is discriminating: WITH the late rows the batch dual
+    // says 12, so a watermark that failed to drop them would not pass.
+    val w0All = EventStreams.tumblingCounts(all)
+      .filter(col("window_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+      .select("n_events").collect().map(_.getLong(0))
+    assert(w0All.toSeq === Seq(12L))
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     val ds = EventStreams.readEventStream(spark, streamDir)
