@@ -144,6 +144,57 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** ANN top-k via IVF (inverted-file) coarse quantization: assign every
+    * corpus vector to its nearest of `numCentroids` fixed coarse
+    * centroids (the first `numCentroids` corpus vectors — a random sample
+    * under the fixtures' uniform ids, the standard coarse-quantizer
+    * bootstrap), then search each query against only the lists of its
+    * `nprobe` nearest centroids.
+    *
+    * Scale shape: centroids broadcast (bounded, ~K rows); assignment is
+    * scan-local (one pass over the corpus against K broadcast vectors);
+    * the only shuffle keys on centroid id; each query touches
+    * nprobe/K of the corpus instead of all of it. Unlike the SRP-LSH
+    * path this is fully deterministic (fixed centroids, exact cosines,
+    * total tie-breaks) — so it is ORACLE-CHECKED against DuckDB, not just
+    * recall-spec'd.
+    *
+    * Output: (qid, rank, vec_id, cos) like `bruteForceTopK`. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cent = corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnorm"))
+    def nearest(df: DataFrame, id: String, vecAs: String, normAs: String,
+        keep: Int) = {
+      val scored = df
+        .select(col(idCol).as(id), col(vecCol).as(vecAs),
+          norm(col(vecCol)).as(normAs))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          dot(col(vecAs), col("cvec")) / (col(normAs) * col("cnorm")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .select(col(id), col("cid"), col(vecAs), col(normAs))
+    }
+    val assigned = nearest(corpus, "vec_id", "vec", "nrm", 1)
+    val probed = nearest(queries, "qid", "qvec", "qnorm", nprobe)
+    probed.join(assigned, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("vec")) / (col("qnorm") * col("nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
   /** ANN top-k via multi-table SRP-LSH: L independent hash tables of
     * `bits` hyperplanes each; a pair is a candidate if it collides in ANY
     * table (P = 1-(1-p^bits)^tables for per-plane agreement p), then

@@ -36,6 +36,18 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // IVF ANN top-5: 16 fixed coarse centroids, 4 probed per query.
+    // Fully deterministic (exact cosines, total tie-breaks) → oracle-
+    // checked end-to-end, unlike the hash-family LSH path.
+    "ss4_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
+        numCentroids = 16, nprobe = 4)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     // Label-mean centroids: per-label mean embedding via posexplode +
     // groupBy — the IVF coarse-quantizer shape. Means use the exact
     // decimal-sum policy so the dim-0 component is oracle-exact.
@@ -66,6 +78,33 @@ object SimilarityQueries extends QueryPack {
           sc AS (SELECT qid, vec_id,
             ${cosSql("qvec", "cvec")} AS cos
           FROM q JOIN c ON qid <> vec_id),
+          r AS (SELECT qid, vec_id,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+          FROM sc)
+          SELECT qid, rank, vec_id FROM r WHERE rank <= 5
+          ORDER BY qid, rank""",
+    "ss4_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          corp AS (SELECT vec_id, embedding AS vec FROM embeddings),
+          ca AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${cosSql("vec", "cvec")} DESC, cid ASC) AS rn
+            FROM corp CROSS JOIN cent),
+          assigned AS (SELECT vec_id, cid FROM ca WHERE rn = 1),
+          qs AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+          qp AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              ORDER BY ${cosSql("qvec", "cvec")} DESC, cid ASC) AS rn
+            FROM qs CROSS JOIN cent),
+          probe AS (SELECT qid, cid FROM qp WHERE rn <= 4),
+          cand AS (SELECT p.qid, a.vec_id
+            FROM probe p JOIN assigned a USING (cid)
+            WHERE a.vec_id <> p.qid),
+          sc AS (SELECT cand.qid, cand.vec_id,
+              ${cosSql("qvec", "vec")} AS cos
+            FROM cand JOIN qs ON cand.qid = qs.qid
+              JOIN corp ON cand.vec_id = corp.vec_id),
           r AS (SELECT qid, vec_id,
             CAST(row_number() OVER (PARTITION BY qid
               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank

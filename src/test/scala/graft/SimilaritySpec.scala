@@ -57,6 +57,27 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.9, s"recall = $recall, missed ${exact.diff(lsh)}")
   }
 
+  test("ivf ann probes a corpus subset yet overlaps brute-force top-k") {
+    val q = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val ivf = pairs(
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+        numCentroids = 16, nprobe = 4))
+    // nprobe/K = 1/4 of the corpus searched; on uniform-random fixtures
+    // (ANN's hardest case) expected recall ~ the probed fraction.
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall@5 = $recall")
+    // every query answers k results with consistent ranks
+    val res = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5).collect()
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("native srp_buckets matches the literal-plane reference form") {
     // The native expression derives hyperplanes on the fly; the reference
     // form inlines them as literals. Same splitmix64 stream + same fold
