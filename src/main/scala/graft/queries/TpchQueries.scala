@@ -76,6 +76,59 @@ object TpchQueries extends QueryPack {
            AND p_type = 'PROMO') all_nations
        GROUP BY o_year ORDER BY o_year"""
 
+  /** Q9-shape: product-type profit by supplier nation and year. The cost
+    * side of the profit expression uses p_retailprice as the per-unit cost
+    * proxy (partsupp.ps_supplycost has no fixture analog). */
+  val q9Sql: String =
+    """SELECT n_name AS nation, o_year,
+         CAST(sum(amount) AS DOUBLE) AS sum_profit
+       FROM (
+         SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(l_extendedprice * (1.0 - l_discount)
+                - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+         FROM part, supplier, lineitem, orders, nation
+         WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+           AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+           AND p_name LIKE '%gear%') profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC"""
+
+  /** Q11-shape: important inventory value per part — grouped decimal value
+    * sums filtered by a scalar-subquery threshold (fraction of the regional
+    * total); shipped quantity × retail price stands in for partsupp
+    * availqty × supplycost. */
+  val q11Sql: String =
+    """SELECT l_partkey AS ps_partkey,
+         CAST(sum(CAST(0.01 * p_retailprice * l_quantity
+           AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_regionkey = 2
+       GROUP BY l_partkey
+       HAVING sum(CAST(0.01 * p_retailprice * l_quantity
+           AS DECIMAL(18,4))) > (
+         SELECT sum(CAST(0.01 * p_retailprice * l_quantity
+             AS DECIMAL(18,4))) * 0.001
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_regionkey = 2)
+       ORDER BY part_value DESC, ps_partkey"""
+
+  /** Q16-shape: supplier count per part attribute triple, excluding a
+    * NOT-IN supplier set; lineitem is the part↔supplier link. */
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PRO%'
+         AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0.0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
   /** Q17-shape: correlated avg — quantity below 20% of the part's own
     * average (exact decimal sum ÷ count on both engines). */
   val q17Sql: String =
@@ -375,6 +428,27 @@ object TpchQueries extends QueryPack {
       s.sql(q8Sql)
     }),
 
+    // Q9-shape — product-type profit by nation and year (5-way join,
+    // negative-capable decimal amounts).
+    "q9_product_profit" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q9Sql)
+    }),
+
+    // Q11-shape — important inventory value: grouped HAVING against a
+    // scalar-subquery fraction of the total.
+    "q11_important_stock" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q11Sql)
+    }),
+
+    // Q16-shape — supplier count by part attributes with a NOT IN
+    // exclusion set.
+    "q16_supplier_count" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q16Sql)
+    }),
+
     // Q17-shape — small-quantity-order revenue: correlated avg subquery
     // (quantity below 20% of the part's own average).
     "q17_small_quantity" -> ((s, d) => {
@@ -419,6 +493,9 @@ object TpchQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     "q2_min_cost_supplier" -> q2Sql,
     "q8_market_share" -> q8Sql,
+    "q9_product_profit" -> q9Sql,
+    "q11_important_stock" -> q11Sql,
+    "q16_supplier_count" -> q16Sql,
     "q17_small_quantity" -> q17Sql,
     "q20_part_promotion" -> q20Sql,
     "q21_suppliers_waiting" -> q21Sql,
