@@ -52,6 +52,35 @@ object Joins {
   def theta(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
     l.join(r, cond)
 
+  /** Range join (point-in-interval) via bin bucketing — the scale path
+    * for `point BETWEEN start AND end` joins, which Spark otherwise plans
+    * as a nested-loop/cartesian scan (O(n·m) — the #1 silent killer for
+    * time-interval joins at 100 TB).
+    *
+    * Bin trick: pick `binSize` ≈ the typical interval length. Each left
+    * point keys on its single bin `floor(point / binSize)`; each right
+    * interval explodes into the bins it covers (≈ len/binSize + 1 rows).
+    * The join is then a plain EQUI join on the bin key (shuffle/broadcast
+    * on bins — never the pair space) with the exact BETWEEN as a residual
+    * filter. No dedup pass is needed: a (point, interval) pair meets in
+    * exactly one bin — the point's own.
+    *
+    * Monotonicity makes the bin math safe: point ∈ [start, end] implies
+    * bin(point) ∈ [bin(start), bin(end)] for any positive binSize, so no
+    * qualifying pair is missed. Columns are numeric (cast timestamps with
+    * `unix_micros`); left/right column names must not collide. */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      point: Column, start: Column, end: Column, binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val l = left.withColumn("_rj_bin", floor(point / binSize).cast("long"))
+    val r = right.withColumn("_rj_bin",
+      explode(sequence(floor(start / binSize).cast("long"),
+                       floor(end / binSize).cast("long"))))
+    l.join(r, l("_rj_bin") === r("_rj_bin") && point.between(start, end))
+      .drop("_rj_bin")
+  }
+
   /** J4 — self join; Spark's DeduplicateRelations handles exprId clashes
     * that the reference re-aliases by hand (M:124-146). Callers alias both
     * sides for readable conditions. */

@@ -128,6 +128,27 @@ object JoinQueries extends QueryPack {
         .orderBy("p_id")
     }),
 
+    // RANGE join (point-in-interval) via bin bucketing — events counted
+    // into each purchase's 30-minute follow-up window. The bins turn the
+    // inequality join into an equi join on bin keys (Joins.rangeJoin);
+    // a naive BETWEEN join would plan a nested-loop scan. Oracle-exact:
+    // micros arithmetic is precision-lossless on both engines.
+    "j14_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(1800L * 1000000L)).as("w_end"))
+      val points = ev.select(col("event_id").as("e_id"),
+        unix_micros(col("ts")).as("e_ts"))
+      Joins.rangeJoin(points, windows,
+          col("e_ts"), col("w_start"), col("w_end"),
+          binSize = 1800L * 1000000L)
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("p_id")
+    }),
+
     // AS-OF join, NATIVE operator (graft.plans.AsOfJoin → AsOfJoinExec):
     // the same question as j12 through the custom SparkPlan — one shuffle
     // per side on user_id, one forward merge pass per partition. LEFT
@@ -238,6 +259,13 @@ object JoinQueries extends QueryPack {
                   FROM p LEFT JOIN v
                     ON p.user_id = v.v_user AND v.v_ts <= p.p_ts)
          SELECT p_id, user_id, p_ts, v_id, v_ts FROM c WHERE rn = 1
-         ORDER BY p_id"""
+         ORDER BY p_id""",
+    "j14_range_join" ->
+      """SELECT p_id, count(*) AS n_events
+         FROM (SELECT event_id AS p_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase') p
+           JOIN events e
+             ON e.ts >= p.p_ts AND e.ts <= p.p_ts + INTERVAL 30 MINUTE
+         GROUP BY p_id ORDER BY p_id"""
   )
 }

@@ -8,6 +8,27 @@ import graft.sources.Tables
   * tables join without a shuffle. */
 class JoinsSpec extends GraftSuite {
 
+  test("range join equals the naive theta join and plans an equi join") {
+    import spark.implicits._
+    // Points 0..999, intervals of mixed lengths (some spanning many bins,
+    // some within one), including boundary-touching cases.
+    val points = (0L until 1000L).map(p => (p, p * 10L)).toDF("pid", "p")
+    val intervals = (0L until 200L)
+      .map(i => (i, i * 37L, i * 37L + (i % 5) * 40L))
+      .toDF("iid", "s", "e")
+    val binned = Joins.rangeJoin(points, intervals,
+      col("p"), col("s"), col("e"), binSize = 64L)
+    val naive = points.join(intervals, col("p").between(col("s"), col("e")))
+    assert(binned.count() === naive.count())
+    assert(binned.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(binned).count() === 0)
+    // the point of the operator: NO pairwise scan in the plan — the bins
+    // make it an equi join (hash/sort-merge/broadcast-hash all fine).
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
