@@ -21,6 +21,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   * `spark.experimental.extraStrategies` so the operator works on any
   * session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    extensions.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }

@@ -98,6 +98,18 @@ object AggregateQueries extends QueryPack {
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
              countDistinct(col("l_orderkey")).as("exact_orders"))),
 
+    // approx_percentile (Greenwald–Khanna sketch, mergeable) — the
+    // distributed quantile path at scale; exact percentile_cont needs a
+    // full sort. Rows-only (sketch internals are engine-specific);
+    // AggregatesSpec bounds the RANK error by 1/accuracy.
+    "agg_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+               array(lit(0.5), lit(0.95)), lit(1000))
+             .as("approx_p50_p95"))
+        .orderBy("l_returnflag")),
+
     // PIVOT — long-to-wide with an explicit value list (the scalable form:
     // implicit pivot would need a distinct-scan first).
     "agg_pivot" -> ((s, d) =>
@@ -213,7 +225,8 @@ object AggregateQueries extends QueryPack {
            quantile_cont(l_quantity, 0.5)  AS p50,
            quantile_cont(l_quantity, 0.75) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
-    // agg_approx_distinct: intentionally no oracle — HLL estimates are
-    // engine-specific; driver records rows-only.
+    // agg_approx_distinct / agg_approx_percentile: intentionally no
+    // oracle — HLL / GK sketch estimates are engine-specific; driver
+    // records rows-only. AggregatesSpec bounds both errors.
   )
 }

@@ -41,4 +41,26 @@ class AggregatesSpec extends GraftSuite {
         s"group ${g.getString(0)}: approx=$a exact=$e")
     }
   }
+
+  test("approx_percentile rank error is bounded by 1/accuracy") {
+    // GK sketch contract: the returned value's RANK is within n/accuracy
+    // of the target rank (the value itself has no generic bound — a
+    // heavy-tailed column can move arbitrarily far in one rank step).
+    val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val approx = r.getSeq[Double](1)
+      val sorted = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      val n = sorted.length
+      for ((target, v) <- Seq(0.5, 0.95).zip(approx)) {
+        val rank = sorted.count(_ <= v).toDouble
+        val err = math.abs(rank - target * n) / n
+        assert(err <= 1.0 / 1000 + 1.0 / n,
+          s"$flag p$target: value=$v rank=$rank/$n err=$err")
+      }
+    }
+  }
 }
