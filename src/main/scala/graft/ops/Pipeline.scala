@@ -83,6 +83,34 @@ object Pipeline {
       .drop("_pid")
   }
 
+  /** Token-window chunking: split each document into chunks of
+    * `chunkSize` whitespace tokens starting every `stride` tokens
+    * (stride < chunkSize ⇒ overlapping context windows, the standard
+    * training-data shape). Purely scan-local — tokenize, explode one row
+    * per chunk, slice — no shuffle anywhere, so it scales with readers.
+    * Chunk starts are 0, stride, 2·stride, … while they fall inside the
+    * document, so every token lands in ≥ 1 chunk and the last chunk may
+    * be short. Deterministic (single-space tokenizer, positional slices):
+    * oracle-checked by md5 of each chunk's re-joined text. */
+  def chunkByTokens(
+      df: DataFrame, idCol: Column, textCol: Column,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize/stride must be positive, got $chunkSize/$stride")
+    df.select(idCol.as("doc_id"), split(textCol, " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ((col("n") - 1) / lit(stride)).cast("int"))))
+      .withColumn("start", col("chunk_idx") * stride)
+      .withColumn("chunk_toks",
+        slice(col("toks"), col("start") + 1, lit(chunkSize)))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("chunk_toks")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk_toks"))).as("chunk_md5"))
+  }
+
   /** Global 1-based position of each row under `orderCols` — the scalable
     * form of `row_number()` over an unpartitioned window (same two-phase
     * scheme: per-partition counts, broadcast offsets, local row_number). */

@@ -38,7 +38,16 @@ object PipelineQueries extends QueryPack {
             TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
         col("doc_id"), col("n_tokens"), budget = 8192)
         .select("doc_id", "n_tokens", "cum_tokens", "bin")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Overlapping token-window chunking (64-token chunks every 48) —
+    // scan-local explode, no shuffle; md5 of each chunk's text makes the
+    // oracle compare content, not just counts.
+    "pl4_token_chunks" -> ((s, d) =>
+      Pipeline.chunkByTokens(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -53,7 +62,22 @@ object PipelineQueries extends QueryPack {
                  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT)
                    AS n_tokens
                FROM documents)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "pl4_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+          c AS (SELECT doc_id,
+            [{ci: i,
+              nt: least((i*48) + 64, len(toks)) - (i*48),
+              h: md5(array_to_string(
+                   toks[(i*48)+1 : least((i*48)+64, len(toks))], ' '))}
+             for i in range(0,
+               CAST(floor((len(toks) - 1) / 48) AS INT) + 1)] AS chunks
+            FROM t)
+          SELECT doc_id, CAST(u.ci AS INT) AS chunk_idx,
+            CAST(u.nt AS INT) AS n_tokens, u.h AS chunk_md5
+          FROM (SELECT doc_id, unnest(chunks) AS u FROM c)
+          ORDER BY doc_id, chunk_idx"""
     // pl1/pl2: rows-only — seeded sampling and hash order are engine-local;
     //   PipelineSpec covers rates and determinism.
   )

@@ -9,6 +9,33 @@ class PipelineSpec extends GraftSuite {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("token chunking covers every token with the declared overlap") {
+    val chunkSize = 64; val stride = 48
+    val chunks = Pipeline.chunkByTokens(
+        docs, col("doc_id"), col("text"), chunkSize, stride)
+      .collect()
+      .groupBy(_.getLong(0))
+    val tokenCounts = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet === tokenCounts.keySet)
+    chunks.foreach { case (docId, rows) =>
+      val n = tokenCounts(docId)
+      val byIdx = rows.sortBy(_.getInt(1))
+      // chunk indices are dense from 0 and the count is the stride formula
+      assert(byIdx.map(_.getInt(1)).toSeq === (0 until rows.length))
+      assert(rows.length === (n - 1) / stride + 1)
+      byIdx.zipWithIndex.foreach { case (r, i) =>
+        // every chunk holds exactly the tokens from its start to
+        // min(start + chunkSize, n) — so consecutive chunks overlap by
+        // chunkSize - stride tokens and the union covers 0 until n
+        assert(r.getInt(2) === math.min(i * stride + chunkSize, n) - i * stride)
+      }
+      val lastStart = (rows.length - 1) * stride
+      assert(lastStart < n && lastStart + chunkSize >= n)
+    }
+  }
+
   test("stratified sample hits requested per-stratum rates (±tolerance)") {
     val fr = Map("en" -> 0.8, "de" -> 0.2, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
     val sampled = Pipeline.stratifiedSample(docs, "lang", fr, seed = 42L)
