@@ -226,6 +226,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-dup PAIRS — the cluster-resolution
+    * step production dedup needs after any pair finder (dd3/dd5/dd9 emit
+    * pairs; dropping duplicates requires knowing which docs form one
+    * cluster and a keep rule). Deterministic min-label propagation: every
+    * node starts labeled with its own id; each round every node takes the
+    * min of its label and its neighbors' labels; fixpoint = every node
+    * carries its component's min id (the canonical cluster id and the
+    * auditable "keep the smallest id" survivor).
+    *
+    * Scale shape: one shuffle per round (join edges⋈labels + min-agg),
+    * rounds = cluster diameter — small for near-dup clusters, which are
+    * dense by construction. The only driver-side datum is one changed-row
+    * count per round (the convergence check). For adversarially long
+    * chains the alternating large-star/small-star algorithm (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") halves rounds;
+    * not needed at near-dup cluster diameters.
+    *
+    * Output: (cc_id, cluster_id) — one row per node. */
+  def connectedComponents(
+      nodes: DataFrame, idCol: Column,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("nbr"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(idCol.as("cc_id"), idCol.as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iterations = 0
+    var converged = false
+    while (!converged && iterations < maxIterations) {
+      val neighborMin = und
+        .join(labels, col("src") === col("cc_id"))
+        .groupBy(col("nbr"))
+        .agg(min(col("lbl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, col("cc_id") === col("nbr"), "left_outer")
+        .select(col("cc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.alias("u")
+        .join(labels.alias("p"), col("u.cc_id") === col("p.cc_id"))
+        .filter(col("u.lbl") =!= col("p.lbl"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iterations += 1
+    }
+    und.unpersist()
+    labels.select(col("cc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** N-gram Jaccard near-dup pairs inside blocking buckets (same `block`
     * value), exact pairwise within a bucket. Demonstration-scale blocking;
     * the 100 TB path is minhashNearDupPairs. */

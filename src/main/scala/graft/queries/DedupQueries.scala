@@ -61,6 +61,21 @@ object DedupQueries extends QueryPack {
         n = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Duplicate-CLUSTER resolution: connected components over the dd5
+    // near-dup pair set (min-label propagation), cluster id = component's
+    // min doc id, kept = the canonical survivor. Oracle: DuckDB recursive
+    // CTE over the same edge SQL.
+    "dd10_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.ngramJaccardPairs(
+        docs, col("doc_id"), col("text"), col("source"),
+        n = 3, threshold = 0.6)
+      Dedup.connectedComponents(docs, col("doc_id"), edges, "id_a", "id_b")
+        .select(col("cc_id").as("doc_id"), col("cluster_id"),
+          (col("cc_id") === col("cluster_id")).cast("int").as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs: chunk-bucket candidates + exact Hamming
     // verify (lossless for Hamming ≤ 3 by pigeonhole). May be empty at
     // tiny SF. Rows-only (our hash family).
@@ -121,6 +136,26 @@ object DedupQueries extends QueryPack {
           FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
           SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
           ORDER BY id_a, id_b""",
+    "dd10_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+            list_distinct([substr(lower(text), i, 3)
+                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
+          FROM documents),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              AS jaccard
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
+          e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.6),
+          ue AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r)
+          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+            CAST(id = min(r) AS INT) AS kept
+          FROM reach GROUP BY id ORDER BY doc_id""",
     "dd7_jaccard_simjoin" ->
       """WITH t AS (SELECT doc_id,
             list_distinct([substr(lower(text), i, 3)

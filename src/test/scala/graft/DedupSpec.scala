@@ -132,6 +132,38 @@ class DedupSpec extends GraftSuite {
     assert(!pairs.contains((1000001L, 1000003L)))
   }
 
+  test("connected components produce consistent, canonical dup clusters") {
+    import org.apache.spark.sql.DataFrame
+    // synthetic graph with known components: a chain (diameter > 1, so
+    // propagation must iterate), a triangle, an isolated pair, singletons
+    val nodes = (1L to 12L).toDF("id")
+    val edges: DataFrame = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain 1-5
+      (6L, 7L), (7L, 8L), (6L, 8L),           // triangle 6-8
+      (9L, 10L)                               // pair
+    ).toDF("a", "b")                          // 11, 12 isolated
+    val got = Dedup.connectedComponents(nodes, col("id"), edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L, 10L -> 9L,
+      11L -> 11L, 12L -> 12L)
+    assert(got === expected)
+
+    // on the real near-dup graph: every edge's endpoints share a cluster,
+    // and every cluster id is its own member (the canonical keeper)
+    val realEdges = Dedup.ngramJaccardPairs(
+      docs, col("doc_id"), col("text"), col("source"))
+    val labels = Dedup.connectedComponents(
+      docs, col("doc_id"), realEdges, "id_a", "id_b")
+    val lblMap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    realEdges.select("id_a", "id_b").collect().foreach { r =>
+      assert(lblMap(r.getLong(0)) === lblMap(r.getLong(1)),
+        s"edge ${r.getLong(0)}-${r.getLong(1)} spans clusters")
+    }
+    lblMap.values.toSet.foreach { (c: Long) => assert(lblMap(c) === c) }
+  }
+
   test("exact dedup keeps exactly one canonical row per text") {
     val kept = Dedup.exactDedupKeep(docs, col("text"), col("doc_id"))
       .filter(col("is_kept"))
