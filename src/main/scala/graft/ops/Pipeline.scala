@@ -83,6 +83,56 @@ object Pipeline {
       .drop("_pid")
   }
 
+  /** Attach data-quality counters to a frame via Spark's `observe` —
+    * metrics accumulate on the EXECUTORS during whatever action runs the
+    * frame (zero extra passes, zero shuffles, unlike a separate
+    * `df.agg(...)` audit job that re-reads the input) and surface on the
+    * driver afterwards. The standard pipeline-instrumentation primitive:
+    * row counts, null rates, and domain violations observed on the same
+    * scan that produces the output. Read back with [[observedMetrics]]. */
+  def withQualityMetrics(
+      df: DataFrame, name: String, metrics: (String, Column)*): DataFrame = {
+    require(metrics.nonEmpty, "at least one metric")
+    val cols = metrics.map { case (alias, c) => c.as(alias) }
+    df.observe(name, cols.head, cols.tail: _*)
+  }
+
+  /** Observed metrics of the LAST completed action on `df` — pass the
+    * frame (or a descendant of it) whose OWN QueryExecution ran: metrics
+    * live on the executed plan, and shortcuts like `df.count()` spawn a
+    * separate QueryExecution whose metrics this frame never sees. Run
+    * `df.collect()`/`write` on the frame itself, then read. */
+  def observedMetrics(df: DataFrame, name: String): Map[String, Any] = {
+    val row = df.queryExecution.observedMetrics.getOrElse(name,
+      throw new NoSuchElementException(
+        s"no observed metrics '$name' — did an action run?"))
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  /** Size-targeted compaction: rewrite a directory of (typically many
+    * small) parquet files into ~`targetBytes` files — the small-files
+    * fix every long-running ingestion needs (file-count explosions turn
+    * scan planning and commit protocols into the bottleneck long before
+    * data size does). Partition count derives from the actual input
+    * bytes; `repartition` (round-robin) balances rows regardless of the
+    * input layout. Returns the partition count chosen. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    val src = new java.io.File(inDir)
+    val inputBytes =
+      if (src.isDirectory)
+        src.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+      else src.length()
+    val parts = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    parts
+  }
+
   /** Token-window chunking: split each document into chunks of
     * `chunkSize` whitespace tokens starting every `stride` tokens
     * (stride < chunkSize ⇒ overlapping context windows, the standard

@@ -9,6 +9,46 @@ class PipelineSpec extends GraftSuite {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("observe metrics count rows and violations on the producing scan") {
+    val observed = Pipeline.withQualityMetrics(
+      docs, "quality",
+      "n_rows" -> count(lit(1)),
+      "null_text" -> count(when(col("text").isNull, 1)),
+      "bad_lang" -> count(when(!col("lang").isin("en", "de", "fr", "es", "zh"), 1)))
+    // collect() on the DERIVED frame: metrics attach to the QueryExecution
+    // that actually ran (df.count() would spawn a separate one and leave
+    // this plan's metrics empty — same trap as the bench plan gate)
+    val out = observed.filter(col("n_chars") > 0)
+    val produced = out.collect().length.toLong
+    val m = Pipeline.observedMetrics(out, "quality")
+    assert(m("n_rows") === docs.count())
+    assert(m("null_text") === 0L)
+    assert(m("bad_lang") === 0L)
+    assert(produced > 0)
+  }
+
+  test("compaction rewrites many small files into size-targeted ones") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft-frag-").toString
+    // fragment the docs table into many tiny files
+    docs.repartition(64).write.mode("overwrite").parquet(inDir)
+    val nIn = new java.io.File(inDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nIn >= 32, s"expected a fragmented input, got $nIn files")
+    val outDir = Files.createTempDirectory("graft-compact-").toString
+    val inputBytes = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = inputBytes / 4 // aim for ~4 output files
+    val parts = Pipeline.compact(spark, inDir, outDir, target)
+    val outFiles = new java.io.File(outDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts >= 4 && parts <= 6, s"parts=$parts")
+    assert(outFiles === parts, s"outFiles=$outFiles parts=$parts")
+    // content unchanged
+    assert(spark.read.parquet(outDir).exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(spark.read.parquet(outDir)).count() === 0)
+  }
+
   test("token chunking covers every token with the declared overlap") {
     val chunkSize = 64; val stride = 48
     val chunks = Pipeline.chunkByTokens(
