@@ -102,10 +102,8 @@ object Bench {
         // SLOWER than shuffling (32 fixed tasks, no AQE coalescing, the
         // r2/r3 contradiction); 4 task-sized buckets beat the shuffled
         // variant by ~30% on both queries.
-        val factSrc = new java.io.File(s"$sfDir/lineitem.parquet")
         val factBytes =
-          if (factSrc.isDirectory) factSrc.listFiles().map(_.length()).sum
-          else factSrc.length()
+          graft.ops.Pipeline.directoryBytes(spark, s"$sfDir/lineitem.parquet")
         val b = sys.env.get("SPARK_GRAFT_BENCH_BUCKETS").map(_.toInt)
           .getOrElse(math.max(4, (factBytes / (16L << 20)).toInt))
         val liSrc = Tables.load(spark, sfDir, "lineitem")

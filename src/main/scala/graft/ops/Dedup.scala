@@ -238,10 +238,20 @@ object Dedup {
     * Scale shape: one shuffle per round (join edges⋈labels + min-agg),
     * rounds = cluster diameter — small for near-dup clusters, which are
     * dense by construction. The only driver-side datum is one changed-row
-    * count per round (the convergence check). For adversarially long
+    * count per round (the convergence check). Each round's labels are
+    * `localCheckpoint`ed: iterative self-joins otherwise accumulate a
+    * lineage whose PLAN grows exponentially with rounds and kills the
+    * driver long before the data does — truncation per round is the
+    * standard fix for iterative algorithms on Spark (executor-local
+    * blocks; a long-lived production job would use reliable
+    * checkpointing to survive executor loss). For adversarially long
     * chains the alternating large-star/small-star algorithm (Kiveris et
     * al., "Connected Components in MapReduce and Beyond") halves rounds;
     * not needed at near-dup cluster diameters.
+    *
+    * Throws IllegalStateException if labels have not converged within
+    * `maxIterations` — un-converged labels are silently wrong (edge
+    * endpoints can still disagree), never returned.
     *
     * Output: (cc_id, cluster_id) — one row per node. */
   def connectedComponents(
@@ -253,7 +263,7 @@ object Dedup {
       .union(edges.select(col(bCol).as("src"), col(aCol).as("nbr")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(idCol.as("cc_id"), idCol.as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iterations = 0
     var converged = false
     while (!converged && iterations < maxIterations) {
@@ -265,17 +275,22 @@ object Dedup {
         .join(neighborMin, col("cc_id") === col("nbr"), "left_outer")
         .select(col("cc_id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // truncate lineage; old blocks GC-reclaimed
       val changed = updated.alias("u")
         .join(labels.alias("p"), col("u.cc_id") === col("p.cc_id"))
         .filter(col("u.lbl") =!= col("p.lbl"))
         .count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       iterations += 1
     }
     und.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIterations " +
+        "iterations — a component's diameter exceeds the budget; raise " +
+        "maxIterations (rounds needed = max cluster diameter)")
+    }
     labels.select(col("cc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -38,7 +38,12 @@ object Pipeline {
     * the main job reuses the SAME partitioning instead of re-running the
     * range sampler — correctness does not lean on re-computation
     * determinism, and the shuffle is materialized once (evicted by Spark's
-    * LRU when memory is needed; spills to disk first).
+    * LRU when memory is needed; spills to disk first). The cache lives as
+    * long as the returned frame's lineage: callers running MANY
+    * prefix-sum jobs in one long session should unpersist via
+    * `spark.catalog.clearCache()` between batches (per-call handles would
+    * complicate the API for a cache the LRU already bounds in memory —
+    * only disk blocks outlive eviction).
     *
     * Returns the range-partitioned frame (with a `_pid` column the caller
     * must drop) and the per-row global offset column. */
@@ -116,16 +121,22 @@ object Pipeline {
     * data size does). Partition count derives from the actual input
     * bytes; `repartition` (round-robin) balances rows regardless of the
     * input layout. Returns the partition count chosen. */
+  /** Total bytes under a path via the Hadoop FileSystem API — works on
+    * any supported filesystem (local, HDFS, object stores) and recurses
+    * into partitioned layouts, unlike java.io.File which silently reports
+    * 0 for non-local URIs. */
+  def directoryBytes(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String, targetBytes: Long): Int = {
     require(targetBytes > 0)
-    val src = new java.io.File(inDir)
-    val inputBytes =
-      if (src.isDirectory)
-        src.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(_.length()).sum
-      else src.length()
+    val inputBytes = directoryBytes(spark, inDir)
     val parts = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)
       .repartition(parts)
@@ -140,13 +151,18 @@ object Pipeline {
     * per chunk, slice — no shuffle anywhere, so it scales with readers.
     * Chunk starts are 0, stride, 2·stride, … while they fall inside the
     * document, so every token lands in ≥ 1 chunk and the last chunk may
-    * be short. Deterministic (single-space tokenizer, positional slices):
+    * be short — which requires stride ≤ chunkSize (enforced; a larger
+    * stride would silently drop the tokens between windows).
+    * Deterministic (single-space tokenizer, positional slices):
     * oracle-checked by md5 of each chunk's re-joined text. */
   def chunkByTokens(
       df: DataFrame, idCol: Column, textCol: Column,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0,
       s"chunkSize/stride must be positive, got $chunkSize/$stride")
+    require(stride <= chunkSize,
+      s"stride ($stride) > chunkSize ($chunkSize) would drop the tokens " +
+      "between consecutive windows")
     df.select(idCol.as("doc_id"), split(textCol, " ").as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("chunk_idx",

@@ -146,10 +146,13 @@ object Similarity {
 
   /** ANN top-k via IVF (inverted-file) coarse quantization: assign every
     * corpus vector to its nearest of `numCentroids` fixed coarse
-    * centroids (the first `numCentroids` corpus vectors — a random sample
-    * under the fixtures' uniform ids, the standard coarse-quantizer
-    * bootstrap), then search each query against only the lists of its
+    * centroids, then search each query against only the lists of its
     * `nprobe` nearest centroids.
+    *
+    * Centroids are the K smallest-id corpus vectors (a bounded
+    * TakeOrderedAndProject, valid for ANY id space — sparse, offset, or
+    * hash-derived ids all work); under the fixtures' uniform ids that is
+    * a random sample, the standard coarse-quantizer bootstrap.
     *
     * Scale shape: centroids broadcast (bounded, ~K rows); assignment is
     * scan-local (one pass over the corpus against K broadcast vectors);
@@ -165,7 +168,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val cent = corpus.filter(col(idCol) < numCentroids)
+    val cent = corpus.orderBy(col(idCol).asc).limit(numCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cnorm"))
     def nearest(df: DataFrame, id: String, vecAs: String, normAs: String,

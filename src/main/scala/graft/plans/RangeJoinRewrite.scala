@@ -21,10 +21,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampT
   * guarantees no pair is missed.
   *
   * Gated on `spark.graft.rangeJoin.binSize` (positive long, in the
-  * point column's units): bin size is a DATA property — roughly the
-  * typical interval length — that the optimizer cannot infer from the
-  * plan, so the rewrite only fires when the user declares it (the same
-  * contract as a range-join hint). Idempotent under the optimizer's
+  * point column's units — MICROSECONDS for timestamps, matching
+  * `unix_micros` and the manual operator's convention): bin size is a
+  * DATA property — roughly the typical interval length — that the
+  * optimizer cannot infer from the plan, so the rewrite only fires when
+  * the user declares it (the same contract as a range-join hint).
+  *
+  * The declared bin size is SESSION-SCOPED and applies to every
+  * BETWEEN-shaped inner join while set — enable it around the
+  * range-join workload and disable after
+  * (`Joins.disableRangeJoinRewrite`). A bin size far smaller than an
+  * interval makes that interval explode into end-start/binSize bin
+  * rows (a huge interval can even exceed sequence limits and fail a
+  * query that formerly crawled through a nested loop); far larger, and
+  * every row shares one bin — a single-hot-key shuffle. Mixed
+  * workloads with different range scales should use the explicit
+  * `Joins.rangeJoin` operator per join instead. Idempotent under the optimizer's
   * fixed-point batch: the rewritten join carries an equi conjunct, which
   * disqualifies it from matching again.
   *
@@ -52,13 +64,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   }
 
   /** Monotone bin of a numeric/timestamp expression — same arithmetic as
-    * `Joins.rangeJoin` (floor of double division). */
-  private def binOf(e: Expression, binSize: Long): Expression =
+    * `Joins.rangeJoin` (floor of double division). Timestamps bin on
+    * MICROSECONDS (`unix_micros` semantics), matching the convention the
+    * manual operator documents — a seconds-based cast would make the
+    * same binSize value a million times coarser here than there. */
+  private def binOf(e: Expression, binSize: Long): Expression = {
+    val numeric = e.dataType match {
+      case TimestampType => UnixMicros(e)
+      case _ => e
+    }
     Cast(
       Floor(Divide(
-        Cast(e, DoubleType, Some(conf.sessionLocalTimeZone)),
+        Cast(numeric, DoubleType, Some(conf.sessionLocalTimeZone)),
         Literal(binSize.toDouble))),
       LongType)
+  }
 
   private def binnable(e: Expression): Boolean = e.dataType match {
     case _: NumericType | TimestampType => true
@@ -76,8 +96,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
     // Already hash-joinable → leave it alone (also what makes this rule
     // idempotent: the rewritten join's bin-equality conjunct lands here).
+    // EqualNullSafe is hash-joinable too — rewriting over it would trade
+    // a selective key join for exploded bin rows.
     val hasEqui = conjuncts.exists {
       case EqualTo(a, b) =>
+        (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
+      case EqualNullSafe(a, b) =>
         (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
       case _ => false
     }

@@ -164,6 +164,25 @@ class DedupSpec extends GraftSuite {
     lblMap.values.toSet.foreach { (c: Long) => assert(lblMap(c) === c) }
   }
 
+  test("connected components converge on long chains or fail loudly") {
+    import org.apache.spark.sql.DataFrame
+    // a 30-node chain needs ~29 propagation rounds at stride 1 — beyond
+    // the default budget the operator must throw, never return wrong
+    // labels silently
+    val nodes = (1L to 30L).toDF("id")
+    val chain: DataFrame = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, col("id"), chain, "a", "b",
+        maxIterations = 5)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with budget, the whole chain resolves to one cluster
+    val ok = Dedup.connectedComponents(nodes, col("id"), chain, "a", "b",
+      maxIterations = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(1L))
+  }
+
   test("exact dedup keeps exactly one canonical row per text") {
     val kept = Dedup.exactDedupKeep(docs, col("text"), col("doc_id"))
       .filter(col("is_kept"))
