@@ -103,6 +103,41 @@ object EventStreams {
         })
   }
 
+  /** Streaming upsert (CDC-style "latest row per key" materialization)
+    * via foreachBatch — the standard pattern for maintaining a keyed
+    * state table on a plain-file sink without a transactional format.
+    * Each micro-batch merges its rows over the current state and keeps
+    * the newest row per key (event-time desc, `tieCol` desc for exact
+    * determinism). The merge is IDEMPOTENT — re-running a batch after a
+    * failure converges to the same state, which is what makes
+    * foreachBatch's at-least-once delivery exactly-once in effect. The
+    * merged frame is localCheckpoint'ed before the overwrite so the read
+    * side of the swap never races the write side of the same path.
+    *
+    * Scale note: state size = distinct keys, not event history; the
+    * merge is one window over (current ∪ batch) shuffled on the key. A
+    * production deployment at 100 TB would partition the state dir by
+    * key range and rewrite only touched partitions. */
+  def upsertLatestByKey(
+      stream: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val current =
+          try s.read.parquet(stateDir)
+          catch { case _: Exception => batch.limit(0) }
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)
+        val next = current.unionByName(batch)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+          .localCheckpoint(true)
+        next.write.mode("overwrite").parquet(stateDir)
+    }.start()
+  }
+
   /** File-source streaming read from a directory of (µs-timestamp) parquet
     * files, one file per micro-batch — the standard way to drive a
     * streaming query from static fixtures. Schema is taken from a batch

@@ -143,6 +143,27 @@ class StreamingSpec extends GraftSuite {
     assert(w0All.toSeq === Seq(12L))
   }
 
+  test("foreachBatch upsert materializes the latest row per key") {
+    val stateDir = Files.createTempDirectory("graft-upsert-").toString
+    val q = EventStreams.upsertLatestByKey(
+      EventStreams.readEventStream(spark, streamDir),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      stateDir = stateDir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(stateDir)
+    // batch dual: newest event per user over the whole fixture
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = Tables.events(spark, sf)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
   test("file sink with checkpoint recovers exactly-once across a restart") {
     // The durable-sink contract at scale: a stopped query restarted on
     // the same checkpoint must neither re-emit rows it already committed
