@@ -60,4 +60,49 @@ object Aggregates {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
   val weightedAvg = udaf(new WeightedAvg())
+
+  /** Misra–Gries heavy-hitters summary as a typed mergeable Aggregator —
+    * the bounded-memory frequent-items sketch (Misra–Gries 1982; merge
+    * rule per Agarwal et al., "Mergeable Summaries", PODS'12). The buffer
+    * holds at most k counters regardless of input size; merge sums
+    * counters pointwise, then subtracts the (k+1)-largest count from all
+    * and drops non-positives.
+    *
+    * Guarantee (spec-asserted): estimates UNDERCOUNT by at most N/(k+1)
+    * total stream length N, so every item with true count > N/(k+1)
+    * survives in the summary — the heavy hitters — while memory stays
+    * O(k) per partition instead of O(distinct). The at-scale shape of
+    * "top tokens over 100 TB of text" where an exact groupBy's key space
+    * would dwarf memory. */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 0)
+    def zero: Map[String, Long] = Map.empty
+
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // subtract the (k+1)-largest counter from all; ≥ k+1 entries hit
+        // zero or below and drop, so ≤ k remain
+        val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        m.flatMap { case (key, c) =>
+          if (c - cut > 0) Some(key -> (c - cut)) else None
+        }
+      }
+
+    def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      shrink(b.updated(item, b.getOrElse(item, 0L) + 1L))
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrink(b.foldLeft(a) { case (acc, (key, c)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + c)
+      })
+
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+  def heavyHitters(c: Column, k: Int): Column = udaf(new MisraGries(k)).apply(c)
 }

@@ -61,7 +61,19 @@ object TextQueries extends QueryPack {
       Tables.documents(s, d)
         .select(col("doc_id"),
           RollingMinHash.rolling_min_hash(col("text"), 16).as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Heavy hitters over the token stream via the Misra–Gries mergeable
+    // summary (O(k) memory vs O(distinct) for exact groupBy). No oracle:
+    // sketch contents depend on merge order; AggregatesSpec asserts the
+    // N/(k+1) undercount bound and heavy-hitter retention, which hold
+    // under any order.
+    "ta6_heavy_hitters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(graft.ops.Aggregates.heavyHitters(col("tok"), 16).as("sketch"))
+        .select(explode(col("sketch")).as(Seq("token", "est_count")))
+        .orderBy("token"))
   )
 
   private val enList = "('the','a','of','and','is','to','in')"

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.ops.Aggregates
 import graft.sources.Tables
 
 /** Invariant specs for aggregates whose outputs are intentionally
@@ -39,6 +40,32 @@ class AggregatesSpec extends GraftSuite {
       val e = g.getLong(g.fieldIndex("e")).toDouble
       assert(e > 0 && math.abs(a - e) / e < 0.05,
         s"group ${g.getString(0)}: approx=$a exact=$e")
+    }
+  }
+
+  test("misra-gries heavy hitters keep every item above the error bound") {
+    // MG guarantee (holds under ANY partition/merge order, so this is
+    // deterministic even though the sketch contents are not): estimates
+    // undercount by at most N/(k+1), hence every token with true count
+    // > N/(k+1) must be present.
+    val k = 8
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (k + 1)
+    val sketchRow = toks.agg(
+      Aggregates.heavyHitters(col("tok"), k).as("sketch")).collect().head
+    val sketch = sketchRow.getMap[String, Long](0).toMap
+    assert(sketch.size <= k)
+    val mustSurvive = exact.filter(_._2 > bound).keySet
+    assert(mustSurvive.subsetOf(sketch.keySet),
+      s"missing heavy hitters: ${mustSurvive.diff(sketch.keySet)}")
+    sketch.foreach { case (tok, est) =>
+      val truth = exact(tok)
+      assert(est <= truth, s"$tok overcounted: $est > $truth")
+      assert(est >= truth - bound, s"$tok undercounted past bound: $est < $truth - $bound")
     }
   }
 
