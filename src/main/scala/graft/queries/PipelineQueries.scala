@@ -40,6 +40,21 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "n_tokens", "cum_tokens", "bin")
         .orderBy("doc_id")),
 
+    // Vocabulary construction: dense token ids by descending frequency —
+    // the standard tokenizer-prep step. Counts shuffle once on the token;
+    // the id assignment is the two-phase globalPosition (no global-window
+    // single-task stage). Oracle-exact: deterministic total order
+    // (count desc, token asc).
+    "pl5_vocabulary" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      Pipeline.globalPosition(counts, "token_id",
+          col("n").desc, col("token").asc)
+        .select("token", "n", "token_id")
+        .orderBy("token_id")
+    }),
+
     // Overlapping token-window chunking (64-token chunks every 48) —
     // scan-local explode, no shuffle; md5 of each chunk's text makes the
     // oracle compare content, not just counts.
@@ -63,6 +78,15 @@ object PipelineQueries extends QueryPack {
                    AS n_tokens
                FROM documents)
          ORDER BY doc_id""",
+    "pl5_vocabulary" ->
+      """WITH c AS (SELECT token, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents) toks
+           GROUP BY token)
+         SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+             AS token_id
+         FROM c ORDER BY token_id""",
     "pl4_token_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

@@ -149,6 +149,12 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("pl5 vocabulary id assignment plans no single-partition window stage") {
+    val p = plan(SparkEntry.queries("pl5_vocabulary")(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
     // AQE only materializes the final physical plan after execution, so
     // run the query first and inspect executedPlan.
