@@ -79,26 +79,41 @@ object Aggregates {
     require(k > 0)
     def zero: Map[String, Long] = Map.empty
 
+    /** Subtract the (k+1)-largest counter from all and drop non-positive
+      * results: at most k entries exceed that cut, so ≤ k remain. The
+      * error-bound argument needs the cut to be the (k+1)-largest
+      * REGARDLESS of current buffer size — each shrink then removes ≥
+      * (k+1)·cut count units while undercounting any single item by ≤
+      * cut, so total undercount ≤ N/(k+1). */
     private def shrink(m: Map[String, Long]): Map[String, Long] =
       if (m.size <= k) m
       else {
-        // subtract the (k+1)-largest counter from all; ≥ k+1 entries hit
-        // zero or below and drop, so ≤ k remain
         val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
         m.flatMap { case (key, c) =>
           if (c - cut > 0) Some(key -> (c - cut)) else None
         }
       }
 
+    // The buffer may grow to 2k between shrinks: triggering the O(k log k)
+    // cut on every saturated insert would dominate per-row cost on a
+    // heavy-tailed stream; deferring until 2k amortizes it to O(log k)
+    // per element while the bound above is unchanged (the cut is still
+    // the (k+1)-largest). finish() compacts to ≤ k.
     def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-      shrink(b.updated(item, b.getOrElse(item, 0L) + 1L))
+      if (item == null) b // builtin aggs skip NULLs; map keys must too
+      else {
+        val grown = b.updated(item, b.getOrElse(item, 0L) + 1L)
+        if (grown.size > 2 * k) shrink(grown) else grown
+      }
 
-    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      shrink(b.foldLeft(a) { case (acc, (key, c)) =>
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val combined = b.foldLeft(a) { case (acc, (key, c)) =>
         acc.updated(key, acc.getOrElse(key, 0L) + c)
-      })
+      }
+      if (combined.size > 2 * k) shrink(combined) else combined
+    }
 
-    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def finish(b: Map[String, Long]): Map[String, Long] = shrink(b)
     def bufferEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     def outputEncoder: Encoder[Map[String, Long]] =

@@ -108,11 +108,19 @@ object EventStreams {
     * state table on a plain-file sink without a transactional format.
     * Each micro-batch merges its rows over the current state and keeps
     * the newest row per key (event-time desc, `tieCol` desc for exact
-    * determinism). The merge is IDEMPOTENT — re-running a batch after a
-    * failure converges to the same state, which is what makes
-    * foreachBatch's at-least-once delivery exactly-once in effect. The
-    * merged frame is localCheckpoint'ed before the overwrite so the read
-    * side of the swap never races the write side of the same path.
+    * determinism).
+    *
+    * Crash safety: state versions are written to `stateDir/v=<batchId>`
+    * and only then does a tiny pointer file (`stateDir/LATEST`) advance —
+    * the previous version is never deleted before the new one is fully
+    * committed, so a crash at ANY point leaves a readable state (an
+    * in-place overwrite would delete the old state before the new write
+    * commits). Re-running a batch after a failure rewrites the same
+    * version dir with the same deterministic content, which is what
+    * makes foreachBatch's at-least-once delivery exactly-once in
+    * effect. A missing state is detected EXPLICITLY via the pointer
+    * file — real read errors propagate instead of silently resetting
+    * months of state to empty.
     *
     * Scale note: state size = distinct keys, not event history; the
     * merge is one window over (current ∪ batch) shuffled on the key. A
@@ -123,19 +131,55 @@ object EventStreams {
       stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     stream.writeStream.outputMode("update").foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val current =
-          try s.read.parquet(stateDir)
-          catch { case _: Exception => batch.limit(0) }
+        val hconf = s.sparkContext.hadoopConfiguration
+        val pointer = new org.apache.hadoop.fs.Path(stateDir, "LATEST")
+        val fs = pointer.getFileSystem(hconf)
+        val currentVersion: Option[String] =
+          if (!fs.exists(pointer)) None
+          else {
+            val in = fs.open(pointer)
+            try Some(new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+            finally in.close()
+          }
+        val current = currentVersion match {
+          case Some(v) => s.read.parquet(s"$stateDir/$v")
+          case None => batch.limit(0)
+        }
         val w = Window.partitionBy(col(keyCol))
           .orderBy(col(tsCol).desc, col(tieCol).desc)
         val next = current.unionByName(batch)
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-          .localCheckpoint(true)
-        next.write.mode("overwrite").parquet(stateDir)
+        val newVersion = s"v=$batchId"
+        next.write.mode("overwrite").parquet(s"$stateDir/$newVersion")
+        // commit: advance the pointer only after the version is durable
+        val out = fs.create(pointer, true)
+        try out.write(newVersion.getBytes("UTF-8")) finally out.close()
+        // best-effort cleanup of versions older than the previous one
+        // (the previous stays as the rollback target)
+        fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("v=") &&
+            p.getName != newVersion && !currentVersion.contains(p.getName))
+          .foreach(p => fs.delete(p, true))
     }.start()
+  }
+
+  /** Read the current committed state written by [[upsertLatestByKey]]
+    * (resolves the LATEST pointer to its version directory). */
+  def readUpsertState(spark: SparkSession, stateDir: String): DataFrame = {
+    val pointer = new org.apache.hadoop.fs.Path(stateDir, "LATEST")
+    val fs = pointer.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(pointer), s"no committed state under $stateDir")
+    val in = fs.open(pointer)
+    val v =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    spark.read.parquet(s"$stateDir/$v")
   }
 
   /** File-source streaming read from a directory of (µs-timestamp) parquet

@@ -67,6 +67,13 @@ class AggregatesSpec extends GraftSuite {
       assert(est <= truth, s"$tok overcounted: $est > $truth")
       assert(est >= truth - bound, s"$tok undercounted past bound: $est < $truth - $bound")
     }
+
+    // null inputs are skipped like builtin aggregates, never map keys
+    val withNulls = toks.union(
+      spark.range(10).select(lit(null).cast("string").as("tok")))
+    val m2 = withNulls.agg(Aggregates.heavyHitters(col("tok"), k))
+      .collect().head.getMap[String, Long](0)
+    assert(!m2.keySet.exists(_ == null))
   }
 
   test("approx_percentile rank error is bounded by 1/accuracy") {

@@ -151,7 +151,7 @@ class StreamingSpec extends GraftSuite {
       stateDir = stateDir)
     q.processAllAvailable()
     q.stop()
-    val got = spark.read.parquet(stateDir)
+    val got = EventStreams.readUpsertState(spark, stateDir)
     // batch dual: newest event per user over the whole fixture
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
