@@ -164,6 +164,39 @@ class StreamingSpec extends GraftSuite {
     assert(expected.exceptAll(got).count() === 0)
   }
 
+  test("foreachBatch upsert resumes over existing state after a restart") {
+    // Second lifecycle of the state table: a NEW query over a grown
+    // source directory must merge onto the committed versions left by
+    // the first run (pointer read path), and the final state must equal
+    // the batch dual regardless of how batches were re-cut.
+    val srcDir = Files.createTempDirectory("graft-upsert2-src-").toString
+    val stateDir = Files.createTempDirectory("graft-upsert2-").toString
+    val ev = Tables.events(spark, sf)
+    val first = ev.filter(col("event_id") % 2 === 0)
+    val second = ev.filter(col("event_id") % 2 === 1)
+    first.coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val q = EventStreams.upsertLatestByKey(
+        EventStreams.readEventStream(spark, srcDir),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        stateDir = stateDir)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(EventStreams.readUpsertState(spark, stateDir).count() ===
+      first.select("user_id").distinct().count())
+    second.coalesce(1).write.mode("append").parquet(srcDir)
+    run() // fresh query, same state dir
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = ev.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val got = EventStreams.readUpsertState(spark, stateDir)
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
   test("file sink with checkpoint recovers exactly-once across a restart") {
     // The durable-sink contract at scale: a stopped query restarted on
     // the same checkpoint must neither re-emit rows it already committed
