@@ -73,4 +73,79 @@ class PropertySpec extends GraftSuite {
       assert(semi.intersect(anti).count() === 0)
     }
   }
+
+  test("bin-bucketed range join equals the theta join for any bin size") {
+    // bin-edge fuzz: points/intervals land on and around bin boundaries
+    // for wildly different bin sizes — every (binSize, data) draw must
+    // reproduce the naive BETWEEN join exactly.
+    val pointGen = Gen.listOfN(120, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 1000L)))
+    val ivGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(100L, 140L), Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 150L)))
+    for ((seed, binSize) <- Seq((1L, 1L), (2L, 7L), (3L, 64L), (4L, 1000L), (5L, 3L))) {
+      val pts = pointGen(Gen.Parameters.default, rng.Seed(seed)).get
+        .toDF("pid", "p")
+      val ivs = ivGen(Gen.Parameters.default, rng.Seed(seed + 100)).get
+        .map { case (id, s, len) => (id, s, s + len) }
+        .toDF("iid", "s", "e")
+      val binned = graft.ops.Joins.rangeJoin(pts, ivs,
+        $"p", $"s", $"e", binSize)
+      val naive = pts.join(ivs, $"p".between($"s", $"e"))
+      assert(binned.exceptAll(naive).count() === 0, s"binSize=$binSize extra rows")
+      assert(naive.exceptAll(binned).count() === 0, s"binSize=$binSize missing rows")
+    }
+  }
+
+  test("misra-gries bound holds on random skewed streams") {
+    val k = 4
+    val tokenGen = Gen.listOfN(800, Gen.frequency(
+      8 -> Gen.const("heavy_a"), 5 -> Gen.const("heavy_b"),
+      3 -> Gen.oneOf("mid_a", "mid_b", "mid_c"),
+      4 -> Gen.chooseNum(0, 200).map(i => s"tail_$i")))
+    for (seed <- 1L to 4L) {
+      val toks = tokenGen(Gen.Parameters.default, rng.Seed(seed)).get
+      val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      val n = toks.length.toLong
+      val bound = n / (k + 1)
+      val sketch = toks.toDF("tok")
+        .agg(graft.ops.Aggregates.heavyHitters($"tok", k))
+        .collect().head.getMap[String, Long](0).toMap
+      assert(sketch.size <= k)
+      exact.filter(_._2 > bound).keySet.foreach { t =>
+        assert(sketch.contains(t), s"seed=$seed lost heavy hitter $t")
+      }
+      sketch.foreach { case (t, est) =>
+        assert(est <= exact(t) && est >= exact(t) - bound,
+          s"seed=$seed $t est=$est true=${exact(t)} bound=$bound")
+      }
+    }
+  }
+
+  test("token chunks reconstruct the exact expected slices on random texts") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val wordGen = Gen.oneOf("alpha", "beta", "g", "", "dd", "eee")
+    val textGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    val texts = (1L to 8L).map { seed =>
+      textGen(Gen.Parameters.default, rng.Seed(seed)).get.mkString(" ")
+    } :+ "" :+ "single"
+    val (size, stride) = (5, 3)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.Pipeline.chunkByTokens(df, $"doc_id", $"text", size, stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ", -1) // keep empty tokens, like Spark's split
+      val nChunks = (toks.length - 1) / stride + 1
+      (0 until nChunks).foreach { c =>
+        val slice = toks.slice(c * stride, math.min(c * stride + size, toks.length))
+        val (nt, h) = got((i.toLong, c))
+        assert(nt === slice.length, s"doc $i chunk $c size")
+        assert(h === md5hex(slice.mkString(" ")), s"doc $i chunk $c hash")
+      }
+      assert(!got.contains((i.toLong, nChunks)), s"doc $i has extra chunk")
+    }
+  }
 }
