@@ -88,6 +88,33 @@ object Pipeline {
       .drop("_pid")
   }
 
+  /** Deterministic dataset split (train/val/test …): each row's split is
+    * a pure function of (seed, key) — the same row lands in the same
+    * split on any cluster, any partitioning, any run, and rows are never
+    * duplicated or dropped across splits (disjoint + exhaustive by
+    * construction: one hash, one bucket). Weights are normalized
+    * proportions. Scan-local — no shuffle, no RNG state. The standard
+    * leakage-safe alternative to `randomSplit`, whose per-partition RNG
+    * reassigns rows when the input partitioning changes. */
+  def assignSplit(
+      df: DataFrame, keyCol: Column, seed: Long,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive weights")
+    val total = splits.map(_._2).sum
+    // cumulative upper bounds in [0, 1); bucket = first bound above u
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.zip(splits.map(_._1))
+    // u in [0, 1): hash to non-negative via unsigned shift, scale by 2^63
+    val u = shiftrightunsigned(xxhash64(lit(seed), keyCol), 1)
+      .cast("double") / 9.223372036854776e18
+    val expr = bounds.init.foldRight(lit(bounds.last._2)) {
+      case ((bound, name), elseExpr) =>
+        when(u < bound, lit(name)).otherwise(elseExpr)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Attach data-quality counters to a frame via Spark's `observe` —
     * metrics accumulate on the EXECUTORS during whatever action runs the
     * frame (zero extra passes, zero shuffles, unlike a separate

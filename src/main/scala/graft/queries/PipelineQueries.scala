@@ -40,6 +40,17 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "n_tokens", "cum_tokens", "bin")
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test split — pure function of (seed, key),
+    // stable under any repartitioning (unlike randomSplit). Rows-only
+    // (xxhash64 is engine-local); PipelineSpec asserts determinism,
+    // exhaustiveness, and proportions.
+    "pl6_dataset_split" -> ((s, d) =>
+      Pipeline.assignSplit(
+        Tables.documents(s, d), col("doc_id"), seed = 7L,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     // Vocabulary construction: dense token ids by descending frequency —
     // the standard tokenizer-prep step. Counts shuffle once on the token;
     // the id assignment is the two-phase globalPosition (no global-window

@@ -9,6 +9,30 @@ class PipelineSpec extends GraftSuite {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("split assignment is deterministic, exhaustive, and proportional") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Pipeline.assignSplit(docs, col("doc_id"), seed = 7L, splits)
+    // exhaustive: every row gets exactly one valid split label
+    val bymSplit = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bymSplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bymSplit.values.sum === docs.count())
+    // proportional within a loose tolerance at fixture size
+    val n = docs.count().toDouble
+    assert(math.abs(bymSplit("train") / n - 0.8) < 0.1, bymSplit)
+    // deterministic: same seed → identical assignment; the split is a
+    // pure function of the KEY, so repartitioning cannot move rows
+    // (unlike randomSplit)
+    val again = Pipeline.assignSplit(
+      docs.repartition(7), col("doc_id"), seed = 7L, splits)
+    assert(assigned.select("doc_id", "split")
+      .exceptAll(again.select("doc_id", "split")).count() === 0)
+    // different seed → a different permutation
+    val other = Pipeline.assignSplit(docs, col("doc_id"), seed = 8L, splits)
+    assert(assigned.select("doc_id", "split")
+      .exceptAll(other.select("doc_id", "split")).count() > 0)
+  }
+
   test("observe metrics count rows and violations on the producing scan") {
     val observed = Pipeline.withQualityMetrics(
       docs, "quality",
