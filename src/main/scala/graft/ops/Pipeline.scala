@@ -88,6 +88,42 @@ object Pipeline {
       .drop("_pid")
   }
 
+  /** Mixture sampling: downsample sources so the OUTPUT hits target
+    * proportions (the domain-mixing step of training-data assembly —
+    * e.g. 60% web / 30% code / 10% books regardless of raw availability).
+    * The binding source is kept whole (its share is the budget); every
+    * other source downsamples to match. Per-source fractions derive from
+    * one small count aggregate (rows = #sources on the driver — O(1)
+    * per source, not per row); the sampling itself is the seeded
+    * per-stratum Bernoulli of [[stratifiedSample]], so the whole thing
+    * is scan + one tiny agg, no shuffle of the data.
+    *
+    * Sources present in the data but absent from `targetShares` are
+    * dropped (share 0). Shares are normalized. */
+  def mixtureSample(
+      df: DataFrame, sourceCol: String,
+      targetShares: Map[String, Double], seed: Long): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0),
+      "target shares must be positive")
+    val total = targetShares.values.sum
+    val want = targetShares.map { case (k, v) => k -> v / total }
+    val have: Map[String, Long] = df
+      .filter(col(sourceCol).isin(want.keys.toSeq: _*))
+      .groupBy(sourceCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = want.keySet.diff(have.keySet)
+    require(missing.isEmpty, s"no rows for requested sources: $missing")
+    // the binding source maximizes want/have — it is kept whole, and the
+    // total output size is have(binding)/want(binding)
+    val outTotal = have.map { case (k, n) => n / want(k) }.min
+    val fractions = want.map { case (k, w) =>
+      k -> math.min(1.0, outTotal * w / have(k))
+    }
+    stratifiedSample(
+      df.filter(col(sourceCol).isin(want.keys.toSeq: _*)),
+      sourceCol, fractions, seed)
+  }
+
   /** Deterministic dataset split (train/val/test …): each row's split is
     * a pure function of (seed, key) — the same row lands in the same
     * split on any cluster, any partitioning, any run, and rows are never

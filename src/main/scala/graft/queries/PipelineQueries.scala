@@ -40,6 +40,17 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "n_tokens", "cum_tokens", "bin")
         .orderBy("doc_id")),
 
+    // Domain-mixture sampling: downsample sources to hit target output
+    // proportions (binding source kept whole). Rows-only (seeded
+    // Bernoulli is engine-local); PipelineSpec asserts structure +
+    // reproducibility.
+    "pl7_mixture_sample" -> ((s, d) =>
+      Pipeline.mixtureSample(
+        Tables.documents(s, d), "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), seed = 11L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Deterministic train/val/test split — pure function of (seed, key),
     // stable under any repartitioning (unlike randomSplit). Rows-only
     // (xxhash64 is engine-local); PipelineSpec asserts determinism,

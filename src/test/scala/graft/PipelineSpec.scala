@@ -9,6 +9,26 @@ class PipelineSpec extends GraftSuite {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("mixture sampling keeps the binding source whole and is reproducible") {
+    val target = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val mixed = Pipeline.mixtureSample(docs, "source", target, seed = 11L)
+    val got = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only requested sources survive
+    assert(got.keySet.subsetOf(target.keySet))
+    val have = docs.filter(col("source").isin(target.keys.toSeq: _*))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal availability + largest share → src0 binds and is kept WHOLE
+    assert(got("src0") === have("src0"))
+    // downsampled sources never exceed availability or the binding source
+    got.foreach { case (s, n) => assert(n <= have(s)) }
+    // seeded: bit-for-bit reproducible
+    val again = Pipeline.mixtureSample(docs, "source", target, seed = 11L)
+    assert(mixed.exceptAll(again).count() === 0)
+    assert(again.exceptAll(mixed).count() === 0)
+  }
+
   test("split assignment is deterministic, exhaustive, and proportional") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val assigned = Pipeline.assignSplit(docs, col("doc_id"), seed = 7L, splits)
