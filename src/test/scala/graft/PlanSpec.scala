@@ -103,6 +103,14 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("j14 range join plans an equi join on bin keys, never a pairwise scan") {
+    val df = SparkEntry.queries("j14_range_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("o5 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(SparkEntry.queries("o5_topk")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
