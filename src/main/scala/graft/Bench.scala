@@ -9,9 +9,10 @@ import graft.sources.Tables
   *
   * Methodology mirrors the reference's own setup (BASELINE.md): tables are
   * pre-loaded before the timed loop (the reference eagerly materializes at
-  * CREATE, Microbase.scala:960-983 — here `cache()` + force), one warmup
-  * pass absorbs plan/codegen compilation, then each query is timed
-  * end-to-end including result materialization.
+  * CREATE, Microbase.scala:960-983 — here `cache()` + force), two warmup
+  * passes absorb plan/codegen compilation and JIT stragglers, then each
+  * query is timed end-to-end (5 reps, median reported, ALL reps + GC time
+  * emitted so an outlier rep is diagnosable from the artifact alone).
   *
   * The JSON line is printed to stdout and also written to
   * `BENCH_LAST.json` (launchers like sbt prefix stdout, which defeats a
@@ -58,22 +59,43 @@ object Bench {
     // InMemoryRelation via logical-plan cache matching.
     Tables.tpch.foreach { t => Tables.load(spark, sfDir, t).cache().count() }
 
-    // Warmup pass: plan + whole-stage-codegen compilation.
-    headline.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    // TWO warmup passes: the first absorbs plan + whole-stage-codegen
+    // compilation, the second catches the stragglers (C2 recompiles, the
+    // first GC young-gen resize) that otherwise land a one-off spike in
+    // the first timed rep — at sub-second magnitudes one such rep moves
+    // even a median-of-3 (the r3→r4 "q10 regression" was a single
+    // environment spike the artifact couldn't disprove).
+    (1 to 2).foreach { _ =>
+      headline.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    }
 
-    // Timed pass: median of 3 runs per query. Single runs at sub-second
-    // magnitudes swing ±20% on GC/JIT/scheduler noise — the round-2→3
-    // "regression" (5.24 s → 6.13 s) was exactly this — so the reported
-    // number is the steady-state cost, not one draw. Still end-to-end
-    // (plan + execute + materialize) per run, same warmed-cache
-    // methodology as the reference's pre-loaded tables.
-    val results = headline.map { q =>
-      val reps = (1 to 3).map { _ =>
+    /** Total stop-the-world GC time across all collectors, in ms. */
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+
+    // Timed pass: 5 reps per query, report the median — but emit EVERY
+    // rep (plus the GC time that elapsed across the query's reps) in the
+    // artifact, so a 3× outlier is diagnosable from the JSON alone: a
+    // noisy environment shows one blown rep among four steady ones (and
+    // usually a fat gc_ms), a real regression shows five consistently
+    // slow reps. Each rep is still end-to-end (plan + execute +
+    // materialize), same warmed-cache methodology as the reference's
+    // pre-loaded tables.
+    val repCount = 5
+    val timed = headline.map { q =>
+      val gc0 = gcMillis()
+      val reps = (1 to repCount).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      q -> reps.sorted.apply(1)
+      (q, reps, gcMillis() - gc0)
+    }
+    val results = timed.map { case (q, reps, _) =>
+      q -> reps.sorted.apply(repCount / 2)
     }
 
     // Bucketed-layout experiment on the two fact-to-fact queries, measured
@@ -92,7 +114,7 @@ object Bench {
     //     fact-join Exchange pair gone), else nothing is reported.
     // Reported as `bucketed` vs its true baseline `shuffled`; neither is
     // part of `value`. Disable with SPARK_GRAFT_BENCH_BUCKETED=0.
-    val layout: Option[(Seq[(String, Double)], Seq[(String, Double)])] =
+    val layout: Option[(Seq[(String, Seq[Double])], Seq[(String, Seq[Double])])] =
       if (sys.env.get("SPARK_GRAFT_BENCH_BUCKETED").contains("0")) None
       else try {
         // Bucket count is sized to the DATA, not the core count: each
@@ -153,16 +175,17 @@ object Bench {
               s"[bench] bucketed plans not exchange-reduced, not reporting: $bad")
             None
           } else {
-            // 3 reps, report the min: single runs at these magnitudes are
-            // dominated by GC/JIT noise (driver r2/r3 runs swung 2× between
-            // rounds); min-of-3 is the steady-state cost of each layout.
+            // 3 reps, report the min (plus the raw reps for the
+            // artifact): single runs at these magnitudes are dominated by
+            // GC/JIT noise (driver r2/r3 runs swung 2× between rounds);
+            // min-of-3 is the steady-state cost of each layout.
             def time(rs: Seq[(String, () => DataFrame)]) = rs.map { case (k, f) =>
               val reps = (1 to 3).map { _ =>
                 val t0 = System.nanoTime()
                 f().count()
                 (System.nanoTime() - t0) / 1e9
               }
-              k -> reps.min
+              (k, reps)
             }
             Some((time(shuffled), time(bucketed)))
           }
@@ -175,12 +198,20 @@ object Bench {
 
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonRepMap(kvs: Seq[(String, Seq[Double])]): String =
+      kvs.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(v => f"$v%.4f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val repsField = jsonRepMap(timed.map { case (q, reps, _) => (q, reps) })
+    val gcField = jsonMap(timed.map { case (q, _, gcMs) => (q, gcMs.toDouble) })
     val layoutField = layout.map { case (sh, bk) =>
-      s""","shuffled":${jsonMap(sh)},"bucketed":${jsonMap(bk)}"""
+      s""","shuffled":${jsonMap(sh.map { case (k, r) => (k, r.min) })}""" +
+      s""","bucketed":${jsonMap(bk.map { case (k, r) => (k, r.min) })}""" +
+      s""","shuffled_reps":${jsonRepMap(sh)},"bucketed_reps":${jsonRepMap(bk)}"""
     }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)}$layoutField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"reps":$repsField,"gc_ms":$gcField$layoutField,"sf":"$sfDir"}"""
     // stdout for the driver's log scrape AND a file for robust parsing
     // (sbt prefixes stdout lines with [info], which breaks json.loads).
     println(line)

@@ -101,13 +101,18 @@ object AggregateQueries extends QueryPack {
     // approx_percentile (Greenwald–Khanna sketch, mergeable) — the
     // distributed quantile path at scale; exact percentile_cont needs a
     // full sort. Rows-only (sketch internals are engine-specific);
-    // AggregatesSpec bounds the RANK error by 1/accuracy.
+    // AggregatesSpec bounds the RANK error by 1/accuracy. Output is two
+    // SCALAR columns (not an array) so rows-only recorders can sort/hash
+    // the frame.
     "agg_approx_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
                array(lit(0.5), lit(0.95)), lit(1000))
-             .as("approx_p50_p95"))
+             .as("_p"))
+        .select(col("l_returnflag"),
+          element_at(col("_p"), 1).as("approx_p50"),
+          element_at(col("_p"), 2).as("approx_p95"))
         .orderBy("l_returnflag")),
 
     // PIVOT — long-to-wide with an explicit value list (the scalable form:

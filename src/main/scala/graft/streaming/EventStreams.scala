@@ -110,17 +110,29 @@ object EventStreams {
     * the newest row per key (event-time desc, `tieCol` desc for exact
     * determinism).
     *
-    * Crash safety: state versions are written to `stateDir/v=<batchId>`
-    * and only then does a tiny pointer file (`stateDir/LATEST`) advance —
-    * the previous version is never deleted before the new one is fully
-    * committed, so a crash at ANY point leaves a readable state (an
-    * in-place overwrite would delete the old state before the new write
-    * commits). Re-running a batch after a failure rewrites the same
-    * version dir with the same deterministic content, which is what
-    * makes foreachBatch's at-least-once delivery exactly-once in
-    * effect. A missing state is detected EXPLICITLY via the pointer
-    * file — real read errors propagate instead of silently resetting
-    * months of state to empty.
+    * Crash safety: each merge writes a FRESH version dir
+    * `stateDir/v=<n>` where n is derived monotonically from the
+    * committed pointer (`n = committed + 1`), never from the streaming
+    * batchId — a restarted query (fresh checkpoint) restarts batchIds at
+    * 0, and naming versions after batchIds would make batch 0 overwrite
+    * the very directory it is reading (Spark's overwrite deletes the
+    * target before the new write commits → total state loss). The
+    * invariant is: the dir LATEST points at is NEVER a write target.
+    * Only after the new version is fully durable does the pointer
+    * advance, via write-to-temp + atomic rename (`LATEST.tmp` →
+    * `LATEST`), so a crash at ANY point leaves the old pointer and the
+    * old state intact. Re-running a batch after a failure merges the
+    * same rows again — latest-per-key is idempotent, so the replay
+    * commits a new version with identical content, which is what makes
+    * foreachBatch's at-least-once delivery exactly-once in effect. A
+    * missing state is detected EXPLICITLY via the pointer file — real
+    * read errors propagate instead of silently resetting months of
+    * state to empty.
+    *
+    * Rename atomicity holds on HDFS and local filesystems; object
+    * stores (S3 & co.) emulate rename as copy+delete — there, point
+    * `stateDir` at an HDFS/consistent volume or use a transactional
+    * table format for the pointer.
     *
     * Scale note: state size = distinct keys, not event history; the
     * merge is one window over (current ∪ batch) shuffled on the key. A
@@ -153,11 +165,26 @@ object EventStreams {
         val next = current.unionByName(batch)
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-        val newVersion = s"v=$batchId"
+        // Monotonic successor of the COMMITTED version — never the
+        // batchId (restart resets batchIds to 0) and therefore never the
+        // directory `current` is reading from. A replay after a crash
+        // between version-write and pointer-advance re-derives the same
+        // successor and overwrites only the uncommitted dir.
+        val newVersion =
+          s"v=${currentVersion.map(_.stripPrefix("v=").toLong + 1L).getOrElse(0L)}"
+        require(!currentVersion.contains(newVersion),
+          s"refusing to overwrite live state version $newVersion")
         next.write.mode("overwrite").parquet(s"$stateDir/$newVersion")
-        // commit: advance the pointer only after the version is durable
-        val out = fs.create(pointer, true)
+        // commit: advance the pointer only after the version is durable,
+        // via temp-file + atomic rename (a truncate-in-place create()
+        // would leave an empty/partial pointer if we crash mid-write)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir, "LATEST.tmp")
+        val out = fs.create(tmp, true)
         try out.write(newVersion.getBytes("UTF-8")) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.makeQualified(tmp).toUri, hconf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointer),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         // best-effort cleanup of versions older than the previous one
         // (the previous stays as the rollback target)
         fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))

@@ -84,7 +84,7 @@ class AggregatesSpec extends GraftSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val flag = r.getString(0)
-      val approx = r.getSeq[Double](1)
+      val approx = Seq(r.getDouble(1), r.getDouble(2))
       val sorted = Tables.lineitem(spark, sf)
         .filter(col("l_returnflag") === flag)
         .select("l_extendedprice").collect().map(_.getDouble(0)).sorted

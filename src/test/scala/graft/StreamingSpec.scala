@@ -182,11 +182,26 @@ class StreamingSpec extends GraftSuite {
         stateDir = stateDir)
       q.processAllAvailable(); q.stop()
     }
+    def committedVersion(): Long = {
+      val p = new org.apache.hadoop.fs.Path(stateDir, "LATEST")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+      s.stripPrefix("v=").toLong
+    }
     run()
     assert(EventStreams.readUpsertState(spark, stateDir).count() ===
       first.select("user_id").distinct().count())
+    val vAfterFirst = committedVersion()
     second.coalesce(1).write.mode("append").parquet(srcDir)
     run() // fresh query, same state dir
+    // The restarted lifecycle resets streaming batchIds to 0, but version
+    // numbers must keep increasing past the committed pointer — a write
+    // into the live version dir would destroy the state being read.
+    assert(committedVersion() > vAfterFirst,
+      "restarted query must never reuse (and overwrite) a committed state version")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
