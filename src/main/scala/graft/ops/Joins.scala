@@ -176,7 +176,16 @@ object Joins {
     * automatically; explicit salting is the tool when one key dominates a
     * whole executor's memory at 100 TB. Semantically identical to
     * `l.join(r, key)` (spec-checked). Right side should be the smaller
-    * relation — it is replicated `salt` times. */
+    * relation — it is replicated `salt` times.
+    *
+    * CAVEAT: the salt is a content hash of the whole left row, so
+    * BYTE-IDENTICAL duplicate rows of a hot key all hash to the SAME
+    * salt bucket — if the skew comes from verbatim duplicates (the
+    * adversarial case for exactly this operator), the hot bucket is as
+    * skewed as the unsalted join. The trade is exact reproducibility.
+    * When rows may be identical and reproducibility of the intermediate
+    * bucketing is not required, use [[saltedUniform]] (spec-checked on a
+    * planted identical-row hot key). */
   def salted(
       l: DataFrame, r: DataFrame,
       leftKey: String, rightKey: String,
@@ -186,6 +195,28 @@ object Joins {
     // left columns, mod salt.
     val saltedL = l.withColumn("__salt",
       pmod(hash(l.columns.map(col): _*), lit(salt)))
+    join2(saltedL, r, salt, leftKey, rightKey)
+  }
+
+  /** Like [[salted]], but the salt is a partition-local row counter
+    * (`monotonically_increasing_id mod salt`), which spreads a hot key's
+    * rows round-robin across buckets even when they are byte-identical.
+    * The join RESULT is still exactly `l.join(r, key)`; only the
+    * intermediate bucket assignment depends on the physical layout of
+    * `l` at execution time, so it is not stable across repartitions —
+    * prefer [[salted]] when the lineage must replay bit-identically. */
+  def saltedUniform(
+      l: DataFrame, r: DataFrame,
+      leftKey: String, rightKey: String,
+      salt: Int = 8): DataFrame = {
+    val saltedL = l.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    join2(saltedL, r, salt, leftKey, rightKey)
+  }
+
+  private def join2(
+      saltedL: DataFrame, r: DataFrame, salt: Int,
+      leftKey: String, rightKey: String): DataFrame = {
     val saltedR = r.withColumn("__salt",
       explode(array((0 until salt).map(lit(_)): _*)))
     saltedL.join(saltedR,

@@ -114,10 +114,16 @@ object Pipeline {
     val missing = want.keySet.diff(have.keySet)
     require(missing.isEmpty, s"no rows for requested sources: $missing")
     // the binding source maximizes want/have — it is kept whole, and the
-    // total output size is have(binding)/want(binding)
-    val outTotal = have.map { case (k, n) => n / want(k) }.min
+    // total output size is have(binding)/want(binding). Its fraction is
+    // pinned to EXACTLY 1.0 rather than recomputed as
+    // (have/want)*want/have, which in floating point can round to
+    // 1-2^-52 and turn "kept whole" into "almost surely kept whole"
+    // under Bernoulli sampling.
+    val bindingKey = have.minBy { case (k, n) => n / want(k) }._1
+    val outTotal = have(bindingKey) / want(bindingKey)
     val fractions = want.map { case (k, w) =>
-      k -> math.min(1.0, outTotal * w / have(k))
+      k -> (if (k == bindingKey) 1.0
+            else math.min(1.0, outTotal * w / have(k)))
     }
     stratifiedSample(
       df.filter(col(sourceCol).isin(want.keys.toSeq: _*)),

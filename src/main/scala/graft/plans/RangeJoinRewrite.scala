@@ -54,7 +54,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     if (binSize <= 0) plan
     else plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _) =>
-        rewrite(j, left, right, cond, binSize).getOrElse(j)
+        rewrite(j, left, right, cond, binSize) match {
+          case Some(r) =>
+            // The session-scoped conf re-plans EVERY matching BETWEEN
+            // join while set — log each firing so an unintended rewrite
+            // (wrong bin size for some other join's interval scale) is
+            // visible in the query log instead of silently exploding
+            // sequence() fan-out.
+            logWarning(
+              s"RangeJoinRewrite fired (binSize=$binSize, point units = " +
+              s"micros for timestamps) on: ${j.simpleString(6)} — if this " +
+              s"join was not the intended target, unset $BinSizeKey or " +
+              "use Joins.rangeJoin explicitly")
+            r
+          case None => j
+        }
     }
   }
 

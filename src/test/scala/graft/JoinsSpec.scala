@@ -95,6 +95,34 @@ class JoinsSpec extends GraftSuite {
     assert(spread >= 6, s"hot key only reached $spread of 8 salt groups")
   }
 
+  test("content-hash salt cannot spread identical rows; saltedUniform can") {
+    import spark.implicits._
+    // The adversarial case the scaladoc documents: the hot key's rows are
+    // BYTE-IDENTICAL, so the content-hash salt puts every one of them in
+    // a single bucket — while the row-counter salt spreads them.
+    val left = ((1 to 5000).map(_ => (7L, "dup")) ++
+      (0 until 997).map(i => (i.toLong, s"u$i"))).toDF("k", "v")
+      .repartition(8)
+    val right = (0 until 997).map(i => (i.toLong, s"r$i")).toDF("rk", "name")
+    val hotContentBuckets = left.filter(col("k") === 7L && col("v") === "dup")
+      .withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(hotContentBuckets === 1,
+      "identical rows were expected to collapse into one content-hash bucket")
+    val hotUniformBuckets = left.filter(col("k") === 7L)
+      .withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(hotUniformBuckets >= 6,
+      s"uniform salt only reached $hotUniformBuckets of 8 buckets")
+    // and the uniform variant is still exactly the plain join
+    val plain = left.join(right, col("k") === col("rk"))
+    val uniform = Joins.saltedUniform(left, right, "k", "rk", salt = 8)
+    assert(uniform.count() === plain.count())
+    assert(uniform.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(uniform).count() === 0)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     Tables.writeBucketed(
       Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
