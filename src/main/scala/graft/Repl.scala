@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   * first place), and queries run through the full Catalyst + Tungsten
   * stack instead of an interpreted volcano loop.
   *
+  * A line may hold several `;`-separated statements, and
+  * `source <file>` runs a script of statements — the two conveniences
+  * the reference's one-statement-per-readLine loop lacks.
+  *
   * Output format mirrors the reference's printer (Microbase.scala:1072-1085):
   * one row per line, columns `|`-separated, dates rendered ISO
   * (LocalDate.ofEpochDay ⇒ yyyy-MM-dd, which is exactly
@@ -42,6 +46,42 @@ object Repl {
     }
   }
 
+  /** Split input into individual SQL statements on `;`, ignoring
+    * semicolons inside '…'/"…"/`…` quoted literals and identifiers
+    * (doubled quotes re-enter quote mode, so '' escapes survive). */
+  def splitStatements(input: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    input.foreach { c =>
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Execute one input line, which may hold several `;`-separated
+    * statements and/or `source <file>` commands (the file's statements
+    * run in order, split the same way). Output rows concatenate in
+    * statement order, lazily — a huge SELECT still streams. */
+  def runLine(spark: SparkSession, line: String): Iterator[String] =
+    splitStatements(line).iterator.flatMap { stmt =>
+      if (stmt.toLowerCase.startsWith("source ")) {
+        val path = stmt.drop("source ".length).trim
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        splitStatements(text).iterator
+          .flatMap(s => runStatement(spark, s))
+      } else runStatement(spark, stmt)
+    }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -59,7 +99,7 @@ object Repl {
       line = scala.io.StdIn.readLine()
       line != null && line.trim != "exit" && line.trim != "quit"
     }) {
-      try runStatement(spark, line).foreach(println)
+      try runLine(spark, line).foreach(println)
       catch { case e: Exception => System.err.println(e.getMessage) }
     }
     spark.stop()

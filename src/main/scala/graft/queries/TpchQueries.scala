@@ -25,33 +25,41 @@ import OracleSafe._
   */
 object TpchQueries extends QueryPack {
 
-  // The four hard correlated-subquery shapes (Q2/Q17/Q20/Q21) run the SAME
+  // The hard correlated-subquery shapes (Q2/Q17/Q20/Q21) run the SAME
   // SQL text on Spark and on the DuckDB oracle — shared constants so the
   // two sides cannot drift. The fixtures lack partsupp and
-  // l_commitdate/l_receiptdate, so each query keeps its decorrelation
-  // shape but adapts the schema: lineitem is the part↔supplier link
-  // (min extended price for Q2's min supplycost, shipped-quantity HAVING
-  // for Q20's availability), and "late" is shipped >60 days after the
-  // order date (Q21). Numeric policy per the oracle playbook: decimal
-  // accumulation, DOUBLE at the boundary, total ORDER BY.
+  // l_commitdate/l_receiptdate: the partsupp-naming queries
+  // (Q2/Q9/Q11/Q16/Q20) run over the derived stand-in view
+  // (`Tables.partsuppViewSql`, prefixed here as a WITH CTE so the DuckDB
+  // oracle sees identical text), and "late" is shipped >60 days after
+  // the order date (Q21). Numeric policy per the oracle playbook:
+  // decimal accumulation, DOUBLE at the boundary, total ORDER BY.
 
-  /** Q2-shape: minimum-cost supplier per part — correlated min subquery
-    * re-joining supplier/nation/region inside the correlation. */
-  val q2Sql: String =
+  /** `WITH partsupp AS (...)` prefix — the derived stand-in
+    * (Tables.partsuppViewSql) inlined so the same text runs on Spark and
+    * on the DuckDB oracle, letting these queries name `partsupp` with
+    * official TPC-H column names. */
+  private def withPartsupp(q: String): String =
+    s"WITH partsupp AS (${Tables.partsuppViewSql})\n$q"
+
+  /** Q2: minimum-cost supplier per part — correlated min subquery over
+    * partsupp re-joining supplier/nation/region inside the correlation
+    * (official Q2 text modulo the derived-view cost semantics). */
+  val q2Sql: String = withPartsupp(
     """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
-       FROM part, supplier, lineitem, nation, region
-       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       FROM part, supplier, partsupp, nation, region
+       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
          AND p_size BETWEEN 10 AND 20
          AND n_nationkey = s_nationkey AND n_regionkey = r_regionkey
          AND r_name = 'ASIA'
-         AND l_extendedprice = (
-           SELECT min(l2.l_extendedprice)
-           FROM lineitem l2, supplier s2, nation n2, region r2
-           WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+         AND ps_supplycost = (
+           SELECT min(ps2.ps_supplycost)
+           FROM partsupp ps2, supplier s2, nation n2, region r2
+           WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
              AND n2.n_nationkey = s2.s_nationkey
              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_brand
-       LIMIT 100"""
+       LIMIT 100""")
 
   /** Q8-shape: national market share — one nation's share of regional
     * import volume per year (8-way join, conditional decimal sums,
@@ -76,58 +84,62 @@ object TpchQueries extends QueryPack {
            AND p_type = 'PROMO') all_nations
        GROUP BY o_year ORDER BY o_year"""
 
-  /** Q9-shape: product-type profit by supplier nation and year. The cost
-    * side of the profit expression uses p_retailprice as the per-unit cost
-    * proxy (partsupp.ps_supplycost has no fixture analog). */
-  val q9Sql: String =
+  /** Q9: product-type profit by supplier nation and year — official join
+    * text through partsupp; the stand-in's ps_supplycost (min extended
+    * price per pair, scaled to a per-unit magnitude) is the cost side. */
+  val q9Sql: String = withPartsupp(
     """SELECT n_name AS nation, o_year,
          CAST(sum(amount) AS DOUBLE) AS sum_profit
        FROM (
          SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(l_extendedprice * (1.0 - l_discount)
-                - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
-         FROM part, supplier, lineitem, orders, nation
-         WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                - 0.01 * ps_supplycost * l_quantity AS DECIMAL(18,4)) AS amount
+         FROM part, supplier, lineitem, partsupp, orders, nation
+         WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+           AND ps_partkey = l_partkey AND p_partkey = l_partkey
            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
            AND p_name LIKE '%gear%') profit
        GROUP BY nation, o_year
-       ORDER BY nation, o_year DESC"""
+       ORDER BY nation, o_year DESC""")
 
-  /** Q11-shape: important inventory value per part — grouped decimal value
-    * sums filtered by a scalar-subquery threshold (fraction of the regional
-    * total); shipped quantity × retail price stands in for partsupp
-    * availqty × supplycost. */
-  val q11Sql: String =
-    """SELECT l_partkey AS ps_partkey,
-         CAST(sum(CAST(0.01 * p_retailprice * l_quantity
-           AS DECIMAL(18,4))) AS DOUBLE) AS part_value
-       FROM lineitem JOIN part ON p_partkey = l_partkey
-         JOIN supplier ON s_suppkey = l_suppkey
+  /** Q11: important inventory value per part — official grouped
+    * availqty × supplycost sums over partsupp, filtered by a
+    * scalar-subquery threshold (fraction of the regional total).
+    * Numeric care: both factors are exactly-2-decimal values, so the
+    * decimal casts are tie-free and the product/sum stay EXACT; a
+    * double product cast to decimal (the first attempt) diverged from
+    * the oracle by one ulp at a rounding boundary. The threshold
+    * comparison happens in double (exact-decimal sums cast double are
+    * bit-identical across engines below 2^53 unscaled). */
+  val q11Sql: String = withPartsupp(
+    """SELECT ps_partkey,
+         CAST(sum(CAST(ps_supplycost AS DECIMAL(14,2)) *
+                  CAST(ps_availqty AS DECIMAL(14,2))) AS DOUBLE) AS part_value
+       FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
          JOIN nation ON s_nationkey = n_nationkey
        WHERE n_regionkey = 2
-       GROUP BY l_partkey
-       HAVING sum(CAST(0.01 * p_retailprice * l_quantity
-           AS DECIMAL(18,4))) > (
-         SELECT sum(CAST(0.01 * p_retailprice * l_quantity
-             AS DECIMAL(18,4))) * 0.001
-         FROM lineitem JOIN part ON p_partkey = l_partkey
-           JOIN supplier ON s_suppkey = l_suppkey
+       GROUP BY ps_partkey
+       HAVING CAST(sum(CAST(ps_supplycost AS DECIMAL(14,2)) *
+                  CAST(ps_availqty AS DECIMAL(14,2))) AS DOUBLE) > (
+         SELECT CAST(sum(CAST(ps_supplycost AS DECIMAL(14,2)) *
+                  CAST(ps_availqty AS DECIMAL(14,2))) AS DOUBLE) * 0.001
+         FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
            JOIN nation ON s_nationkey = n_nationkey
          WHERE n_regionkey = 2)
-       ORDER BY part_value DESC, ps_partkey"""
+       ORDER BY part_value DESC, ps_partkey""")
 
-  /** Q16-shape: supplier count per part attribute triple, excluding a
-    * NOT-IN supplier set; lineitem is the part↔supplier link. */
-  val q16Sql: String =
+  /** Q16: supplier count per part attribute triple over partsupp,
+    * excluding a NOT-IN supplier set (official text). */
+  val q16Sql: String = withPartsupp(
     """SELECT p_brand, p_type, p_size,
-         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-       FROM lineitem JOIN part ON p_partkey = l_partkey
+         CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       FROM partsupp JOIN part ON p_partkey = ps_partkey
        WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PRO%'
          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                               WHERE s_acctbal < 0.0)
+         AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0)
        GROUP BY p_brand, p_type, p_size
-       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
 
   /** Q17-shape: correlated avg — quantity below 20% of the part's own
     * average (exact decimal sum ÷ count on both engines). */
@@ -141,22 +153,27 @@ object TpchQueries extends QueryPack {
                AS DOUBLE) / count(*))
            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
 
-  /** Q20-shape: nested IN chains (part-pattern → grouped HAVING over
-    * lineitem → supplier filter → nation IN region set). */
-  val q20Sql: String =
+  /** Q20: nested IN chains over partsupp (part-pattern IN → correlated
+    * availability threshold against the date-windowed shipped quantity →
+    * nation IN region set) — official Q20's
+    * `ps_availqty > 0.5 * correlated sum(l_quantity)` shape. */
+  val q20Sql: String = withPartsupp(
     """SELECT s_suppkey, s_name, s_acctbal
        FROM supplier
        WHERE s_suppkey IN (
-           SELECT l_suppkey FROM lineitem
-           WHERE l_partkey IN (SELECT p_partkey FROM part
-                               WHERE p_name LIKE 'small%')
-             AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-             AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
-           GROUP BY l_suppkey
-           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+           SELECT ps_suppkey FROM partsupp
+           WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+             AND ps_availqty > (
+               SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                   AS DOUBLE)
+               FROM lineitem
+               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'))
          AND s_nationkey IN (SELECT n_nationkey FROM nation
                              WHERE n_regionkey IN (0, 1, 2))
-       ORDER BY s_suppkey"""
+       ORDER BY s_suppkey""")
 
   /** Q21-shape: EXISTS + NOT EXISTS lineitem self-joins with non-equality
     * correlation (l2.l_suppkey <> l1.l_suppkey) — the hardest
@@ -413,9 +430,8 @@ object TpchQueries extends QueryPack {
                GROUP BY 1 ORDER BY cntrycode""")
     }),
 
-    // Q2-shape — minimum-cost supplier per part (correlated min over the
-    // part-supplier link; partsupp isn't in the fixtures, so lineitem is
-    // the link and min extended price stands in for min supplycost).
+    // Q2 — minimum-cost supplier per part: correlated min over partsupp
+    // (the derived stand-in view — see Tables.partsuppViewSql).
     "q2_min_cost_supplier" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql(q2Sql)
@@ -456,9 +472,9 @@ object TpchQueries extends QueryPack {
       s.sql(q17Sql)
     }),
 
-    // Q20-shape — nested IN chains: suppliers who shipped large volumes of
-    // matching parts, filtered to a region (partsupp availability replaced
-    // by shipped-quantity HAVING over lineitem).
+    // Q20 — nested IN chains over partsupp: availability above half the
+    // date-windowed shipped quantity (correlated scalar agg), part
+    // pattern IN, nation IN region set.
     "q20_part_promotion" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql(q20Sql)

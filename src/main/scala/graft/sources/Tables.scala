@@ -48,11 +48,31 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
+  /** partsupp stand-in: the fixtures ship no partsupp.parquet, so the
+    * part↔supplier link is DERIVED from lineitem — one row per observed
+    * (l_partkey, l_suppkey) pair, with total shipped quantity standing in
+    * for ps_availqty and the minimum extended price for ps_supplycost.
+    * This is the single place the adaptation lives: the TPC-H query pack
+    * embeds this exact text as a `WITH partsupp AS (...)` CTE on BOTH the
+    * Spark and DuckDB-oracle sides (shared constant — the engines cannot
+    * drift), and [[registerAll]] registers the same definition as a temp
+    * view so interactive `spark.sql` users can name `partsupp` directly.
+    * Scale shape: one map-side-partial groupBy over lineitem; at 100 TB a
+    * deployment would materialize it bucketed on ps_partkey once. */
+  val partsuppViewSql: String =
+    """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
+         CAST(min(l_extendedprice) AS DOUBLE) AS ps_supplycost
+       FROM lineitem GROUP BY l_partkey, l_suppkey"""
+
   /** Register every fixture table as a temp view so `spark.sql` text queries
     * resolve — the Spark analog of the reference's global `hm` catalog map
-    * (Microbase.scala:29). Idempotent; events is registered normalized. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+    * (Microbase.scala:29). Idempotent; events is registered normalized;
+    * the derived [[partsuppViewSql]] stand-in registers as `partsupp`. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     all.foreach(n => accessors(n)(spark, dir).createOrReplaceTempView(n))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW partsupp AS $partsuppViewSql")
+  }
 
   /** Reference-style CSV DDL (Microbase.scala:960-983): delimiter-split
     * text with a user-declared schema. `eager=true` mirrors the reference's

@@ -49,6 +49,28 @@ class ReplSpec extends GraftSuite {
     assert(run("SELECT CAST(NULL AS INT), 'x'") === Seq("null|x"))
   }
 
+  test("a line with multiple ;-separated statements runs each in order") {
+    val out = Repl.runLine(spark,
+      s"""CREATE TABLE IF NOT EXISTS r_repl (bar int, baz int) USING csv
+          OPTIONS(path '$dataDir/R.data', delimiter '|');
+          SELECT count(*) FROM r_repl; SELECT max(baz) FROM r_repl""").toSeq
+    assert(out === Seq("4", "30"))
+    // semicolons inside string literals do not split
+    assert(Repl.runLine(spark, "SELECT 'a;b'; SELECT 2").toSeq === Seq("a;b", "2"))
+    assert(Repl.splitStatements("SELECT 'it''s; fine'; SELECT 1").size === 2)
+  }
+
+  test("source <file> runs every statement of a script") {
+    val script = Files.createTempFile("graft-repl-script-", ".sql")
+    Files.writeString(script,
+      s"""CREATE TABLE IF NOT EXISTS t_repl (c int, d int) USING csv
+          OPTIONS(path '$dataDir/T.data', delimiter '|');
+          SELECT count(*) FROM t_repl;
+          SELECT c, d FROM t_repl ORDER BY c;""")
+    val out = Repl.runLine(spark, s"source $script").toSeq
+    assert(out === Seq("2", "1|100", "2|200"))
+  }
+
   test("join across the repl-created tables works") {
     run(s"""CREATE TABLE IF NOT EXISTS r_repl (bar int, baz int) USING csv
         OPTIONS(path '$dataDir/R.data', delimiter '|');""")
