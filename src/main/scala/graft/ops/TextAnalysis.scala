@@ -81,4 +81,36 @@ object TextAnalysis {
     * Expression variant. */
   def md5Fingerprint(text: Column, hexLen: Int = 16): Column =
     substring(md5(lower(trim(text))), 1, hexLen)
+
+  /** Word n-grams as space-joined strings over a token array (empty array
+    * when the doc has fewer than n tokens). Scan-local expression — no
+    * explode, no shuffle. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => get(toks, i + lit(k))): _*)))
+
+  /** Fraction of n-grams that are repeats of an earlier n-gram in the
+    * same document — the Gopher-class intra-document repetition signal
+    * (Rae et al. 2021 filter docs on exactly this family). 0 for docs
+    * shorter than n tokens. Exact integer ratio → bit-identical double
+    * on any engine. */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val gs = wordNgrams(toks, n)
+    (size(gs) - size(array_distinct(gs))).cast("double") /
+      greatest(size(gs), lit(1)).cast("double")
+  }
+
+  /** Share of tokens taken by the single most frequent token (the other
+    * standard repetition signal). Implemented as a scan-local expression:
+    * per distinct token, count its occurrences with a nested array
+    * filter — O(distinct × len) per document, bounded by document length,
+    * and shuffle-free, which beats an explode + two-level aggregation at
+    * scan time for bounded docs. */
+  def topTokenFrac(toks: Column): Column = {
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(array_max(counts).cast("double") / size(toks).cast("double"))
+  }
 }

@@ -73,7 +73,64 @@ object TextQueries extends QueryPack {
         .select(explode(split(col("text"), " ")).as("tok"))
         .agg(graft.ops.Aggregates.heavyHitters(col("tok"), 16).as("sketch"))
         .select(explode(col("sketch")).as(Seq("token", "est_count")))
-        .orderBy("token"))
+        .orderBy("token")),
+
+    // Intra-document repetition signals (Gopher-style quality filters):
+    // duplicate bigram/trigram fractions + top-token share. All
+    // scan-local expressions — zero shuffle at 100 TB; the fractions are
+    // exact integer ratios, hence oracle hash-exact.
+    "ta7_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          size(TextAnalysis.wordNgrams(toks, 2)).cast("bigint")
+            .as("n_bigrams"),
+          size(array_distinct(TextAnalysis.wordNgrams(toks, 2))).cast("bigint")
+            .as("n_distinct_bigrams"),
+          TextAnalysis.dupNgramFrac(toks, 2).as("dup_bigram_frac"),
+          TextAnalysis.dupNgramFrac(toks, 3).as("dup_trigram_frac"),
+          TextAnalysis.topTokenFrac(toks).as("top_token_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Inverted index (token → sorted posting list + document frequency) —
+    // the retrieval-side build. One shuffle keyed on token; postings are
+    // emitted as a comma-joined STRING (array output columns break
+    // rows-only recorders, and string postings hash-compare cleanly). At
+    // 100 TB hot stopword tokens would be df-counted only / sharded; the
+    // fixture vocabulary is bounded so full lists are exact here.
+    "ta8_inverted_index" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          array_join(
+            transform(sort_array(collect_set(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
+        .orderBy("token")),
+
+    // Bigram language-model estimation: MLE P(next | prev) from corpus
+    // bigram counts — count per pair, window-sum per prev token, exact
+    // integer ratio as the probability. The classic first statistic of a
+    // data-quality/contamination audit; one shuffle on bigram + one on
+    // prev.
+    "ta9_bigram_lm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val prevW = Window.partitionBy("prev")
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.wordNgrams(toks, 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("pair_count"))
+        .select(
+          split(col("bigram"), " ").getItem(0).as("prev"),
+          split(col("bigram"), " ").getItem(1).as("next"),
+          col("pair_count"))
+        .withColumn("prev_count", sum(col("pair_count")).over(prevW))
+        .withColumn("p_next",
+          col("pair_count").cast("double") / col("prev_count").cast("double"))
+        .orderBy("prev", "next")
+    })
   )
 
   private val enList = "('the','a','of','and','is','to','in')"
@@ -123,7 +180,51 @@ object TextQueries extends QueryPack {
            substring(md5(lower(trim(text))), 1, 16) AS fingerprint,
            count(*) OVER (PARTITION BY substring(md5(lower(trim(text))), 1, 16))
              AS group_size
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
     // ta5_rolling_fingerprint: no oracle (custom hash family) — spec-tested.
+    "ta7_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, w,
+                 [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg,
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)] AS tg
+               FROM t),
+         tc AS (SELECT doc_id, max(c) AS max_c FROM (
+                  SELECT doc_id, tok, count(*) AS c
+                  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+                  GROUP BY doc_id, tok)
+                GROUP BY doc_id)
+         SELECT g.doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+           CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+             / greatest(len(bg), 1) AS dup_bigram_frac,
+           CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+             / greatest(len(tg), 1) AS dup_trigram_frac,
+           CAST(max_c AS DOUBLE) / len(w) AS top_token_frac
+         FROM g JOIN tc ON g.doc_id = tc.doc_id
+         ORDER BY g.doc_id""",
+    "ta8_inverted_index" ->
+      """SELECT tok AS token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY tok ORDER BY token""",
+    "ta9_bigram_lm" ->
+      """WITH bg AS (SELECT unnest(
+             [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+           FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+         pc AS (SELECT bigram, count(*) AS pair_count FROM bg GROUP BY bigram)
+         SELECT string_split(bigram, ' ')[1] AS prev,
+           string_split(bigram, ' ')[2] AS next,
+           CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(sum(pair_count) OVER (PARTITION BY string_split(bigram, ' ')[1])
+             AS BIGINT) AS prev_count,
+           CAST(pair_count AS DOUBLE) /
+             CAST(sum(pair_count) OVER (PARTITION BY string_split(bigram, ' ')[1])
+               AS DOUBLE) AS p_next
+         FROM pc ORDER BY prev, next"""
   )
 }
