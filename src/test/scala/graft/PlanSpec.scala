@@ -163,6 +163,39 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("runtime bloom filter injects on a selective dim→fact shuffle join") {
+    // At 100 TB, a fact scan joined to a FILTERED dim too big to
+    // broadcast is cut by a runtime bloom filter on the join key
+    // (Catalyst's InjectRuntimeFilter) — rows that cannot match are
+    // dropped at the fact scan before the shuffle. This works only when
+    // the join stays a plain declarative equi join, which is exactly our
+    // shape; the thresholds here mimic at-scale conditions (broadcast
+    // off = dim doesn't fit; app-side scan threshold 0 = fact "large").
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val ord = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val li = Tables.lineitem(spark, sf)
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${opt.take(3000)}")
+      assert(joined.count() === expected, "bloom filter changed the result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
     // AQE only materializes the final physical plan after execution, so
     // run the query first and inspect executedPlan.
