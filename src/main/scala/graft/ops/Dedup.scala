@@ -294,6 +294,27 @@ object Dedup {
     labels.select(col("cc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Eval-set decontamination: flag training documents sharing at least
+    * one word n-gram with any eval document, with the count of distinct
+    * shared n-grams (the standard train/test-overlap audit — production
+    * pipelines use n of 8–13; the fixture word-salad only collides at
+    * n=3). Scale shape: distinct n-grams on each side, one equi join
+    * shuffled on the gram key, one count agg — candidates come from the
+    * key join, never a pairwise scan, so this runs at any corpus size.
+    * Exact integer outputs → oracle hash-exact. */
+  def decontaminate(
+      train: DataFrame, eval_ : DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) = df.select(cols :+
+      explode(array_distinct(graft.ops.TextAnalysis.wordNgrams(
+        split(text, " "), n))).as("gram"): _*)
+    val evalGrams = grams(eval_).distinct()
+    grams(train, id.as("doc_id"))
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("overlap_ngrams"))
+  }
+
   /** N-gram Jaccard near-dup pairs inside blocking buckets (same `block`
     * value), exact pairwise within a bucket. Demonstration-scale blocking;
     * the 100 TB path is minhashNearDupPairs. */

@@ -99,6 +99,20 @@ object DedupQueries extends QueryPack {
         Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")),
 
+    // Eval-set decontamination: training docs sharing any word 3-gram
+    // with the held-out slice (doc_id % 50 == 0 stands in for an eval
+    // set), with the distinct shared-gram count. Shuffles on the gram
+    // key only — the at-scale train/test-overlap audit shape
+    // (production n is 8–13; fixture word salad only collides at n=3).
+    "dd11_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text"), n = 3)
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-duplicates via SRP-LSH buckets + exact-cosine
     // verify — the 100 TB path (shuffles on (table, sig) keys, never n²).
     // Fixture embeddings are uniform random (max pairwise cos ≈ 0.5), so
@@ -119,6 +133,17 @@ object DedupQueries extends QueryPack {
          sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
 
   val oracle: Map[String, String] = Map(
+    "dd11_decontamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(w[i:i+2], ' ')
+                  for i in range(1, len(w) - 1)])) AS gram
+               FROM t),
+         ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+         SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
+         FROM tr JOIN ev USING (gram)
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
     "dd1_exact_dedup" ->
       """SELECT doc_id,
            min(doc_id) OVER (PARTITION BY text) AS canonical_id,

@@ -188,4 +188,18 @@ class DedupSpec extends GraftSuite {
       .filter(col("is_kept"))
     assert(kept.count() === docs.select("text").distinct().count())
   }
+
+  test("decontamination flags planted eval overlap and nothing else") {
+    import spark.implicits._
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // verbatim copy: 3 shared 3-grams
+      (2L, "zeta alpha beta gamma eta"),      // one shared 3-gram
+      (3L, "theta iota kappa lambda mu")      // clean
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(
+      train, eval_, col("doc_id"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged === Map(1L -> 3L, 2L -> 1L))
+  }
 }
