@@ -39,6 +39,13 @@ object StreamingQueries extends QueryPack {
       EventStreams.purchaseViewInterval(Tables.events(s, d))
         .orderBy("p_id", "v_id")),
 
+    // Stream-static enrichment join, batch dual: per-type weights from a
+    // tiny static dim (broadcast per micro-batch when streaming).
+    "st7_stream_enrich" -> ((s, d) =>
+      EventStreams.enrichWithTypeDim(
+        Tables.events(s, d), EventStreams.typeDim(s))
+        .orderBy("event_id")),
+
     // Gap-filled hourly series: generate the full hour spine between min
     // and max event time, left-join the actual counts, fill zeros — the
     // standard time-series densification (spine generation is one tiny
@@ -106,6 +113,15 @@ object StreamingQueries extends QueryPack {
            ON p.user_id = v.user_id
           AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
          ORDER BY p_id, v_id""",
+    "st7_stream_enrich" ->
+      """SELECT event_id, e.event_type, user_id, value, weight,
+           value * weight AS weighted_value
+         FROM events e JOIN (VALUES
+           ('view', CAST(0.25 AS DOUBLE)), ('click', CAST(0.5 AS DOUBLE)),
+           ('signup', CAST(1.0 AS DOUBLE)), ('purchase', CAST(2.0 AS DOUBLE)),
+           ('error', CAST(0.0 AS DOUBLE))) AS dim(event_type, weight)
+           ON e.event_type = dim.event_type
+         ORDER BY event_id""",
     "st5_gap_fill" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events

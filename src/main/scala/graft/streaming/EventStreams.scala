@@ -77,6 +77,27 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Tiny per-event-type weight dimension shared by the st7 batch dual
+    * and the streaming spec. Weights are dyadic-exact doubles so the
+    * enrichment product is bit-identical across engines. */
+  def typeDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("view", 0.25), ("click", 0.5), ("signup", 1.0),
+      ("purchase", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+  }
+
+  /** Stream-static enrichment join: the event stream joined to a static
+    * dimension on event_type. The static side is (re-)broadcast per
+    * micro-batch — no state, no watermark needed; this is the standard
+    * way to attach dimension attributes to a stream at scale (a dim too
+    * big to broadcast becomes a bucketed static table instead). The
+    * same code runs in batch (oracle-checked as st7). */
+  def enrichWithTypeDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"), col("weight"),
+        (col("value") * col("weight")).as("weighted_value"))
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -71,6 +71,19 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.count() >= (batch.count() * 0.9).toLong)
   }
 
+  test("stream-static enrichment equals the batch join exactly") {
+    // Stateless stream-static join: no watermark withholding, so the
+    // streamed result must equal the batch dual row-for-row.
+    val dim = EventStreams.typeDim(spark)
+    val streamed = runStream("t_enrich",
+      ev => EventStreams.enrichWithTypeDim(ev, dim), "append")
+    val batch = EventStreams.enrichWithTypeDim(
+      Tables.events(spark, sf), dim)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() === batch.count())
+  }
+
   test("streaming dedup drops re-delivered events") {
     // Duplicate every event into a second file set → re-delivery.
     val dir = Files.createTempDirectory("graft-dedup-").toString
