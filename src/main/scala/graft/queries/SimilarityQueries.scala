@@ -48,6 +48,16 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // int8 quantization reconstruction error — the ANN storage lever
+    // (4× smaller vectors). Per-vector error stats in the compared
+    // output; floor(x·scale + 0.5) instead of round() so no
+    // cross-engine half-tie divergence; folds run in array order →
+    // oracle-exact.
+    "ss5_quantization" -> ((s, d) =>
+      Similarity.quantizationError(
+        Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // Label-mean centroids: per-label mean embedding via posexplode +
     // groupBy — the IVF coarse-quantizer shape. Means use the exact
     // decimal-sum policy so the dim-0 component is oracle-exact.
@@ -71,6 +81,19 @@ object SimilarityQueries extends QueryPack {
          sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
 
   val oracle: Map[String, String] = Map(
+    "ss5_quantization" ->
+      """WITH t AS (SELECT vec_id,
+             [CAST(v AS DOUBLE) for v in embedding] AS x FROM embeddings),
+         m AS (SELECT vec_id, x,
+             greatest(list_max([abs(v) for v in x]), 1e-30) AS mx FROM t),
+         e AS (SELECT vec_id, mx,
+             [abs(v - floor(v * (127.0/mx) + 0.5) / (127.0/mx)) for v in x]
+               AS err
+           FROM m)
+         SELECT vec_id, mx AS max_abs,
+           list_max(err) AS max_err,
+           list_sum([e*e for e in err]) / 64 AS mse
+         FROM e ORDER BY vec_id""",
     "ss1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
             FROM embeddings WHERE vec_id < 20),

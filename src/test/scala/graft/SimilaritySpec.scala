@@ -102,4 +102,18 @@ class SimilaritySpec extends GraftSuite {
       .collect().map(_.getDouble(0))
     one.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
+
+  test("int8 quantization error is bounded by half a quantization step") {
+    // q = floor(x·scale + 0.5) is within 0.5 of x·scale, so the
+    // reconstruction error is ≤ 0.5/scale = max_abs/254 per element.
+    val rows = Similarity.quantizationError(emb, "vec_id", "embedding")
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val maxAbs = r.getDouble(1); val maxErr = r.getDouble(2)
+      val mse = r.getDouble(3)
+      assert(maxErr <= maxAbs / 254.0 * (1 + 1e-12), s"maxErr=$maxErr")
+      assert(mse <= maxErr * maxErr + 1e-18)
+    }
+  }
 }
