@@ -123,6 +123,25 @@ object FunctionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Map functions: construction from arrays, cardinality, key/value
+    // extraction, lookup, concat-with-override. Compared output is all
+    // scalars (map columns, like arrays, don't hash-compare) — keys stay
+    // in construction order in both engines.
+    "fn_map" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("status"), lit("priority")),
+        array(col("o_orderstatus"), col("o_orderpriority")))
+      Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          size(m).cast("int").as("m_size"),
+          array_join(map_keys(m), ",").as("m_keys"),
+          array_join(map_values(m), ",").as("m_vals"),
+          element_at(m, "priority").as("m_priority"),
+          element_at(map_concat(m, map(lit("extra"), lit("x"))), "extra")
+            .as("m_extra"))
+        .orderBy("o_orderkey")
+    }),
+
     // Regex extraction.
     "fn_regex" -> ((s, d) =>
       Tables.customer(s, d)
@@ -244,6 +263,19 @@ object FunctionQueries extends QueryPack {
            CAST(list_sum(list_transform(regexp_split_to_array(text, '\s+'),
              t -> length(t))) AS INT) AS total_chars
          FROM documents ORDER BY doc_id""",
+    "fn_map" ->
+      """SELECT o_orderkey,
+           CAST(cardinality(m) AS INT) AS m_size,
+           array_to_string(map_keys(m), ',') AS m_keys,
+           array_to_string(map_values(m), ',') AS m_vals,
+           m['priority'][1] AS m_priority,
+           map_concat(m, map(['extra'], ['x']))['extra'][1] AS m_extra
+         FROM (SELECT o_orderkey,
+                 map(['status', 'priority'],
+                     [o_orderstatus, o_orderpriority]) AS m
+               FROM orders)
+         WHERE o_orderkey < 1000
+         ORDER BY o_orderkey""",
     "fn_regex" ->
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits
          FROM customer ORDER BY c_custkey""",
