@@ -120,6 +120,34 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("word n-grams match a local reference fold on random texts") {
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "a", "dd")
+    val textGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, wordGen))
+    val texts = (1L to 8L).map { seed =>
+      textGen(Gen.Parameters.default, rng.Seed(seed)).get.mkString(" ")
+    } :+ "single" :+ "two words"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val got = df.select($"doc_id",
+          graft.ops.TextAnalysis.wordNgrams(split($"text", " "), n).as("g"),
+          graft.ops.TextAnalysis.dupNgramFrac(split($"text", " "), n).as("f"))
+        .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getDouble(2)))
+        .toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ", -1)
+        val expected = toks.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq
+        val (grams, frac) = got(i.toLong)
+        assert(grams === expected, s"n=$n doc $i")
+        val expFrac =
+          if (expected.isEmpty) 0.0
+          else (expected.size - expected.distinct.size).toDouble / expected.size
+        assert(frac === expFrac, s"n=$n doc $i frac")
+      }
+    }
+  }
+
   test("token chunks reconstruct the exact expected slices on random texts") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
