@@ -26,7 +26,8 @@ object SparkEntry {
     StreamingQueries,
     MultimodalQueries,
     SubqueryQueries,
-    PipelineQueries
+    PipelineQueries,
+    GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over an undirected edge list `(id_a, id_b)` — the
+  * dup-cluster/link-structure layer of a training-data pipeline: once a
+  * near-dup pair generator (MinHash-LSH, SRP-LSH, IVF — see [[Dedup]] /
+  * [[Similarity]]) has produced candidate edges, these operators answer
+  * "how is the duplicate graph shaped?" (degree profile), "which docs sit
+  * in tightly-knit clusters?" (triangles), and "which pairs are probably
+  * missing edges?" (common-neighbor link prediction). Connected components
+  * live in [[Dedup.duplicateClusters]].
+  *
+  * Everything is joins/aggregations keyed on node ids — no adjacency
+  * matrices, no driver-side graph state, so the operators scale with the
+  * edge count. Triangle enumeration uses the degree-ordered orientation
+  * (Schank & Wagner 2005; Suri & Vassilvitskii WWW'11 "Counting triangles
+  * and the curse of the last reducer"): orient every edge from its
+  * lower-(degree, id) endpoint to the higher one, so each wedge is
+  * generated at its lowest-ranked vertex. Wedge fan-out per vertex is then
+  * bounded by its OUT-degree, which the orientation caps at O(√m) — total
+  * work O(m^1.5) instead of Σ deg² (which a hub node turns into the "last
+  * reducer" straggler at 100 TB).
+  */
+object Graph {
+
+  /** Canonical undirected edge list: (id_a < id_b), loops dropped,
+    * duplicates merged. Run once at graph build; downstream operators
+    * assume this shape. */
+  def canonical(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges.select(
+        least(col(aCol), col(bCol)).as("id_a"),
+        greatest(col(aCol), col(bCol)).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+
+  /** Per-node degree — one shuffle keyed on node id. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("id_a").as("node"))
+      .unionAll(edges.select(col("id_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** Degree histogram (degree → node count) — the first diagnostic of a
+    * duplicate graph: a heavy tail means template/boilerplate clusters. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
+  /** All triangles, one row each, vertices id-sorted (`node_a < node_b <
+    * node_c`). Degree-ordered wedge enumeration (see class doc): each
+    * triangle is generated exactly once, at its lowest-(degree, id)
+    * vertex, so no post-dedup of 3! permutations is needed. Three joins,
+    * all keyed on node ids. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val withDeg = edges
+      .join(deg.select(col("node").as("id_a"), col("degree").as("deg_a")), "id_a")
+      .join(deg.select(col("node").as("id_b"), col("degree").as("deg_b")), "id_b")
+    // rank = (degree, id): a total order, compared as a struct. Orient each
+    // edge low-rank → high-rank and carry the dst rank for the wedge join.
+    val rankA = struct(col("deg_a").as("d"), col("id_a").as("i"))
+    val rankB = struct(col("deg_b").as("d"), col("id_b").as("i"))
+    val aLower = rankA < rankB
+    val oriented = withDeg.select(
+      when(aLower, col("id_a")).otherwise(col("id_b")).as("src"),
+      when(aLower, col("id_b")).otherwise(col("id_a")).as("dst"),
+      when(aLower, rankB).otherwise(rankA).as("dst_rank"))
+    val e1 = oriented.select(col("src").as("s1"), col("dst").as("d1"),
+      col("dst_rank").as("r1"))
+    val e2 = oriented.select(col("src").as("s2"), col("dst").as("d2"),
+      col("dst_rank").as("r2"))
+    val e3 = oriented.select(col("src").as("s3"), col("dst").as("d3"))
+    // wedge (x→y, x→z) with rank(y) < rank(z); close with oriented y→z —
+    // which is how {y,z} must be oriented, since rank(y) < rank(z).
+    val sorted = e1.join(e2, col("s1") === col("s2") && col("r1") < col("r2"))
+      .join(e3, col("d1") === col("s3") && col("d2") === col("d3"))
+      .select(array_sort(array(col("s1"), col("d1"), col("d2"))).as("t"))
+    sorted.select(
+      element_at(col("t"), 1).as("node_a"),
+      element_at(col("t"), 2).as("node_b"),
+      element_at(col("t"), 3).as("node_c"))
+  }
+
+  /** Per-node triangle participation count (nodes in ≥ 1 triangle). */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangles(edges)
+      .select(explode(array(col("node_a"), col("node_b"), col("node_c")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+
+  /** Link prediction by common-neighbor count: unconnected pairs sharing
+    * ≥ `minCommon` neighbors — in a dedup graph these are the pairs the
+    * candidate generator probably MISSED (LSH recall < 1), ranked for
+    * re-verification. One self-join of the adjacency list keyed on the
+    * shared neighbor, then an anti join against the edge set. Fan-out per
+    * shared neighbor is deg², so hub nodes dominate cost — cap them
+    * upstream with `maxDegree` (standard practice: a boilerplate doc
+    * connected to everything predicts nothing). */
+  def commonNeighbors(
+      edges: DataFrame, minCommon: Long,
+      maxDegree: Long = Long.MaxValue): DataFrame = {
+    val adj0 = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
+      .unionAll(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
+    val adj =
+      if (maxDegree == Long.MaxValue) adj0
+      else adj0.join(
+        degrees(edges).filter(col("degree") <= maxDegree).select("node")
+          .withColumnRenamed("node", "nbr"), "nbr")
+    val pairs = adj.select(col("node").as("node_a"), col("nbr"))
+      .join(adj.select(col("node").as("node_b"), col("nbr")), "nbr")
+      .filter(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minCommon)
+    pairs.join(edges,
+        pairs("node_a") === edges("id_a") && pairs("node_b") === edges("id_b"),
+        "left_anti")
+  }
+}

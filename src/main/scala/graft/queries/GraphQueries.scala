@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Similarity}
+import graft.sources.Tables
+
+/** Graph analytics over the embedding near-dup graph (nodes = vectors,
+  * edges = pairs with cosine ≥ 0.3): degree profile, triangle structure,
+  * and common-neighbor link prediction. The edge list here comes from the
+  * bounded brute-force pair scan (exact, hence oracle-checkable); at
+  * 100 TB the SAME operators run over `Similarity.srpNearDupPairs` /
+  * `Dedup.minhashNearDupPairs` output — the analytics layer only ever
+  * touches the edge list, shuffling on node ids.
+  */
+object GraphQueries extends QueryPack {
+
+  private def simEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    Graph.canonical(
+      Similarity.bruteForceNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", 0.3),
+      "id_a", "id_b")
+
+  val queries: Map[String, Fn] = Map(
+    // Degree histogram of the near-dup graph — heavy tail ⇒ template
+    // clusters. Two shuffles (node, then degree), both on tiny keys.
+    "gr1_degree_hist" -> ((s, d) =>
+      Graph.degreeHistogram(simEdges(s, d))
+        .orderBy("degree")),
+
+    // Per-node triangle participation via degree-ordered wedge
+    // enumeration — each triangle generated exactly once at its
+    // lowest-(degree, id) vertex, O(m^1.5) total work (no Σ deg²
+    // hub-node straggler).
+    "gr2_triangles" -> ((s, d) =>
+      Graph.triangleCounts(simEdges(s, d))
+        .orderBy("node")),
+
+    // Link prediction: unconnected pairs with ≥ 2 common neighbors —
+    // in a dedup graph, the pairs the candidate generator likely missed.
+    "gr3_link_prediction" -> ((s, d) =>
+      Graph.commonNeighbors(simEdges(s, d), minCommon = 2L)
+        .orderBy(col("common_neighbors").desc, col("node_a"), col("node_b")))
+  )
+
+  // Same sequential-fold cosine as the Spark side (bit-identical doubles;
+  // proven by dd6) — 64-dim embeddings.
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)]) /
+        (sqrt(list_sum([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in range(1,65)])) *
+         sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
+
+  private val edgeCte =
+    s"""p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${cosSql("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        e AS (SELECT id_a, id_b FROM p WHERE cos >= 0.3),
+        adj AS (SELECT id_a AS node, id_b AS nbr FROM e
+                UNION ALL SELECT id_b, id_a FROM e),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM adj GROUP BY node)"""
+
+  val oracle: Map[String, String] = Map(
+    "gr1_degree_hist" ->
+      s"""WITH $edgeCte
+          SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM deg GROUP BY degree ORDER BY degree""",
+    "gr2_triangles" ->
+      s"""WITH $edgeCte,
+          tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                  FROM e e1
+                  JOIN e e2 ON e2.id_a = e1.id_b
+                  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+          tn AS (SELECT unnest([a, b, c]) AS node FROM tri)
+          SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM tn GROUP BY node ORDER BY node""",
+    "gr3_link_prediction" ->
+      s"""WITH $edgeCte,
+          cn AS (SELECT x.node AS node_a, y.node AS node_b,
+                   CAST(count(*) AS BIGINT) AS common_neighbors
+                 FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+                 GROUP BY x.node, y.node)
+          SELECT node_a, node_b, common_neighbors FROM cn
+          WHERE common_neighbors >= 2
+            AND NOT EXISTS (SELECT 1 FROM e
+                            WHERE e.id_a = cn.node_a AND e.id_b = cn.node_b)
+          ORDER BY common_neighbors DESC, node_a, node_b"""
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Graph analytics: hand-checked small graph + naive-reference cross-check
+  * on the fixture near-dup graph (the degree-ordered enumeration must
+  * agree exactly with brute-force set intersection). */
+class GraphSpec extends GraftSuite {
+  import spark.implicits._
+
+  // K4 plus a pendant: triangles = C(4,3) = 4, all on {1,2,3,4}.
+  private def k4edges = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    .toDF("id_a", "id_b")
+
+  test("canonical dedups, orders, and drops loops") {
+    val raw = Seq((2L, 1L), (1L, 2L), (3L, 3L), (1L, 2L)).toDF("x", "y")
+    val e = Graph.canonical(raw, "x", "y").collect()
+    assert(e.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("K4 + pendant: 4 triangles, correct per-node counts") {
+    val tri = Graph.triangles(k4edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    val counts = Graph.triangleCounts(k4edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each K4 vertex sits in C(3,2) = 3 triangles; the pendant in none
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("common neighbors: unconnected pairs only, counts exact") {
+    // path 1-2-3 plus 1-4, 3-4: pair (1,3) shares {2,4}; (2,4) shares {1,3}
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L)).toDF("id_a", "id_b")
+    val cn = Graph.commonNeighbors(e, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cn == Map((1L, 3L) -> 2L, (2L, 4L) -> 2L))
+  }
+
+  test("fixture near-dup graph matches a naive local reference") {
+    val edges = Graph.canonical(
+      graft.ops.Similarity.bruteForceNearDupPairs(
+        graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", 0.3),
+      "id_a", "id_b")
+      .persist()
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    // naive triangle counts
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total = 0
+    for ((a, b) <- e; c <- adj(a) intersect adj(b) if c > b) {
+      total += 1
+      Seq(a, b, c).foreach(n => naive(n) += 1)
+    }
+    assert(total > 0, "fixture graph should contain triangles")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive.toMap)
+    // naive common neighbors among unconnected pairs
+    val eset = e.toSet
+    val nodes = adj.keys.toSeq.sorted
+    val naiveCn = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      a = nodes(i); b = nodes(j)
+      if !eset.contains((a, b))
+      common = (adj(a) intersect adj(b)).size
+      if common >= 2
+    } yield (a, b) -> common.toLong).toMap
+    val gotCn = Graph.commonNeighbors(edges, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCn == naiveCn)
+    edges.unpersist()
+  }
+
+  test("degree-capped common neighbors drops hub-mediated pairs") {
+    // star center 9 connects 1..4; 1-2 also direct. Without cap, (3,4)
+    // predicted via hub; cap degree ≤ 3 removes the hub as a mediator.
+    val e = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (1L, 2L), (1L, 3L),
+      (2L, 3L)).toDF("id_a", "id_b")
+    val capped = Graph.commonNeighbors(e, 2L, maxDegree = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hub (degree 4) excluded as shared neighbor: (3,4)/(1,4)/(2,4) lose
+    // their only mediator; (1,9),(2,9),(3,9) are edges already
+    assert(!capped.contains((3L, 4L)))
+  }
+}
