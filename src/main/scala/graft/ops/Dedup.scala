@@ -335,4 +335,36 @@ object Dedup {
       .select(col("a.ng_id").as("id_a"), col("b.ng_id").as("id_b"),
         col("jaccard"))
   }
+
+  /** Repeated-passage detection — the chunk-level form of exact-substring
+    * dedup (cf. Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": verbatim passages recur across crawled
+    * documents far more often than whole-document duplicates). Each
+    * document is split into non-overlapping `chunkSize`-token windows
+    * ([[Pipeline.chunkByTokens]] with stride = chunkSize), each window is
+    * content-hashed, and a window whose hash occurs more than once
+    * corpus-wide marks a repeated passage.
+    *
+    * Output: one row per document — (doc_id, n_chunks, n_dup_chunks,
+    * dup_chunk_frac). Filter on `dup_chunk_frac` to drop
+    * boilerplate-heavy documents, or join back to the chunk level to
+    * excise just the repeated spans.
+    *
+    * Scale shape: chunking is scan-local; the only shuffles key on the
+    * 32-byte chunk hash and on doc_id — never raw text, never pairs. A
+    * true suffix-automaton substring dedup is sequential; chunk hashing is
+    * the standard distributed approximation (window boundaries quantize
+    * match positions; overlapping strides trade cost for recall). */
+  def repeatedChunkStats(
+      docs: DataFrame, id: Column, text: Column, chunkSize: Int): DataFrame = {
+    val chunks = Pipeline.chunkByTokens(docs, id, text, chunkSize, chunkSize)
+    val occ = chunks.groupBy("chunk_md5").agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
 }

@@ -169,6 +169,46 @@ object Joins {
       rightTieBreak.map(resolve(rPlan, _))))
   }
 
+  /** Forward as-of join with optional tolerance: for every left row, the
+    * single right row with equal keys and the SMALLEST right time ≥ the
+    * left time (inclusive); with `toleranceMicros`, a match further than
+    * the tolerance is nulled out (the row survives with null right
+    * columns, like pandas `merge_asof(tolerance=...)`). Ties on the right
+    * time pick the GREATEST `rightTieBreak`.
+    *
+    * Implemented on the NATIVE backward as-of ([[asOf]]) over a negated
+    * epoch-micros time axis — time reversal turns "greatest ≤" into
+    * "smallest ≥", so the same one-shuffle sort-merge physical operator
+    * (AsOfJoinExec) serves both directions; no second plan node to
+    * maintain. Both time columns must be timestamps. The tolerance is a
+    * post-filter, which is exact: if the nearest forward match is beyond
+    * the tolerance, no in-tolerance match exists. */
+  def asOfForward(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      rightTieBreak: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val lNeg = "__asof_lneg"
+    val rNeg = "__asof_rneg"
+    val l2 = left.withColumn(lNeg, -unix_micros(col(leftTime)))
+    val r2 = right.withColumn(rNeg, -unix_micros(col(rightTime)))
+    val joined = asOf(l2, r2, keys, lNeg, rNeg, rightTieBreak)
+    val result = toleranceMicros match {
+      case None => joined
+      case Some(t) =>
+        // evaluate the tolerance BEFORE nulling any right column the
+        // predicate reads (fold order would otherwise see nulled inputs)
+        val within = col(rightTime).isNull ||
+          (unix_micros(col(rightTime)) - unix_micros(col(leftTime))) <= t
+        val marked = joined.withColumn("__asof_within", within)
+        right.columns.foldLeft(marked) { (df, c) =>
+          df.withColumn(c, when(col("__asof_within"), col(c)))
+        }.drop("__asof_within")
+    }
+    result.drop(lNeg, rNeg)
+  }
+
   /** Salted equi join for skewed keys: the skewed (left/fact) side gets a
     * deterministic salt in [0, salt), the right side is replicated `salt`
     * ways, and the join key becomes (key, salt) — splitting each hot key's

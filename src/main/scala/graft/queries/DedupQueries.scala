@@ -124,7 +124,16 @@ object DedupQueries extends QueryPack {
       graft.ops.Similarity.srpNearDupPairs(
         Tables.embeddings(s, d), "vec_id", "embedding", 0.4,
         tables = 32, bits = 4, dim = 64)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Repeated-passage detection (chunk-level exact-substring dedup, Lee
+    // et al. 2022): non-overlapping 16-token windows, corpus-wide window
+    // hash counts, per-doc repeated-window fraction. Shuffles key on the
+    // 32-byte chunk hash and doc_id only.
+    "dd12_repeated_chunks" -> ((s, d) =>
+      Dedup.repeatedChunkStats(
+        Tables.documents(s, d), col("doc_id"), col("text"), chunkSize = 16)
+        .orderBy("doc_id"))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -133,6 +142,25 @@ object DedupQueries extends QueryPack {
          sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
 
   val oracle: Map[String, String] = Map(
+    "dd12_repeated_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id,
+           [md5(array_to_string(
+              toks[(i*16)+1 : least((i*16)+16, len(toks))], ' '))
+            for i in range(0, CAST(floor((len(toks) - 1) / 16) AS INT) + 1)]
+             AS hs
+           FROM t),
+         u AS (SELECT doc_id, unnest(hs) AS h FROM c),
+         g AS (SELECT h, count(*) AS n_occ FROM u GROUP BY h)
+         SELECT u.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE g.n_occ > 1) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(count(*) FILTER (WHERE g.n_occ > 1) AS DOUBLE) / count(*)
+             AS dup_chunk_frac
+         FROM u JOIN g ON u.h = g.h
+         GROUP BY u.doc_id ORDER BY doc_id""",
     "dd11_decontamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          g AS (SELECT doc_id, unnest(list_distinct(

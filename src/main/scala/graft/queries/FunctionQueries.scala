@@ -200,7 +200,23 @@ object FunctionQueries extends QueryPack {
           col("doc_id"),
           md5(col("text")).as("text_md5"),
           substring(md5(col("text")), 1, 8).as("md5_prefix"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Bitwise surface: and/or/xor, shifts, popcount — all codegen'd
+    // built-ins. Keys are non-negative, so DuckDB's arithmetic >> equals
+    // Spark's shiftrightunsigned here.
+    "fn_bitwise" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
+          col("l_orderkey").bitwiseOR(col("l_partkey")).as("bor"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor"),
+          shiftleft(col("l_linenumber"), 3).cast("bigint").as("shl"),
+          shiftrightunsigned(col("l_orderkey"), 2).as("shr"),
+          bit_count(col("l_partkey")).as("popcnt"))
+        .orderBy("l_orderkey", "l_linenumber", "band", "bor", "bxor",
+          "shl", "shr", "popcnt"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -303,6 +319,17 @@ object FunctionQueries extends QueryPack {
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS text_md5,
            substring(md5(text), 1, 8) AS md5_prefix
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_orderkey & l_partkey AS band,
+           l_orderkey | l_partkey AS bor,
+           xor(l_orderkey, l_partkey) AS bxor,
+           CAST(l_linenumber AS BIGINT) << 3 AS shl,
+           l_orderkey >> 2 AS shr,
+           CAST(bit_count(l_partkey) AS INT) AS popcnt
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, band, bor, bxor, shl, shr,
+           popcnt"""
   )
 }

@@ -84,7 +84,27 @@ object PipelineQueries extends QueryPack {
       Pipeline.chunkByTokens(
         Tables.documents(s, d), col("doc_id"), col("text"),
         chunkSize = 64, stride = 48)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // EXACT top-fraction quality filter: keep the best 20% of documents
+    // by quality score, with a deterministic total order (score desc,
+    // doc_id). The rank comes from the two-phase globalPosition — a
+    // range-partitioned sort plus broadcast offsets, NOT a global
+    // row_number window (which would funnel 100 TB through one task);
+    // the cutoff k = floor(0.2·n) joins in from a one-row aggregate, so
+    // nothing is collected on the driver. The standard exact alternative
+    // to threshold-guessing on a score histogram.
+    "pl8_quality_topfrac" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val n = scored.agg(count(lit(1)).as("_n"))
+      Pipeline.globalPosition(scored, "pos",
+          col("quality").desc, col("doc_id").asc)
+        .crossJoin(broadcast(n))
+        .filter(col("pos") <= floor(col("_n") * 0.2))
+        .select(col("doc_id"), col("quality"), col("pos"))
+        .orderBy("pos")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -123,7 +143,30 @@ object PipelineQueries extends QueryPack {
           SELECT doc_id, CAST(u.ci AS INT) AS chunk_idx,
             CAST(u.nt AS INT) AS n_tokens, u.h AS chunk_md5
           FROM (SELECT doc_id, unnest(chunks) AS u FROM c)
-          ORDER BY doc_id, chunk_idx"""
+          ORDER BY doc_id, chunk_idx""",
+    "pl8_quality_topfrac" ->
+      """WITH t AS (SELECT doc_id, text,
+            regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+         c AS (SELECT doc_id,
+            CAST(len(toks) AS INT) AS n_tokens,
+            CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+            CAST(len(list_filter(toks,
+              x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+              / greatest(len(toks), 1) AS stopword_ratio
+           FROM t),
+         q AS (SELECT doc_id,
+            least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              + (1.0 - punct_ratio) * 0.3
+              + least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality
+           FROM c),
+         r AS (SELECT doc_id, quality,
+            CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+              AS pos
+           FROM q)
+         SELECT doc_id, quality, pos FROM r
+         WHERE pos <= (SELECT CAST(floor(count(*) * 0.2) AS BIGINT) FROM q)
+         ORDER BY pos"""
     // pl1/pl2: rows-only — seeded sampling and hash order are engine-local;
     //   PipelineSpec covers rates and determinism.
   )

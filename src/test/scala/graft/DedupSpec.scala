@@ -202,4 +202,18 @@ class DedupSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flagged === Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("repeatedChunkStats flags shared passages, not unique text") {
+    // 4-token chunks: docs 1 and 2 share their first window verbatim;
+    // doc 3 is fully unique. Short tails (doc 2's 5th token) chunk alone.
+    val d = Seq(
+      (1L, "a b c d x1 x2 x3 x4"), // chunks: "a b c d" (shared), "x1..x4"
+      (2L, "a b c d y1"),          // chunks: "a b c d" (shared), "y1"
+      (3L, "p q r s t u v w")      // chunks unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedChunkStats(d, col("doc_id"), col("text"), 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L))))
+  }
 }
