@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Canonical undirected edge list: (id_a < id_b), loops dropped,
-    * duplicates merged. Run once at graph build; downstream operators
-    * assume this shape. */
+    * duplicates merged. Run once at graph build; every operator below
+    * ALSO applies it internally — on non-canonical input (reversed or
+    * duplicated pairs straight out of a pair generator) degrees would
+    * silently double-count and the link-prediction anti join would
+    * silently miss existing edges. Canonicalization is idempotent, so
+    * pre-canonicalized input pays one extra `distinct` (one shuffle on
+    * the edge list) — the price of never emitting silently wrong data. */
   def canonical(edges: DataFrame, aCol: String, bCol: String): DataFrame =
     edges.select(
         least(col(aCol), col(bCol)).as("id_a"),
@@ -35,24 +40,32 @@ object Graph {
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
 
+  private def canon(edges: DataFrame): DataFrame =
+    canonical(edges, "id_a", "id_b")
+
   /** Per-node degree — one shuffle keyed on node id. */
-  def degrees(edges: DataFrame): DataFrame =
-    edges.select(col("id_a").as("node"))
-      .unionAll(edges.select(col("id_b").as("node")))
+  def degrees(edges: DataFrame): DataFrame = degreesOf(canon(edges))
+
+  /** Degree over edges already in canonical shape (internal fast path —
+    * avoids re-canonicalizing when the caller just did). */
+  private def degreesOf(cedges: DataFrame): DataFrame =
+    cedges.select(col("id_a").as("node"))
+      .unionAll(cedges.select(col("id_b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
 
   /** Degree histogram (degree → node count) — the first diagnostic of a
     * duplicate graph: a heavy tail means template/boilerplate clusters. */
   def degreeHistogram(edges: DataFrame): DataFrame =
-    degrees(edges).groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    degreesOf(canon(edges)).groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
   /** All triangles, one row each, vertices id-sorted (`node_a < node_b <
     * node_c`). Degree-ordered wedge enumeration (see class doc): each
     * triangle is generated exactly once, at its lowest-(degree, id)
     * vertex, so no post-dedup of 3! permutations is needed. Three joins,
     * all keyed on node ids. */
-  def triangles(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
+  def triangles(rawEdges: DataFrame): DataFrame = {
+    val edges = canon(rawEdges)
+    val deg = degreesOf(edges)
     val withDeg = edges
       .join(deg.select(col("node").as("id_a"), col("degree").as("deg_a")), "id_a")
       .join(deg.select(col("node").as("id_b"), col("degree").as("deg_b")), "id_b")
@@ -97,14 +110,19 @@ object Graph {
     * upstream with `maxDegree` (standard practice: a boilerplate doc
     * connected to everything predicts nothing). */
   def commonNeighbors(
-      edges: DataFrame, minCommon: Long,
+      rawEdges: DataFrame, minCommon: Long,
       maxDegree: Long = Long.MaxValue): DataFrame = {
+    // canonical shape is load-bearing here: the left_anti below filters
+    // predicted pairs against (id_a < id_b) edges, so a reversed input
+    // edge would survive the anti join and be reported as a "missing"
+    // link that in fact exists
+    val edges = canon(rawEdges)
     val adj0 = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
       .unionAll(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
     val adj =
       if (maxDegree == Long.MaxValue) adj0
       else adj0.join(
-        degrees(edges).filter(col("degree") <= maxDegree).select("node")
+        degreesOf(edges).filter(col("degree") <= maxDegree).select("node")
           .withColumnRenamed("node", "nbr"), "nbr")
     val pairs = adj.select(col("node").as("node_a"), col("nbr"))
       .join(adj.select(col("node").as("node_b"), col("nbr")), "nbr")

@@ -182,7 +182,15 @@ object Joins {
     * (AsOfJoinExec) serves both directions; no second plan node to
     * maintain. Both time columns must be timestamps. The tolerance is a
     * post-filter, which is exact: if the nearest forward match is beyond
-    * the tolerance, no in-tolerance match exists. */
+    * the tolerance, no in-tolerance match exists.
+    *
+    * The right side is renamed to positional temp names for the join and
+    * restored at the end: the post-join tolerance expressions must address
+    * RIGHT columns even when left and right share names (both time
+    * columns named `ts` is the most common as-of shape) — a bare
+    * `col("ts")` would be ambiguous there, and `withColumn("ts", …)`
+    * would collapse both sides' columns into one. Shared names survive
+    * into the output as duplicates, exactly like Spark's own join. */
   def asOfForward(
       left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)],
@@ -190,23 +198,41 @@ object Joins {
       rightTieBreak: Seq[String] = Nil,
       toleranceMicros: Option[Long] = None): DataFrame = {
     val lNeg = "__asof_lneg"
-    val rNeg = "__asof_rneg"
+    val rCols = right.columns.toSeq
+    val rTmpName = rCols.zipWithIndex.map { case (c, i) => c -> s"__asof_r$i" }
+    def rTmp(name: String): String =
+      rTmpName.collectFirst {
+        case (c, t) if org.apache.spark.sql.catalyst.analysis
+          .caseInsensitiveResolution(c, name) => t
+      }.getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${rCols.mkString(", ")}"))
+    val rRenamed = right.select(
+      rTmpName.map { case (c, t) => right(c).as(t) }: _*)
     val l2 = left.withColumn(lNeg, -unix_micros(col(leftTime)))
-    val r2 = right.withColumn(rNeg, -unix_micros(col(rightTime)))
-    val joined = asOf(l2, r2, keys, lNeg, rNeg, rightTieBreak)
+    val r2 = rRenamed.withColumn(rTmp(rightTime) + "_neg",
+      -unix_micros(col(rTmp(rightTime))))
+    val rNeg = rTmp(rightTime) + "_neg"
+    val joined = asOf(l2, r2, keys.map { case (lk, rk) => lk -> rTmp(rk) },
+      lNeg, rNeg, rightTieBreak.map(rTmp))
     val result = toleranceMicros match {
       case None => joined
       case Some(t) =>
         // evaluate the tolerance BEFORE nulling any right column the
         // predicate reads (fold order would otherwise see nulled inputs)
-        val within = col(rightTime).isNull ||
-          (unix_micros(col(rightTime)) - unix_micros(col(leftTime))) <= t
+        val rT = col(rTmp(rightTime))
+        val within = rT.isNull ||
+          (unix_micros(rT) - unix_micros(col(leftTime))) <= t
         val marked = joined.withColumn("__asof_within", within)
-        right.columns.foldLeft(marked) { (df, c) =>
-          df.withColumn(c, when(col("__asof_within"), col(c)))
+        rCols.foldLeft(marked) { (df, c) =>
+          df.withColumn(rTmp(c), when(col("__asof_within"), col(rTmp(c))))
         }.drop("__asof_within")
     }
-    result.drop(lNeg, rNeg)
+    // restore the right side's original names (left names are unique in
+    // the joined frame — the right side is temp-named — so left columns
+    // resolve unambiguously); lNeg/rNeg drop by omission
+    result.select(
+      left.columns.toSeq.map(c => result(c)) ++
+      rCols.map(c => col(rTmp(c)).as(c)): _*)
   }
 
   /** Salted equi join for skewed keys: the skewed (left/fact) side gets a

@@ -37,8 +37,14 @@ object GraphQueries extends QueryPack {
 
     // Link prediction: unconnected pairs with ≥ 2 common neighbors —
     // in a dedup graph, the pairs the candidate generator likely missed.
+    // Hub capping (maxDegree = 8, the fixture graph's p90 degree) is
+    // exercised here on purpose: a shared neighbor fans out deg² pairs,
+    // so one boilerplate doc connected to everything would dominate the
+    // whole job's cost while predicting nothing (it "mediates" every
+    // pair). The cap drops hub nodes as MEDIATORS only — they can still
+    // appear as endpoints of predicted pairs.
     "gr3_link_prediction" -> ((s, d) =>
-      Graph.commonNeighbors(simEdges(s, d), minCommon = 2L)
+      Graph.commonNeighbors(simEdges(s, d), minCommon = 2L, maxDegree = 8L)
         .orderBy(col("common_neighbors").desc, col("node_a"), col("node_b")))
   )
 
@@ -75,9 +81,11 @@ object GraphQueries extends QueryPack {
           FROM tn GROUP BY node ORDER BY node""",
     "gr3_link_prediction" ->
       s"""WITH $edgeCte,
+          adjc AS (SELECT a.node, a.nbr FROM adj a
+                   JOIN deg d ON d.node = a.nbr AND d.degree <= 8),
           cn AS (SELECT x.node AS node_a, y.node AS node_b,
                    CAST(count(*) AS BIGINT) AS common_neighbors
-                 FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+                 FROM adjc x JOIN adjc y ON x.nbr = y.nbr AND x.node < y.node
                  GROUP BY x.node, y.node)
           SELECT node_a, node_b, common_neighbors FROM cn
           WHERE common_neighbors >= 2

@@ -71,6 +71,59 @@ class AsOfJoinSpec extends GraftSuite {
       (3L, 10L, null))) // no such key
   }
 
+  test("forward as-of: smallest rt >= t, inclusive boundary, tie-break") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 25L), (2L, 40L)).toDF("k", "t")
+      .withColumn("t", col("t").cast("timestamp"))
+    val r = Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+        (1L, 30L, "d"), (2L, 35L, "x"))
+      .toDF("rk", "rt", "tag")
+      .withColumn("rt", col("rt").cast("timestamp"))
+    val out = Joins.asOfForward(l, r, Seq("k" -> "rk"), "t", "rt",
+        rightTieBreak = Seq("tag"))
+      .select("k", "t", "tag").orderBy("k", "t")
+      .collect().map(x => (x.getLong(0), x.getString(2)))
+    assert(out === Array(
+      (1L, "b"),  // rt=10 >= t=10 inclusive; tie a/b -> greatest tiebreak
+      (1L, "d"),  // smallest rt >= 25 is 30
+      (2L, null))) // only earlier rows exist for k=2
+  }
+
+  test("forward as-of tolerance nulls far matches, keeps the row") {
+    import spark.implicits._
+    val l = Seq((1L, 25L)).toDF("k", "t")
+      .withColumn("t", col("t").cast("timestamp"))
+    val r = Seq((1L, 30L, "d")).toDF("rk", "rt", "tag")
+      .withColumn("rt", col("rt").cast("timestamp"))
+    def run(tolSec: Long) = Joins.asOfForward(
+      l, r, Seq("k" -> "rk"), "t", "rt",
+      toleranceMicros = Some(tolSec * 1000000L)).collect()
+    val within = run(5)  // match at +5s, tolerance 5s: kept (inclusive)
+    assert(within.length === 1 && within(0).getAs[String]("tag") === "d")
+    val beyond = run(4)  // tolerance 4s: right columns nulled, row kept
+    assert(beyond.length === 1 && beyond(0).getAs[String]("tag") === null
+      && beyond(0).getAs[Any]("rt") === null)
+  }
+
+  test("forward as-of resolves shared column names (both sides ts/v)") {
+    import spark.implicits._
+    // the most common as-of shape: key, time, and value columns all share
+    // names across sides — bare-name resolution would be ambiguous
+    val l = Seq((1L, 10L, "L")).toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Seq((1L, 12L, "R1"), (1L, 99L, "R2")).toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Joins.asOfForward(l, r, Seq("k" -> "k"), "ts", "ts")
+    assert(out.columns.toSeq === Seq("k", "ts", "v", "k", "ts", "v"))
+    val row = out.collect().head
+    assert(row.getString(2) === "L")  // left v intact
+    assert(row.getString(5) === "R1") // forward match is rt=12, not 99
+    // tolerance path addresses right columns post-join — 1s nulls the match
+    val tol = Joins.asOfForward(l, r, Seq("k" -> "k"), "ts", "ts",
+      toleranceMicros = Some(1000000L)).collect().head
+    assert(tol.getString(2) === "L" && tol.getString(5) === null)
+  }
+
   test("as-of join works as a self-join on the same source") {
     // both sides from the same relation — exprId collision territory
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")

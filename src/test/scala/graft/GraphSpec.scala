@@ -75,14 +75,22 @@ class GraphSpec extends GraftSuite {
   }
 
   test("degree-capped common neighbors drops hub-mediated pairs") {
-    // star center 9 connects 1..4; 1-2 also direct. Without cap, (3,4)
-    // predicted via hub; cap degree ≤ 3 removes the hub as a mediator.
-    val e = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (1L, 2L), (1L, 3L),
-      (2L, 3L)).toDF("id_a", "id_b")
-    val capped = Graph.commonNeighbors(e, 2L, maxDegree = 3L).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // hub (degree 4) excluded as shared neighbor: (3,4)/(1,4)/(2,4) lose
-    // their only mediator; (1,9),(2,9),(3,9) are edges already
-    assert(!capped.contains((3L, 4L)))
+    // hub 9 connects 1,2,4,5 (degree 4); node 3 connects 1,2 (degree 2).
+    // Pair (1,2) has mediators {9,3}; pair (3,9) has mediators {1,2}.
+    // Edges are fed NON-canonically (reversed + one duplicate) — the
+    // operator must canonicalize internally, or the anti join would
+    // report existing edges as predictions.
+    val e = Seq((9L, 1L), (2L, 9L), (9L, 4L), (5L, 9L), (3L, 1L), (2L, 3L),
+      (1L, 9L) /* dup of (9,1) reversed */).toDF("id_a", "id_b")
+    def cn(maxDeg: Long) = Graph.commonNeighbors(e, 2L, maxDegree = maxDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // uncapped: both pairs predicted, via full expected-set equality —
+    // in particular NO existing edge appears (the anti-join must hold
+    // on the canonicalized shape)
+    assert(cn(Long.MaxValue) == Map((1L, 2L) -> 2L, (3L, 9L) -> 2L))
+    // cap 3 excludes hub 9 as a MEDIATOR: (1,2) drops to one common
+    // neighbor and disappears; (3,9) keeps mediators {1,2} (degree 2) —
+    // and hub 9 remains eligible as an ENDPOINT
+    assert(cn(3L) == Map((3L, 9L) -> 2L))
   }
 }
