@@ -11,8 +11,10 @@ import graft.sources.Tables
   * pre-loaded before the timed loop (the reference eagerly materializes at
   * CREATE, Microbase.scala:960-983 — here `cache()` + force), two warmup
   * passes absorb plan/codegen compilation and JIT stragglers, then each
-  * query is timed end-to-end (5 reps, median reported, ALL reps + GC time
-  * emitted so an outlier rep is diagnosable from the artifact alone).
+  * query is timed end-to-end (5 reps INTERLEAVED round-robin across
+  * queries; median AND min reported, ALL reps + GC time emitted so an
+  * outlier rep is diagnosable from the artifact alone). An informational
+  * `tpch22_total` times every TPC-H shape in the catalog once.
   *
   * The JSON line is printed to stdout and also written to
   * `BENCH_LAST.json` (launchers like sbt prefix stdout, which defeats a
@@ -84,19 +86,52 @@ object Bench {
     // slow reps. Each rep is still end-to-end (plan + execute +
     // materialize), same warmed-cache methodology as the reference's
     // pre-loaded tables.
+    //
+    // Reps are INTERLEAVED round-robin across queries (rep 1 of every
+    // query, then rep 2 of every query, …), not run back-to-back per
+    // query: a multi-second environment stall (page-cache writeback, a
+    // competing process, a JIT deopt storm) then lands in at most one
+    // rep of each query — where the median discards it — instead of
+    // concentrating 3 of one query's 5 reps and tripling that query's
+    // median while its neighbors stay clean (the r6 "q3 regression" and
+    // the r3→r4 "q10 regression" were exactly this ambiguity). The
+    // per-query MIN is emitted alongside the median: min is immune to
+    // one-sided noise, so median >> min flags "stalled environment"
+    // while median ≈ min ≫ last round flags a real plan regression.
     val repCount = 5
-    val timed = headline.map { q =>
-      val gc0 = gcMillis()
-      val reps = (1 to repCount).map { _ =>
+    val repsByQuery = collection.mutable.Map(
+      headline.map(_ -> Vector.empty[Double]): _*)
+    val gcByQuery = collection.mutable.Map(headline.map(_ -> 0L): _*)
+    (1 to repCount).foreach { _ =>
+      headline.foreach { q =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        repsByQuery(q) :+= (System.nanoTime() - t0) / 1e9
+        gcByQuery(q) += gcMillis() - gc0
       }
-      (q, reps, gcMillis() - gc0)
     }
+    val timed = headline.map(q => (q, repsByQuery(q): Seq[Double], gcByQuery(q)))
     val results = timed.map { case (q, reps, _) =>
       q -> reps.sorted.apply(repCount / 2)
     }
+    val mins = timed.map { case (q, reps, _) => q -> reps.min }
+
+    // Informational full-suite sweep: every TPC-H shape in the catalog,
+    // one warmup + one timed rep each — not part of the headline metric
+    // (BASELINE.md defines the 8-query suite) but a regression in e.g.
+    // q9/q18/q21 becomes visible round-over-round instead of timed
+    // nowhere. Disable with SPARK_GRAFT_BENCH_TPCH22=0.
+    val tpch22: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_TPCH22").contains("0")) Nil
+      else graft.queries.TpchQueries.queries.keys.toSeq
+        .sortBy(n => n.drop(1).takeWhile(_.isDigit).toInt)
+        .map { q =>
+          SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, sfDir).count()
+          q -> (System.nanoTime() - t0) / 1e9
+        }
 
     // Bucketed-layout experiment on the two fact-to-fact queries, measured
     // apples-to-apples (the r2 numbers were not: plain read startup-cached
@@ -205,13 +240,17 @@ object Bench {
     val total = results.map(_._2).sum
     val repsField = jsonRepMap(timed.map { case (q, reps, _) => (q, reps) })
     val gcField = jsonMap(timed.map { case (q, _, gcMs) => (q, gcMs.toDouble) })
+    val minField = jsonMap(mins)
+    val tpch22Field =
+      if (tpch22.isEmpty) ""
+      else s""","tpch22_total":${tpch22.map(_._2).sum},"tpch22":${jsonMap(tpch22)}"""
     val layoutField = layout.map { case (sh, bk) =>
       s""","shuffled":${jsonMap(sh.map { case (k, r) => (k, r.min) })}""" +
       s""","bucketed":${jsonMap(bk.map { case (k, r) => (k, r.min) })}""" +
       s""","shuffled_reps":${jsonRepMap(sh)},"bucketed_reps":${jsonRepMap(bk)}"""
     }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"reps":$repsField,"gc_ms":$gcField$layoutField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$layoutField,"sf":"$sfDir"}"""
     // stdout for the driver's log scrape AND a file for robust parsing
     // (sbt prefixes stdout lines with [info], which breaks json.loads).
     println(line)

@@ -17,7 +17,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional trailing args restrict the dump to named queries (dev loop);
-    // the driver passes none and gets the full catalog.
+    // the driver passes none and gets the full catalog. A name matching
+    // nothing is a hard error — a misspelled dev-loop filter would
+    // otherwise exit 0 with an empty outDir and read as "all green".
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+      s"catalog has ${SparkEntry.queries.size} entries")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,6 +32,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free any frames the two-phase prefix sum pinned for this query —
+      // the write above consumed them, and a 140-query session must not
+      // accumulate pinned cache entries
+      graft.ops.Pipeline.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * payloads plus typed metadata, with decode / feature-extraction /
   * resize / frame-sampling as partition-batched operators.
   *
-  * The DECODE step is a STUB (`fakeDecode` — this container ships no
-  * image/audio codecs): it produces a deterministic pseudo-decode from the
-  * payload bytes. Everything around it is the real scale plumbing —
-  * schema, binary handling, mapPartitions batching (the Scala analog of
+  * IMAGE decode is REAL: `javax.imageio` (JDK-only — PNG/GIF/BMP/JPEG,
+  * no external codecs needed) decodes `kind=image` payloads to grayscale
+  * pixels inside the partition batch loop. Payloads that are not a
+  * decodable image (the documents-derived fixture uses text bytes as
+  * stand-in payloads) fall back to the deterministic STUB pseudo-decode,
+  * as do audio/video (this container ships no audio/video codecs).
+  * Everything around the decode is the real scale plumbing — schema,
+  * binary handling, mapPartitions batching (the Scala analog of
   * `mapInPandas`: one JVM-side batch loop per partition, codec state
   * initialized once per partition, never per row), and fixed-shape feature
   * output ready for the Similarity operators.
@@ -44,9 +48,47 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (col("n_chars") * 10).cast("int").as("duration_ms")).as("meta"))
 
-  /** ??? in spirit — deterministic fake decode: expands payload bytes into
-    * `n` "pixels/samples" by cycling with a position mix. Replace with a
-    * real codec call; the partition-batch loop, schema, and shapes stay. */
+  /** Real image decode via the JDK's ImageIO: payload bytes → row-major
+    * grayscale pixels in [0, 1] ((r+g+b) / (3·255)). Returns None when
+    * the payload is not a decodable image (ImageIO.read's null contract)
+    * so the caller can fall back to the stub pseudo-decode. ImageIO's
+    * format sniffing reads the payload's magic bytes — no kind metadata
+    * trust needed. */
+  private def decodeImagePixels(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null || payload.isEmpty) None
+    else {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Float](w * h)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(i) = (r + g + b) / (3f * 255f)
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** ??? in spirit — deterministic fake decode (audio/video, and image
+    * payloads that aren't really encoded images): expands payload bytes
+    * into `n` "pixels/samples" by cycling with a position mix. Replace
+    * with a real codec call; the partition-batch loop, schema, and
+    * shapes stay. */
   private def fakeDecode(payload: Array[Byte], n: Int): Array[Float] = {
     if (payload == null || payload.isEmpty) Array.fill(n)(0.0f)
     else {
@@ -76,14 +118,24 @@ object Multimodal {
       .encoderFor(outSchema)
     val projected = media.select("media_id", "kind", "payload")
     projected.mapPartitions { rows =>
-      // per-partition "codec" init happens HERE (once), not per row
+      // per-partition "codec" init happens HERE (once), not per row —
+      // disabling ImageIO's disk cache keeps the decode in-memory for
+      // the whole partition batch
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val decoded = fakeDecode(r.getAs[Array[Byte]]("payload"), 256)
-        // byte-histogram-ish pooled feature: deterministic, fixed shape
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded: Array[Float] =
+          if (r.getAs[String]("kind") == "image")
+            decodeImagePixels(payload).getOrElse(fakeDecode(payload, 256))
+          else fakeDecode(payload, 256)
+        // pooled feature: deterministic, fixed shape regardless of the
+        // decoded length (w·h real pixels or 256 stub samples) — each
+        // bin sums its strided elements scaled by featDim/length
         val feat = new Array[Float](featDim)
+        val scale = decoded.length.toFloat / featDim
         var i = 0
         while (i < decoded.length) {
-          feat(i % featDim) += decoded(i) / (256 / featDim)
+          feat(i % featDim) += decoded(i) / scale
           i += 1
         }
         Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), feat.toSeq)

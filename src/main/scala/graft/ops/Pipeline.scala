@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Frames pinned by the two-phase prefix sum, released by
+    * [[releaseCaches]]. */
+  private val pinned =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every frame pinned by [[packByTokenBudget]] /
+    * [[globalPosition]]. Call AFTER the action(s) consuming their results
+    * — a further action on an already-returned frame would re-run the
+    * range sampler, and the recomputed partition boundaries are not
+    * guaranteed to match the broadcast offsets (that re-computation
+    * hazard is exactly why the frame is pinned in the first place).
+    * Harness loops (graft.Verify) call this between queries so a
+    * 140-query session ends with zero graft-pinned cache entries. */
+  def releaseCaches(): Unit = {
+    var df = pinned.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = pinned.poll()
+    }
+  }
+
   /** Stratified sample: per-stratum Bernoulli fractions, seeded. The
     * standard class-balancing primitive (e.g., downsample over-represented
     * languages). Scan-local: no shuffle. */
@@ -39,11 +60,12 @@ object Pipeline {
     * range sampler — correctness does not lean on re-computation
     * determinism, and the shuffle is materialized once (evicted by Spark's
     * LRU when memory is needed; spills to disk first). The cache lives as
-    * long as the returned frame's lineage: callers running MANY
-    * prefix-sum jobs in one long session should unpersist via
-    * `spark.catalog.clearCache()` between batches (per-call handles would
-    * complicate the API for a cache the LRU already bounds in memory —
-    * only disk blocks outlive eviction).
+    * long as the returned frame's lineage; every pinned frame is also
+    * tracked so [[releaseCaches]] can free them once the caller's action
+    * has consumed the result — a long-lived session running many
+    * prefix-sum jobs would otherwise accumulate one pinned frame per
+    * call (LRU bounds the memory, but the disk blocks and cache-manager
+    * entries persist for the session).
     *
     * Returns the range-partitioned frame (with a `_pid` column the caller
     * must drop) and the per-row global offset column. */
@@ -53,6 +75,7 @@ object Pipeline {
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.add(ranged)
     var acc = 0L
     val offsets: Map[Int, Long] = ranged
       .groupBy(col("_pid"))

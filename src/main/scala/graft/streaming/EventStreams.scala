@@ -106,21 +106,47 @@ object EventStreams {
 
   /** Running per-user totals via explicit state — the reference's A3
     * generic-aggregate contract (init/update/merge/emit) done as managed
-    * streaming state. Update-mode output: one row per user per batch. */
-  def userRunningTotals(events: Dataset[Ev]): Dataset[UserAgg] = {
+    * streaming state. Update-mode output: one row per user per batch.
+    *
+    * State is BOUNDED: event-time timeout drops a user's state once the
+    * watermark passes their last event by `maxIdle` (a `NoTimeout`
+    * version would hold one state entry per user forever — fine on a
+    * fixture, an unbounded leak on a 100 TB event stream). A user who
+    * returns after expiry restarts from zero — `maxIdle` is the
+    * retention horizon, sized to the analysis window (the default is
+    * deliberately generous; an hourly-engagement pipeline would use
+    * hours). The timeout anchors to `max(last event, watermark)` so a
+    * straggler group whose events are already behind the watermark still
+    * gets a valid (future) expiry rather than an analysis error. */
+  def userRunningTotals(
+      events: Dataset[Ev], maxIdle: String = "30 days"): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, rows: Iterator[Ev], state: GroupState[UserAgg]) => {
-          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
-          var n = prev.n_events
-          var tot = prev.total_value
-          rows.foreach { e => n += 1; tot += e.value }
-          val next = UserAgg(uid, n, tot)
-          state.update(next)
-          Iterator.single(next)
+          if (state.hasTimedOut) {
+            // no events for maxIdle past the watermark: free the state;
+            // emit nothing (the last update already carried the totals)
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            var maxTs = Long.MinValue
+            rows.foreach { e =>
+              n += 1; tot += e.value
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            val next = UserAgg(uid, n, tot)
+            state.update(next)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs + 1), maxIdle)
+            Iterator.single(next)
+          }
         })
   }
 

@@ -37,6 +37,37 @@ class MultimodalSpec extends GraftSuite {
     assert(Multimodal.extractFeatures(media.repartition(1)).count() === n)
   }
 
+  test("real PNG payloads decode to known pixel values via javax.imageio") {
+    import spark.implicits._
+    // 2×2 PNG with known colors, encoded in-memory by the same JDK
+    // ImageIO stack the operator decodes with
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff) // white  -> gray 1.0
+    img.setRGB(1, 0, 0x000000) // black  -> gray 0.0
+    img.setRGB(0, 1, 0x404040) // gray64 -> 64/255
+    img.setRGB(1, 1, 0xff0000) // red    -> 255/(3*255) = 1/3
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq((1L, "image", png)).toDF("media_id", "kind", "payload")
+    val feat = Multimodal.extractFeatures(media)
+      .collect().head.getSeq[Float](2)
+    // 4 pixels pool into bins 0..3 (scale = 4/32): feat(i) = gray(i)/(4f/32)
+    val scale = 4f / 32
+    assert(feat(0) === 1.0f / scale)
+    assert(feat(1) === 0.0f)
+    assert(feat(2) === (64 * 3 / (3f * 255f)) / scale)
+    assert(feat(3) === (255 / (3f * 255f)) / scale)
+    assert(feat.drop(4).forall(_ === 0.0f))
+    // non-PNG bytes under kind=image fall back to the stub, not an error
+    val fallback = Multimodal.extractFeatures(
+      Seq((2L, "image", "not a png".getBytes("UTF-8")))
+        .toDF("media_id", "kind", "payload"))
+      .collect().head.getSeq[Float](2)
+    assert(fallback.length === 32 && fallback.exists(_ !== 0.0f))
+  }
+
   test("resize updates image metadata and bounds payload") {
     val resized = Multimodal.resizeImages(media, 8, 8)
     val img = resized.filter(col("kind") === "image")

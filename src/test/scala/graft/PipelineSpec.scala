@@ -175,6 +175,22 @@ class PipelineSpec extends GraftSuite {
     assert(fast === naive)
   }
 
+  test("releaseCaches frees the prefix-sum's pinned frames after the action") {
+    val cm = spark.sharedState.cacheManager
+    Pipeline.releaseCaches() // drain pins left over from earlier tests
+    val cleanBefore = cm.isEmpty
+    val packed = Pipeline.packByTokenBudget(
+      docs, col("doc_id"), col("n_chars"), budget = 4096)
+    packed.count() // the consuming action
+    // the two-phase prefix sum pinned its range-partitioned frame
+    assert(!cm.isEmpty)
+    Pipeline.releaseCaches()
+    // releasing drops the pin; when no other suite left caches behind,
+    // the session's cache manager ends the run empty (the Verify-loop
+    // contract: 140 queries, zero graft-pinned entries at exit)
+    if (cleanBefore) assert(cm.isEmpty)
+  }
+
   test("globalPosition matches a global row_number window") {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select("doc_id")

@@ -71,6 +71,21 @@ class ReplSpec extends GraftSuite {
     assert(out === Seq("2", "1|100", "2|200"))
   }
 
+  test("reference index options map to cache / pruning, table stays queryable") {
+    // M:994-1024 — the reference builds a hash index and a tree index at
+    // CREATE from OPTIONS. Here hash_index → eager table cache (the
+    // in-memory equi-join build side), tree_index → already served by
+    // parquet/CSV pushdown + min-max pruning, logged only.
+    run(s"""CREATE TABLE idx_repl (bar int, baz int) USING csv
+        OPTIONS(path '$dataDir/R.data', delimiter '|',
+                hash_index 'bar', tree_index 'baz');""")
+    assert(spark.catalog.isCached("idx_repl"),
+      "hash_index option should cache the table")
+    assert(run("SELECT bar, baz FROM idx_repl WHERE bar = 2 ORDER BY baz")
+      === Seq("2|20", "2|25"))
+    spark.catalog.uncacheTable("idx_repl")
+  }
+
   test("join across the repl-created tables works") {
     run(s"""CREATE TABLE IF NOT EXISTS r_repl (bar int, baz int) USING csv
         OPTIONS(path '$dataDir/R.data', delimiter '|');""")

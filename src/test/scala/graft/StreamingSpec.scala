@@ -270,4 +270,50 @@ class StreamingSpec extends GraftSuite {
     assert(lastPerUser.exceptAll(batch).count() === 0)
     assert(lastPerUser.count() === batch.count())
   }
+
+  test("idle user's running-total state expires after maxIdle") {
+    import spark.implicits._
+    // four micro-batches with explicit file mtimes so the file source
+    // replays them in exactly this order (one file per trigger):
+    //   1) A @ t0          -> A state created, timeout t0 + 30min
+    //   2) B @ t0 + 120min -> watermark advances to t0 + 110min
+    //   3) B @ t0 + 130min -> A's timeout (t0+30 < wm) fires: state freed
+    //   4) A @ t0 + 135min -> A starts FRESH (n=1, not 2)
+    val dir = Files.createTempDirectory("graft-idle-").toString
+    val base = 1700000000000L
+    var seen = Set.empty[String]
+    var stamp = base
+    def emit(id: Long, user: Long, minutes: Int): Unit = {
+      Seq((id, new java.sql.Timestamp(base + minutes * 60000L), user,
+          "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val fresh = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+      stamp += 60000
+      fresh.foreach(f => f.setLastModified(stamp))
+      seen ++= fresh.map(_.getName)
+    }
+    emit(1L, 1L, 0)
+    emit(2L, 2L, 120)
+    emit(3L, 2L, 130)
+    emit(4L, 1L, 135)
+    val ds = EventStreams.readEventStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Ev]
+    val q = EventStreams.userRunningTotals(ds, maxIdle = "30 minutes")
+      .writeStream.format("memory").queryName("t_idle")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val aCounts = spark.table("t_idle").filter(col("user_id") === 1L)
+      .select("n_events").collect().map(_.getLong(0)).toSeq
+    // two updates for A, BOTH n=1: the second event found no prior state
+    // (without expiry this would be Seq(1, 2))
+    assert(aCounts.sorted === Seq(1L, 1L))
+    // B stayed within maxIdle and accumulated normally
+    val bMax = spark.table("t_idle").filter(col("user_id") === 2L)
+      .agg(max("n_events")).collect().head.getLong(0)
+    assert(bMax === 2L)
+  }
 }
