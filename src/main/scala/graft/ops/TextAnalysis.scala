@@ -107,6 +107,72 @@ object TextAnalysis {
     * filter — O(distinct × len) per document, bounded by document length,
     * and shuffle-free, which beats an explode + two-level aggregation at
     * scan time for bounded docs. */
+  /** BM25 ranked retrieval over the corpus for a fixed term set — the
+    * classic sparse-retrieval scorer (Robertson–Spärck Jones/Okapi),
+    * built from the same statistics as the inverted index (ta8):
+    *
+    *   score(D, Q) = Σ_{t ∈ Q}  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    *
+    * with the RATIONAL idf variant idf(t) = (N − df + 0.5)/(df + 0.5) —
+    * log-free on purpose: `ln` is not correctly-rounded-mandated by
+    * IEEE 754, so JVM Math.log and DuckDB's libm can differ in the last
+    * ulp and break cross-engine hash parity; the rational form is a
+    * strictly monotone transform of the Robertson idf's argument, keeps
+    * rare terms weighted above stopwords, and is exact IEEE arithmetic
+    * end-to-end. (Swap `ln` back in when bit-parity across engines is
+    * not a requirement.) Per-document term-score sums are source-ordered
+    * sequential folds (the dd6/ss1 pattern), so the whole score is
+    * bit-reproducible.
+    *
+    * Scale shape: tokenize+filter is scan-local; tf is one shuffle on
+    * (doc, term); df and the corpus stats are tiny aggregates (df ≤ |Q|
+    * rows, stats broadcast as a one-row frame); the final top-k is
+    * TakeOrderedAndProject. Docs containing no query term never leave
+    * the scan. */
+  def bm25Search(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && topK > 0)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("dl"))
+    // corpus stats: one row, broadcast — N and avgdl = Σdl / N (exact
+    // long sum, one IEEE division)
+    val corpus = dl.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val tf = toks.filter(col("token").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    // expression shapes mirror the oracle SQL exactly (left-associative),
+    // so every intermediate double is bit-identical across engines
+    val idf = ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = tfD +
+      lit(k1) * ((lit(1.0) - lit(b)) + (lit(b) * dlD) / col("avgdl"))
+    val termScore = idf * (tfD * (lit(k1) + lit(1.0))) / denom
+    tf.join(dl, "doc_id")
+      .join(dfreq, "token")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("token"), termScore.as("sc"))
+      .groupBy("doc_id")
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("token"), col("sc")))),
+            x => x.getField("sc")),
+          lit(0.0), (acc, x) => acc + x).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def topTokenFrac(toks: Column): Column = {
     val counts = transform(array_distinct(toks),
       t => size(filter(toks, x => x === t)))

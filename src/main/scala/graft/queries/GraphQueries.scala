@@ -45,7 +45,18 @@ object GraphQueries extends QueryPack {
     // appear as endpoints of predicted pairs.
     "gr3_link_prediction" -> ((s, d) =>
       Graph.commonNeighbors(simEdges(s, d), minCommon = 2L, maxDegree = 8L)
-        .orderBy(col("common_neighbors").desc, col("node_a"), col("node_b")))
+        .orderBy(col("common_neighbors").desc, col("node_a"), col("node_b"))),
+
+    // PageRank (5 damped power iterations) — "template centrality" of the
+    // near-dup graph: high-rank docs sit inside big boilerplate clusters.
+    // Hash-exact despite being float-iterative: per-edge contributions
+    // are IEEE double ops, and the per-node sums are source-ordered
+    // sequential folds on both engines (see Graph.pageRank's exactness
+    // note; the decimal-summed order-independent mode is the 100 TB
+    // shape).
+    "gr4_pagerank" -> ((s, d) =>
+      Graph.pageRank(simEdges(s, d), iterations = 5)
+        .orderBy(col("pagerank").desc, col("node")))
   )
 
   // Same sequential-fold cosine as the Spark side (bit-identical doubles;
@@ -64,6 +75,35 @@ object GraphQueries extends QueryPack {
                 UNION ALL SELECT id_b, id_a FROM e),
         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
                 FROM adj GROUP BY node)"""
+
+  // Mirrors Graph.pageRank exactly: r0 = 1/n; r_{i+1} = (1-d)/n + d·Σ
+  // with the per-node sum as a SOURCE-ORDERED sequential double fold
+  // (DuckDB's list_sum over an ORDER BY src list ≡ Spark's aggregate()
+  // fold over the src-sorted collect_list — the proven dd6/ss1 pattern)
+  // and everything else IEEE double — see the operator's exactness note.
+  private val pagerankCtes: String = {
+    val base = "(CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)"
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (SELECT o.node,
+            $base + 0.85 * COALESCE(s.s, CAST(0 AS DOUBLE)) AS pagerank
+          FROM (SELECT src AS node FROM odeg) o
+          LEFT JOIN (SELECT a.dst AS node,
+                list_sum(list(r.pagerank / a.deg ORDER BY a.src)) AS s
+              FROM adjd a JOIN r${i - 1} r ON r.node = a.src
+              GROUP BY a.dst) s ON s.node = o.node)"""
+    }.mkString(",\n")
+    s"""adj2 AS (SELECT id_a AS src, id_b AS dst FROM e
+          UNION ALL SELECT id_b, id_a FROM e),
+        odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                 FROM adj2 GROUP BY src),
+        adjd AS (SELECT a.src, a.dst, d.deg FROM adj2 a
+                 JOIN odeg d ON d.src = a.src),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM odeg),
+        r0 AS (SELECT src AS node,
+                 CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pagerank
+               FROM odeg),
+        $iters"""
+  }
 
   val oracle: Map[String, String] = Map(
     "gr1_degree_hist" ->
@@ -91,6 +131,11 @@ object GraphQueries extends QueryPack {
           WHERE common_neighbors >= 2
             AND NOT EXISTS (SELECT 1 FROM e
                             WHERE e.id_a = cn.node_a AND e.id_b = cn.node_b)
-          ORDER BY common_neighbors DESC, node_a, node_b"""
+          ORDER BY common_neighbors DESC, node_a, node_b""",
+    "gr4_pagerank" ->
+      s"""WITH $edgeCte,
+          $pagerankCtes
+          SELECT node, pagerank FROM r5
+          ORDER BY pagerank DESC, node"""
   )
 }

@@ -130,7 +130,16 @@ object TextQueries extends QueryPack {
         .withColumn("p_next",
           col("pair_count").cast("double") / col("prev_count").cast("double"))
         .orderBy("prev", "next")
-    })
+    }),
+
+    // BM25 ranked retrieval for a fixed 4-term query (two stopword-ish
+    // terms, one mid, one rare — 'dup' appears in <3% of docs so its
+    // idf dominates). Rational idf + ordered-fold sums keep the score
+    // bit-reproducible across engines; see TextAnalysis.bm25Search.
+    "ta10_bm25_search" -> ((s, d) =>
+      TextAnalysis.bm25Search(
+        Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("hash", "join", "spark", "dup"), topK = 20))
   )
 
   private val enList = "('the','a','of','and','is','to','in')"
@@ -225,6 +234,36 @@ object TextQueries extends QueryPack {
            CAST(pair_count AS DOUBLE) /
              CAST(sum(pair_count) OVER (PARTITION BY string_split(bigram, ' ')[1])
                AS DOUBLE) AS p_next
-         FROM pc ORDER BY prev, next"""
+         FROM pc ORDER BY prev, next""",
+    // expression shapes mirror TextAnalysis.bm25Search term by term
+    // (left-associative, rational idf, ordered list_sum fold)
+    "ta10_bm25_search" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+         dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+             FROM documents),
+         corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tk WHERE token IN ('hash', 'join', 'spark', 'dup')
+           GROUP BY doc_id, token),
+         dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY token),
+         s AS (SELECT t.doc_id, t.token,
+             (((c.n - f.df) + 0.5) / (f.df + 0.5)) *
+             (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) /
+             (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+               ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+                (CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE)) / c.avgdl))
+             AS sc
+           FROM tf t
+           JOIN dl d ON d.doc_id = t.doc_id
+           JOIN dfreq f ON f.token = t.token
+           CROSS JOIN corpus c)
+         SELECT doc_id, list_sum(list(sc ORDER BY token)) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms
+         FROM s GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 20"""
   )
 }

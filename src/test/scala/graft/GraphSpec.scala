@@ -74,6 +74,45 @@ class GraphSpec extends GraftSuite {
     edges.unpersist()
   }
 
+  test("pagerank matches a naive local power iteration, mass conserved") {
+    val n = 5
+    val und = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L)
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var rank = adj.keys.map(_ -> 1.0 / n).toMap
+    (1 to 5).foreach { _ =>
+      rank = adj.keys.map { v =>
+        v -> ((1.0 - 0.85) / n +
+          0.85 * adj(v).map(u => rank(u) / adj(u).size).sum)
+      }.toMap
+    }
+    val got = Graph.pageRank(k4edges, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    // decimal-summed vs naive double-summed: equal to summation noise
+    got.foreach { case (v, p) => assert(math.abs(p - rank(v)) < 1e-12) }
+    // a fixed-iteration damped walk on a dangling-free graph conserves
+    // probability mass
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the K4 core outranks the pendant
+    assert(got(5L) < got(4L) && got(5L) < got(1L))
+    // non-canonical input (reversed/duplicated edges) is canonicalized
+    // internally: bit-identical ranks
+    import spark.implicits._
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (4L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 3L), (5L, 4L)).toDF("id_a", "id_b")
+    val again = Graph.pageRank(messy, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === got)
+    // the order-independent decimal mode (the 100 TB shape) agrees with
+    // the ordered-fold mode to summation noise
+    val decimalMode = Graph.pageRank(k4edges, iterations = 5,
+        orderedFold = false).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    decimalMode.foreach { case (v, p) => assert(math.abs(p - got(v)) < 1e-12) }
+  }
+
   test("degree-capped common neighbors drops hub-mediated pairs") {
     // hub 9 connects 1,2,4,5 (degree 4); node 3 connects 1,2 (degree 2).
     // Pair (1,2) has mediators {9,3}; pair (3,9) has mediators {1,2}.

@@ -54,4 +54,35 @@ class TextAnalysisSpec extends GraftSuite {
     assert(sums.nonEmpty)
     sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9, s"sum=$s"))
   }
+
+  test("bm25 matches a local reference; rare terms dominate stopwords") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a rare"),       // one rare hit, medium length
+      (2L, "a a a a a a"),      // stopword-only
+      (3L, "a rare rare")       // two rare hits, shortest
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25Search(docs, "doc_id", "text", Seq("a", "rare"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // local reference with EXACTLY the operator's expression shapes
+    val n = 3.0
+    val avgdl = 13.0 / 3.0
+    def idf(df: Double) = ((n - df) + 0.5) / (df + 0.5)
+    def sc(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))
+    // token-sorted fold: "a" before "rare"
+    val exp = Map(
+      1L -> (sc(3, 4, 3.0) + sc(1, 4, 2.0)),
+      2L -> sc(6, 6, 3.0),
+      3L -> (sc(1, 3, 3.0) + sc(2, 3, 2.0)))
+    got.foreach { case (id, score, _) =>
+      assert(math.abs(score - exp(id)) < 1e-15, s"doc $id")
+    }
+    // rare-term docs outrank the stopword-only doc; doc 3 (2 rare hits,
+    // shortest) wins
+    assert(got.map(_._1).toSeq === Seq(3L, 1L, 2L))
+    assert(got.find(_._1 == 1L).get._3 === 2L) // matched both terms
+  }
 }
