@@ -39,6 +39,31 @@ object Pipeline {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Exact-k deterministic per-stratum sample: within each stratum, rank
+    * rows by a seeded md5 of their key and keep the k smallest. Unlike
+    * the Bernoulli [[stratifiedSample]] (output SIZE is random), this
+    * returns EXACTLY min(k, |stratum|) rows per stratum — the shape
+    * needed when downstream capacity is fixed (eval subsets, per-domain
+    * quotas). Deterministic on any partitioning/cluster layout (pure
+    * function of seed + key, like [[assignSplit]]), and engine-portable:
+    * md5 is identically defined everywhere, so the selection itself is
+    * oracle-checkable — ties in the hash (only possible for duplicate
+    * keys) break on the key itself.
+    *
+    * Scale shape: one shuffle on the stratum key; the per-stratum window
+    * is partitioned, never global. A stratum so hot it swamps one task
+    * would use the two-phase top-k (per-partition top-k, then merge) —
+    * at per-stratum k this window form is the simpler, standard shape. */
+  def exactKPerStratum(
+      df: DataFrame, strataCol: String, k: Int, seed: Long,
+      keyCol: Column): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rank = row_number().over(
+      Window.partitionBy(col(strataCol))
+        .orderBy(md5(concat_ws("|", lit(seed), keyCol)), keyCol))
+    df.withColumn("_rk", rank).filter(col("_rk") <= k).drop("_rk")
+  }
+
   /** Reproducible global shuffle: orders by a salted content hash. The
     * same (data, seed) yields the same permutation on any cluster layout —
     * unlike rand()-based shuffles. Used to decorrelate training batches.

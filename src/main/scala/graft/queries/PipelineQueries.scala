@@ -104,7 +104,18 @@ object PipelineQueries extends QueryPack {
         .filter(col("pos") <= floor(col("_n") * 0.2))
         .select(col("doc_id"), col("quality"), col("pos"))
         .orderBy("pos")
-    })
+    }),
+
+    // Exact-k deterministic per-stratum sample: exactly min(k, |stratum|)
+    // rows per source, selected by seeded-md5 rank — engine-portable
+    // (md5 is md5 everywhere), hence oracle-exact, unlike Bernoulli pl1
+    // whose output size is random and whose hash is engine-local.
+    "pl9_exact_k_sample" -> ((s, d) =>
+      Pipeline.exactKPerStratum(
+        Tables.documents(s, d), "source", k = 10, seed = 7L,
+        keyCol = col("doc_id"))
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -166,8 +177,15 @@ object PipelineQueries extends QueryPack {
            FROM q)
          SELECT doc_id, quality, pos FROM r
          WHERE pos <= (SELECT CAST(floor(count(*) * 0.2) AS BIGINT) FROM q)
-         ORDER BY pos"""
+         ORDER BY pos""",
     // pl1/pl2: rows-only — seeded sampling and hash order are engine-local;
     //   PipelineSpec covers rates and determinism.
+    "pl9_exact_k_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5(concat_ws('|', 7, doc_id)), doc_id) AS rk
+          FROM documents)
+         SELECT doc_id, source FROM r WHERE rk <= 10
+         ORDER BY source, doc_id"""
   )
 }

@@ -33,6 +33,13 @@ object StreamingQueries extends QueryPack {
         .agg(count(lit(1)).as("n_distinct_events"))
         .orderBy("event_type")),
 
+    // Event-level sessionization (gaps-and-islands): every event labeled
+    // with its per-user session index — st3 aggregates sessions, this
+    // keeps event granularity for downstream feature joins.
+    "st8_sessionize" -> ((s, d) =>
+      EventStreams.sessionize(Tables.events(s, d))
+        .orderBy("user_id", "ts", "event_id")),
+
     // Stream-stream interval join, batch dual (purchases × prior-hour
     // views per user).
     "st6_interval_join" -> ((s, d) =>
@@ -105,6 +112,26 @@ object StreamingQueries extends QueryPack {
     "st4_dedup_events" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "st8_sessionize" ->
+      """WITH ordered AS (
+           SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+           FROM events),
+         flagged AS (
+           SELECT event_id, user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL '30 minutes' THEN 1
+                  ELSE 0 END AS new_session
+           FROM ordered),
+         numbered AS (
+           SELECT event_id, user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+           FROM flagged)
+         SELECT event_id, user_id, ts, session_idx FROM numbered
+         ORDER BY user_id, ts, event_id""",
     "st6_interval_join" ->
       """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
            v.event_id AS v_id, v.ts AS v_ts

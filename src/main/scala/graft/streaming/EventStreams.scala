@@ -50,6 +50,33 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("user_id"),
         col("n_events"))
 
+  /** Batch sessionization: label every EVENT with its per-user session
+    * index under the inactivity-gap rule (a new session starts when the
+    * user's previous event is more than `gapMinutes` older — strictly,
+    * matching [[sessionCounts]]'s boundary). [[sessionCounts]] aggregates
+    * per session; this keeps event granularity — the form downstream
+    * feature pipelines join on. Gaps-and-islands: one `lag` to flag
+    * boundaries, one running sum to number them; both windows are
+    * PARTITIONED by user (shuffle on user_id, no global window), totally
+    * ordered by (ts, event_id) so duplicate timestamps sessionize
+    * deterministically. Batch-only — lag/running-sum windows don't exist
+    * on streams; the streaming analog of event labeling is
+    * flatMapGroupsWithState keyed on user. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col("ts"), 1).over(order)
+    events.select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("_new_session",
+        when(prevTs.isNull ||
+          unix_micros(col("ts")) - unix_micros(prevTs) >
+            gapMinutes * 60L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_idx", sum(col("_new_session")).over(running))
+      .drop("_new_session")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * views from the preceding hour. In streaming, BOTH sides carry
     * watermarks and the join condition bounds event-time distance, so

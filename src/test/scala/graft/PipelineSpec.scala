@@ -175,6 +175,26 @@ class PipelineSpec extends GraftSuite {
     assert(fast === naive)
   }
 
+  test("exact-k per stratum: exact sizes, deterministic, layout-stable") {
+    val have = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Pipeline.exactKPerStratum(docs, "source", 10, 7L, col("doc_id"))
+    val sizes = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // EXACTLY min(k, |stratum|) per stratum — not "approximately"
+    assert(sizes === have.map { case (k, n) => k -> math.min(10L, n) })
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    // pure function of (seed, key): identical on any partitioning
+    val ids2 = Pipeline.exactKPerStratum(
+        docs.repartition(13), "source", 10, 7L, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // a different seed picks a (virtually surely) different sample
+    val ids3 = Pipeline.exactKPerStratum(docs, "source", 10, 8L, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 !== ids3)
+  }
+
   test("releaseCaches frees the prefix-sum's pinned frames after the action") {
     val cm = spark.sharedState.cacheManager
     Pipeline.releaseCaches() // drain pins left over from earlier tests

@@ -271,6 +271,26 @@ class StreamingSpec extends GraftSuite {
     assert(lastPerUser.count() === batch.count())
   }
 
+  test("sessionize assigns gap-rule session indices per user") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val ev = Seq(
+      (1L, 1L, ts(0)),   // u1 s1
+      (2L, 1L, ts(10)),  // u1 s1 (10 min gap)
+      (3L, 1L, ts(60)),  // u1 s2 (50 min gap)
+      (4L, 1L, ts(60)),  // u1 s2 (duplicate ts — event_id breaks the tie)
+      (5L, 2L, ts(0)),   // u2 s1
+      (6L, 3L, ts(0)),   // u3 s1
+      (7L, 3L, ts(30))   // u3 s1: exactly 30 min is NOT > 30 min (strict,
+                         // matching the session_window boundary)
+    ).toDF("event_id", "user_id", "ts")
+    val got = EventStreams.sessionize(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
   test("idle user's running-total state expires after maxIdle") {
     import spark.implicits._
     // four micro-batches with explicit file mtimes so the file source
