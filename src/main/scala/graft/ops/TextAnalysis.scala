@@ -173,6 +173,62 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Windowed token co-occurrence with PMI-style association strength —
+    * the embedding-prep / collocation-mining primitive. For every
+    * unordered token pair co-occurring within `window` positions:
+    *
+    *   lift(x, y) = P(x,y) / (P(x)·P(y))
+    *              = (c_xy · N_tok²) / (N_pair · c_x · c_y)
+    *
+    * — PMI without the log (PMI = ln lift): a monotone transform that
+    * keeps the whole statistic exact-integer ratios evaluated in IEEE
+    * doubles, hence bit-reproducible across engines (`ln` is not; see
+    * [[bm25Search]]). lift > 1 ⇒ the pair co-occurs more than chance.
+    *
+    * Scale shape: pair generation is SCAN-LOCAL — a nested
+    * transform/flatten over each document's token array (never a
+    * positional self-join, which would shuffle the corpus against
+    * itself); the only shuffles are the two groupBy counts (pair,
+    * unigram). Corpus totals broadcast as a one-row frame. `minCount`
+    * prunes the hapax tail before the join fan-in. */
+  def cooccurrenceLift(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      window: Int = 2, minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && minCount >= 1)
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val pairsArr = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, least(i + lit(window), n - 1)), j =>
+        struct(
+          least(element_at(toks, i + 1), element_at(toks, j + 1)).as("a"),
+          greatest(element_at(toks, i + 1), element_at(toks, j + 1))
+            .as("b")))))
+    val pairs = docs
+      // guard: sequence(0, n-2) is invalid for single-token docs
+      .select(explode(when(n >= 2, pairsArr)
+        .otherwise(array().cast("array<struct<a:string,b:string>>")))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairCounts = pairs.groupBy("a", "b")
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val uni = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("nt"))
+      .crossJoin(broadcast(
+        pairs.agg(count(lit(1)).cast("double").as("np"))))
+    pairCounts
+      .join(uni.select(col("token").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("pair_count"),
+        ((col("pair_count").cast("double") * col("nt") * col("nt")) /
+          (col("np") * col("ca").cast("double") * col("cb").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+  }
+
   def topTokenFrac(toks: Column): Column = {
     val counts = transform(array_distinct(toks),
       t => size(filter(toks, x => x === t)))

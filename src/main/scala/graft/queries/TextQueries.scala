@@ -139,7 +139,16 @@ object TextQueries extends QueryPack {
     "ta10_bm25_search" -> ((s, d) =>
       TextAnalysis.bm25Search(
         Tables.documents(s, d), "doc_id", "text",
-        terms = Seq("hash", "join", "spark", "dup"), topK = 20))
+        terms = Seq("hash", "join", "spark", "dup"), topK = 20)),
+
+    // Windowed co-occurrence lift (log-free PMI): which token pairs
+    // co-occur above chance within ±2 positions. Scan-local pair
+    // generation (no positional self-join); exact integer ratios in
+    // IEEE doubles keep it hash-exact.
+    "ta11_cooccurrence" -> ((s, d) =>
+      TextAnalysis.cooccurrenceLift(
+        Tables.documents(s, d), "doc_id", "text",
+        window = 2, minCount = 5))
   )
 
   private val enList = "('the','a','of','and','is','to','in')"
@@ -264,6 +273,32 @@ object TextQueries extends QueryPack {
          SELECT doc_id, list_sum(list(sc ORDER BY token)) AS bm25,
            CAST(count(*) AS BIGINT) AS n_terms
          FROM s GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 20"""
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // scan-local nested-comprehension pair generation mirrors the Spark
+    // transform/flatten; lift arithmetic is term-by-term identical
+    "ta11_cooccurrence" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         pr AS (SELECT unnest(flatten(list_transform(range(0, len(w) - 1),
+                  i -> list_transform(
+                    range(i + 1, least(i + 2, len(w) - 1) + 1),
+                    j -> {'a': least(w[i+1], w[j+1]),
+                          'b': greatest(w[i+1], w[j+1])})))) AS p
+            FROM t WHERE len(w) >= 2),
+         pcf AS (SELECT p.a AS a, p.b AS b, count(*) AS pair_count
+            FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
+         uni AS (SELECT tok, count(*) AS c FROM
+               (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             GROUP BY tok),
+         tot AS (SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS nt,
+                    CAST((SELECT count(*) FROM pr) AS DOUBLE) AS np)
+         SELECT f.a, f.b, CAST(f.pair_count AS BIGINT) AS pair_count,
+           (CAST(f.pair_count AS DOUBLE) * t.nt * t.nt) /
+             (t.np * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+         FROM pcf f
+         JOIN uni ua ON ua.tok = f.a
+         JOIN uni ub ON ub.tok = f.b
+         CROSS JOIN tot t
+         ORDER BY lift DESC, a, b"""
   )
 }

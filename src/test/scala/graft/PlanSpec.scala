@@ -163,6 +163,28 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("pl9 exact-k sample and st8 sessionize window per stratum/user") {
+    // both are window operators — the windows must be PARTITIONED
+    // (stratum / user), never a single-task global window
+    val p9 = plan(SparkEntry.queries("pl9_exact_k_sample")(spark, sf))
+    assert(!p9.contains("SinglePartition"), p9)
+    val s8 = plan(SparkEntry.queries("st8_sessionize")(spark, sf))
+    assert(!s8.contains("SinglePartition"), s8)
+  }
+
+  test("ta10 bm25 plans broadcast corpus stats and top-k, no global sort") {
+    val df = SparkEntry.queries("ta10_bm25_search")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the one-row corpus-stats frame joins via broadcast (nested-loop on
+    // a single row), never a shuffled or cartesian join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // LIMIT over ORDER BY plans TakeOrderedAndProject — per-partition
+    // top-k then merge, not a global sort of every scored doc
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("runtime bloom filter injects on a selective dim→fact shuffle join") {
     // At 100 TB, a fact scan joined to a FILTERED dim too big to
     // broadcast is cut by a runtime bloom filter on the join key

@@ -55,6 +55,39 @@ class TextAnalysisSpec extends GraftSuite {
     sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9, s"sum=$s"))
   }
 
+  test("cooccurrence lift matches hand counts; collocated pair tops chance") {
+    import spark.implicits._
+    // "x y" always adjacent (collocation); "z" floats independently
+    val docs = Seq(
+      (1L, "x y z x y"),
+      (2L, "z x y x y"),
+      (3L, "x y x y z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .cooccurrenceLift(docs, "doc_id", "text", window = 2, minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // per doc of 5 tokens, window 2: pairs at offsets (i,i+1),(i,i+2) →
+    // 4 + 3 = 7 pairs; N_pair = 21, N_tok = 15; c_x = c_y = 6, c_z = 3.
+    // Hand counts (canonical, incl. self-pairs from repetition):
+    //   (x,y): 3+3+3 = 9, (x,z): 2+1+1 = 4, (y,z): 2+1+1 = 4,
+    //   (x,x): 0+1+1 = 2, (y,y): 0+1+1 = 2
+    val nt = 15.0; val np = 21.0
+    def lift(cxy: Long, cx: Long, cy: Long): Double =
+      (cxy.toDouble * nt * nt) / (np * cx.toDouble * cy.toDouble)
+    assert(got.keySet === Set(("x", "y"), ("x", "z"), ("y", "z"),
+      ("x", "x"), ("y", "y")))
+    assert(got(("x", "y"))._1 === 9L)
+    assert(got(("x", "y"))._2 === lift(9, 6, 6))
+    assert(got(("x", "z"))._1 === 4L)
+    assert(got(("y", "z"))._1 === 4L)
+    assert(got(("x", "x"))._1 === 2L) // self-pair: intra-doc repetition
+    // the collocated pair beats chance; lift math is exact
+    assert(got(("x", "y"))._2 > 1.0)
+    assert(got(("x", "z"))._2 === lift(4, 6, 3))
+  }
+
   test("bm25 matches a local reference; rare terms dominate stopwords") {
     import spark.implicits._
     val docs = Seq(
