@@ -64,6 +64,37 @@ object Pipeline {
     df.withColumn("_rk", rank).filter(col("_rk") <= k).drop("_rk")
   }
 
+  /** Weighted sample WITHOUT replacement, exactly k rows, inclusion
+    * probability ∝ weight — Efraimidis–Spirakis A-ES: each row gets the
+    * key u^(1/w) with u uniform in [0,1), and the k largest keys win.
+    * u derives from a seeded xxhash64 of the row key (the same
+    * pure-function-of-(seed,key) construction as [[assignSplit]]), so
+    * the sample is deterministic on any partitioning and replays
+    * bit-identically — no RNG state, no `rand()`. The quality-weighted
+    * subset-selection primitive ("sample 1M docs ∝ quality score").
+    *
+    * Scale shape: the key is scan-local; the global top-k plans
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    * one reducer) — k rows cross the network, not the corpus. Rows with
+    * weight ≤ 0 are excluded (their inclusion probability is 0).
+    *
+    * Cross-engine note: `pow` is not IEEE correctly-rounded, so the
+    * exact selection near the rank boundary is engine-local — the
+    * catalog entry is rows-only with PipelineSpec invariants, like the
+    * Bernoulli samplers. */
+  def weightedSample(
+      df: DataFrame, k: Int, seed: Long,
+      weightCol: Column, keyCols: Column*): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = shiftrightunsigned(xxhash64(lit(seed) +: keyCols: _*), 1)
+      .cast("double") / 9.223372036854776e18
+    df.filter(weightCol > 0)
+      .withColumn("_aes", pow(u, lit(1.0) / weightCol))
+      .orderBy(col("_aes").desc +: keyCols: _*)
+      .limit(k)
+      .drop("_aes")
+  }
+
   /** Reproducible global shuffle: orders by a salted content hash. The
     * same (data, seed) yields the same permutation on any cluster layout —
     * unlike rand()-based shuffles. Used to decorrelate training batches.

@@ -115,7 +115,18 @@ object PipelineQueries extends QueryPack {
         Tables.documents(s, d), "source", k = 10, seed = 7L,
         keyCol = col("doc_id"))
         .select("doc_id", "source")
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    // Weighted sample ∝ document length (Efraimidis–Spirakis, exact k,
+    // deterministic). Rows-only: pow() is engine-local in its last ulp,
+    // so the boundary of the selection can differ across engines;
+    // PipelineSpec asserts size, determinism, and weight monotonicity.
+    "pl10_weighted_sample" -> ((s, d) =>
+      Pipeline.weightedSample(
+        Tables.documents(s, d), k = 50, seed = 3L,
+        weightCol = col("n_chars"), col("doc_id"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(

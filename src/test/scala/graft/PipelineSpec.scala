@@ -195,6 +195,36 @@ class PipelineSpec extends GraftSuite {
     assert(ids1 !== ids3)
   }
 
+  test("weighted sample: exact k, deterministic, weight-monotone") {
+    import spark.implicits._
+    val s1 = Pipeline.weightedSample(
+      docs, k = 50, seed = 3L, col("n_chars"), col("doc_id"))
+    assert(s1.count() === 50)
+    // pure function of (seed, key, weight): identical on any layout
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Pipeline.weightedSample(
+        docs.repartition(11), k = 50, seed = 3L,
+        col("n_chars"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // a dominant weight is (effectively) always selected: u^(1/w) → 1
+    // as w grows, while unit-weight keys stay uniform
+    (1L to 5L).foreach { seed =>
+      val rows = (0L until 100L).map(i => (i, if (i == 42L) 1e6 else 1.0))
+        .toDF("id", "w")
+      val picked = Pipeline.weightedSample(rows, k = 10, seed, col("w"),
+          col("id"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(picked.contains(42L), s"seed $seed")
+      assert(picked.size === 10)
+    }
+    // zero/negative weights are excluded outright
+    val withZero = Seq((1L, 0.0), (2L, -3.0), (3L, 2.0)).toDF("id", "w")
+    val kept = Pipeline.weightedSample(withZero, 3, 1L, col("w"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+  }
+
   test("releaseCaches frees the prefix-sum's pinned frames after the action") {
     val cm = spark.sharedState.cacheManager
     Pipeline.releaseCaches() // drain pins left over from earlier tests

@@ -148,6 +148,36 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("sessionize matches a local fold on random event streams") {
+    // random (user, minute) events incl. duplicate timestamps; the
+    // distributed gaps-and-islands labeling must equal a sequential
+    // per-user fold with the same strict >30-min boundary
+    val evGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0, 600)))
+    (1L to 6L).foreach { seed =>
+      val events = evGen(Gen.Parameters.default, rng.Seed(seed)).get
+        .zipWithIndex
+        .map { case ((u, min), i) =>
+          (i.toLong, u, new java.sql.Timestamp(1700000000000L + min * 60000L))
+        }
+      val df = events.toDF("event_id", "user_id", "ts")
+      val got = graft.streaming.EventStreams.sessionize(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val expected = events.groupBy(_._2).flatMap { case (_, evs) =>
+        val ordered = evs.sortBy(e => (e._3.getTime, e._1))
+        var idx = 0L
+        var prev = Long.MinValue
+        ordered.map { e =>
+          if (prev == Long.MinValue || e._3.getTime - prev > 30 * 60000L)
+            idx += 1
+          prev = e._3.getTime
+          e._1 -> idx
+        }
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("token chunks reconstruct the exact expected slices on random texts") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
