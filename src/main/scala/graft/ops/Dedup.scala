@@ -367,4 +367,41 @@ object Dedup {
       .withColumn("dup_chunk_frac",
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
+
+  /** Fuzzy self-join: id-ordered pairs with Levenshtein distance ≤ 1
+    * (0 included — exact duplicates under different ids are still pairs),
+    * via symmetric-delete blocking (SymSpell / Norvig):
+    * two strings are within edit distance 1 iff their deletion
+    * neighborhoods {s} ∪ {s minus one char} intersect, so candidates come
+    * from an EQUI join on variant keys — never a pairwise scan. The exact
+    * `levenshtein` residual then removes the dist-2 pairs the blocking
+    * admits (x and y each one delete from a shared variant).
+    *
+    * Scale shape: |s|+1 variant rows per input row, shuffled on the
+    * variant string — linear blow-up, key-joined, the same
+    * candidate-generator discipline as MinHash-LSH (dd3). Lossless for
+    * dist ≤ 1 (substitution/insert/delete each leave a shared variant),
+    * so the result is oracle-checkable against the naive theta join. */
+  def editDistancePairs(df: DataFrame, id: Column, str: Column): DataFrame = {
+    val base = df.select(id.as("ed_id"), str.as("ed_s"))
+    // {s} ∪ deletion neighborhood, via SQL substring (expression positions)
+    val variants = base.select(col("ed_id"), col("ed_s"),
+      explode(expr(
+        """array_union(
+             array(ed_s),
+             array_distinct(transform(
+               sequence(1, greatest(length(ed_s), 1)),
+               i -> concat(substring(ed_s, 1, i - 1),
+                           substring(ed_s, i + 1, length(ed_s))))))"""))
+        .as("variant"))
+    variants.alias("a")
+      .join(variants.alias("b"),
+        col("a.variant") === col("b.variant") &&
+        col("a.ed_id") < col("b.ed_id"))
+      .select(col("a.ed_id").as("id_a"), col("a.ed_s").as("s_a"),
+        col("b.ed_id").as("id_b"), col("b.ed_s").as("s_b"))
+      .distinct() // a pair may share several variants (e.g. equal strings)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+  }
 }

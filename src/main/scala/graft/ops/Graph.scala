@@ -101,6 +101,32 @@ object Graph {
         .as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
 
+  /** Local clustering coefficient per node: cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) for deg(v) ≥ 2 — "how close is v's neighborhood
+    * to a clique". In a dedup graph, cc ≈ 1 nodes sit inside
+    * fully-connected template clusters (safe to drop all but one); low-cc
+    * high-degree nodes are hubs stitching unrelated docs (LSH false
+    * positives to re-verify).
+    *
+    * Reuses the degree-ordered triangle enumeration (O(m^1.5)) and joins
+    * its per-node counts back to degrees — nodes in no triangle keep
+    * cc = 0. Cross-engine exact: one IEEE double division of exact
+    * integers per node, bit-identical on any engine. */
+  def clusteringCoefficients(rawEdges: DataFrame): DataFrame = {
+    val edges = canon(rawEdges)
+    val eligible = degreesOf(edges).filter(col("degree") >= 2)
+    eligible
+      .join(triangles(edges)
+          .select(explode(array(col("node_a"), col("node_b"), col("node_c")))
+            .as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_triangles")),
+        Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+          (col("degree") * (col("degree") - 1))).as("clustering_coeff"))
+  }
+
   /** PageRank over the undirected graph (each undirected edge acts as two
     * directed edges), a fixed number of damped power iterations:
     *

@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: `javax.imageio` (JDK-only — PNG/GIF/BMP/JPEG,
   * no external codecs needed) decodes `kind=image` payloads to grayscale
-  * pixels inside the partition batch loop. Payloads that are not a
-  * decodable image (the documents-derived fixture uses text bytes as
-  * stand-in payloads) fall back to the deterministic STUB pseudo-decode,
-  * as do audio/video (this container ships no audio/video codecs).
+  * pixels inside the partition batch loop. AUDIO decode is REAL for
+  * RIFF/WAVE PCM16 (a pure container format — hand-rolled chunk walk, no
+  * codec): `kind=audio` payloads decode to mono float samples. Payloads
+  * that are not decodable media (the documents-derived fixture uses text
+  * bytes as stand-in payloads) fall back to the deterministic STUB
+  * pseudo-decode, as does video (this container ships no video codecs).
   * Everything around the decode is the real scale plumbing — schema,
   * binary handling, mapPartitions batching (the Scala analog of
   * `mapInPandas`: one JVM-side batch loop per partition, codec state
@@ -84,8 +86,63 @@ object Multimodal {
     }
   }
 
-  /** ??? in spirit — deterministic fake decode (audio/video, and image
-    * payloads that aren't really encoded images): expands payload bytes
+  /** Real audio decode for canonical RIFF/WAVE PCM16: payload bytes →
+    * mono float samples in [-1, 1) (multi-channel frames averaged).
+    * Hand-rolled RIFF chunk walk — WAV is a pure container format the JDK
+    * can parse without codecs, the audio analog of the ImageIO path
+    * above. Returns None when the payload is not a PCM16 WAV (magic or
+    * fmt mismatch, truncated chunks) so the caller falls back to the
+    * stub, same contract as [[decodeImagePixels]]. */
+  private def decodeWavSamples(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null || payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var channels = 0
+    var bitsPerSample = 0
+    var isPcm = false
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= payload.length) {
+      val id = tag(pos)
+      val sz = bb.getInt(pos + 4)
+      if (sz < 0 || pos + 8 + sz > payload.length) return None
+      if (id == "fmt " && sz >= 16) {
+        isPcm = bb.getShort(pos + 8) == 1
+        channels = bb.getShort(pos + 10)
+        bitsPerSample = bb.getShort(pos + 22)
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = sz
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (!isPcm || bitsPerSample != 16 || channels < 1 || dataOff < 0) None
+    else {
+      val nFrames = dataLen / (2 * channels)
+      if (nFrames == 0) None
+      else {
+        val out = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0f
+          var c = 0
+          while (c < channels) {
+            acc += bb.getShort(dataOff + 2 * (f * channels + c)) / 32768f
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** ??? in spirit — deterministic fake decode (video, and image/audio
+    * payloads that aren't really encoded media): expands payload bytes
     * into `n` "pixels/samples" by cycling with a position mix. Replace
     * with a real codec call; the partition-batch loop, schema, and
     * shapes stay. */
@@ -124,10 +181,13 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val decoded: Array[Float] =
-          if (r.getAs[String]("kind") == "image")
+        val decoded: Array[Float] = r.getAs[String]("kind") match {
+          case "image" =>
             decodeImagePixels(payload).getOrElse(fakeDecode(payload, 256))
-          else fakeDecode(payload, 256)
+          case "audio" =>
+            decodeWavSamples(payload).getOrElse(fakeDecode(payload, 256))
+          case _ => fakeDecode(payload, 256)
+        }
         // pooled feature: deterministic, fixed shape regardless of the
         // decoded length (w·h real pixels or 256 stub samples) — each
         // bin sums its strided elements scaled by featDim/length

@@ -61,4 +61,38 @@ object Relational {
   /** O4 — derived-table / subquery alias (M:99-123). Spark's analyzer
     * handles scoping; this is just the ergonomic wrapper. */
   def subquery(name: String)(df: DataFrame): DataFrame = df.alias(name)
+
+  /** ANALYZE-style column statistics in ONE scan: per requested column a
+    * row `(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)`.
+    * This is the statistics collection a cost-based optimizer feeds on
+    * (row counts, NDV, null fractions, min/max for selectivity) — the
+    * reference has nothing comparable; its "indexes" (M:994-1024) are the
+    * closest analog and are driver-heap structures.
+    *
+    * Shape: one global aggregate over the table computes every metric for
+    * every column simultaneously (Spark plans the multi-distinct via
+    * Expand — still a single pass over the parquet scan), then `stack`
+    * unpivots the 1×(4k+1) row into k long-format rows. At 100 TB you
+    * swap `count_distinct` for `approx_count_distinct` (the sketch is
+    * already covered by `agg_approx_distinct`) and keep the shape;
+    * exact NDV here keeps the operator oracle-checkable.
+    *
+    * Columns must be numeric (min/max emit as double). */
+  def analyzeStats(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "analyzeStats needs at least one column")
+    val aggs = count(lit(1)).as("__rows") +: columns.flatMap { c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      count_distinct(col(c)).as(s"__d_$c"),
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")) }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.map { c =>
+      s"'$c', __rows - __n_$c, __d_$c, __min_$c, __max_$c" }.mkString(", ")
+    wide.selectExpr(
+      "__rows AS n_rows",
+      s"stack(${columns.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_val", "max_val")
+  }
 }

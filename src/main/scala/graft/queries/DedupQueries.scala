@@ -133,7 +133,17 @@ object DedupQueries extends QueryPack {
     "dd12_repeated_chunks" -> ((s, d) =>
       Dedup.repeatedChunkStats(
         Tables.documents(s, d), col("doc_id"), col("text"), chunkSize = 16)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Fuzzy (typo-tolerant) entity matching: supplier-name pairs within
+    // Levenshtein distance 1, candidates from symmetric-delete blocking
+    // (an EQUI join on deletion-variant keys — linear blow-up, never a
+    // pairwise scan). Lossless for dist ≤ 1, so the oracle can state the
+    // naive theta join and match hash-exactly.
+    "dd13_fuzzy_name_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(
+        Tables.supplier(s, d), col("s_suppkey"), col("s_name"))
+        .orderBy("id_a", "id_b"))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -177,6 +187,16 @@ object DedupQueries extends QueryPack {
            min(doc_id) OVER (PARTITION BY text) AS canonical_id,
            doc_id = min(doc_id) OVER (PARTITION BY text) AS is_kept
          FROM documents ORDER BY doc_id""",
+    // The naive theta join the deletion-variant blocking replaces —
+    // identical pairs because the blocking is lossless at dist ≤ 1.
+    "dd13_fuzzy_name_pairs" ->
+      """SELECT a.s_suppkey AS id_a, a.s_name AS s_a,
+           b.s_suppkey AS id_b, b.s_name AS s_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+         FROM supplier a JOIN supplier b
+           ON a.s_suppkey < b.s_suppkey
+          AND levenshtein(a.s_name, b.s_name) <= 1
+         ORDER BY id_a, id_b""",
     "dd5_ngram_neardup_pairs" ->
       """WITH t AS (SELECT doc_id, source,
             list_distinct([substr(lower(text), i, 3)

@@ -56,7 +56,14 @@ object GraphQueries extends QueryPack {
     // shape).
     "gr4_pagerank" -> ((s, d) =>
       Graph.pageRank(simEdges(s, d), iterations = 5)
-        .orderBy(col("pagerank").desc, col("node")))
+        .orderBy(col("pagerank").desc, col("node"))),
+
+    // Local clustering coefficient — cc ≈ 1 marks fully-connected template
+    // clusters (drop all but one), low-cc hubs mark LSH false positives.
+    // Hash-exact: a single IEEE division of exact integers per node.
+    "gr5_clustering_coeff" -> ((s, d) =>
+      Graph.clusteringCoefficients(simEdges(s, d))
+        .orderBy(col("clustering_coeff").desc, col("node")))
   )
 
   // Same sequential-fold cosine as the Spark side (bit-identical doubles;
@@ -136,6 +143,24 @@ object GraphQueries extends QueryPack {
       s"""WITH $edgeCte,
           $pagerankCtes
           SELECT node, pagerank FROM r5
-          ORDER BY pagerank DESC, node"""
+          ORDER BY pagerank DESC, node""",
+    // tri CTE mirrors gr2 (closed oriented wedges on the canonical edge
+    // list); cc is one double division of exact integers — bit-identical.
+    "gr5_clustering_coeff" ->
+      s"""WITH $edgeCte,
+          tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                  FROM e e1
+                  JOIN e e2 ON e2.id_a = e1.id_b
+                  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+          tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                 FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+                 GROUP BY node)
+          SELECT d.node, d.degree,
+            COALESCE(tc.n_triangles, 0) AS n_triangles,
+            CAST(2 AS DOUBLE) * COALESCE(tc.n_triangles, 0) /
+              (d.degree * (d.degree - 1)) AS clustering_coeff
+          FROM deg d LEFT JOIN tc ON tc.node = d.node
+          WHERE d.degree >= 2
+          ORDER BY clustering_coeff DESC, d.node"""
   )
 }

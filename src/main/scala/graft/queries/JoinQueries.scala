@@ -170,6 +170,32 @@ object JoinQueries extends QueryPack {
         .orderBy("p_id")
     }),
 
+    // INTERVAL-OVERLAP join (interval×interval) via bin replication —
+    // concurrent shipment windows of the same part. Windows are derived in
+    // exact integer day math ([ship, ship + quantity days], epoch days), so
+    // the overlap test is lossless on both engines. A naive overlap theta
+    // join is O(n·m) nested-loop; Intervals.overlapJoin keys both sides on
+    // covered 64-day bins and meets each qualifying pair EXACTLY once (met
+    // bin pinned to the lowest shared bin), so the count below needs no
+    // dedup pass.
+    "j15_interval_overlap" -> ((s, d) => {
+      def windows(prefix: String) = Tables.lineitem(s, d).select(
+          col("l_partkey").as(s"${prefix}_pk"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as(s"${prefix}_id"),
+          unix_date(to_date(col("l_shipdate"))).as(s"${prefix}_start"),
+          (unix_date(to_date(col("l_shipdate"))) +
+            col("l_quantity").cast("int")).as(s"${prefix}_end"))
+      val a = windows("a")
+      val b = windows("b")
+      graft.ops.Intervals.overlapJoin(a, b,
+          col("a_start"), col("a_end"), col("b_start"), col("b_end"),
+          binSize = 64L,
+          extraCond = col("a_pk") === col("b_pk") && col("a_id") < col("b_id"))
+        .groupBy(col("a_pk").as("partkey"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("partkey")
+    }),
+
     // THETA — non-equi conjunct in the join condition (the reference could
     // only leave these as residual filters, SURVEY §2c): nation pairs in
     // the same region, ordered pair.
@@ -266,6 +292,19 @@ object JoinQueries extends QueryPack {
                FROM events WHERE event_type = 'purchase') p
            JOIN events e
              ON e.ts >= p.p_ts AND e.ts <= p.p_ts + INTERVAL 30 MINUTE
-         GROUP BY p_id ORDER BY p_id"""
+         GROUP BY p_id ORDER BY p_id""",
+    // The oracle states the overlap join as the naive theta join the
+    // binned operator replaces — identical pairs, exactly once each.
+    "j15_interval_overlap" ->
+      """WITH l AS (SELECT l_partkey AS pk,
+              l_orderkey * 10 + l_linenumber AS id,
+              CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS s,
+              CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                + CAST(l_quantity AS INT) AS e
+            FROM lineitem)
+         SELECT a.pk AS partkey, CAST(count(*) AS BIGINT) AS n_overlaps
+         FROM l a JOIN l b
+           ON a.pk = b.pk AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+         GROUP BY a.pk ORDER BY partkey"""
   )
 }

@@ -151,7 +151,17 @@ object RelationalQueries extends QueryPack {
         .select(col("t.o_orderstatus"), col("t.cnt"))
         .filter(col("t.cnt") > 0)
         .orderBy("o_orderstatus")
-    })
+    }),
+
+    // S8 — ANALYZE-style statistics (rows / nulls / NDV / min / max per
+    // column) in ONE scan — what a CBO's selectivity estimation feeds on.
+    // The oracle dual necessarily scans once per column; the operator's
+    // point is that Spark computes all metrics in a single pass (Expand
+    // for the multi-distinct, then stack to long format).
+    "s8_analyze_stats" -> ((s, d) =>
+      Relational.analyzeStats(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -228,6 +238,19 @@ object RelationalQueries extends QueryPack {
       """SELECT t.o_orderstatus, t.cnt
          FROM (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
                FROM orders GROUP BY o_orderstatus) t
-         WHERE t.cnt > 0 ORDER BY o_orderstatus"""
+         WHERE t.cnt > 0 ORDER BY o_orderstatus""",
+    "s8_analyze_stats" -> {
+      val perCol = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map { c =>
+          s"""SELECT '$c' AS col_name,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                CAST(min($c) AS DOUBLE) AS min_val,
+                CAST(max($c) AS DOUBLE) AS max_val
+              FROM lineitem""" }
+        .mkString("\nUNION ALL\n")
+      s"SELECT * FROM ($perCol) ORDER BY col_name"
+    }
   )
 }

@@ -101,6 +101,22 @@ object WindowQueries extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Gaps-and-islands interval coalescing (Intervals.mergeIntervals):
+    // per-supplier shipment windows [ship, ship + quantity days] merged
+    // into maximal busy spans via a running-max window — the classic
+    // validity-interval consolidation every temporal warehouse needs.
+    // Exact integer day math end to end; one shuffle on the key, windows
+    // parallel across suppliers.
+    "w8_interval_merge" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d).select(
+        col("l_suppkey").as("suppkey"),
+        unix_date(to_date(col("l_shipdate"))).cast("long").as("start_d"),
+        (unix_date(to_date(col("l_shipdate"))) +
+          col("l_quantity").cast("int")).cast("long").as("end_d"))
+      graft.ops.Intervals.mergeIntervals(iv, "suppkey", "start_d", "end_d")
+        .orderBy("suppkey", "span_start")
+    }),
+
     // Top-k per group via window — the distributed form of the reference's
     // global sort+limit (O5), applied per partition key.
     "w6_topk_per_group" -> ((s, d) => {
@@ -172,6 +188,30 @@ object WindowQueries extends QueryPack {
              CAST(row_number() OVER (PARTITION BY c_mktsegment
                ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
            FROM customer)
-         WHERE rn <= 5 ORDER BY c_mktsegment, rn"""
+         WHERE rn <= 5 ORDER BY c_mktsegment, rn""",
+    // Same running-max island detection as Intervals.mergeIntervals; ties
+    // in (start_d, end_d) are interchangeable rows, so the grouped spans
+    // are order-invariant on both engines.
+    "w8_interval_merge" ->
+      """WITH iv AS (SELECT l_suppkey AS suppkey,
+              CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                AS start_d,
+              CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                + CAST(l_quantity AS INT) AS BIGINT) AS end_d
+            FROM lineitem),
+         m AS (SELECT suppkey, start_d, end_d,
+             max(end_d) OVER (PARTITION BY suppkey ORDER BY start_d, end_d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM iv),
+         i AS (SELECT suppkey, start_d, end_d,
+             sum(CASE WHEN prev_max IS NULL OR start_d > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY suppkey ORDER BY start_d, end_d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM m)
+         SELECT suppkey, min(start_d) AS span_start, max(end_d) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+         FROM i GROUP BY suppkey, island
+         ORDER BY suppkey, span_start"""
   )
 }

@@ -216,4 +216,39 @@ class DedupSpec extends GraftSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L))))
   }
+
+  test("edit-distance pairs: deletion-variant blocking is lossless at dist 1") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "kitten"),  // ↔ mitten (sub), kitte (del), kittens (ins)
+      (2L, "mitten"),
+      (3L, "kitte"),
+      (4L, "kittens"),
+      (5L, "sitting"), // dist 3 from kitten — excluded
+      (6L, "mitten"),  // exact duplicate of 2 → dist 0 pair
+      (7L, "x"),       // short strings: x↔y is a substitution
+      (8L, "y"),
+      (9L, "")         // empty ↔ "x"/"y" is one insert
+    ).toDF("id", "s")
+    val got = Dedup.editDistancePairs(rows, col("id"), col("s"))
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: brute-force theta join (the blocking must lose nothing)
+    val naive = rows.alias("a").join(rows.alias("b"),
+        col("a.id") < col("b.id") &&
+        levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === naive)
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 1)) &&
+           got.contains((1L, 4L, 1)) && got.contains((2L, 6L, 0)) &&
+           got.contains((7L, 8L, 1)) && got.contains((7L, 9L, 1)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    // the candidate generator is an equi join on variant keys, not a scan
+    val plan = Dedup.editDistancePairs(rows, col("id"), col("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -30,6 +30,25 @@ class GraphSpec extends GraftSuite {
     assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("clustering coefficients: K4 vertices 1.0, bridge vertices fractional") {
+    // K4 + pendant 4-5: deg(1..3)=3 with 3 triangles → cc = 2·3/(3·2) = 1;
+    // deg(4)=4 with 3 triangles → cc = 2·3/(4·3) = 0.5; pendant 5 has
+    // deg 1 → excluded (cc undefined below degree 2)
+    val cc = Graph.clusteringCoefficients(k4edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cc == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.5))
+    // triangle-free node with degree ≥ 2 reports cc = 0, not a missing row
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val ccPath = Graph.clusteringCoefficients(path).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(ccPath.toSeq == Seq((2L, 0L, 0.0)))
+    // non-canonical input canonicalizes internally (no double counting)
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (3L, 2L)).toDF("id_a", "id_b")
+    val ccMessy = Graph.clusteringCoefficients(messy).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ccMessy == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+  }
+
   test("common neighbors: unconnected pairs only, counts exact") {
     // path 1-2-3 plus 1-4, 3-4: pair (1,3) shares {2,4}; (2,4) shares {1,3}
     val e = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L)).toDF("id_a", "id_b")

@@ -68,6 +68,61 @@ class MultimodalSpec extends GraftSuite {
     assert(fallback.length === 32 && fallback.exists(_ !== 0.0f))
   }
 
+  test("real WAV payloads decode to known PCM samples") {
+    import spark.implicits._
+    // 8-frame stereo PCM16 WAV built by hand (RIFF container, LE):
+    // channel 0 ramps, channel 1 is its negation → mono mean = 0 except
+    // where we bias channel 1
+    val frames = 8
+    val channels = 2
+    val dataLen = frames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM, stereo
+      .putInt(16000).putInt(16000 * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val samples = (0 until frames).map(i => (i * 4096).toShort)
+    samples.foreach { s =>
+      bb.putShort(s)              // ch0
+      bb.putShort((-s).toShort)   // ch1 — mono mean must be exactly 0
+    }
+    val wav = bb.array()
+    val media = Seq((1L, "audio", wav)).toDF("media_id", "kind", "payload")
+    val feat = Multimodal.extractFeatures(media)
+      .collect().head.getSeq[Float](2)
+    // every mono sample is exactly 0 → all pooled bins are 0; the stub
+    // fallback would produce non-zero bins, so zeros prove the real parse
+    assert(feat.length === 32 && feat.forall(_ === 0.0f))
+    // a biased mono signal pools to the exact per-bin values
+    val bb2 = java.nio.ByteBuffer.allocate(44 + frames * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(16000 * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(frames * 2)
+    samples.foreach(s => bb2.putShort(s))
+    val feat2 = Multimodal.extractFeatures(
+        Seq((2L, "audio", bb2.array())).toDF("media_id", "kind", "payload"))
+      .collect().head.getSeq[Float](2)
+    val scale = frames.toFloat / 32
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(feat2(i) === (s / 32768f) / scale)
+    }
+    assert(feat2.drop(frames).forall(_ === 0.0f))
+    // non-WAV bytes under kind=audio fall back to the stub, not an error
+    val fallback = Multimodal.extractFeatures(
+      Seq((3L, "audio", "not a wav".getBytes("UTF-8")))
+        .toDF("media_id", "kind", "payload"))
+      .collect().head.getSeq[Float](2)
+    assert(fallback.length === 32 && fallback.exists(_ !== 0.0f))
+  }
+
   test("resize updates image metadata and bounds payload") {
     val resized = Multimodal.resizeImages(media, 8, 8)
     val img = resized.filter(col("kind") === "image")

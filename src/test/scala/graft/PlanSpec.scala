@@ -111,6 +111,28 @@ class PlanSpec extends GraftSuite {
            !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("j15 interval-overlap join plans an equi join, never a pairwise scan") {
+    val df = SparkEntry.queries("j15_interval_overlap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s8 analyze stats computes every column's metrics in ONE scan") {
+    val p = plan(SparkEntry.queries("s8_analyze_stats")(spark, sf))
+    // formatted explain prints each node in the tree AND in the detail
+    // section — count the numbered detail headers, one per real node
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1, p)
+  }
+
+  test("w8 interval merge windows per supplier, no single-partition stage") {
+    val p = plan(SparkEntry.queries("w8_interval_merge")(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("o5 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(SparkEntry.queries("o5_topk")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
