@@ -292,6 +292,46 @@ object Pipeline {
     parts
   }
 
+  /** Morton (Z-order) value: bit-interleave of two non-negative integer
+    * columns — x's bit i lands at position 2i, y's at 2i+1, so sorting by
+    * the z-value clusters rows that are close in BOTH dimensions. This is
+    * the layout primitive behind multi-dimensional scan pruning
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`): parquet min/max row-group
+    * stats on z-sorted data prune a 2-D box predicate to ~√(selectivity)
+    * of the files, where a single-column sort prunes only its own
+    * dimension and scans everything for a predicate on the other.
+    *
+    * Pure closed-form column arithmetic (shift/and/or fold, disjoint
+    * bits), whole-stage-codegen'd and engine-portable — the same
+    * expression evaluates bit-identically in any SQL engine, so z-values
+    * are oracle-checkable. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` clustered by z-value into `files` range-partitioned,
+    * internally sorted parquet files: rows co-located in 2-D space land in
+    * the same file, so each file's min/max stats cover a tight z-range
+    * (≈ a quadrant of the key space) and box predicates on EITHER OR BOTH
+    * dimensions prune files. One range shuffle (sampled bounds), then a
+    * partition-local sort — no global sort stage. */
+  def zorderWrite(
+      df: DataFrame, outDir: String, z: Column, files: Int): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Token-window chunking: split each document into chunks of
     * `chunkSize` whitespace tokens starting every `stride` tokens
     * (stride < chunkSize ⇒ overlapping context windows, the standard

@@ -126,10 +126,39 @@ object PipelineQueries extends QueryPack {
         Tables.documents(s, d), k = 50, seed = 3L,
         weightCol = col("n_chars"), col("doc_id"))
         .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Z-order (Morton) clustering value over (part, supplier) — the
+    // multi-dimensional layout key behind `OPTIMIZE ZORDER BY`:
+    // range-partitioning by zval co-locates rows close in BOTH dims, so
+    // parquet min/max stats prune box predicates on either dimension
+    // (PipelineSpec measures the file-pruning win; zorderWrite is the
+    // writer). The value itself is a closed-form shift/and/or fold —
+    // bit-identical on any engine, hence oracle-exact.
+    "pl11_zorder_value" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        Pipeline.zValue(col("l_partkey"), col("l_suppkey"), 16).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "zval"))
   )
 
+  // The identical shift/and/or fold as Pipeline.zValue, generated
+  // term-by-term (disjoint bits, fully parenthesized — bitwise precedence
+  // differs across engines).
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i})",
+          s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+
   val oracle: Map[String, String] = Map(
+    "pl11_zorder_value" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            CAST(${zSql("l_partkey", "l_suppkey", 16)} AS BIGINT) AS zval
+          FROM lineitem
+          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, zval""",
     "pl3_context_packing" ->
       """SELECT doc_id, n_tokens,
            CAST(sum(n_tokens) OVER (ORDER BY doc_id

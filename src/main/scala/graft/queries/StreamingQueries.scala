@@ -46,6 +46,14 @@ object StreamingQueries extends QueryPack {
       EventStreams.purchaseViewInterval(Tables.events(s, d))
         .orderBy("p_id", "v_id")),
 
+    // LEFT OUTER stream-stream interval join, batch dual: unmatched
+    // purchases keep null view columns — streaming emits these on
+    // watermark expiry (StreamingSpec proves the streamed rows match
+    // this batch result).
+    "st9_interval_join_outer" -> ((s, d) =>
+      EventStreams.purchaseViewIntervalOuter(Tables.events(s, d))
+        .orderBy(col("p_id"), col("v_id").asc_nulls_first)),
+
     // Stream-static enrichment join, batch dual: per-type weights from a
     // tiny static dim (broadcast per micro-batch when streaming).
     "st7_stream_enrich" -> ((s, d) =>
@@ -140,6 +148,14 @@ object StreamingQueries extends QueryPack {
            ON p.user_id = v.user_id
           AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
          ORDER BY p_id, v_id""",
+    "st9_interval_join_outer" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+           v.event_id AS v_id, v.ts AS v_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+         ORDER BY p_id, v_id NULLS FIRST""",
     "st7_stream_enrich" ->
       """SELECT event_id, e.event_type, user_id, value, weight,
            value * weight AS weighted_value

@@ -83,7 +83,20 @@ object EventStreams {
     * state for each side is pruned once the other side's watermark passes
     * — the only way a stream-stream join stays bounded at scale. The same
     * code runs in batch (oracle-checked as st6). */
-  def purchaseViewInterval(events: DataFrame): DataFrame = {
+  def purchaseViewInterval(events: DataFrame): DataFrame =
+    purchaseViewIntervalJoin(events, "inner")
+
+  /** LEFT OUTER variant: purchases with no view in the preceding hour
+    * are still emitted, with null view columns — in streaming the null
+    * row can only be emitted once the VIEW side's watermark passes the
+    * purchase's match window (until then a matching view could still
+    * arrive), which is exactly the state-expiry semantics the watermark
+    * encodes. Batch dual is the plain left join (oracle-checked as st9). */
+  def purchaseViewIntervalOuter(events: DataFrame): DataFrame =
+    purchaseViewIntervalJoin(events, "left_outer")
+
+  private def purchaseViewIntervalJoin(
+      events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "10 minutes")
@@ -94,7 +107,7 @@ object EventStreams {
     purchases.join(views,
       col("user_id") === col("v_user") &&
       col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-      col("v_ts") <= col("p_ts"))
+      col("v_ts") <= col("p_ts"), joinType)
       .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"),
         col("v_ts"))
   }

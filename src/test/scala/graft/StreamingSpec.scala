@@ -71,6 +71,24 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.count() >= (batch.count() * 0.9).toLong)
   }
 
+  test("left-outer interval join emits null rows only after watermark expiry") {
+    val streamed = runStream("t_interval_outer",
+      EventStreams.purchaseViewIntervalOuter, "append")
+    val batch = EventStreams.purchaseViewIntervalOuter(
+      Tables.events(spark, sf))
+    // every emitted row (matched or null-padded) must appear in batch
+    assert(streamed.exceptAll(batch).count() === 0,
+      "streamed outer-join rows must all appear in the batch result")
+    // the outer semantics actually fired: null view rows were emitted for
+    // purchases whose match window the watermark closed (the stream tail
+    // may withhold some, so compare against batch with slack)
+    val batchNulls = batch.filter(col("v_id").isNull).count()
+    val streamedNulls = streamed.filter(col("v_id").isNull).count()
+    assert(batchNulls > 0, "fixture should contain view-less purchases")
+    assert(streamedNulls >= batchNulls / 2,
+      s"expected most null rows emitted: $streamedNulls of $batchNulls")
+  }
+
   test("stream-static enrichment equals the batch join exactly") {
     // Stateless stream-static join: no watermark withholding, so the
     // streamed result must equal the batch dual row-for-row.
