@@ -292,6 +292,26 @@ object Pipeline {
     parts
   }
 
+  /** Winsorize: clip `value` to its exact [pLo, pHi] percentile range —
+    * the standard outlier treatment before length/score features feed a
+    * curriculum or mixture weighting (a single 100 MB document must not
+    * dominate a mean). Exact linear-interpolated percentiles (one global
+    * aggregate) broadcast back over the scan as a 1-row cross join — no
+    * window, no second sorted pass; at 100 TB swap in approx_percentile
+    * and keep the shape. Output column is `<name>_w`, double. */
+  def winsorize(
+      df: DataFrame, value: Column, name: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad percentiles $pLo..$pHi")
+    val bounds = df.agg(
+      percentile(value, lit(pLo)).as("_w_lo"),
+      percentile(value, lit(pHi)).as("_w_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${name}_w",
+        least(greatest(value.cast("double"), col("_w_lo")), col("_w_hi")))
+      .drop("_w_lo", "_w_hi")
+  }
+
   /** Morton (Z-order) value: bit-interleave of two non-negative integer
     * columns — x's bit i lands at position 2i, y's at 2i+1, so sorting by
     * the z-value clusters rows that are close in BOTH dimensions. This is

@@ -161,7 +161,26 @@ object AggregateQueries extends QueryPack {
           expr("percentile(l_quantity, 0.25)").as("p25"),
           expr("percentile(l_quantity, 0.5)").as("p50"),
           expr("percentile(l_quantity, 0.75)").as("p75"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Equi-width histogram: global min/max via a 1-row broadcast cross
+    // join (no window, no second pass over sorted data), bucket = exact
+    // integer-clamped IEEE division — the standard distribution profile
+    // an engine's ANALYZE EXTENDED computes, companion to s8. The last
+    // bucket is closed (x = max lands in bucket n-1, not n).
+    "agg_histogram" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bounds = li.agg(
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      li.select("l_extendedprice").crossJoin(broadcast(bounds))
+        .select(least(
+            floor((col("l_extendedprice") - col("lo")) * 20.0 /
+              (col("hi") - col("lo"))).cast("int"),
+            lit(19)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+        .orderBy("bucket")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,7 +248,17 @@ object AggregateQueries extends QueryPack {
            quantile_cont(l_quantity, 0.25) AS p25,
            quantile_cont(l_quantity, 0.5)  AS p50,
            quantile_cont(l_quantity, 0.75) AS p75
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Identical IEEE expression shape as the Spark side: (x-lo)*20/(hi-lo)
+    // left-to-right, floor, clamp — bit-identical bucket ids.
+    "agg_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo,
+                      max(l_extendedprice) AS hi FROM lineitem)
+         SELECT least(CAST(floor((l_extendedprice - lo) * 20.0 / (hi - lo))
+                  AS INT), 19) AS bucket,
+           count(*) AS n_rows
+         FROM lineitem CROSS JOIN b
+         GROUP BY bucket ORDER BY bucket"""
     // agg_approx_distinct / agg_approx_percentile: intentionally no
     // oracle — HLL / GK sketch estimates are engine-specific; driver
     // records rows-only. AggregatesSpec bounds both errors.

@@ -141,7 +141,17 @@ object PipelineQueries extends QueryPack {
         col("l_partkey"), col("l_suppkey"),
         Pipeline.zValue(col("l_partkey"), col("l_suppkey"), 16).as("zval"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "zval"))
+          "zval")),
+
+    // Winsorized document length: clip n_chars to its exact [p05, p95]
+    // range (outlier treatment before the length feature weights a
+    // mixture). Exact percentiles + clamp are the same IEEE ops on both
+    // engines → hash-exact.
+    "pl12_winsorize" -> ((s, d) =>
+      Pipeline.winsorize(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        col("n_chars"), "n_chars", 0.05, 0.95)
+        .orderBy("doc_id"))
   )
 
   // The identical shift/and/or fold as Pipeline.zValue, generated
@@ -154,6 +164,12 @@ object PipelineQueries extends QueryPack {
     }.mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    "pl12_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi FROM documents)
+         SELECT doc_id, n_chars,
+           least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS n_chars_w
+         FROM documents CROSS JOIN b ORDER BY doc_id""",
     "pl11_zorder_value" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
             CAST(${zSql("l_partkey", "l_suppkey", 16)} AS BIGINT) AS zval

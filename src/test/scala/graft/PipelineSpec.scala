@@ -309,6 +309,17 @@ class PipelineSpec extends GraftSuite {
       .filter(col("y") >= 8 && col("y") < 16).count() === 64L * 8)
   }
 
+  test("winsorize clips exactly at the requested percentiles") {
+    import spark.implicits._
+    // 0..100: p05 = 5.0, p95 = 95.0 under linear interpolation
+    val df = (0 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val w = Pipeline.winsorize(df, col("v"), "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(0L) === 5.0 && w(3L) === 5.0 && w(5L) === 5.0)
+    assert(w(50L) === 50.0)
+    assert(w(95L) === 95.0 && w(99L) === 95.0 && w(100L) === 95.0)
+  }
+
   test("context packing fills bins to the budget in id order") {
     val packed = Pipeline.packByTokenBudget(
       docs.select(col("doc_id"),
