@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -234,5 +235,84 @@ object TextAnalysis {
       t => size(filter(toks, x => x === t)))
     when(size(toks) === 0, lit(0.0))
       .otherwise(array_max(counts).cast("double") / size(toks).cast("double"))
+  }
+
+  /** TF-IDF keyword extraction: the top-k highest-weighted tokens per
+    * document. Uses the RATIONAL idf (N − df + 0.5)/(df + 0.5) — same
+    * log-free family as `bm25Search` and for the same reason: `ln` is not
+    * correctly-rounded-mandated by IEEE 754, so a log-based idf can differ
+    * in the last ulp across engines; the rational form is a strictly
+    * monotone transform of the Robertson idf argument, so it ranks tokens
+    * identically and stays bit-reproducible.
+    *
+    * Scale shape: two hash aggregations (doc×token tf, token df) and one
+    * per-document window for the top-k — all shuffles key on token or
+    * doc id, and df (vocabulary-sized) broadcasts into the scoring join.
+    * No vocabulary collect, no all-pairs anything. */
+  def tfidfKeywords(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, topK: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(topK > 0)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+    // left-associative, mirroring the oracle SQL term by term
+    val idf = ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") * idf).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+  }
+
+  /** Per-document bigram-LM quality score — the CCNet-style LM filter
+    * shape (Wenzek et al. 2020 rank docs by LM score and keep the head;
+    * Microbase has nothing like it — beyond-reference track). The LM is
+    * the corpus's own MLE bigram model (the `ta9` statistics); each
+    * document is scored by
+    *   - `rare_frac`: fraction of its bigrams seen ≤ `rareMax` times in
+    *     the corpus (exact integer ratio — the robust signal), and
+    *   - `avg_p`: mean conditional probability P(next|prev) of its
+    *     bigrams, summed under the exact-decimal policy (OracleSafe) so
+    *     the mean is order-independent and hash-exact on any cluster.
+    * High rare_frac / low avg_p ⇒ improbable text under the corpus LM
+    * (boilerplate salad, OCR noise) — the standard pretraining filter.
+    * Documents with < 2 tokens have no bigrams and drop out (join
+    * semantics; documented contract).
+    *
+    * Scale shape: the LM is a bigram-keyed aggregation (shuffles on the
+    * 2-gram string); scoring re-joins docs' bigrams to the LM on the same
+    * key; the per-doc rollup keys on doc id. Nothing collects, nothing is
+    * n². */
+  def lmDocScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, rareMax: Long = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(toks, 2)).as("bigram"))
+    val prevW = Window.partitionBy("prev")
+    val lm = bg.groupBy("bigram").agg(count(lit(1)).as("pair_count"))
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+      .withColumn("prev_count", sum(col("pair_count")).over(prevW))
+      .select(col("bigram"), col("pair_count"),
+        (col("pair_count").cast("double") / col("prev_count").cast("double"))
+          .as("p"))
+    bg.join(lm, "bigram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum((col("pair_count") <= rareMax).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("rare_frac"),
+        (graft.queries.OracleSafe.moneySum(col("p"), 12) /
+          count(lit(1))).as("avg_p"))
   }
 }

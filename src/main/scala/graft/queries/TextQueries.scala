@@ -148,7 +148,23 @@ object TextQueries extends QueryPack {
     "ta11_cooccurrence" -> ((s, d) =>
       TextAnalysis.cooccurrenceLift(
         Tables.documents(s, d), "doc_id", "text",
-        window = 2, minCount = 5))
+        window = 2, minCount = 5)),
+
+    // TF-IDF keyword extraction: top-3 tokens per document by rational
+    // (log-free) idf weight — bit-reproducible ranking, see
+    // TextAnalysis.tfidfKeywords.
+    "ta12_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(
+        Tables.documents(s, d), "doc_id", "text", topK = 3)
+        .orderBy("doc_id", "rank")),
+
+    // CCNet-style LM quality filter: score every doc under the corpus's
+    // own bigram model (rare-bigram fraction + exact-decimal mean
+    // conditional probability). See TextAnalysis.lmDocScore.
+    "ta13_lm_doc_score" -> ((s, d) =>
+      TextAnalysis.lmDocScore(
+        Tables.documents(s, d), "doc_id", "text", rareMax = 2)
+        .orderBy("doc_id"))
   )
 
   private val enList = "('the','a','of','and','is','to','in')"
@@ -299,6 +315,49 @@ object TextQueries extends QueryPack {
          JOIN uni ua ON ua.tok = f.a
          JOIN uni ub ON ub.tok = f.b
          CROSS JOIN tot t
-         ORDER BY lift DESC, a, b"""
+         ORDER BY lift DESC, a, b""",
+    // rational idf + single multiply/divide chain, term-by-term identical
+    // to TextAnalysis.tfidfKeywords
+    "ta12_tfidf_keywords" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tk GROUP BY doc_id, token),
+         dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY token),
+         sc AS (SELECT t.doc_id, t.token,
+             CAST(t.tf AS DOUBLE) * (((c.n - f.df) + 0.5) / (f.df + 0.5))
+               AS tfidf
+           FROM tf t JOIN dfq f ON f.token = t.token CROSS JOIN nd c),
+         r AS (SELECT doc_id, token, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, token ASC) AS INT) AS rank
+           FROM sc)
+         SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
+    // LM statistics identical to ta9; avg_p under the exact-decimal sum
+    // policy (DECIMAL(18,12) per-term cast) so the mean is
+    // order-independent on both engines
+    "ta13_lm_doc_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         bg AS (SELECT doc_id, unnest(
+             [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+           FROM w),
+         pc AS (SELECT bigram, count(*) AS pair_count FROM bg
+           GROUP BY bigram),
+         lm AS (SELECT bigram, pair_count,
+             CAST(pair_count AS DOUBLE) /
+               CAST(sum(pair_count) OVER (PARTITION BY
+                 string_split(bigram, ' ')[1]) AS DOUBLE) AS p
+           FROM pc)
+         SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN lm.pair_count <= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rare_frac,
+           CAST(sum(CAST(lm.p AS DECIMAL(18,12))) AS DOUBLE) / count(*)
+             AS avg_p
+         FROM bg JOIN lm USING (bigram)
+         GROUP BY bg.doc_id ORDER BY doc_id"""
   )
 }

@@ -118,4 +118,43 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got.map(_._1).toSeq === Seq(3L, 1L, 2L))
     assert(got.find(_._1 == 1L).get._3 === 2L) // matched both terms
   }
+
+  test("tfidfKeywords ranks doc-specific terms above common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y"),  // x only in d1 (df=1) — should dominate
+      (2L, "y z"),
+      (3L, "z z z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    // local reference with the operator's exact expression shape
+    def score(tf: Double, df: Double) = tf * (((3.0 - df) + 0.5) / (df + 0.5))
+    assert(got((1L, 1))._1 === "x")
+    assert(got((1L, 1))._2 === score(2, 1)) // 2 * 2.5/1.5
+    assert(got((1L, 2)) === ("y" -> score(1, 2)))
+    assert(got((3L, 1)) === ("z" -> score(3, 2)))
+    assert(!got.contains((3L, 2))) // single-term doc emits one keyword
+  }
+
+  test("lmDocScore: rare-bigram fraction and mean probability are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b"(pc 2), "b a"(pc 1), "a b"
+      (2L, "a c"),     // "a c"(pc 1)
+      (3L, "q")        // no bigrams -> dropped by contract
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmDocScore(docs, "doc_id", "text", rareMax = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // LM: P(b|a)=2/3, P(a|b)=1, P(c|a)=1/3
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 3L)
+    assert(got(1L)._2 === 1.0 / 3.0) // one rare bigram ("b a") of three
+    assert(math.abs(got(1L)._3 - (2.0 / 3 + 1.0 + 2.0 / 3) / 3) < 1e-9)
+    assert(got(2L) === ((1L, 1.0, 0.3333333333330))) // 1/3 @ DECIMAL(18,12)
+  }
 }
