@@ -27,7 +27,8 @@ object SparkEntry {
     MultimodalQueries,
     SubqueryQueries,
     PipelineQueries,
-    GraphQueries
+    GraphQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.OracleSafe
+
+/** Batch behavioral analytics over an event log (user_id, ts, event_type,
+  * value) — the product-analytics staples every warehouse engine ships
+  * (funnels, cohort retention, anomaly flags). The reference has nothing
+  * here (beyond-reference track); these are the batch duals of the
+  * §2g streaming slice, built to the same cross-engine-exact rules:
+  * integer ratios and exact-decimal sums only, no engine-specific
+  * date/float behavior in compared output.
+  *
+  * Scale shape (all three): every shuffle keys on user_id (or a small
+  * derived key); per-user work is a window over that user's own rows.
+  * Nothing collects, nothing is quadratic, no global single-partition
+  * window anywhere (PlanSpec-style guarantee: the frames are all
+  * PARTITION BY user).
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel analysis: how many users complete each prefix of
+    * `steps`, where step i+1 must occur STRICTLY AFTER the user's
+    * earliest completion of step i (the classic "earliest-event chain"
+    * funnel — immune to event multiplicity, deterministic).
+    *
+    * Output: (stage INT 1-based, step, users BIGINT), one row per stage.
+    * Implementation is stage-by-stage: filter to the step's events,
+    * semi-join on the previous stage's per-user completion time, take
+    * min(ts). Each stage is one keyed aggregation + one equi join on
+    * user — at 100 TB this is k passes that each shuffle only the rows
+    * of one event type, and AQE broadcasts the (distinct-user-sized)
+    * completion frame when it fits. */
+  def funnel(
+      events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // per-stage per-user earliest completion times, chained
+    val completions: Seq[DataFrame] = steps.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
+        val stepEvents = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("u"), col(tsCol).as("t"))
+        val reached =
+          if (i == 0) stepEvents
+          else stepEvents.join(
+            acc.last.select(col("u"), col("t").as("prev_t")), Seq("u"))
+            .filter(col("t") > col("prev_t"))
+            .select(col("u"), col("t"))
+        acc :+ reached.groupBy("u").agg(min(col("t")).as("t"))
+      }
+    val counts = completions.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(steps(i)).as("step"),
+          col("users"))
+    }
+    counts.reduce(_.union(_)).orderBy("stage")
+  }
+
+  /** Cohort retention matrix: users grouped by the week of their first
+    * event (cohort), counted in each later week they were active.
+    * Weeks are integer offsets from the corpus's earliest event day —
+    * floor(days-since-epoch-min / 7) — NOT calendar weeks, so no
+    * engine-specific week-start/ISO rules can leak into the compared
+    * output. Output: (cohort_week INT, week_offset INT, users BIGINT).
+    *
+    * Scale shape: min-date is a one-row broadcast; first-event per user
+    * and the activity distinct both shuffle on user_id; the final rollup
+    * keys on the (cohort, offset) pair — cardinality weeks². */
+  def retentionCohorts(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+    val base = events.select(col(userCol).as("u"), day.as("d"))
+    val minDay = base.agg(min(col("d")).as("d0"))
+    val weekly = base.crossJoin(broadcast(minDay))
+      .select(col("u"), floor((col("d") - col("d0")) / 7).cast("int").as("w"))
+      .distinct() // one row per (user, active week)
+    val cohort = weekly.groupBy("u").agg(min(col("w")).as("cohort_week"))
+    weekly.join(cohort, "u")
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** Trailing-window spike detection: flag events whose value exceeds
+    * `k ×` the user's trailing mean over the previous `lookback` events
+    * (ordered by ts, id-tiebroken). The trailing mean uses the exact
+    * decimal-sum policy (OracleSafe) so it is order-independent and
+    * bit-identical on any cluster or engine; the flag is a comparison of
+    * two deterministic doubles. Events with fewer than `minPrev` prior
+    * events get a null mean and false flag (cold start).
+    *
+    * Output: (id, user, ts, value, n_prev, trailing_mean, is_spike).
+    * Scale shape: one window partitioned by user — state is bounded by
+    * `lookback` rows per user, shuffle keys on user_id. */
+  def trailingSpikes(
+      events: DataFrame, idCol: String, userCol: String, tsCol: String,
+      valCol: String, lookback: Int = 10, minPrev: Int = 3,
+      k: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(-lookback, -1)
+    val nPrev = count(lit(1)).over(w)
+    val meanPrev = (sum(OracleSafe.dec(col(valCol), 6)).over(w).cast("double") /
+      nPrev.cast("double"))
+    events.select(col(idCol), col(userCol), col(tsCol), col(valCol))
+      .withColumn("n_prev", nPrev)
+      .withColumn("trailing_mean",
+        when(col("n_prev") >= minPrev, meanPrev))
+      .withColumn("is_spike",
+        coalesce(col(valCol) > col("trailing_mean") * k, lit(false)))
+  }
+
+  /** SCD Type-2 history build: collapse each key's attribute stream into
+    * change-tracked validity intervals — (key, attr, valid_from,
+    * valid_to, n_events, is_current), where consecutive events with the
+    * SAME attribute value merge into one interval and `valid_to` is the
+    * next interval's start (null while current). The dimension-table
+    * "latest plus full history" shape every warehouse maintains.
+    *
+    * Gaps-and-islands: one `lag` flags change points, one running sum
+    * numbers the runs, one aggregate per run, one `lead` closes the
+    * interval — all four windows PARTITIONED by key and totally ordered
+    * by (ts, id), so duplicate timestamps collapse deterministically.
+    * Scale shape: shuffles once on the key; per-key state is that key's
+    * own rows. The streaming analog is `upsertLatestByKey` (CDC latest
+    * state); this is the batch full-history dual. */
+  def scd2History(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      attrCol: String): DataFrame = {
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val changed = when(
+      lag(col(attrCol), 1).over(order).isNull ||
+        lag(col(attrCol), 1).over(order) =!= col(attrCol), 1).otherwise(0)
+    val runs = events
+      .withColumn("chg", changed)
+      .withColumn("run_id",
+        sum(col("chg")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("run_id"), col(attrCol))
+      .agg(min(col(tsCol)).as("valid_from"), count(lit(1)).as("n_events"))
+    // runs are numbered in time order, so ordering by run_id (unique per
+    // key) keeps lead() deterministic even when two runs share a
+    // boundary timestamp
+    val byStart = Window.partitionBy(col(keyCol)).orderBy(col("run_id").asc)
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+  }
+}

@@ -252,4 +252,124 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
+  /** Squared L2 distance as a sequential left fold in dimension order —
+    * the k-means metric, bit-identical to a sequential oracle
+    * evaluation. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Lloyd's k-means over the embedding column, fully deterministic:
+    *  - init: the `k` lowest-id vectors are the seed centroids (the same
+    *    deterministic-seed rule as `ivfTopK`);
+    *  - assign: nearest centroid by squared L2, ties to the lowest cid;
+    *  - update: per-dimension mean under the exact-decimal policy
+    *    (DECIMAL(18,9) sums → one double division), so centroids are
+    *    order-independent — float means that drift with partition merge
+    *    order are a real 100 TB reproducibility bug, and also why this
+    *    operator can be ORACLE-CHECKED against DuckDB at all.
+    * `updates` Lloyd rounds run, then the final assignment is returned:
+    * (vec_id, cid, d2).
+    *
+    * Scale shape: centroids live on the driver between rounds (k × dim
+    * doubles — bounded, the same contract as Spark MLlib's KMeans) and
+    * broadcast into a scan-local assignment pass; the update shuffles on
+    * (cid, dim) — cardinality k × dim, never data-sized. Empty clusters
+    * keep their previous centroid (can't happen with sane k; documented
+    * so the SQL dual — which has no such rule — stays equivalent).
+    *
+    * This is also the trainer for `ivfTopK`-style coarse quantizers and
+    * the clustering stage of `semanticDedup`. */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, updates: Int = 2): DataFrame = {
+    require(k > 0 && updates >= 0)
+    import org.apache.spark.sql.functions.broadcast
+    val spark = df.sparkSession
+    import spark.implicits._
+    val corp = df.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("vec"))
+    def assign(centDf: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      corp.crossJoin(broadcast(centDf))
+        .withColumn("d2", sqDist(col("vec"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("vec"), col("d2"))
+    }
+    var cents: Seq[(Long, Seq[Double])] = corp
+      .orderBy(col("vec_id").asc).limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    for (_ <- 1 to updates) {
+      val centDf = cents.toDF("cid", "cvec")
+      // per-dim exact-decimal mean; collected = k × dim rows (bounded)
+      val means = assign(centDf)
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg((sum(graft.queries.OracleSafe.dec(col("v"), 9)).cast("double") /
+          count(lit(1)).cast("double")).as("mu"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val updated = means.groupBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3).toSeq)
+      }
+      cents = cents.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
+    }
+    assign(cents.toDF("cid", "cvec")).select("vec_id", "cid", "d2")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pruning — cluster the embedding space, then compare
+    * pairs ONLY within a cluster and drop every vector that has a
+    * lower-id cluster-mate with cosine ≥ `threshold` (the paper's
+    * keep-one-per-semantic-group rule, id-deterministic here).
+    * Output: (vec_id, cid, keep).
+    *
+    * Clustering is the deterministic coarse quantizer (nearest of the k
+    * lowest-id seed vectors — `kmeans`-trained centroids plug in the
+    * same way; the seed rule keeps the oracle SQL self-contained).
+    *
+    * Scale shape — the SemDeDup bargain: pairwise cost collapses from
+    * n² to Σ c_i² over cluster sizes, tuned by k (the paper runs 50k
+    * clusters over 5B embeddings); the pair join keys on cid so each
+    * cluster compares locally after one shuffle. The within-cluster
+    * comparison here is exact (no sampling), so recall within a cluster
+    * is 1.0 and the only misses are cross-cluster pairs — the knob the
+    * paper accepts for tractability. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cent = df.orderBy(col(idCol).asc).limit(numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnorm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = df
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dot(col("vec"), col("cvec")) / (col("nrm") * col("cnorm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("vec"), col("nrm"))
+    val dropped = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") > col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
+  }
+
 }

@@ -143,7 +143,17 @@ object DedupQueries extends QueryPack {
     "dd13_fuzzy_name_pairs" -> ((s, d) =>
       Dedup.editDistancePairs(
         Tables.supplier(s, d), col("s_suppkey"), col("s_name"))
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space, drop
+    // every vector with a lower-id cluster-mate at cosine >= 0.35.
+    // Pairwise cost is Σ cluster², never n² — see
+    // Similarity.semanticDedup. Fully deterministic -> oracle-exact.
+    "dd14_semantic_dedup" -> ((s, d) =>
+      graft.ops.Similarity.semanticDedup(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, numCentroids = 16)
+        .orderBy("vec_id"))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -245,7 +255,27 @@ object DedupQueries extends QueryPack {
       s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             ${cosSql("a.embedding", "b.embedding")} AS cos
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-          SELECT id_a, id_b FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+          SELECT id_a, id_b FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    // same seed-centroid assignment CTE as ss4_ivf_topk; within-cluster
+    // pairs only, keep-lowest-id rule stated directly
+    "dd14_semantic_dedup" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          corp AS (SELECT vec_id, embedding AS vec FROM embeddings),
+          ca AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${cosSql("vec", "cvec")} DESC, cid ASC) AS rn
+            FROM corp CROSS JOIN cent),
+          assigned AS (SELECT vec_id, cid FROM ca WHERE rn = 1),
+          pairs AS (SELECT a.vec_id AS id_hi,
+              ${cosSql("va.vec", "vb.vec")} AS cos
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id > b.vec_id
+            JOIN corp va ON va.vec_id = a.vec_id
+            JOIN corp vb ON vb.vec_id = b.vec_id),
+          dropped AS (SELECT DISTINCT id_hi FROM pairs WHERE cos >= 0.35)
+          SELECT a.vec_id, a.cid, (d.id_hi IS NULL) AS keep
+          FROM assigned a LEFT JOIN dropped d ON d.id_hi = a.vec_id
+          ORDER BY a.vec_id"""
     // dd2/dd3/dd4: no oracle (xxhash64 signatures) — DedupSpec invariants.
   )
 }

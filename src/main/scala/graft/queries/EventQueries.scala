@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.EventAnalytics
+import graft.sources.Tables
+
+/** Batch behavioral analytics over the events table — funnels, cohort
+  * retention, trailing-window anomaly flags (the §2g streaming slice's
+  * batch duals; the reference engine has no analog). All three are
+  * oracle-checked hash-exact: integer ratios, epoch-anchored week
+  * arithmetic, and exact-decimal trailing means keep every compared cell
+  * engine-independent.
+  */
+object EventQueries extends QueryPack {
+
+  val queries: Map[String, Fn] = Map(
+    // Ordered funnel: earliest-event chain view -> click -> purchase.
+    "ev1_funnel" -> ((s, d) =>
+      EventAnalytics.funnel(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // Cohort retention matrix on epoch-anchored week indexes (no
+    // calendar-week rules — engine-portable integer arithmetic).
+    "ev2_retention" -> ((s, d) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // Trailing-window spike flags: value > 3x the user's exact-decimal
+    // mean of the previous 10 events (>= 3 prior events).
+    "ev3_spikes" -> ((s, d) =>
+      EventAnalytics.trailingSpikes(
+        Tables.events(s, d), "event_id", "user_id", "ts", "value",
+        lookback = 10, minPrev = 3, k = 3.0)
+        .orderBy("user_id", "ts", "event_id")),
+
+    // SCD Type-2 history: per-user event_type transition intervals with
+    // consecutive-equal collapse and open current rows.
+    "ev4_scd2_history" -> ((s, d) =>
+      EventAnalytics.scd2History(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "valid_from", "event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // stage-by-stage earliest-completion chain, identical to
+    // EventAnalytics.funnel
+    "ev1_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.u
+             WHERE e.event_type = 'click' AND e.ts > s1.t
+             GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.u
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             GROUP BY e.user_id),
+         c AS (
+           SELECT 1 AS stage, 'view' AS step,
+             (SELECT count(*) FROM s1) AS users
+           UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+         SELECT CAST(stage AS INT) AS stage, step,
+           CAST(users AS BIGINT) AS users
+         FROM c ORDER BY stage""",
+    "ev2_retention" ->
+      """WITH base AS (SELECT user_id AS u,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+           FROM events),
+         m AS (SELECT min(d) AS d0 FROM base),
+         weekly AS (SELECT DISTINCT u,
+             CAST(floor((d - d0) / 7) AS INT) AS w
+           FROM base CROSS JOIN m),
+         cohort AS (SELECT u, min(w) AS cohort_week FROM weekly GROUP BY u)
+         SELECT cohort_week, w - cohort_week AS week_offset,
+           CAST(count(*) AS BIGINT) AS users
+         FROM weekly JOIN cohort USING (u)
+         GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+    // same frame, same DECIMAL(18,6) trailing sum -> bit-identical means
+    "ev3_spikes" ->
+      """SELECT event_id, user_id, ts, value,
+           CAST(count(*) OVER w AS BIGINT) AS n_prev,
+           CASE WHEN count(*) OVER w >= 3 THEN
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) /
+               CAST(count(*) OVER w AS DOUBLE) END AS trailing_mean,
+           coalesce(value > (CASE WHEN count(*) OVER w >= 3 THEN
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) /
+               CAST(count(*) OVER w AS DOUBLE) END) * 3.0, false)
+             AS is_spike
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+         ORDER BY user_id, ts, event_id""",
+    // gaps-and-islands identical to EventAnalytics.scd2History; lead()
+    // ordered by run_id so boundary-timestamp ties stay deterministic
+    "ev4_scd2_history" ->
+      """WITH flagged AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+               THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         runs AS (SELECT user_id, ts, event_id, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM flagged),
+         grouped AS (SELECT user_id, run_id, event_type,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+           FROM runs GROUP BY user_id, run_id, event_type)
+         SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to,
+           n_events,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             IS NULL) AS is_current
+         FROM grouped
+         ORDER BY user_id, valid_from, event_type"""
+  )
+}

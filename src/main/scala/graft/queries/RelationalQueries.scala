@@ -78,6 +78,13 @@ object RelationalQueries extends QueryPack {
       Relational.topK(10, col("o_totalprice").desc, col("o_orderkey").asc)(
         Tables.orders(s, d).select("o_orderkey", "o_totalprice"))),
 
+    // LIMIT ... OFFSET pagination (beyond the reference's plain limit) —
+    // deterministic only over a total order, like o2.
+    "o6_limit_offset" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .offset(50).limit(25)),
+
     // O3 — UNION ALL (M:289-295; reference never dedups).
     "o3_union_all" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
@@ -193,6 +200,9 @@ object RelationalQueries extends QueryPack {
          ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""",
     "o2_limit" ->
       "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100",
+    "o6_limit_offset" ->
+      """SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey
+         LIMIT 25 OFFSET 50""",
     "o5_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

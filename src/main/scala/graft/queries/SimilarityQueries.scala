@@ -72,7 +72,17 @@ object SimilarityQueries extends QueryPack {
         .select(col("label"), col("n").as("n_vecs"),
           (col("sum_v").cast("double") / col("n")).as("centroid_dim0"))
         .orderBy("label")
-    })
+    }),
+
+    // Lloyd's k-means (k=8, 2 update rounds, deterministic lowest-id
+    // seeds, exact-decimal centroid means). Compared output is the
+    // final assignment — ids only, per this pack's ranks-not-raw-floats
+    // policy. The oracle unrolls both Lloyd rounds in SQL.
+    "ss6_kmeans" -> ((s, d) =>
+      Similarity.kmeans(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8, updates = 2)
+        .select("vec_id", "cid")
+        .orderBy("vec_id"))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -138,7 +148,43 @@ object SimilarityQueries extends QueryPack {
       """SELECT label, count(*) AS n_vecs,
            CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)))
              AS DOUBLE) / count(*) AS centroid_dim0
-         FROM embeddings GROUP BY label ORDER BY label"""
+         FROM embeddings GROUP BY label ORDER BY label""",
+    // both Lloyd rounds unrolled; every stage mirrors Similarity.kmeans
+    // expression-for-expression (L2 left fold, d2/cid tie-break,
+    // DECIMAL(18,9) per-dim sums -> one double division)
+    "ss6_kmeans" ->
+      s"""WITH corp AS (SELECT vec_id,
+            [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, vec AS cvec FROM corp
+            WHERE vec_id < 8),
+          ${kmeansRound("c0", 1)},
+          ${kmeansUpdate(1)},
+          ${kmeansRound("c1", 2)},
+          ${kmeansUpdate(2)},
+          ${kmeansRound("c2", 3)}
+          SELECT vec_id, cid FROM a3 ORDER BY vec_id"""
     // ss2: no oracle (our SRP hash family); SimilaritySpec checks recall.
   )
+
+  /** One k-means assignment round in SQL: distances to `centCte`'s
+    * centroids, keep the nearest (ties to the lowest cid). */
+  private def kmeansRound(centCte: String, n: Int): String =
+    s"""s$n AS (SELECT c.vec_id, k.cid, c.vec,
+          list_sum([(c.vec[i] - k.cvec[i]) * (c.vec[i] - k.cvec[i])
+            for i in range(1,65)]) AS d2
+        FROM corp c CROSS JOIN $centCte k),
+        a$n AS (SELECT vec_id, cid, vec FROM (SELECT vec_id, cid, vec,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2 ASC, cid ASC) AS rn FROM s$n)
+          WHERE rn = 1)"""
+
+  /** One k-means centroid update in SQL: exact-decimal per-dim means of
+    * assignment round `n`, reassembled in dimension order. */
+  private def kmeansUpdate(n: Int): String =
+    s"""m$n AS (SELECT cid, i,
+          CAST(sum(CAST(vec[i] AS DECIMAL(18,9))) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE) AS mu
+        FROM a$n, range(1, 65) t(i) GROUP BY cid, i),
+        c$n AS (SELECT cid, list(mu ORDER BY i) AS cvec FROM m$n
+          GROUP BY cid)"""
 }

@@ -78,7 +78,15 @@ object StreamingQueries extends QueryPack {
       spine.join(hourly, Seq("hour"), "left_outer")
         .select(col("hour"), coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("hour")
-    })
+    }),
+
+    // Trending top-2 event types per tumbling hour, batch dual — the
+    // streaming deployment ranks finalized windows in foreachBatch
+    // (StreamingSpec proves stream/batch parity).
+    "st10_trending" -> ((s, d) =>
+      EventStreams.trendingTopK(
+        EventStreams.tumblingCounts(Tables.events(s, d)), k = 2)
+        .orderBy("window_start", "rank"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +185,16 @@ object StreamingQueries extends QueryPack {
            FROM bounds)
          SELECT spine.hour, coalesce(hourly.n_events, 0) AS n_events
          FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour
-         ORDER BY spine.hour"""
+         ORDER BY spine.hour""",
+    "st10_trending" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+             event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT window_start, event_type, n_events,
+             CAST(row_number() OVER (PARTITION BY window_start
+               ORDER BY n_events DESC, event_type ASC) AS INT) AS rank
+           FROM c)
+         SELECT window_start, event_type, n_events, rank FROM r
+         WHERE rank <= 2 ORDER BY window_start, rank"""
   )
 }

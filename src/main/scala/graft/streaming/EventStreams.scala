@@ -41,6 +41,27 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Per-window trending top-k: rank event types inside each tumbling
+    * 1-hour window by count (ties to the first type name) and keep the
+    * top `k`. On a BATCH frame this is the full window agg + rank. On a
+    * stream, rank-over-window isn't incrementally computable — the
+    * streaming deployment keeps [[tumblingCounts]] as the stateful
+    * (watermark-bounded) stage and applies this ranking per finalized
+    * window in `foreachBatch` (append mode emits every (window, type)
+    * row of a window together once the watermark passes its end, so the
+    * per-batch rank is exact — StreamingSpec drives exactly that shape).
+    * Shuffle keys on (window, type) then window — never a global
+    * partition. */
+  def trendingTopK(windowCounts: DataFrame, k: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    windowCounts
+      .select("window_start", "event_type", "n_events")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Session windows: 30-minute inactivity gap per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.EventAnalytics
+
+/** Planted-fixture coverage for the batch behavioral-analytics operators
+  * (ev1/ev2/ev3 are oracle-checked on the real fixture; this spec pins
+  * the semantic edge cases: ordering constraints in the funnel, cohort
+  * anchoring, cold-start and threshold behavior in spike detection). */
+class EventAnalyticsSpec extends GraftSuite {
+
+  private def ts(min: Int) = java.sql.Timestamp.valueOf(
+    f"2024-01-01 00:$min%02d:00")
+
+  test("funnel counts only users whose steps occur in order") {
+    import spark.implicits._
+    val events = Seq(
+      // u1 completes the whole funnel in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2 clicked BEFORE its first view -> stalls at stage 1
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(3), "purchase"),
+      // u3 views and clicks, never purchases
+      (3L, ts(1), "view"), (3L, ts(2), "click"),
+      // u4 purchases without ever viewing -> counted nowhere
+      (4L, ts(1), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: purchase strictly after click (equal ts does not count)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got === Map(1 -> 1L, 2 -> 1L, 3 -> 0L))
+  }
+
+  test("retention cohorts anchor weeks to the corpus min day") {
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${1 + n}%02d 12:00:00")
+    val events = Seq(
+      (1L, day(0)), (1L, day(7)),  // cohort week 0, active weeks 0 and 1
+      (2L, day(8)), (2L, day(9))   // first seen week 1 -> cohort 1
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics
+      .retentionCohorts(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0, 0, 1L), (0, 1, 1L), (1, 0, 1L)))
+  }
+
+  test("trailingSpikes: cold start is null/false, spike needs > k x mean") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 100L, ts(1), 1.0), (2L, 100L, ts(2), 1.0), (3L, 100L, ts(3), 1.0),
+      (4L, 100L, ts(4), 3.0),  // mean(1,1,1)=1; 3.0 is NOT > 3*1 (strict)
+      (5L, 100L, ts(5), 10.0), // mean(1,1,1,3)=1.5; 10 > 4.5 -> spike
+      (6L, 200L, ts(1), 99.0)  // other user, cold start
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = EventAnalytics
+      .trailingSpikes(events, "event_id", "user_id", "ts", "value",
+        lookback = 10, minPrev = 3, k = 3.0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(4), Option(r.get(5)), r.getBoolean(6)))
+      .toMap
+    assert(got(1L) === ((0L, None, false)))
+    assert(got(3L) === ((2L, None, false)))         // below minPrev
+    assert(got(4L) === ((3L, Some(1.0), false)))    // boundary: not strict >
+    assert(got(5L) === ((4L, Some(1.5), true)))
+    assert(got(6L) === ((0L, None, false)))
+  }
+
+  test("scd2History collapses equal runs, closes intervals, marks current") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: a,a,b,a -> three intervals, the last open
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(2), "a"),
+      (3L, 1L, ts(3), "b"), (4L, 1L, ts(4), "a"),
+      // u2: single event -> one open interval
+      (5L, 2L, ts(1), "x")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .scd2History(events, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (1L, "a", ts(1), Some(ts(3)), 2L, false),
+      (1L, "b", ts(3), Some(ts(4)), 1L, false),
+      (1L, "a", ts(4), None, 1L, true),
+      (2L, "x", ts(1), None, 1L, true)))
+  }
+
+  test("scd2History: duplicate boundary timestamps stay deterministic") {
+    import spark.implicits._
+    // same ts for both events -> id order decides: a closes at ts(1), b
+    // is current from ts(1)
+    val events = Seq(
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(1), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .scd2History(events, "user_id", "ts", "event_id", "event_type")
+      .orderBy("valid_from", "event_type")
+      .collect()
+      .map(r => (r.getString(1), Option(r.getTimestamp(3)), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      ("a", Some(ts(1)), false), ("b", None, true)))
+  }
+
+  test("trailingSpikes window is capped at lookback rows") {
+    import spark.implicits._
+    val events = (1 to 15).map(i => (i.toLong, 1L, ts(i), i.toDouble))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = EventAnalytics
+      .trailingSpikes(events, "event_id", "user_id", "ts", "value",
+        lookback = 10, minPrev = 3, k = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got(15L) === 10L) // only the previous 10, not all 14
+    assert(got(11L) === 10L)
+  }
+}

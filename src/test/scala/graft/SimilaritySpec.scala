@@ -103,6 +103,56 @@ class SimilaritySpec extends GraftSuite {
     one.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
 
+  test("kmeans recovers planted clusters and is restart-stable") {
+    import spark.implicits._
+    // three tight planted clusters around orthogonal axes, 64-dim; ids
+    // interleaved so seed centroids (lowest 3 ids) land one per cluster
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 64).map(i =>
+        (if (i == axis) 1.0f else 0.0f) +
+          (if (i == (axis + 7) % 64) jitter.toFloat else 0.0f))
+    val rows = (0 until 12).map { id =>
+      (id.toLong, v(id % 3 * 10, 0.01 * (id / 3)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k = 3, updates = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector lands with its planted cluster's seed (ids 0,1,2)
+    rows.foreach { case (id, _) =>
+      assert(got(id) === (id % 3), s"vec $id")
+    }
+    // determinism: a second run returns the identical assignment
+    val again = Similarity.kmeans(df, "vec_id", "embedding", k = 3, updates = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("semanticDedup keeps the lowest id per semantic group") {
+    import spark.implicits._
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 64).map(i =>
+        (if (i == axis) 1.0f else 0.0f) +
+          (if (i == (axis + 1) % 64) jitter.toFloat else 0.0f))
+    // seeds are the two lowest ids, so 0 (axis 0) and 1 (axis 30) anchor
+    // the two clusters; 2 duplicates 0, 4/5 duplicate 1, 3 is alone
+    val df = Seq(
+      (0L, v(0, 0.0)), (1L, v(30, 0.0)), (2L, v(0, 0.001)),
+      (3L, v(3, 0.0)), (4L, v(30, 0.002)), (5L, v(30, 0.004))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, numCentroids = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(0L -> true, 1L -> true, 2L -> false,
+      3L -> true, 4L -> false, 5L -> false))
+    // within-cluster recall is exact: dropped set == brute-force pairs'
+    // higher ids when clustering does not split a semantic group
+    val bruteHi = Similarity
+      .bruteForceNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.filter(!_._2).keySet === bruteHi)
+  }
+
   test("int8 quantization error is bounded by half a quantization step") {
     // q = floor(x·scale + 0.5) is within 0.5 of x·scale, so the
     // reconstruction error is ≤ 0.5/scale = max_abs/254 per element.

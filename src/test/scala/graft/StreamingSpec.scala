@@ -46,6 +46,21 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.count() >= batch.count() - 5)
   }
 
+  test("trending top-k ranked over streamed finalized windows equals batch") {
+    // the stateful stage streams (tumbling counts, append = finalized
+    // windows only); the rank is the foreachBatch step — applying it to
+    // the emitted rows must reproduce the batch ranking exactly, which
+    // also proves windows emit atomically (a partial window would rank
+    // differently and fail exceptAll)
+    val streamedCounts = runStream("t_trend", EventStreams.tumblingCounts,
+      "append")
+    val streamedRank = EventStreams.trendingTopK(streamedCounts, k = 2)
+    val batch = EventStreams.trendingTopK(
+      EventStreams.tumblingCounts(Tables.events(spark, sf)), k = 2)
+    assert(streamedRank.exceptAll(batch).count() === 0)
+    assert(streamedRank.count() > 0)
+  }
+
   test("sliding window: streaming rows are a watermark-closed subset of batch") {
     val streamed = runStream("t_sliding", EventStreams.slidingCounts, "append")
     val batch = EventStreams.slidingCounts(Tables.events(spark, sf))
