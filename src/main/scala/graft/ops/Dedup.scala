@@ -404,4 +404,43 @@ object Dedup {
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= 1)
   }
+
+  /** Containment similarity join: pairs whose distinct word-n-gram
+    * overlap covers ≥ `threshold` of the SMALLER document's gram set —
+    * C(A,B) = |A∩B| / min(|A|,|B|). The asymmetric cousin of Jaccard
+    * (dd7): a short document wholly quoted inside a long one scores ~1
+    * here but low on Jaccard, which is why containment is the standard
+    * quote/subset-dup detector alongside symmetric near-dup.
+    *
+    * Shape: distinct grams per doc → inverted-index equi join on the
+    * gram key → per-pair shared count vs the (broadcastable) per-doc
+    * gram counts; the exact integer ratio is oracle-safe. Shuffles key
+    * on gram then (id_a, id_b) — never a pairwise scan. At 100 TB the
+    * gram join inherits dd7's prefix-filter option (join only each
+    * doc's rarest grams — lossless for a containment threshold because
+    * ≥ t·|A| shared grams must include a rare one once |A|·(1−t) <
+    * the prefix length); the plain inverted index is exact already. */
+  def containmentPairs(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double): DataFrame = {
+    val grams = docs.select(id.as("ct_id"),
+      explode(array_distinct(graft.ops.TextAnalysis.wordNgrams(
+        split(text, " "), n))).as("gram"))
+    val counts = grams.groupBy("ct_id").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.alias("a")
+      .join(grams.alias("b"),
+        col("a.gram") === col("b.gram") && col("a.ct_id") < col("b.ct_id"))
+      .groupBy(col("a.ct_id").as("id_a"), col("b.ct_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("ct_id").as("id_a"), col("n_grams").as("na")),
+        "id_a")
+      .join(counts.select(col("ct_id").as("id_b"), col("n_grams").as("nb")),
+        "id_b")
+      .withColumn("containment",
+        col("shared").cast("double") /
+          least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "containment")
+  }
 }

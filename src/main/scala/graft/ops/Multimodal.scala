@@ -56,7 +56,8 @@ object Multimodal {
     * so the caller can fall back to the stub pseudo-decode. ImageIO's
     * format sniffing reads the payload's magic bytes — no kind metadata
     * trust needed. */
-  private def decodeImagePixels(payload: Array[Byte]): Option[Array[Float]] = {
+  private def decodeImagePixels(
+      payload: Array[Byte]): Option[(Array[Float], Int, Int)] = {
     if (payload == null || payload.isEmpty) None
     else {
       val img = javax.imageio.ImageIO.read(
@@ -81,7 +82,7 @@ object Multimodal {
           }
           y += 1
         }
-        Some(out)
+        Some((out, w, h))
       }
     }
   }
@@ -183,7 +184,8 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]]("payload")
         val decoded: Array[Float] = r.getAs[String]("kind") match {
           case "image" =>
-            decodeImagePixels(payload).getOrElse(fakeDecode(payload, 256))
+            decodeImagePixels(payload).map(_._1)
+              .getOrElse(fakeDecode(payload, 256))
           case "audio" =>
             decodeWavSamples(payload).getOrElse(fakeDecode(payload, 256))
           case _ => fakeDecode(payload, 256)
@@ -201,6 +203,122 @@ object Multimodal {
         Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), feat.toSeq)
       }
     }(encoder)
+  }
+
+  /** Box-average `pixels` (row-major w×h grayscale) onto a gw×gh grid.
+    * Cell ranges are index-floored with a ≥1-pixel guarantee, so any
+    * image size ≥ 1×1 produces a full grid deterministically. */
+  private def boxGrid(
+      pixels: Array[Float], w: Int, h: Int,
+      gw: Int, gh: Int): Array[Float] = {
+    val out = new Array[Float](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var acc = 0f
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            acc += pixels(y * w + x)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0) * (math.min(x1, w) - x0)
+        out(gy * gw + gx) = if (n > 0) acc / n else 0f
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Perceptual image hashes — the image analog of SimHash (dd4) for
+    * near-duplicate image detection:
+    *  - aHash: box-average to 8×8, threshold each cell STRICTLY above
+    *    the 64-cell mean → bit (row·8+col);
+    *  - dHash: box-average to 9×8, bit set when a cell strictly exceeds
+    *    its right neighbor (horizontal gradient sign).
+    * Visually-near images differ in few bits, so Hamming distance is the
+    * dedup metric and [[nearDupImages]]' chunk-bucket join finds pairs
+    * at scale without a pairwise scan. Real `javax.imageio` decode for
+    * decodable payloads; the deterministic stub pseudo-decode (treated
+    * as a 16×16 tile) otherwise, flagged in `real_decode`. Scan-local
+    * partition-batch work — no shuffle.
+    * Output: (media_id, kind, real_decode, ahash, dhash). */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("real_decode", BooleanType),
+      StructField("ahash", LongType),
+      StructField("dhash", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded = r.getAs[String]("kind") match {
+          case "image" => decodeImagePixels(payload)
+          case _ => None
+        }
+        val (px, w, h) = decoded.getOrElse((fakeDecode(payload, 256), 16, 16))
+        // aHash: 8×8 cells vs their mean
+        val a = boxGrid(px, w, h, 8, 8)
+        var mean = 0f
+        var i = 0
+        while (i < 64) { mean += a(i); i += 1 }
+        mean /= 64f
+        var ahash = 0L
+        i = 0
+        while (i < 64) {
+          if (a(i) > mean) ahash |= 1L << i
+          i += 1
+        }
+        // dHash: 9×8 cells, horizontal gradient sign
+        val d = boxGrid(px, w, h, 9, 8)
+        var dhash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (d(y * 9 + x) > d(y * 9 + x + 1)) dhash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+          decoded.isDefined, ahash, dhash)
+      }
+    }(encoder)
+  }
+
+  /** Near-duplicate images from perceptual hashes: candidates share one
+    * of the four 16-bit aHash chunks (pigeonhole — lossless for Hamming
+    * ≤ 3), then an exact popcount verifies. Same scale shape as the
+    * SimHash text path: shuffles on (chunk index, chunk value) keys
+    * only, never the n² pair space. Input: [[perceptualHash]] output. */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = array((0 until 4).map(c =>
+      shiftright(col("ahash"), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val buckets = hashes.select(col("media_id"), col("ahash"),
+      posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Image resize STUB: keeps the plumbing (binary in → binary out with

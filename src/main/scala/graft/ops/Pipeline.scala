@@ -396,4 +396,92 @@ object Pipeline {
       .withColumn(posName, row_number().over(local).cast("long") + off)
       .drop("_pid")
   }
+
+  // ---- BPE tokenizer training ------------------------------------------
+
+  /** Frequency-weighted word table: (word, freq) over whitespace tokens,
+    * single-char words dropped (nothing to merge). The shuffle keys on
+    * the word — at 100 TB this is the standard first pass of every
+    * tokenizer trainer (the corpus collapses to its vocabulary). */
+  def wordFrequencies(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(lower(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** One BPE iteration's merge statistics: adjacent character-pair counts
+    * weighted by word frequency (Sennrich et al. 2016 pick the argmax of
+    * exactly this table each round). Pair generation is a scan-local
+    * array expression over the (vocabulary-sized) word table; the only
+    * shuffles key on word then pair. Output: (pair, pair_count) top-k by
+    * count, ties lexicographic. */
+  def bpeMergePairs(
+      docs: DataFrame, textCol: Column, topK: Int = 20): DataFrame = {
+    val wf = wordFrequencies(docs, textCol)
+    wf.select(explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  /** BPE training: `merges` rounds of count-pairs → pick argmax → rewrite
+    * every word's symbol sequence with the merged token (greedy
+    * left-to-right, the reference BPE semantics). The corpus collapses
+    * to the word table once; each round is one pair aggregation plus a
+    * scan-local fold that rewrites symbol arrays — only the chosen merge
+    * (two strings) crosses the driver per round, the argmax of a
+    * k-row aggregate (bounded driver read, same contract as `kmeans`).
+    * Returns the merge list in order. `appliedVocab` exposes the
+    * resulting symbol table for inspection/spec. */
+  def bpeTrain(
+      docs: DataFrame, textCol: Column, merges: Int): Seq[(String, String)] = {
+    var words = wordFrequencies(docs, textCol)
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .localCheckpoint(eager = false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to merges) {
+      val top = words
+        .select(explode(transform(
+            sequence(lit(0), size(col("syms")) - 2),
+            i => struct(
+              get(col("syms"), i).as("l"),
+              get(col("syms"), i + 1).as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) return out.toSeq
+      val (l, r) = (top.head.getString(0), top.head.getString(1))
+      out += ((l, r))
+      words = words
+        .withColumn("syms", mergeAdjacent(col("syms"), l, r))
+        .localCheckpoint(eager = false) // truncate the per-round lineage
+    }
+    out.toSeq
+  }
+
+  /** Greedy left-to-right merge of adjacent (l, r) symbol occurrences —
+    * a sequential fold, exactly the reference BPE apply rule (overlaps
+    * consume left-first: a a a with merge (a,a) → [aa, a]). */
+  private def mergeAdjacent(syms: Column, l: String, r: String): Column =
+    // get() (0-based, null out of bounds) keeps the empty-accumulator
+    // probe ANSI-safe; null === l is null -> when falls through to append
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The vocabulary after applying `bpeTrain`'s merges: distinct symbols
+    * with frequency-weighted counts. */
+  def appliedVocab(
+      docs: DataFrame, textCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val syms = merges.foldLeft(split(col("word"), "")) {
+      case (c, (l, r)) => mergeAdjacent(c, l, r)
+    }
+    wordFrequencies(docs, textCol)
+      .select(explode(syms).as("symbol"), col("freq"))
+      .groupBy("symbol").agg(sum(col("freq")).as("n"))
+  }
 }

@@ -153,7 +153,16 @@ object DedupQueries extends QueryPack {
       graft.ops.Similarity.semanticDedup(
         Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35, numCentroids = 16)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Containment similarity join: overlap ≥ 80% of the smaller doc's
+    // distinct word trigrams — the asymmetric quote/subset-dup detector
+    // (a doc quoted inside a longer one scores ~1 here, low on Jaccard).
+    "dd15_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -275,7 +284,29 @@ object DedupQueries extends QueryPack {
           dropped AS (SELECT DISTINCT id_hi FROM pairs WHERE cos >= 0.35)
           SELECT a.vec_id, a.cid, (d.id_hi IS NULL) AS keep
           FROM assigned a LEFT JOIN dropped d ON d.id_hi = a.vec_id
-          ORDER BY a.vec_id"""
+          ORDER BY a.vec_id""",
+    // same distinct-trigram inverted index as dd11; exact integer ratio
+    "dd15_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(w[i:i+2], ' ')
+                  for i in range(1, len(w) - 1)])) AS gram
+               FROM t),
+         c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
+           GROUP BY doc_id),
+         sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, shared,
+           CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE)
+             AS containment
+         FROM sh JOIN c ca ON ca.doc_id = sh.id_a
+           JOIN c cb ON cb.doc_id = sh.id_b
+         WHERE CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE)
+           >= 0.8
+         ORDER BY id_a, id_b"""
     // dd2/dd3/dd4: no oracle (xxhash64 signatures) — DedupSpec invariants.
   )
 }

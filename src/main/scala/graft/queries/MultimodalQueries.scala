@@ -38,7 +38,24 @@ object MultimodalQueries extends QueryPack {
         Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .select(col("media_id"), col("frame_idx"),
           length(col("frame_bytes")).as("frame_len"))
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+
+    // Perceptual image hashes (aHash/dHash — the image SimHash). Fixture
+    // payloads are text stand-ins, so the deterministic stub decode
+    // feeds the hash; MultimodalSpec drives real PNGs through it.
+    "mm4_perceptual_hash" -> ((s, d) =>
+      Multimodal.perceptualHash(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .orderBy("media_id")),
+
+    // Near-duplicate images via aHash chunk buckets + exact Hamming —
+    // duplicate fixture docs surface as hamming-0 payload pairs.
+    "mm5_image_neardup" -> ((s, d) =>
+      Multimodal.nearDupImages(
+        Multimodal.perceptualHash(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d))),
+        maxHamming = 3)
+        .orderBy("id_a", "id_b"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -151,7 +151,14 @@ object PipelineQueries extends QueryPack {
       Pipeline.winsorize(
         Tables.documents(s, d).select("doc_id", "n_chars"),
         col("n_chars"), "n_chars", 0.05, 0.95)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // BPE merge statistics (one Sennrich-iteration pair table): adjacent
+    // char-pair counts weighted by word frequency, top-20. The full
+    // trainer (Pipeline.bpeTrain) iterates argmax+rewrite and is
+    // spec-tested against hand-computed merges.
+    "pl13_bpe_pairs" -> ((s, d) =>
+      Pipeline.bpeMergePairs(Tables.documents(s, d), col("text"), topK = 20))
   )
 
   // The identical shift/and/or fold as Pipeline.zValue, generated
@@ -170,6 +177,18 @@ object PipelineQueries extends QueryPack {
          SELECT doc_id, n_chars,
            least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS n_chars_w
          FROM documents CROSS JOIN b ORDER BY doc_id""",
+    "pl13_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+             FROM documents),
+         wf AS (SELECT word, count(*) AS freq FROM w
+           WHERE len(word) >= 2 GROUP BY word),
+         p AS (SELECT unnest([substr(word, i, 2)
+               for i in range(1, len(word))]) AS pair, freq
+           FROM wf),
+         pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+           FROM p GROUP BY pair)
+         SELECT pair, pair_count FROM pc
+         ORDER BY pair_count DESC, pair LIMIT 20""",
     "pl11_zorder_value" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
             CAST(${zSql("l_partkey", "l_suppkey", 16)} AS BIGINT) AS zval

@@ -251,4 +251,27 @@ class DedupSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("containmentPairs flags subset quotes that Jaccard misses") {
+    import spark.implicits._
+    val short = "q w e r t y u i"                  // 6 distinct trigrams
+    val long = short + " o p a s d f g h"          // 14, superset of short
+    val docs = Seq(
+      (1L, short), (2L, long), (3L, "z x c v b n m k"))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .containmentPairs(docs, col("doc_id"), col("text"), n = 3,
+        threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // full quote: containment 1.0 on 6 shared grams — while jaccard is
+    // 6/14 ≈ 0.43, far below the 0.8 bar
+    assert(got.toSeq === Seq((1L, 2L, 6L, 1.0)))
+    // the equi join on the gram key is the candidate generator — no scan
+    val plan = Dedup
+      .containmentPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

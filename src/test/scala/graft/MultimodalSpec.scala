@@ -123,6 +123,47 @@ class MultimodalSpec extends GraftSuite {
     assert(fallback.length === 32 && fallback.exists(_ !== 0.0f))
   }
 
+  test("perceptual hashes: known patterns, near-dup pairing, real decode") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val topBottom = png((_, y) => if (y < 4) 0x000000 else 0xffffff)
+    // same image with ONE pixel flipped to white
+    val nearDup = png((x, y) =>
+      if (x == 0 && y == 0) 0xffffff
+      else if (y < 4) 0x000000 else 0xffffff)
+    val leftRight = png((x, _) => if (x < 4) 0xffffff else 0x000000)
+    val media = Seq(
+      (1L, "image", topBottom), (2L, "image", nearDup),
+      (3L, "image", leftRight),
+      (4L, "image", "not a png".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
+    val hashes = Multimodal.perceptualHash(media)
+    val rows = hashes.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // bottom-half white: exactly cell bits 32..63 above the mean
+    assert(rows(1L)._2 === 0xFFFFFFFF00000000L)
+    // horizontally uniform rows -> no gradient bits
+    assert(rows(1L)._3 === 0L)
+    // one flipped pixel = one flipped aHash bit (cell 0 crosses the mean)
+    assert(java.lang.Long.bitCount(rows(1L)._2 ^ rows(2L)._2) === 1)
+    assert(rows(1L)._1 && rows(2L)._1 && rows(3L)._1)
+    assert(!rows(4L)._1) // text payload -> stub, flagged
+    // chunk-bucket pairing: the near-dup pair surfaces, the unrelated
+    // pattern does not
+    val pairs = Multimodal.nearDupImages(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("resize updates image metadata and bounds payload") {
     val resized = Multimodal.resizeImages(media, 8, 8)
     val img = resized.filter(col("kind") === "image")

@@ -320,6 +320,38 @@ class PipelineSpec extends GraftSuite {
     assert(w(95L) === 95.0 && w(99L) === 95.0 && w(100L) === 95.0)
   }
 
+  test("bpeTrain reproduces hand-computed Sennrich merges") {
+    import spark.implicits._
+    // words: aaab ×2, ab ×1
+    // round 1: (a,a)=4 beats (a,b)=3 -> "aa"; greedy rewrite aaab=[aa,a,b]
+    // round 2: (a,b)=3 beats (aa,a)=2 -> "ab"
+    // round 3: (aa,ab)=2 -> "aaab"
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val merges = Pipeline.bpeTrain(docs, col("text"), merges = 3)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val vocab = Pipeline.appliedVocab(docs, col("text"), merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map("aaab" -> 2L, "ab" -> 1L))
+  }
+
+  test("bpe merge apply consumes overlaps left-first") {
+    import spark.implicits._
+    // "aaa": (a,a) counted at both positions; after the merge the greedy
+    // left-first rewrite leaves [aa, a], so round 2 merges (aa, a)
+    val docs = Seq("aaa aaa").toDF("text")
+    val merges = Pipeline.bpeTrain(docs, col("text"), merges = 2)
+    assert(merges === Seq(("a", "a"), ("aa", "a")))
+  }
+
+  test("bpeMergePairs weights pairs by word frequency") {
+    import spark.implicits._
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val got = Pipeline.bpeMergePairs(docs, col("text"), topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head === ("aa" -> 4L)) // two positions × freq 2
+    assert(got.toMap.apply("ab") === 3L)
+  }
+
   test("context packing fills bins to the budget in id order") {
     val packed = Pipeline.packByTokenBudget(
       docs.select(col("doc_id"),

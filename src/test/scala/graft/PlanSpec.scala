@@ -185,6 +185,23 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("event analytics and trending windows are partitioned, never single-task") {
+    Seq("ev3_spikes", "ev4_scd2_history", "st10_trending").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("Window"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("kmeans and semantic dedup broadcast the bounded centroid side") {
+    // the corpus-side scan must stream against broadcast centroids — a
+    // shuffled join here would move the whole corpus per Lloyd round
+    Seq("ss6_kmeans", "dd14_semantic_dedup").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("Broadcast"), s"$q:\n$p")
+    }
+  }
+
   test("pl9 exact-k sample and st8 sessionize window per stratum/user") {
     // both are window operators — the windows must be PARTITIONED
     // (stratum / user), never a single-task global window
