@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Aggregation library (SURVEY.md §2d).
   *
@@ -120,4 +121,45 @@ object Aggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
   def heavyHitters(c: Column, k: Int): Column = udaf(new MisraGries(k)).apply(c)
+
+  /** Pairwise Pearson correlation matrix over `cols`, computed from
+    * exact decimal moment sums in ONE aggregate pass.
+    *
+    * The built-in `corr` streams double accumulators whose partition
+    * merge order perturbs the last ulps — fine numerically, fatal for a
+    * hash-comparing oracle. Here every moment (Σx, Σxy, …) is an exact
+    * DECIMAL sum (each input cast to DECIMAL(18,`scale`); products carry
+    * 2·scale digits), so the moments are merge-order-independent, and the
+    * correlation is then ONE fixed double expression over those exact
+    * moments — bit-identical on any cluster and on the oracle engine.
+    * Same policy as [[moneySum]]; inputs must keep every moment's VALUE
+    * under 2^53 at the chosen scale (the double cast is then exact) —
+    * holds for bounded columns like quantities/rates into the billions of
+    * rows. The exact-decimal pass is also the right call at 100 TB: a
+    * training-metrics pipeline re-run must reproduce its numbers.
+    *
+    * Output: one row per unordered pair — (col_x, col_y, n, corr). */
+  def corrMatrixExact(df: DataFrame, cols: Seq[String], scale: Int = 3): DataFrame = {
+    require(cols.size >= 2, "corrMatrixExact needs at least two columns")
+    def d(c: String): Column = col(c).cast(DecimalType(18, scale))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments: Seq[Column] =
+      count(lit(1)).cast("double").as("__n") +:
+      (cols.map(c => sum(d(c)).cast("double").as(s"__s_$c")) ++
+       cols.map(c => sum(d(c) * d(c)).cast("double").as(s"__ss_$c")) ++
+       pairs.map { case (x, y) =>
+         sum(d(x) * d(y)).cast("double").as(s"__sp_${x}_$y") })
+    val wide = df.agg(moments.head, moments.tail: _*)
+    val stackArgs = pairs.map { case (x, y) =>
+      s"""'$x', '$y',
+          (__n * __sp_${x}_$y - __s_$x * __s_$y) /
+            sqrt(__n * __ss_$x - __s_$x * __s_$x) /
+            sqrt(__n * __ss_$y - __s_$y * __s_$y)""" }.mkString(", ")
+    wide.selectExpr(
+      "CAST(__n AS BIGINT) AS n",
+      s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, corr)")
+      .select("col_x", "col_y", "n", "corr")
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Expectations-style data-quality auditing (beyond-reference; the
+  * reference has no constraint surface at all — its loader trusts the CSV,
+  * /root/reference Microbase.scala:960-983).
+  *
+  * A pipeline feeding a 100 TB training run needs machine-checkable data
+  * contracts: null rates, key uniqueness, referential integrity, value
+  * ranges, accepted categories. The design constraint at scale is PASSES,
+  * not predicates: every scan-local check on one table folds into a SINGLE
+  * aggregate over a single scan (count_if columns side by side), so adding
+  * a 10th check costs zero extra I/O. Only referential integrity needs a
+  * join — expressed as a key-level anti join (distinct child keys vs
+  * parent keys, shuffle on the key, broadcast-able when the parent is a
+  * dim), never a row-level pairwise pass.
+  *
+  * Output is one row per check: (check_name, table_name, violations,
+  * total, pass) — the shape a CI gate or freshness monitor consumes.
+  */
+object DataQuality {
+
+  /** One named scan-local check: `violated` must be a boolean column over
+    * the audited table's rows. */
+  final case class Check(name: String, violated: Column)
+
+  /** All `checks` evaluated in ONE aggregate over one scan of `df`:
+    * each check becomes a count_if(violated) beside a shared count(*),
+    * then the wide single row unpivots to the per-check report via stack.
+    * Adding a check never adds a scan — the audit stays one pass however
+    * many contracts the table carries. */
+  def audit(df: DataFrame, table: String, checks: Seq[Check]): DataFrame = {
+    val aggs = count(lit(1)).cast("long").as("_total") +:
+      checks.map(c => count_if(c.violated).cast("long").as(s"_v_${c.name}"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.flatMap { c =>
+      Seq(lit(c.name), col(s"_v_${c.name}"))
+    }
+    wide.select(
+      stack((lit(checks.size) +: stackArgs): _*).as(Seq("check_name", "violations")),
+      col("_total").as("total"))
+      .select(
+        col("check_name"),
+        lit(table).as("table_name"),
+        col("violations"),
+        col("total"),
+        (col("violations") === 0L).as("pass"))
+  }
+
+  /** Referential-integrity check as its own report row: child keys with no
+    * matching parent. Key-level: both sides reduce to DISTINCT keys before
+    * the anti join, so the shuffle carries keys, not rows — and Spark
+    * broadcasts the parent side when it is small enough. `total` is the
+    * number of distinct child keys audited. */
+  def referentialIntegrity(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String,
+      checkName: String, table: String): DataFrame = {
+    val childKeys = child.select(col(childKey).as("k")).where(col("k").isNotNull).distinct()
+    val parentKeys = parent.select(col(parentKey).as("k")).distinct()
+    val orphans = childKeys.join(parentKeys, Seq("k"), "left_anti")
+    childKeys.agg(count(lit(1)).cast("long").as("total"))
+      .crossJoin(orphans.agg(count(lit(1)).cast("long").as("violations")))
+      .select(
+        lit(checkName).as("check_name"),
+        lit(table).as("table_name"),
+        col("violations"),
+        col("total"),
+        (col("violations") === 0L).as("pass"))
+  }
+
+  /** Uniqueness as a grouped check: violations = extra rows beyond the
+    * first per key (count(*) - count(distinct key...)) — exact, and the
+    * distinct count shuffles key bytes only. Null keys count as
+    * violations (a null key can never satisfy a uniqueness contract). */
+  def uniqueness(df: DataFrame, keys: Seq[String], checkName: String, table: String): DataFrame = {
+    val k = keys.map(col)
+    df.agg(
+      count(lit(1)).cast("long").as("total"),
+      (count(lit(1)) - count_distinct(k.head, k.tail: _*)).cast("long").as("violations"))
+      .select(
+        lit(checkName).as("check_name"),
+        lit(table).as("table_name"),
+        col("violations"),
+        col("total"),
+        (col("violations") === 0L).as("pass"))
+  }
+}

@@ -149,4 +149,35 @@ object EventAnalytics {
       .select(col(keyCol), col(attrCol), col("valid_from"),
         col("valid_to"), col("n_events"), col("is_current"))
   }
+
+  /** First-order Markov transition matrix over each user's event sequence:
+    * for every ordered (from_type → to_type) step, its count and its
+    * conditional probability P(to | from). The classic behavioral-model /
+    * next-action-prediction primitive.
+    *
+    * The successor comes from a lag-1 window PARTITIONED BY USER (never a
+    * global order — millions of users parallelize, PlanSpec asserts no
+    * SinglePartition), ordered by (ts, id) so concurrent events break
+    * ties deterministically. P(to|from) divides by the from-type's total
+    * outgoing transitions via a tiny (k types × k types) aggregate — the
+    * per-from normalizer is a window over the k² result, negligible at
+    * any corpus size because the matrix, not the corpus, is its input. */
+  def transitionMatrix(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String): DataFrame = {
+    val seq0 = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val steps = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(seq0))
+      .where(col("to_type").isNotNull)
+    val counts = steps.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p",
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(byFrom).cast("double"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"), col("p"))
+  }
 }

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Frames pinned by the two-phase prefix sum, released by
-    * [[releaseCaches]]. */
-  private val pinned =
+    * [[releaseCaches]]. Package-private so sibling two-phase operators
+    * (e.g. [[Relational.skyline2D]]) share the one release point. */
+  private[ops] val pinned =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Unpersist every frame pinned by [[packByTokenBudget]] /

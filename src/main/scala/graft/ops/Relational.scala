@@ -95,4 +95,65 @@ object Relational {
       .select("col_name", "n_rows", "n_nulls", "n_distinct",
         "min_val", "max_val")
   }
+
+  /** Distributed 2D skyline (Pareto frontier, minimizing both axes): the
+    * distinct points `(x, y)` not strictly dominated by any other point
+    * (q dominates p iff q.x ≤ p.x ∧ q.y ≤ p.y with at least one strict).
+    * Output: `(x, y, n_rows)` — each frontier point with how many input
+    * rows sit exactly on it.
+    *
+    * The textbook sort-based algorithm orders by `(x, y)` and keeps a row
+    * iff every preceding row has a larger `y` — after DISTINCT, a
+    * preceding row with `y ≤` this one's always dominates (its `x` is ≤,
+    * and equality on both is impossible). A naive Spark rendering of
+    * "preceding running min" is a global-order window — one task, dead at
+    * 100 TB. This uses the same two-phase shape as
+    * [[Pipeline.packByTokenBudget]]: range-partition by `(x, y)`, take the
+    * per-partition y-minimum (one tiny row per partition on the driver),
+    * broadcast the exclusive prefix-minima, and combine with a
+    * partition-local running min — every stage balanced, no
+    * SinglePartition window anywhere (PlanSpec asserts).
+    *
+    * `x`/`y` must be numeric (compared as their native types; the
+    * broadcast prefix map is double, exact for values < 2^53). */
+  def skyline2D(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val pts = df
+      .where(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("n_rows"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // Persisted before the per-partition-min action so the main job reuses
+    // the SAME range boundaries (the range sampler is not deterministic
+    // across re-runs); released via Pipeline.releaseCaches.
+    val ranged = pts.repartitionByRange(parts, col("x"), col("y"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pinned.add(ranged)
+    val mins = ranged.groupBy(col("_pid"))
+      .agg(min(col("y").cast("double")).as("_min_y"))
+      .collect()
+      .sortBy(_.getInt(0))
+    var run = Double.NaN
+    val prefix: Map[Int, Double] = mins.map { r =>
+      val e = r.getInt(0) -> run
+      val m = r.getDouble(1)
+      run = if (run.isNaN || m < run) m else run
+      e
+    }.toMap.filterNot(_._2.isNaN) // partitions with no preceding minimum
+    val local = Window.partitionBy(col("_pid")).orderBy(col("x"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localPrefix = min(col("y")).over(local)
+    val partPrefix =
+      if (prefix.isEmpty) lit(null).cast("double")
+      else element_at(typedLit(prefix), col("_pid"))
+    val globalPrefix = least(
+      coalesce(localPrefix.cast("double"), lit(Double.PositiveInfinity)),
+      coalesce(partPrefix, lit(Double.PositiveInfinity)))
+    ranged
+      .withColumn("_prefix_min", globalPrefix)
+      .where(col("y").cast("double") < col("_prefix_min"))
+      .select(col("x"), col("y"), col("n_rows"))
+  }
 }

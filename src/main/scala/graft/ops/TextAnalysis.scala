@@ -315,4 +315,72 @@ object TextAnalysis {
         (graft.queries.OracleSafe.moneySum(col("p"), 12) /
           count(lit(1))).as("avg_p"))
   }
+
+  /** Boilerplate passage stripping (the removal step of CCNet/RefinedWeb
+    * line-dedup, adapted to chunk granularity — the fixtures carry no
+    * newlines, so the "line" unit is a fixed non-overlapping token
+    * window). dd12 DETECTS repeated passages; this REWRITES the corpus:
+    * any chunk appearing in more than `maxDocFreq` distinct documents
+    * (navigation chrome, license footers, scraped templates) is removed
+    * and each document's remaining chunks are re-joined in order.
+    * Documents that were pure boilerplate come back with empty text —
+    * kept (not dropped) so the caller decides their fate.
+    *
+    * Output: `(doc_id, clean_text, n_chunks, n_kept)`.
+    *
+    * Scale shape: chunking is scan-local; doc-frequency keys on the
+    * 32-byte chunk md5 (count DISTINCT doc per hash — a key-level
+    * aggregation, never pairwise); the rebuild keys on doc_id with an
+    * order-stable array_sort re-join, not a window. Raw chunk text rides
+    * along only between the chunk and rebuild stages of the SAME doc —
+    * the cross-doc shuffle carries hashes. */
+  def stripBoilerplateChunks(
+      docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column,
+      chunkSize: Int, maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val chunks = docs
+      .select(id.as("doc_id"), split(text, " ").as("toks"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ((size(col("toks")) - 1) / lit(chunkSize)).cast("int"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)))
+          .as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+    val docFreq = chunks.groupBy("chunk_md5")
+      .agg(count_distinct(col("doc_id")).as("chunk_df"))
+    val rebuilt = chunks.join(docFreq, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count_if(col("chunk_df") <= maxDocFreq).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("chunk_df") <= maxDocFreq,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          c => c.getField("chunk_text"))).as("clean_text"))
+    docs.select(id.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** PII redaction: email addresses and NANP-style phone numbers replaced
+    * with `[EMAIL]` / `[PHONE]` placeholder tokens — the standard scrub
+    * pass before a corpus feeds a training run. Pure regexp_replace column
+    * expressions (codegen'd, scan-local, zero shuffle): at 100 TB this
+    * runs at parquet-scan speed like every other ta* operator. The
+    * patterns use portable regex (character classes + bounded repeats
+    * only), so the exact same pattern text runs on the oracle engine. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
 }

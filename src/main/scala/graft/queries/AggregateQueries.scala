@@ -180,6 +180,36 @@ object AggregateQueries extends QueryPack {
             lit(19)).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
         .orderBy("bucket")
+    }),
+
+    // Exact-decimal Pearson correlation matrix: every moment is an exact
+    // DECIMAL sum (merge-order-independent), the correlation one fixed
+    // double expression over them — bit-identical cross-engine, unlike
+    // the streaming-accumulator corr in agg_stats (tolerance-rounded).
+    "agg_corr_matrix" -> ((s, d) =>
+      graft.ops.Aggregates.corrMatrixExact(
+        Tables.lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
+        .orderBy("col_x", "col_y")),
+
+    // Mergeable HLL distinct sketches (Apache DataSketches via Spark):
+    // per-event-type user cardinality + a sketch-UNION rollup — the
+    // 100 TB shape where per-day/per-shard sketches merge instead of
+    // re-scanning raw data. Rows-only (sketch estimates are
+    // engine-specific); AggregatesSpec bounds the error vs exact and
+    // asserts the union's estimate covers the global distinct.
+    "agg_hll_sketch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val perType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val union = perType
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("(all types)").as("scope"),
+          hll_sketch_estimate(col("sk")).as("approx_users"))
+      perType
+        .select(col("event_type").as("scope"),
+          hll_sketch_estimate(col("sk")).as("approx_users"))
+        .unionByName(union)
+        .orderBy("scope")
     })
   )
 
@@ -258,9 +288,36 @@ object AggregateQueries extends QueryPack {
                   AS INT), 19) AS bucket,
            count(*) AS n_rows
          FROM lineitem CROSS JOIN b
-         GROUP BY bucket ORDER BY bucket"""
-    // agg_approx_distinct / agg_approx_percentile: intentionally no
-    // oracle — HLL / GK sketch estimates are engine-specific; driver
-    // records rows-only. AggregatesSpec bounds both errors.
+         GROUP BY bucket ORDER BY bucket""",
+    // Identical moment sums (DECIMAL(18,3) inputs, exact decimal Σ) and
+    // the identical double expression — bit-exact across engines.
+    "agg_corr_matrix" ->
+      """WITH m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS s_q,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE) AS s_d,
+             CAST(sum(CAST(l_tax AS DECIMAL(18,3))) AS DOUBLE) AS s_t,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS ss_q,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE) AS ss_d,
+             CAST(sum(CAST(l_tax AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS DOUBLE) AS ss_t,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE) AS sp_qd,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS DOUBLE) AS sp_qt,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS DOUBLE) AS sp_dt
+           FROM lineitem)
+         SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+           (n * sp - s_x * s_y) / sqrt(n * ss_x - s_x * s_x)
+             / sqrt(n * ss_y - s_y * s_y) AS corr
+         FROM (
+           SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, n,
+             sp_qd AS sp, s_q AS s_x, s_d AS s_y, ss_q AS ss_x, ss_d AS ss_y FROM m
+           UNION ALL SELECT 'l_quantity', 'l_tax', n,
+             sp_qt, s_q, s_t, ss_q, ss_t FROM m
+           UNION ALL SELECT 'l_discount', 'l_tax', n,
+             sp_dt, s_d, s_t, ss_d, ss_t FROM m)
+         ORDER BY col_x, col_y"""
+    // agg_approx_distinct / agg_approx_percentile / agg_hll_sketch:
+    // intentionally no oracle — HLL / GK / DataSketches estimates are
+    // engine-specific; driver records rows-only. AggregatesSpec bounds
+    // the errors.
   )
 }

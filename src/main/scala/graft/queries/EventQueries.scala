@@ -39,7 +39,15 @@ object EventQueries extends QueryPack {
     "ev4_scd2_history" -> ((s, d) =>
       EventAnalytics.scd2History(
         Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
-        .orderBy("user_id", "valid_from", "event_type"))
+        .orderBy("user_id", "valid_from", "event_type")),
+
+    // First-order Markov transition matrix: per-user lag-1 successor
+    // pairs, counted and normalized to P(to|from). Both longs are exact,
+    // so the single double division is bit-identical cross-engine.
+    "ev5_transition_matrix" -> ((s, d) =>
+      EventAnalytics.transitionMatrix(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -116,6 +124,23 @@ object EventQueries extends QueryPack {
            (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
              IS NULL) AS is_current
          FROM grouped
-         ORDER BY user_id, valid_from, event_type"""
+         ORDER BY user_id, valid_from, event_type""",
+    // lag-1 successor per user (ts, event_id tie-break), k×k rollup,
+    // per-from normalization — identical to EventAnalytics.transitionMatrix
+    "ev5_transition_matrix" ->
+      """WITH steps AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         counts AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+           FROM steps WHERE to_type IS NOT NULL
+           GROUP BY from_type, to_type)
+         SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE) /
+             CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+         FROM counts
+         ORDER BY from_type, to_type"""
   )
 }

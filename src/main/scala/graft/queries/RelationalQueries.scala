@@ -168,7 +168,51 @@ object RelationalQueries extends QueryPack {
     "s8_analyze_stats" -> ((s, d) =>
       Relational.analyzeStats(Tables.lineitem(s, d),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    // S9 — expectations-style data-quality audit: null-rate / range /
+    // accepted-values checks fold into ONE aggregate per table (one scan
+    // however many contracts the table carries); key uniqueness is a
+    // distinct-count; referential integrity is a key-level anti join.
+    // One report row per check — the shape a CI data gate consumes.
+    "s9_quality_audit" -> ((s, d) => {
+      import graft.ops.DataQuality
+      import graft.ops.DataQuality.Check
+      val orders = Tables.orders(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      val orderChecks = DataQuality.audit(orders, "orders", Seq(
+        Check("orders_custkey_not_null", col("o_custkey").isNull),
+        Check("orders_totalprice_positive",
+          col("o_totalprice").isNull || col("o_totalprice") <= 0.0),
+        Check("orders_status_accepted",
+          col("o_orderstatus").isNull ||
+            !col("o_orderstatus").isin("O", "F", "P"))))
+      val lineChecks = DataQuality.audit(lineitem, "lineitem", Seq(
+        Check("lineitem_quantity_range",
+          col("l_quantity").isNull ||
+            col("l_quantity") < 1.0 || col("l_quantity") > 60.0),
+        Check("lineitem_discount_range",
+          col("l_discount").isNull ||
+            col("l_discount") < 0.0 || col("l_discount") > 0.1)))
+      val unique = DataQuality.uniqueness(
+        orders, Seq("o_orderkey"), "orders_orderkey_unique", "orders")
+      val ri = DataQuality.referentialIntegrity(
+        lineitem, "l_orderkey", orders, "o_orderkey",
+        "lineitem_orderkey_in_orders", "lineitem")
+      orderChecks.unionByName(lineChecks).unionByName(unique).unionByName(ri)
+        .orderBy("check_name")
+    }),
+
+    // O7 — distributed 2D skyline: the Pareto frontier of parts that are
+    // simultaneously cheap and small (no other part is ≤ on both axes
+    // with one strict). Two-phase running min over a range partitioning —
+    // no SinglePartition window (PlanSpec asserts).
+    "o7_skyline" -> ((s, d) =>
+      Relational.skyline2D(Tables.part(s, d),
+          col("p_retailprice"), col("p_size"))
+        .withColumnRenamed("x", "retail_price")
+        .withColumnRenamed("y", "part_size")
+        .orderBy("retail_price", "part_size"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -261,6 +305,49 @@ object RelationalQueries extends QueryPack {
               FROM lineitem""" }
         .mkString("\nUNION ALL\n")
       s"SELECT * FROM ($perCol) ORDER BY col_name"
-    }
+    },
+    "s9_quality_audit" ->
+      """WITH o AS (
+           SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS v_ck,
+             CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0.0) AS BIGINT) AS v_tp,
+             CAST(count(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS v_st
+           FROM orders),
+         l AS (
+           SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 60.0) AS BIGINT) AS v_q,
+             CAST(count(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1) AS BIGINT) AS v_d
+           FROM lineitem),
+         u AS (
+           SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v
+           FROM orders),
+         ck AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
+         ri AS (
+           SELECT CAST((SELECT count(*) FROM ck) AS BIGINT) AS total,
+             CAST((SELECT count(*) FROM ck
+                   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = ck.k)) AS BIGINT) AS v)
+         SELECT check_name, table_name, violations, total, violations = 0 AS pass FROM (
+           SELECT 'orders_custkey_not_null' AS check_name, 'orders' AS table_name, v_ck AS violations, total FROM o
+           UNION ALL SELECT 'orders_totalprice_positive', 'orders', v_tp, total FROM o
+           UNION ALL SELECT 'orders_status_accepted', 'orders', v_st, total FROM o
+           UNION ALL SELECT 'lineitem_quantity_range', 'lineitem', v_q, total FROM l
+           UNION ALL SELECT 'lineitem_discount_range', 'lineitem', v_d, total FROM l
+           UNION ALL SELECT 'orders_orderkey_unique', 'orders', v, total FROM u
+           UNION ALL SELECT 'lineitem_orderkey_in_orders', 'lineitem', v, total FROM ri)
+         ORDER BY check_name""",
+    "o7_skyline" ->
+      """WITH pts AS (
+           SELECT p_retailprice AS retail_price, p_size AS part_size,
+             CAST(count(*) AS BIGINT) AS n_rows
+           FROM part
+           WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT retail_price, part_size, n_rows FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.retail_price <= p.retail_price AND q.part_size <= p.part_size
+             AND (q.retail_price < p.retail_price OR q.part_size < p.part_size))
+         ORDER BY retail_price, part_size"""
   )
 }

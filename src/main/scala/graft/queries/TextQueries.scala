@@ -164,6 +164,31 @@ object TextQueries extends QueryPack {
     "ta13_lm_doc_score" -> ((s, d) =>
       TextAnalysis.lmDocScore(
         Tables.documents(s, d), "doc_id", "text", rareMax = 2)
+        .orderBy("doc_id")),
+
+    // Boilerplate passage stripping (the removal half of CCNet/RefinedWeb
+    // line-dedup; dd12 is the detection half): 8-token chunks appearing
+    // in ≥2 distinct docs are excised and each doc's text is rebuilt.
+    "ta14_boilerplate_strip" -> ((s, d) =>
+      TextAnalysis.stripBoilerplateChunks(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        chunkSize = 8, maxDocFreq = 1)
+        .orderBy("doc_id")),
+
+    // PII redaction before training: emails and phone numbers replaced by
+    // placeholder tokens. The fixture text carries no PII, so the query
+    // plants a deterministic contact footer (doc_id/source-derived) and
+    // redacts it — the redaction column expressions are the operator.
+    "ta15_pii_redaction" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("dirty_text",
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@"), col("source"), lit(".example or 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("dirty_text")).as("clean_text"),
+          (length(col("dirty_text")) - length(TextAnalysis.redactPii(col("dirty_text"))))
+            .as("chars_removed"))
         .orderBy("doc_id"))
   )
 
@@ -358,6 +383,46 @@ object TextQueries extends QueryPack {
            CAST(sum(CAST(lm.p AS DECIMAL(18,12))) AS DOUBLE) / count(*)
              AS avg_p
          FROM bg JOIN lm USING (bigram)
-         GROUP BY bg.doc_id ORDER BY doc_id"""
+         GROUP BY bg.doc_id ORDER BY doc_id""",
+    "ta14_boilerplate_strip" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         chunks AS (
+           SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk_text
+           FROM toks,
+             UNNEST(generate_series(0, CAST(floor((len(t)-1)/8.0) AS INT))) AS u(i)),
+         freq AS (SELECT md5(chunk_text) AS h, count(DISTINCT doc_id) AS df
+           FROM chunks GROUP BY 1),
+         joined AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text, f.df
+           FROM chunks c JOIN freq f ON md5(c.chunk_text) = f.h),
+         rebuilt AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN df <= 1 THEN chunk_text END, ' '
+               ORDER BY chunk_idx) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(*) FILTER (WHERE df <= 1) AS BIGINT) AS n_kept
+           FROM joined GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_chunks, 0) AS n_chunks, coalesce(r.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY d.doc_id""",
+    "ta15_pii_redaction" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR) || '@' || source
+               || '.example or 555-867-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty_text
+           FROM documents),
+         clean AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(dirty_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean_text,
+             length(dirty_text) AS dirty_len
+           FROM dirty)
+         SELECT doc_id, clean_text,
+           CAST(dirty_len - length(clean_text) AS INT) AS chars_removed
+         FROM clean ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggregates, DataQuality, EventAnalytics, Relational, TextAnalysis}
+import graft.ops.DataQuality.Check
+
+/** Round-7 batch: data-quality audit, 2D skyline, boilerplate strip,
+  * PII redaction, Markov transitions, exact corr matrix, HLL sketches.
+  * Planted fixtures with hand-computed expectations, plus naive-reference
+  * cross-checks where the operator is an optimized form of a simple rule.
+  */
+class DataQualitySpec extends GraftSuite {
+  import spark.implicits._
+
+  // ---- DataQuality ------------------------------------------------------
+
+  test("audit: one aggregate, per-check violation counts, null semantics") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, -5.0), (null, 3.0), (4L, null))
+      .toDF("k", "v")
+    val rep = DataQuality.audit(df, "t", Seq(
+      Check("k_not_null", col("k").isNull),
+      Check("v_positive", col("v").isNull || col("v") <= 0.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(rep("k_not_null") == ((1L, 4L, false)))
+    assert(rep("v_positive") == ((2L, 4L, false))) // -5.0 and the null
+  }
+
+  test("uniqueness: extra rows beyond first per key; null keys violate") {
+    val df = Seq[java.lang.Long](1L, 1L, 2L, null).toDF("k")
+    val r = DataQuality.uniqueness(df, Seq("k"), "k_unique", "t").collect()(0)
+    // 4 rows, 2 distinct non-null keys → 2 violations (the dup + the null)
+    assert((r.getLong(2), r.getLong(3), r.getBoolean(4)) == ((2L, 4L, false)))
+  }
+
+  test("referential integrity: orphan distinct child keys, nulls skipped") {
+    val child = Seq[java.lang.Long](1L, 1L, 2L, 9L, null).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = DataQuality.referentialIntegrity(
+      child, "fk", parent, "pk", "fk_in_pk", "t").collect()(0)
+    // distinct non-null child keys {1,2,9}; orphan {9}
+    assert((r.getLong(2), r.getLong(3), r.getBoolean(4)) == ((1L, 3L, false)))
+  }
+
+  // ---- skyline2D --------------------------------------------------------
+
+  private def naiveSkyline(pts: Seq[(Double, Long)]): Set[(Double, Long)] = {
+    val distinct = pts.distinct
+    distinct.filter { case (px, py) =>
+      !distinct.exists { case (qx, qy) =>
+        qx <= px && qy <= py && (qx < px || qy < py) }
+    }.toSet
+  }
+
+  test("skyline2D: hand fixture with axis ties and duplicate points") {
+    // (1,5) and (3,2) and (2,3) are the frontier; (3,5),(4,2),(2,3)-dup
+    // dominated or coincident; duplicate frontier point counted n_rows=2
+    val pts = Seq(
+      (1.0, 5L), (3.0, 2L), (2.0, 3L), (3.0, 5L), (4.0, 2L),
+      (2.0, 3L), (5.0, 5L))
+    val out = Relational.skyline2D(pts.toDF("x", "y"), col("x"), col("y"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.ops.Pipeline.releaseCaches()
+    assert(out.keySet == naiveSkyline(pts))
+    assert(out((2.0, 3L)) == 2L) // duplicate rows on one frontier point
+  }
+
+  test("skyline2D: fuzz vs naive dominance on seeded random points") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(300)((rnd.nextInt(40).toDouble, rnd.nextInt(40).toLong))
+    val out = Relational.skyline2D(pts.toDF("x", "y"), col("x"), col("y"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    graft.ops.Pipeline.releaseCaches()
+    assert(out == naiveSkyline(pts))
+  }
+
+  // ---- stripBoilerplateChunks -------------------------------------------
+
+  test("boilerplate strip: shared chunk excised, unique text kept in order") {
+    val boiler = (1 to 8).map(i => s"nav$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler iota kappa lambda mu nu xi omicron pi"),
+      (3L, boiler), // pure boilerplate → empty text
+      (4L, "rho sigma tau upsilon phi chi psi omega"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplateChunks(
+      docs, col("doc_id"), col("text"), chunkSize = 8, maxDocFreq = 1)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) ==
+      (("alpha beta gamma delta epsilon zeta eta theta", 2L, 1L)))
+    assert(out(2L) == (("iota kappa lambda mu nu xi omicron pi", 2L, 1L)))
+    assert(out(3L) == (("", 1L, 0L)))
+    assert(out(4L) == (("rho sigma tau upsilon phi chi psi omega", 1L, 1L)))
+  }
+
+  test("boilerplate strip: chunk order is preserved across many chunks") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ") // 5 chunks of 8
+    val out = TextAnalysis.stripBoilerplateChunks(
+      Seq((1L, text)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), chunkSize = 8, maxDocFreq = 1)
+      .collect()(0)
+    assert(out.getString(1) == text && out.getLong(3) == 5L)
+  }
+
+  // ---- redactPii --------------------------------------------------------
+
+  test("PII redaction replaces every email and phone occurrence") {
+    val dirty = "write a.user+tag@sub.example.org or ops@x.co " +
+      "call 555-867-5309 then 555-000-1234 done"
+    val out = Seq(dirty).toDF("t")
+      .select(TextAnalysis.redactPii(col("t"))).collect()(0).getString(0)
+    assert(out == "write [EMAIL] or [EMAIL] call [PHONE] then [PHONE] done")
+  }
+
+  // ---- transitionMatrix -------------------------------------------------
+
+  test("transition matrix: per-user lag pairs, exact P(to|from)") {
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (2L, 1L, 200L, "b"), (3L, 1L, 300L, "a"),
+      (4L, 2L, 100L, "a"), (5L, 2L, 200L, "b"),
+      (6L, 3L, 100L, "b")) // single event → no transition
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // a→b twice (users 1,2), b→a once (user 1)
+    assert(out == Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("transition matrix: equal timestamps break ties on event id") {
+    val ev = Seq(
+      (2L, 1L, 100L, "y"), (1L, 1L, 100L, "x"), (3L, 1L, 200L, "z"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("x", "y"), ("y", "z")))
+  }
+
+  // ---- corrMatrixExact --------------------------------------------------
+
+  test("exact corr matrix matches a hand-computed correlation, det runs") {
+    // perfectly anti-correlated pair plus an uncorrelated third
+    // z = (1,5,5,1) is symmetric about x's midpoint → corr(x,z) exactly 0
+    val df = Seq(
+      (1.0, 4.0, 1.0), (2.0, 3.0, 5.0), (3.0, 2.0, 5.0), (4.0, 1.0, 1.0))
+      .toDF("x", "y", "z")
+    val out = Aggregates.corrMatrixExact(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(out(("x", "y")) - (-1.0)) < 1e-12)
+    assert(math.abs(out(("x", "z"))) < 1e-12)
+    // determinism across runs (merge-order independence is the point)
+    val again = Aggregates.corrMatrixExact(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out == again)
+  }
+
+  test("exact corr matrix agrees with built-in corr within float tolerance") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = Aggregates.corrMatrixExact(li, Seq("l_quantity", "l_discount"))
+      .collect()(0).getDouble(3)
+    val builtin = li.agg(corr(col("l_quantity"), col("l_discount")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(exact - builtin) < 1e-6)
+  }
+
+  // ---- HLL sketches -----------------------------------------------------
+
+  test("hll sketch estimate within 5% of exact; union covers global distinct") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val exact = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val sketched = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect()(0).getLong(0)
+    assert(math.abs(sketched - exact).toDouble / exact < 0.05,
+      s"sketch $sketched vs exact $exact")
+    // mergeability: per-type sketches unioned ≈ global sketch
+    val merged = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .collect()(0).getLong(0)
+    assert(merged == sketched,
+      "union of per-type sketches must equal the single-pass sketch " +
+      "(same hash inputs, same lgK)")
+  }
+}

@@ -202,6 +202,21 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("skyline, transitions, boilerplate strip plan no single-task stage") {
+    // o7: the two-phase running min must keep its window partition-local
+    // (the naive skyline is a global-order window); ev5: the lag window
+    // partitions by user and the normalizer by from_type; ta14: the
+    // rebuild is an aggregation, not a window at all.
+    Seq("o7_skyline", "ev5_transition_matrix").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("Window"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+    val p = plan(SparkEntry.queries("ta14_boilerplate_strip")(spark, sf))
+    assert(!p.contains("SinglePartition"), p)
+    graft.ops.Pipeline.releaseCaches()
+  }
+
   test("pl9 exact-k sample and st8 sessionize window per stratum/user") {
     // both are window operators — the windows must be PARTITIONED
     // (stratum / user), never a single-task global window
