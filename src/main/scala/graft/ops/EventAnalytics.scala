@@ -180,4 +180,70 @@ object EventAnalytics {
           sum(col("n_transitions")).over(byFrom).cast("double"))
       .select(col("from_type"), col("to_type"), col("n_transitions"), col("p"))
   }
+
+  /** Conversion attribution: for every `conversionType` event, credit the
+    * user's FIRST and LAST preceding non-conversion touch (first-touch /
+    * last-touch models), rolled up to `(model, channel, conversions)`.
+    * Conversions with no preceding touch credit the `(direct)` channel.
+    *
+    * Both touches come from one user-partitioned window pass
+    * (`first`/`last` with ignoreNulls over the strict-preceding frame,
+    * (ts, id)-ordered) — per-user sequential state, fully parallel across
+    * users, the same bounded-window discipline as every ev* operator.
+    * The rollup keys on (model, channel): k·channels rows total. */
+  def attribution(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, conversionType: String): DataFrame = {
+    val preceding = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= conversionType, col(typeCol))
+    val credited = events
+      .withColumn("first_touch",
+        first(touch, ignoreNulls = true).over(preceding))
+      .withColumn("last_touch",
+        last(touch, ignoreNulls = true).over(preceding))
+      .where(col(typeCol) === conversionType)
+    def rollup(model: String, c: Column): DataFrame = credited
+      .select(coalesce(c, lit("(direct)")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("conversions"))
+      .select(lit(model).as("model"), col("channel"), col("conversions"))
+    rollup("first_touch", col("first_touch"))
+      .unionByName(rollup("last_touch", col("last_touch")))
+  }
+
+  /** CUSUM level-shift detection over per-type daily counts: for each
+    * (event_type, day), the running cumulative sum of (count − the type's
+    * own mean daily count). A sustained rate change makes |cusum| grow
+    * linearly — the classic changepoint signal that a spike detector
+    * (ev3) misses. Day = epoch-day (no calendar/week-rule divergence).
+    * Numeric policy: Σ(n_d − μ) over d ≤ t is algebraically
+    * (Σn_d) − t·μ — the running Σn_d stays an exact LONG and only one
+    * multiply + subtract happens in doubles, so the value is bit-identical
+    * on any engine and any merge order (a naive running DOUBLE sum is
+    * not: window-aggregate trees sum in engine-specific order).
+    *
+    * Scale shape: the raw corpus collapses to (type, day) counts in one
+    * keyed aggregation; everything after runs on that tiny frame, with
+    * the running sum partitioned per type. */
+  def cusumDaily(
+      events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type"))
+    val seq0 = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val run = seq0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("mean_daily",
+        sum(col("n_events")).over(byType).cast("double") /
+          count(lit(1)).over(byType).cast("double"))
+      .withColumn("cusum",
+        sum(col("n_events")).over(run).cast("double") -
+          row_number().over(seq0).cast("double") * col("mean_daily"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("mean_daily"), col("cusum"))
+  }
 }

@@ -147,6 +147,21 @@ object Pipeline {
     (ranged, off)
   }
 
+  /** Curriculum difficulty buckets: `ntile(n)` within each stratum under
+    * a total per-stratum order (tie-broken by the trailing key so the
+    * assignment is deterministic) — the standard length/difficulty
+    * staging for curriculum learning schedules. The window partitions by
+    * stratum, so a million-language corpus parallelizes per language; for
+    * a single giant stratum, compose [[globalPosition]] with an explicit
+    * `ceil(pos·n/N)` instead (two-phase, no one-task window). */
+  def curriculumBuckets(
+      df: DataFrame, strata: Seq[Column], order: Seq[Column], n: Int)
+      : DataFrame = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    val w = Window.partitionBy(strata: _*).orderBy(order: _*)
+    df.withColumn("bucket", ntile(n).over(w))
+  }
+
   /** Context-window packing: assign documents (in a stable id order) to
     * training bins by prefix token sums — bin b holds the docs whose
     * preceding cumulative token count falls in [b*budget, (b+1)*budget).

@@ -383,4 +383,48 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
+
+  /** Gopher-style quality-rule table (Rae et al. 2021 §A1.1): one row per
+    * document with each rule's metric, its boolean verdict, and the
+    * conjunction. Unlike [[qualityScore]]'s soft composite, this is the
+    * auditable hard-filter form production corpus pipelines ship — a
+    * rejected doc names the rule that killed it. All metrics are exact
+    * integer counts or single divisions of them (bit-identical
+    * cross-engine); scan-local column expressions, zero shuffle.
+    *
+    * Rules (thresholds per the paper, bullet/ellipsis rules replaced by an
+    * alphabetic-word rule — the fixtures have no line structure):
+    * word count in [`minWords`, 100000]; mean word length in [3, 10];
+    * symbol-to-word ratio ≤ 0.1; alphabetic-word fraction ≥ 0.8;
+    * ≥ 2 distinct Gopher stopwords present. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(text: Column, minWords: Int = 50): Seq[Column] = {
+    val toks = split(text, " ")
+    val nWords = size(toks)
+    // total chars minus the (nWords-1) separating spaces, over words
+    val meanWordLen =
+      (length(text) - (nWords - lit(1))).cast("double") / nWords.cast("double")
+    val symbolRatio =
+      length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+        nWords.cast("double")
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") /
+        nWords.cast("double")
+    val stopHits = size(filter(
+      typedLit(gopherStopwords), w => array_contains(toks, w)))
+    val wordsOk = nWords >= minWords && nWords <= 100000
+    val lenOk = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val symOk = symbolRatio <= 0.1
+    val alphaOk = alphaFrac >= 0.8
+    val stopOk = stopHits >= 2
+    Seq(
+      nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stopword_hits"),
+      wordsOk.as("words_ok"), lenOk.as("len_ok"), symOk.as("symbol_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wordsOk && lenOk && symOk && alphaOk && stopOk).as("pass"))
+  }
 }

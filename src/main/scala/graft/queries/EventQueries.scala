@@ -47,7 +47,23 @@ object EventQueries extends QueryPack {
     "ev5_transition_matrix" -> ((s, d) =>
       EventAnalytics.transitionMatrix(
         Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
-        .orderBy("from_type", "to_type"))
+        .orderBy("from_type", "to_type")),
+
+    // First-touch / last-touch conversion attribution: each purchase
+    // credits the user's first and last preceding non-purchase event;
+    // no preceding touch → "(direct)".
+    "ev6_attribution" -> ((s, d) =>
+      EventAnalytics.attribution(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase")
+        .orderBy("model", "channel")),
+
+    // CUSUM level-shift detection on per-type daily counts — the
+    // changepoint complement to ev3's spike detector. Exact-long running
+    // sum minus k·mean keeps the doubles bit-identical cross-engine.
+    "ev7_cusum_changepoint" -> ((s, d) =>
+      EventAnalytics.cusumDaily(Tables.events(s, d), "ts", "event_type")
+        .orderBy("event_type", "day"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,6 +157,49 @@ object EventQueries extends QueryPack {
            CAST(n_transitions AS DOUBLE) /
              CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p
          FROM counts
-         ORDER BY from_type, to_type"""
+         ORDER BY from_type, to_type""",
+    // strict-preceding IGNORE NULLS first/last per user, (ts,id)-ordered
+    "ev6_attribution" ->
+      """WITH touched AS (
+           SELECT event_type,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS last_touch
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         conv AS (SELECT * FROM touched WHERE event_type = 'purchase')
+         SELECT model, channel, conversions FROM (
+           SELECT 'first_touch' AS model,
+             coalesce(first_touch, '(direct)') AS channel,
+             CAST(count(*) AS BIGINT) AS conversions
+           FROM conv GROUP BY 2
+           UNION ALL
+           SELECT 'last_touch', coalesce(last_touch, '(direct)'),
+             CAST(count(*) AS BIGINT)
+           FROM conv GROUP BY 2)
+         ORDER BY model, channel""",
+    // daily counts → exact-long running sum − k·mean (same double ops)
+    "ev7_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+               AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, n_events,
+           CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE) /
+             CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)
+             AS mean_daily,
+           CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) -
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS DOUBLE) *
+             (CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE) /
+              CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE))
+             AS cusum
+         FROM daily
+         ORDER BY event_type, day"""
   )
 }

@@ -158,7 +158,17 @@ object PipelineQueries extends QueryPack {
     // trainer (Pipeline.bpeTrain) iterates argmax+rewrite and is
     // spec-tested against hand-computed merges.
     "pl13_bpe_pairs" -> ((s, d) =>
-      Pipeline.bpeMergePairs(Tables.documents(s, d), col("text"), topK = 20))
+      Pipeline.bpeMergePairs(Tables.documents(s, d), col("text"), topK = 20)),
+
+    // Curriculum staging: length-quartile bucket within each language
+    // (ntile over a per-language window, doc_id tie-break) — the
+    // easy→hard schedule assignment, parallel per stratum.
+    "pl14_curriculum_buckets" -> ((s, d) =>
+      Pipeline.curriculumBuckets(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        strata = Seq(col("lang")),
+        order = Seq(col("n_chars").asc, col("doc_id").asc), n = 4)
+        .orderBy("doc_id"))
   )
 
   // The identical shift/and/or fold as Pipeline.zValue, generated
@@ -194,6 +204,11 @@ object PipelineQueries extends QueryPack {
             CAST(${zSql("l_partkey", "l_suppkey", 16)} AS BIGINT) AS zval
           FROM lineitem
           ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, zval""",
+    "pl14_curriculum_buckets" ->
+      """SELECT doc_id, lang, n_chars,
+           CAST(ntile(4) OVER (PARTITION BY lang
+             ORDER BY n_chars, doc_id) AS INT) AS bucket
+         FROM documents ORDER BY doc_id""",
     "pl3_context_packing" ->
       """SELECT doc_id, n_tokens,
            CAST(sum(n_tokens) OVER (ORDER BY doc_id

@@ -179,6 +179,15 @@ object TextQueries extends QueryPack {
     // placeholder tokens. The fixture text carries no PII, so the query
     // plants a deterministic contact footer (doc_id/source-derived) and
     // redacts it — the redaction column expressions are the operator.
+    // Gopher hard-filter rule table (Rae et al. 2021): per-doc metrics,
+    // per-rule verdicts, conjunction. minWords=20 (fixture docs are
+    // short); all metrics exact integer counts or single divisions.
+    "ta16_gopher_rules" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id") +:
+          TextAnalysis.gopherRules(col("text"), minWords = 20): _*)
+        .orderBy("doc_id")),
+
     "ta15_pii_redaction" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("dirty_text",
@@ -423,6 +432,33 @@ object TextQueries extends QueryPack {
            FROM dirty)
          SELECT doc_id, clean_text,
            CAST(dirty_len - length(clean_text) AS INT) AS chars_removed
-         FROM clean ORDER BY doc_id"""
+         FROM clean ORDER BY doc_id""",
+    "ta16_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+         m AS (SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_words,
+             CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+               AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             CAST(len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               w -> list_contains(toks, w))) AS INT) AS stopword_hits
+           FROM t)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           stopword_hits,
+           (n_words >= 20 AND n_words <= 100000) AS words_ok,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS len_ok,
+           (symbol_ratio <= 0.1) AS symbol_ok,
+           (alpha_frac >= 0.8) AS alpha_ok,
+           (stopword_hits >= 2) AS stop_ok,
+           ((n_words >= 20 AND n_words <= 100000)
+             AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)
+             AND (stopword_hits >= 2)) AS pass
+         FROM m ORDER BY doc_id"""
   )
 }

@@ -130,4 +130,44 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(got(15L) === 10L) // only the previous 10, not all 14
     assert(got(11L) === 10L)
   }
+
+  test("attribution: first/last touch credited, direct when no touch") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view → click → purchase → purchase (both purchases credit
+      // view as first touch; last touch is click, then purchase #2's last
+      // preceding NON-conversion touch is still click)
+      (1L, 1L, ts(1), "view"), (2L, 1L, ts(2), "click"),
+      (3L, 1L, ts(3), "purchase"), (4L, 1L, ts(4), "purchase"),
+      // user 2: cold purchase → (direct) in both models
+      (5L, 2L, ts(1), "purchase"),
+      // user 3: touches but no purchase → contributes nothing
+      (6L, 3L, ts(1), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .attribution(events, "user_id", "ts", "event_id", "event_type", "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("first_touch", "view") -> 2L, ("first_touch", "(direct)") -> 1L,
+      ("last_touch", "click") -> 2L, ("last_touch", "(direct)") -> 1L))
+  }
+
+  test("cusum: planted level shift drifts then recovers to zero") {
+    import spark.implicits._
+    // 4 days at 10 events then 4 days at 20 → mean 15; cusum walks
+    // -5,-10,-15,-20 then +5 per day back to 0 on the last day
+    val events = (for {
+      day <- 0 until 8
+      n = if (day < 4) 10 else 20
+      i <- 0 until n
+    } yield (day.toLong * 1000 + i, 1L,
+      new java.sql.Timestamp(day.toLong * 86400000L), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.cusumDaily(events, "ts", "event_type")
+      .orderBy("day").collect()
+      .map(r => (r.getInt(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._2).forall(_ == 15.0))
+    assert(got.map(_._3).toSeq ===
+      Seq(-5.0, -10.0, -15.0, -20.0, -15.0, -10.0, -5.0, 0.0))
+  }
 }

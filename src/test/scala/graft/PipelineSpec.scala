@@ -367,4 +367,25 @@ class PipelineSpec extends GraftSuite {
       .filter(col("s") - col("m") > 1000).count()
     assert(over === 0)
   }
+
+  test("curriculumBuckets: quartiles per stratum in length order, stable") {
+    import spark.implicits._
+    val docs = ((1 to 8).map(i => (i.toLong, "en", i * 10)) ++
+      (9 to 11).map(i => (i.toLong, "fr", i)))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Pipeline.curriculumBuckets(docs,
+        strata = Seq(col("lang")),
+        order = Seq(col("n_chars").asc, col("doc_id").asc), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // en: 8 docs → 2 per quartile in length order
+    assert((1 to 8).map(got(_)).toSeq === Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    // fr: 3 docs over 4 buckets → sizes 1,1,1 (ntile leaves bucket 4 empty)
+    assert((9 to 11).map(got(_)).toSeq === Seq(1, 2, 3))
+    // deterministic under a different physical layout
+    val re = Pipeline.curriculumBuckets(docs.repartition(7),
+        strata = Seq(col("lang")),
+        order = Seq(col("n_chars").asc, col("doc_id").asc), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(re === got)
+  }
 }

@@ -157,4 +157,27 @@ class TextAnalysisSpec extends GraftSuite {
     assert(math.abs(got(1L)._3 - (2.0 / 3 + 1.0 + 2.0 / 3) / 3) < 1e-9)
     assert(got(2L) === ((1L, 1.0, 0.3333333333330))) // 1/3 @ DECIMAL(18,12)
   }
+
+  test("gopherRules: each rule trips on its planted offender") {
+    import spark.implicits._
+    val goodWords = Seq("the", "cat", "sat", "of", "and", "that", "mat")
+    val good = (goodWords ++ Seq.fill(13)("word")).mkString(" ") // 20 words
+    val docs = Seq(
+      (1L, good),                                   // passes all rules
+      (2L, "too short of the and"),                 // < 20 words
+      (3L, (1 to 20).map(_ => "the #### $$$$ %%%%").mkString(" ")), // symbols
+      (4L, Seq.fill(20)("zz").mkString(" ")))       // no stopwords, short words
+      .toDF("doc_id", "text")
+    val got = docs.select(
+        col("doc_id") +: TextAnalysis.gopherRules(col("text"), minWords = 20): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      got(id).getBoolean(got(id).fieldIndex(name))
+    assert(flag(1L, "pass"), got(1L).toString)
+    assert(!flag(2L, "words_ok") && !flag(2L, "pass"))
+    assert(!flag(3L, "symbol_ok") && !flag(3L, "alpha_ok") && !flag(3L, "pass"))
+    assert(!flag(4L, "stop_ok") && !flag(4L, "len_ok") && !flag(4L, "pass"))
+    // metric spot-check: doc 4 mean word length = 2.0 exactly
+    assert(got(4L).getDouble(got(4L).fieldIndex("mean_word_len")) === 2.0)
+  }
 }
