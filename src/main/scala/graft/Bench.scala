@@ -133,6 +133,27 @@ object Bench {
           q -> (System.nanoTime() - t0) / 1e9
         }
 
+    // Informational LLM-pipeline sweep: representative beyond-reference
+    // operators (dedup, similarity join, text filters, packing,
+    // behavioral), one warmup + one timed rep each — the throughput
+    // evidence for the non-TPC-H half of the catalog, which the headline
+    // metric never touches. Disable with SPARK_GRAFT_BENCH_LLM=0.
+    val llmSuite: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_LLM").contains("0")) Nil
+      else Seq(
+        "dd1_exact_dedup", "dd3_minhash_dup_pairs", "dd7_jaccard_simjoin",
+        "ta2_quality_score", "ta16_gopher_rules", "ta14_boilerplate_strip",
+        "ss4_ivf_topk", "pl3_context_packing", "ev5_transition_matrix")
+        .map { q =>
+          SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
+          graft.ops.Pipeline.releaseCaches()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.Pipeline.releaseCaches()
+          q -> dt
+        }
+
     // Bucketed-layout experiment on the two fact-to-fact queries, measured
     // apples-to-apples (the r2 numbers were not: plain read startup-cached
     // tables while bucketed read freshly written ones, and AQE could
@@ -244,13 +265,16 @@ object Bench {
     val tpch22Field =
       if (tpch22.isEmpty) ""
       else s""","tpch22_total":${tpch22.map(_._2).sum},"tpch22":${jsonMap(tpch22)}"""
+    val llmField =
+      if (llmSuite.isEmpty) ""
+      else s""","llm_total":${llmSuite.map(_._2).sum},"llm":${jsonMap(llmSuite)}"""
     val layoutField = layout.map { case (sh, bk) =>
       s""","shuffled":${jsonMap(sh.map { case (k, r) => (k, r.min) })}""" +
       s""","bucketed":${jsonMap(bk.map { case (k, r) => (k, r.min) })}""" +
       s""","shuffled_reps":${jsonRepMap(sh)},"bucketed_reps":${jsonRepMap(bk)}"""
     }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$layoutField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$llmField$layoutField,"sf":"$sfDir"}"""
     // stdout for the driver's log scrape AND a file for robust parsing
     // (sbt prefixes stdout lines with [info], which breaks json.loads).
     println(line)

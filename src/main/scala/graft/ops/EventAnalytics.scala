@@ -246,4 +246,35 @@ object EventAnalytics {
       .select(col("event_type"), col("day"), col("n_events"),
         col("mean_daily"), col("cusum"))
   }
+
+  /** Sequential-pattern support: for every ordered type pair (a ⇒ b),
+    * how many users have SOME a event strictly before SOME b event
+    * (not necessarily adjacent — the "viewed then eventually purchased"
+    * question ev5's adjacent-step matrix cannot answer), plus the support
+    * fraction over all active users.
+    *
+    * The classic GSP/PrefixSpan support-count primitive restricted to
+    * length-2 patterns. Scale shape: the corpus collapses to per-user
+    * per-type [min_ts, max_ts] spans in ONE keyed aggregation (k rows per
+    * user, k = |type alphabet|); the pair test "∃ a before b" is exactly
+    * `min_ts(a) < max_ts(b)`, evaluated by a per-user k×k span self-join
+    * — cost ∝ users·k², never events². Self-pairs (a ⇒ a) mean "two a
+    * events at distinct times". */
+  def sequencePatternSupport(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String)
+      : DataFrame = {
+    val spans = events.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("t_min"), max(col(tsCol)).as("t_max"))
+    val nUsers = events.select(col(userCol)).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val supported = spans.alias("a")
+      .join(spans.alias("b"), col("a.u") === col("b.u") &&
+        col("a.t_min") < col("b.t_max"))
+      .groupBy(col("a.t").as("first_type"), col("b.t").as("then_type"))
+      .agg(count(lit(1)).as("n_users_support"))
+    supported.crossJoin(broadcast(nUsers))
+      .select(col("first_type"), col("then_type"), col("n_users_support"),
+        (col("n_users_support").cast("double") / col("n_users").cast("double"))
+          .as("support"))
+  }
 }

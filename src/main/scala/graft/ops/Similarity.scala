@@ -372,4 +372,23 @@ object Similarity {
         coalesce(!col("dup"), lit(true)).as("keep"))
   }
 
+  /** Dimension-truncation quality (the Matryoshka / MRL question: how
+    * much of each embedding survives keeping only the first `k` dims?).
+    * For a zero-padded prefix, cos(full, prefix) collapses to
+    * ‖prefix‖/‖full‖, so per vector this is two norm folds — scan-local,
+    * zero shuffle, and the decision input for "can we store 32 of 64
+    * dims" at 100 TB (storage and ANN cost halve; this measures the
+    * fidelity side of that trade). Output per vector: the retained
+    * energy fraction ‖p‖²/‖v‖² and the full-vs-truncated cosine. */
+  def truncationQuality(
+      emb: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val prefix = slice(vec, 1, k)
+    val full2 = dot(vec, vec)
+    val pre2 = dot(prefix, prefix)
+    emb.select(
+      id.as("vec_id"),
+      (pre2 / full2).as("energy_retained"),
+      sqrt(pre2 / full2).as("cos_trunc"))
+  }
 }

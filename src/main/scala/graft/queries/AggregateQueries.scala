@@ -182,6 +182,22 @@ object AggregateQueries extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // UNPIVOT / melt — the wide→long inverse of agg_pivot: per-flag
+    // aggregates computed once, then stack'd into (l_returnflag, measure,
+    // value) long form. Stack is a scan-local Generate — no shuffle
+    // beyond the aggregation's own.
+    "agg_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          OracleSafe.moneySum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .selectExpr("l_returnflag",
+          """stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,
+                      'n_rows', n_rows) AS (measure, value)""")
+        .orderBy("l_returnflag", "measure")),
+
     // Exact-decimal Pearson correlation matrix: every moment is an exact
     // DECIMAL sum (merge-order-independent), the correlation one fixed
     // double expression over them — bit-identical cross-engine, unlike
@@ -289,6 +305,19 @@ object AggregateQueries extends QueryPack {
            count(*) AS n_rows
          FROM lineitem CROSS JOIN b
          GROUP BY bucket ORDER BY bucket""",
+    "agg_unpivot" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+             sum(l_quantity) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(count(*) AS DOUBLE) AS n_rows
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, measure, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+           UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+           UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w)
+         ORDER BY l_returnflag, measure""",
     // Identical moment sums (DECIMAL(18,3) inputs, exact decimal Σ) and
     // the identical double expression — bit-exact across engines.
     "agg_corr_matrix" ->

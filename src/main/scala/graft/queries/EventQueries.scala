@@ -63,7 +63,15 @@ object EventQueries extends QueryPack {
     // sum minus k·mean keeps the doubles bit-identical cross-engine.
     "ev7_cusum_changepoint" -> ((s, d) =>
       EventAnalytics.cusumDaily(Tables.events(s, d), "ts", "event_type")
-        .orderBy("event_type", "day"))
+        .orderBy("event_type", "day")),
+
+    // Length-2 sequential-pattern support ("a then eventually b"): per-user
+    // per-type spans (one keyed agg), k×k span self-join per user —
+    // cost ∝ users·k², never events².
+    "ev8_seq_patterns" -> ((s, d) =>
+      EventAnalytics.sequencePatternSupport(
+        Tables.events(s, d), "user_id", "ts", "event_type")
+        .orderBy("first_type", "then_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -200,6 +208,21 @@ object EventQueries extends QueryPack {
               CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE))
              AS cusum
          FROM daily
-         ORDER BY event_type, day"""
+         ORDER BY event_type, day""",
+    // per-user per-type spans; ∃ a-before-b ⟺ min_ts(a) < max_ts(b)
+    "ev8_seq_patterns" ->
+      """WITH spans AS (
+           SELECT user_id AS u, event_type AS t,
+             min(ts) AS t_min, max(ts) AS t_max
+           FROM events GROUP BY 1, 2),
+         n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events)
+         SELECT a.t AS first_type, b.t AS then_type,
+           CAST(count(*) AS BIGINT) AS n_users_support,
+           CAST(count(*) AS DOUBLE) / CAST(n.n_users AS DOUBLE) AS support
+         FROM spans a JOIN spans b ON a.u = b.u AND a.t_min < b.t_max
+         CROSS JOIN n
+         GROUP BY a.t, b.t, n.n_users
+         ORDER BY first_type, then_type"""
   )
 }

@@ -25,6 +25,14 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // Matryoshka-style truncation quality: retained energy + cosine of
+    // keeping the first 32 of 64 dims — the store-half-the-dims decision
+    // input. Scan-local norm folds via the native VecDot expression.
+    "ss7_truncation_quality" -> ((s, d) =>
+      Similarity.truncationQuality(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"), k = 32)
+        .orderBy("vec_id")),
+
     // SRP-LSH ANN top-5 for the same queries (16 tables × 6 bits).
     // Rows-only; recall vs ss1 is asserted in SimilaritySpec.
     "ss2_srp_ann_topk" -> ((s, d) => {
@@ -91,6 +99,18 @@ object SimilarityQueries extends QueryPack {
          sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
 
   val oracle: Map[String, String] = Map(
+    "ss7_truncation_quality" ->
+      """SELECT vec_id,
+           list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+               for i in range(1,33)]) /
+             list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+               for i in range(1,65)]) AS energy_retained,
+           sqrt(
+             list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+                 for i in range(1,33)]) /
+               list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+                 for i in range(1,65)])) AS cos_trunc
+         FROM embeddings ORDER BY vec_id""",
     "ss5_quantization" ->
       """WITH t AS (SELECT vec_id,
              [CAST(v AS DOUBLE) for v in embedding] AS x FROM embeddings),

@@ -170,4 +170,28 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(got.map(_._3).toSeq ===
       Seq(-5.0, -10.0, -15.0, -20.0, -15.0, -10.0, -5.0, 0.0))
   }
+
+  test("sequence patterns: eventually-before support, not adjacency") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: a@1, c@2, b@3 — a⇒b supported though not adjacent
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(2), "c"), (3L, 1L, ts(3), "b"),
+      // user 2: b@1, a@2 — b⇒a but NOT a⇒b (a is last)
+      (4L, 2L, ts(1), "b"), (5L, 2L, ts(2), "a"),
+      // user 3: two a's at distinct times — self-pair a⇒a
+      (6L, 3L, ts(1), "a"), (7L, 3L, ts(2), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .sequencePatternSupport(events, "user_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(("a", "b")) === ((1L, 1.0 / 3)))   // only user 1
+    assert(got(("b", "a")) === ((1L, 1.0 / 3)))   // only user 2
+    assert(got(("a", "a")) === ((1L, 1.0 / 3)))   // only user 3's repeat
+    assert(got(("a", "c")) === ((1L, 1.0 / 3)))
+    assert(got(("c", "b")) === ((1L, 1.0 / 3)))
+    assert(!got.contains(("c", "a")))             // c never precedes an a
+    assert(got.size === 5)
+  }
 }

@@ -166,4 +166,25 @@ class SimilaritySpec extends GraftSuite {
       assert(mse <= maxErr * maxErr + 1e-18)
     }
   }
+
+  test("truncation quality: hand vector and whole-corpus invariants") {
+    import spark.implicits._
+    // (3,4): keeping dim 1 of 2 retains 9/25 energy, cos = 3/5
+    val one = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.truncationQuality(one, col("vec_id"), col("embedding"), 1)
+      .collect()(0)
+    assert(r.getDouble(1) === 9.0 / 25.0)
+    assert(r.getDouble(2) === 3.0 / 5.0)
+    // corpus: energy in (0,1], cosine = sqrt(energy), k=64 retains all
+    val q = Similarity.truncationQuality(emb, col("vec_id"), col("embedding"), 32)
+      .collect()
+    q.foreach { row =>
+      val e = row.getDouble(1)
+      assert(e > 0.0 && e <= 1.0)
+      assert(row.getDouble(2) === math.sqrt(e))
+    }
+    val full = Similarity.truncationQuality(emb, col("vec_id"), col("embedding"), 64)
+      .collect()
+    full.foreach(row => assert(row.getDouble(1) === 1.0))
+  }
 }
