@@ -138,10 +138,17 @@ object Bench {
     // behavioral), one warmup + one timed rep each — the throughput
     // evidence for the non-TPC-H half of the catalog, which the headline
     // metric never touches. Disable with SPARK_GRAFT_BENCH_LLM=0.
+    // dd3 (MinHash-LSH) is the timed similarity join — the scale path.
+    // The exactness baselines are deliberately NOT here: dd7's global
+    // PPJoin admits huge candidate sets on the shared-token word-salad
+    // fixtures (measured 107 s at sf0.1 vs 3 s at sf0.01) and dd5's demo
+    // blocking brute-forces inside blocks (26 s) — both are documented as
+    // oracle baselines whose 100 TB path is dd3/dd12, and a minutes-long
+    // informational entry would dominate the whole bench run.
     val llmSuite: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_BENCH_LLM").contains("0")) Nil
       else Seq(
-        "dd1_exact_dedup", "dd3_minhash_dup_pairs", "dd7_jaccard_simjoin",
+        "dd1_exact_dedup", "dd3_minhash_dup_pairs", "dd12_repeated_chunks",
         "ta2_quality_score", "ta16_gopher_rules", "ta14_boilerplate_strip",
         "ss4_ivf_topk", "pl3_context_packing", "ev5_transition_matrix")
         .map { q =>
