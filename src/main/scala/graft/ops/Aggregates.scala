@@ -162,4 +162,34 @@ object Aggregates {
       s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, corr)")
       .select("col_x", "col_y", "n", "corr")
   }
+
+  /** Per-group ordinary-least-squares line y = slope·x + intercept, from
+    * the same exact-decimal moment discipline as [[corrMatrixExact]]:
+    * Σx, Σy, Σxy, Σx² are exact DECIMAL sums (merge-order-independent),
+    * then slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+    * intercept = (Σy − slope·Σx)/n are fixed double expressions —
+    * bit-identical on any cluster and on the oracle engine. One
+    * aggregation pass per group; the groupwise trend-fit primitive
+    * (regression per segment/tenant/experiment arm) without ML-library
+    * weight, and reproducible enough to gate a pipeline on. */
+  def linregByKey(
+      df: DataFrame, keys: Seq[String], xCol: String, yCol: String,
+      scale: Int = 3): DataFrame = {
+    def d(c: String): Column = col(c).cast(DecimalType(18, scale))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(d(xCol)).cast("double")
+    val sy = sum(d(yCol)).cast("double")
+    val sxy = sum(d(xCol) * d(yCol)).cast("double")
+    val sxx = sum(d(xCol) * d(xCol)).cast("double")
+    df.groupBy(keys.map(col): _*)
+      .agg(n.as("__n"), sx.as("__sx"), sy.as("__sy"),
+        sxy.as("__sxy"), sxx.as("__sxx"))
+      .withColumn("slope",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .withColumn("intercept",
+        (col("__sy") - col("slope") * col("__sx")) / col("__n"))
+      .select(keys.map(col) ++ Seq(
+        col("__n").cast("long").as("n"), col("slope"), col("intercept")): _*)
+  }
 }

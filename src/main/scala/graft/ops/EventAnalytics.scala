@@ -277,4 +277,42 @@ object EventAnalytics {
         (col("n_users_support").cast("double") / col("n_users").cast("double"))
           .as("support"))
   }
+
+  /** Funnel latency: per user, seconds from the FIRST `fromType` event to
+    * the first `toType` event strictly after it, rolled up to one stats
+    * row (count, mean, exact median, min, max). The "how long from first
+    * view to purchase" product metric.
+    *
+    * Scale shape: two filtered keyed aggregations (first-from per user,
+    * first-to-after per user) + one equi join on user. Latencies are
+    * exact integer MICROseconds (`unix_micros` — the fixtures carry
+    * sub-second precision, and seconds-truncation rounding differs
+    * between engines), so mean is one exact-ratio division and the exact
+    * interpolated median stays arithmetic on exact longs — both
+    * bit-identical cross-engine. At 100 TB swap the exact percentile for
+    * approx_percentile (covered by `agg_approx_percentile`) and keep the
+    * shape. */
+  def timeToConvert(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      fromType: String, toType: String): DataFrame = {
+    val firstFrom = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("t_from"))
+    val firstToAfter = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("u"), col(tsCol).as("t_to"))
+      .join(firstFrom, "u")
+      .filter(col("t_to") > col("t_from"))
+      .groupBy(col("u"), col("t_from"))
+      .agg(min(col("t_to")).as("t_to"))
+    firstToAfter
+      .select((unix_micros(col("t_to")) - unix_micros(col("t_from")))
+        .as("latency_us"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        (sum(col("latency_us")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_us"),
+        expr("percentile(latency_us, 0.5)").as("p50_us"),
+        min(col("latency_us")).as("min_us"),
+        max(col("latency_us")).as("max_us"))
+  }
 }

@@ -372,6 +372,41 @@ object Similarity {
         coalesce(!col("dup"), lit(true)).as("keep"))
   }
 
+  /** Deterministic ±1 sign matrix for random projection: `k` rows (output
+    * dims) × `d` columns (input dims), generated from a seeded PRNG on
+    * the driver. The SAME call feeds both the Spark expression tree and
+    * the generated oracle SQL, so the two engines share the matrix as
+    * literal constants — no cross-engine hash function needed. */
+  def rpSigns(seed: Long, k: Int, d: Int): Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k, d)(rnd.nextInt(2) * 2 - 1)
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 variant):
+    * project each `d`-dim embedding to `k` dims with the [[rpSigns]]
+    * matrix and report, per vector, the first projected coordinate and
+    * the norm-preservation ratio ‖Px‖²/(k·‖x‖²) (expectation 1 — the JL
+    * guarantee this operator measures before a pipeline commits to the
+    * reduced dimension). Everything is a fixed left-fold of per-element
+    * double arithmetic — scan-local, shuffle-free, bit-identical
+    * cross-engine. The SRP-LSH family (ss2/dd9) keeps only the projection
+    * SIGNS; this keeps the values, which is what a downstream ANN index
+    * on reduced vectors would store. */
+  def randomProjectionStats(
+      emb: DataFrame, id: Column, vec: Column, k: Int, seed: Long,
+      dim: Int): DataFrame = {
+    val signs = rpSigns(seed, k, dim)
+    def proj(j: Int): Column =
+      signs(j).zipWithIndex.map { case (s, i) =>
+        element_at(vec, i + 1).cast("double") * lit(s.toDouble)
+      }.reduce(_ + _)
+    val p2 = (0 until k).map(j => proj(j) * proj(j)).reduce(_ + _)
+    emb.select(
+      id.as("vec_id"),
+      proj(0).as("p0"),
+      (p2 / (lit(k.toDouble) * dot(vec, vec))).as("norm_ratio"))
+  }
+
   /** Dimension-truncation quality (the Matryoshka / MRL question: how
     * much of each embedding survives keeping only the first `k` dims?).
     * For a zero-padded prefix, cos(full, prefix) collapses to

@@ -207,6 +207,15 @@ object AggregateQueries extends QueryPack {
         Tables.lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
         .orderBy("col_x", "col_y")),
 
+    // Per-group OLS trend fit from the same exact-decimal moments as
+    // agg_corr_matrix: slope/intercept of price on quantity per return
+    // flag — bit-identical, reproducible regression without ML baggage.
+    "agg_linreg" -> ((s, d) =>
+      graft.ops.Aggregates.linregByKey(
+        Tables.lineitem(s, d), Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     // Mergeable HLL distinct sketches (Apache DataSketches via Spark):
     // per-event-type user cardinality + a sketch-UNION rollup — the
     // 100 TB shape where per-day/per-shard sketches merge instead of
@@ -318,6 +327,20 @@ object AggregateQueries extends QueryPack {
            UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
            UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w)
          ORDER BY l_returnflag, measure""",
+    "agg_linreg" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sxx
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept
+         FROM m ORDER BY l_returnflag""",
     // Identical moment sums (DECIMAL(18,3) inputs, exact decimal Σ) and
     // the identical double expression — bit-exact across engines.
     "agg_corr_matrix" ->

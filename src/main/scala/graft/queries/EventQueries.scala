@@ -71,7 +71,14 @@ object EventQueries extends QueryPack {
     "ev8_seq_patterns" -> ((s, d) =>
       EventAnalytics.sequencePatternSupport(
         Tables.events(s, d), "user_id", "ts", "event_type")
-        .orderBy("first_type", "then_type"))
+        .orderBy("first_type", "then_type")),
+
+    // Funnel latency: first view → first purchase strictly after it,
+    // one stats row (count / exact-ratio mean / exact median / min / max).
+    "ev9_time_to_convert" -> ((s, d) =>
+      EventAnalytics.timeToConvert(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        fromType = "view", toType = "purchase"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,6 +230,25 @@ object EventQueries extends QueryPack {
          FROM spans a JOIN spans b ON a.u = b.u AND a.t_min < b.t_max
          CROSS JOIN n
          GROUP BY a.t, b.t, n.n_users
-         ORDER BY first_type, then_type"""
+         ORDER BY first_type, then_type""",
+    "ev9_time_to_convert" ->
+      """WITH ff AS (
+           SELECT user_id AS u, min(ts) AS t_from
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         ft AS (
+           SELECT e.user_id AS u, ff.t_from, min(e.ts) AS t_to
+           FROM events e JOIN ff ON e.user_id = ff.u
+           WHERE e.event_type = 'purchase' AND e.ts > ff.t_from
+           GROUP BY 1, 2),
+         lat AS (
+           SELECT epoch_us(t_to) - epoch_us(t_from) AS latency_us
+           FROM ft)
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(sum(latency_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_us,
+           quantile_cont(latency_us, 0.5) AS p50_us,
+           min(latency_us) AS min_us,
+           max(latency_us) AS max_us
+         FROM lat"""
   )
 }

@@ -160,6 +160,27 @@ object PipelineQueries extends QueryPack {
     "pl13_bpe_pairs" -> ((s, d) =>
       Pipeline.bpeMergePairs(Tables.documents(s, d), col("text"), topK = 20)),
 
+    // Quality-weighted source reweighting: per-source doc count + exact
+    // mean quality, normalized to a proposed mixture weight — the
+    // data-driven input to pl7's mixture sampling. Source cardinality is
+    // bounded (20 here), so the normalizer is a 1-row broadcast over a
+    // 20-row aggregate, same shape as agg_histogram's bounds.
+    "pl15_source_reweight" -> ((s, d) => {
+      val q = Tables.documents(s, d)
+        .select(col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+      val per = q.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        (OracleSafe.moneySum(col("q"), 12) / count(lit(1)))
+          .as("avg_quality"))
+      val tot = per.agg(
+        OracleSafe.moneySum(col("avg_quality"), 12).as("tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("avg_quality"),
+          (col("avg_quality") / col("tot")).as("weight"))
+        .orderBy("source")
+    }),
+
     // Curriculum staging: length-quartile bucket within each language
     // (ntile over a per-language window, doc_id tie-break) — the
     // easy→hard schedule assignment, parallel per stratum.
@@ -209,6 +230,28 @@ object PipelineQueries extends QueryPack {
            CAST(ntile(4) OVER (PARTITION BY lang
              ORDER BY n_chars, doc_id) AS INT) AS bucket
          FROM documents ORDER BY doc_id""",
+    // qualityScore dual identical to ta2's oracle; per-source exact
+    // DECIMAL(18,12) mean, totals normalized over the bounded source set
+    "pl15_source_reweight" ->
+      """WITH t AS (SELECT source,
+            regexp_split_to_array(lower(text), '\s+') AS toks,
+            lower(text) AS lt, length(text) AS n FROM documents),
+         c AS (SELECT source,
+            least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+              + (1.0 - CAST(length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+                  / greatest(n, 1)) * 0.3
+              + least(CAST(len(list_filter(toks,
+                    x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                  / greatest(len(toks), 1) * 5.0, 1.0) * 0.3 AS q
+          FROM t),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CAST(q AS DECIMAL(18,12))) AS DOUBLE) / count(*)
+              AS avg_quality
+          FROM c GROUP BY source),
+         tot AS (SELECT CAST(sum(CAST(avg_quality AS DECIMAL(18,12))) AS DOUBLE)
+              AS tot FROM per)
+         SELECT source, n_docs, avg_quality, avg_quality / tot AS weight
+         FROM per CROSS JOIN tot ORDER BY source""",
     "pl3_context_packing" ->
       """SELECT doc_id, n_tokens,
            CAST(sum(n_tokens) OVER (ORDER BY doc_id

@@ -33,6 +33,16 @@ object SimilarityQueries extends QueryPack {
         Tables.embeddings(s, d), col("vec_id"), col("embedding"), k = 32)
         .orderBy("vec_id")),
 
+    // Johnson–Lindenstrauss ±1 random projection to 8 dims: first
+    // projected coordinate + norm-preservation ratio per vector. The
+    // sign matrix is driver-generated from a fixed seed and shared with
+    // the oracle as literal constants (rpSigns — no cross-engine hash).
+    "ss8_random_projection" -> ((s, d) =>
+      Similarity.randomProjectionStats(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        k = 8, seed = 42L, dim = 64)
+        .orderBy("vec_id")),
+
     // SRP-LSH ANN top-5 for the same queries (16 tables × 6 bits).
     // Rows-only; recall vs ss1 is asserted in SimilaritySpec.
     "ss2_srp_ann_topk" -> ((s, d) => {
@@ -98,7 +108,25 @@ object SimilarityQueries extends QueryPack {
         (sqrt(list_sum([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in range(1,65)])) *
          sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
 
+  // The SAME rpSigns(42, 8, 64) matrix as the Spark side, inlined as
+  // literal ±1 constants; left-assoc addition matches the Scala reduce.
+  private def rpProjSql(j: Int): String =
+    Similarity.rpSigns(42L, 8, 64)(j).zipWithIndex.map { case (s, i) =>
+      s"CAST(embedding[${i + 1}] AS DOUBLE) * $s.0"
+    }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "ss8_random_projection" -> {
+      val p2 = (0 until 8)
+        .map(j => s"((${rpProjSql(j)}) * (${rpProjSql(j)}))")
+        .mkString(" + ")
+      s"""SELECT vec_id,
+            (${rpProjSql(0)}) AS p0,
+            ($p2) /
+              (8.0 * list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+                for i in range(1,65)])) AS norm_ratio
+          FROM embeddings ORDER BY vec_id"""
+    },
     "ss7_truncation_quality" ->
       """SELECT vec_id,
            list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)

@@ -168,6 +168,20 @@ class DataQualitySpec extends GraftSuite {
     assert(math.abs(exact - builtin) < 1e-6)
   }
 
+  // ---- linregByKey ------------------------------------------------------
+
+  test("linreg recovers an exact planted line per group") {
+    val df = Seq(
+      ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),   // y = 2x + 1
+      ("g2", 1.0, 10.0), ("g2", 2.0, 8.0), ("g2", 3.0, 6.0))  // y = -2x + 12
+      .toDF("g", "x", "y")
+    val got = Aggregates.linregByKey(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got("g1") === ((2.0, 1.0)))
+    assert(got("g2") === ((-2.0, 12.0)))
+  }
+
   // ---- HLL sketches -----------------------------------------------------
 
   test("hll sketch estimate within 5% of exact; union covers global distinct") {

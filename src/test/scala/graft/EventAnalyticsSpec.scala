@@ -194,4 +194,25 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(!got.contains(("c", "a")))             // c never precedes an a
     assert(got.size === 5)
   }
+
+  test("timeToConvert: first view to first later purchase, strict order") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view@1, purchase@3 → 2 min latency (first purchase wins)
+      (1L, 1L, ts(1), "view"), (2L, 1L, ts(3), "purchase"),
+      (3L, 1L, ts(9), "purchase"),
+      // user 2: purchase BEFORE any view → excluded
+      (4L, 2L, ts(1), "purchase"), (5L, 2L, ts(2), "view"),
+      // user 3: view@1, purchase@5 → 4 min
+      (6L, 3L, ts(1), "view"), (7L, 3L, ts(5), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics
+      .timeToConvert(events, "user_id", "ts", "event_type", "view", "purchase")
+      .collect()(0)
+    assert(r.getLong(0) === 2L)                       // users 1 and 3
+    assert(r.getDouble(1) === 3 * 60e6)               // mean of 2 and 4 min
+    assert(r.getDouble(2) === 3 * 60e6)               // median
+    assert(r.getLong(3) === 2 * 60 * 1000000L)
+    assert(r.getLong(4) === 4 * 60 * 1000000L)
+  }
 }

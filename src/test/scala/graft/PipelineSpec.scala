@@ -368,6 +368,16 @@ class PipelineSpec extends GraftSuite {
     assert(over === 0)
   }
 
+  test("source reweighting: weights positive and sum to 1") {
+    val w = SparkEntry.queries("pl15_source_reweight")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(w.nonEmpty)
+    w.foreach { case (n, q, wt) =>
+      assert(n > 0 && q > 0.0 && q <= 1.0 && wt > 0.0)
+    }
+    assert(math.abs(w.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("curriculumBuckets: quartiles per stratum in length order, stable") {
     import spark.implicits._
     val docs = ((1 to 8).map(i => (i.toLong, "en", i * 10)) ++

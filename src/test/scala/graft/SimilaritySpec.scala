@@ -167,6 +167,29 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("random projection: basis vector picks its sign; norms preserved") {
+    import spark.implicits._
+    val signs = Similarity.rpSigns(42L, 8, 64)
+    // e_5 (1 at index 5): p0 = signs(0)(5), and ‖Pe‖² = Σ_j s_j5² = 8
+    // → norm_ratio exactly 1 for any basis vector
+    val e5 = Array.tabulate(64)(i => if (i == 5) 1.0f else 0.0f)
+    val r = Similarity.randomProjectionStats(
+      Seq((1L, e5)).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), k = 8, seed = 42L, dim = 64)
+      .collect()(0)
+    assert(r.getDouble(1) === signs(0)(5).toDouble)
+    assert(r.getDouble(2) === 1.0)
+    // corpus: JL expectation — mean ratio near 1, every ratio positive
+    val ratios = Similarity.randomProjectionStats(
+      emb, col("vec_id"), col("embedding"), k = 8, seed = 42L, dim = 64)
+      .collect().map(_.getDouble(2))
+    assert(ratios.forall(_ > 0.0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+    // determinism: same seed → same matrix
+    assert(Similarity.rpSigns(42L, 8, 64) === signs)
+  }
+
   test("truncation quality: hand vector and whole-corpus invariants") {
     import spark.implicits._
     // (3,4): keeping dim 1 of 2 retains 9/25 energy, cos = 3/5
