@@ -216,7 +216,22 @@ object FunctionQueries extends QueryPack {
           shiftrightunsigned(col("l_orderkey"), 2).as("shr"),
           bit_count(col("l_partkey")).as("popcnt"))
         .orderBy("l_orderkey", "l_linenumber", "band", "bor", "bxor",
-          "shl", "shr", "popcnt"))
+          "shl", "shr", "popcnt")),
+
+    // URL parsing (parse_url host/path/query-param) over deterministic
+    // synthesized URLs; the oracle states the ground-truth components
+    // directly, so this checks Spark's parser against construction.
+    "fn_url" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang")))
+        .select(
+          col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -330,6 +345,14 @@ object FunctionQueries extends QueryPack {
            CAST(bit_count(l_partkey) AS INT) AS popcnt
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber, band, bor, bxor, shl, shr,
-           popcnt"""
+           popcnt""",
+    "fn_url" ->
+      """SELECT doc_id,
+           'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+         FROM documents ORDER BY doc_id"""
   )
 }

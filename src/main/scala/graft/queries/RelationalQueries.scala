@@ -203,6 +203,41 @@ object RelationalQueries extends QueryPack {
         .orderBy("check_name")
     }),
 
+    // S10 — row-level snapshot diff (added/removed/changed between two
+    // ingests of orders, simulated deterministically from key residues):
+    // ONE full-outer key join; the diff is the small output, never the
+    // snapshots.
+    "s10_snapshot_diff" -> ((s, d) => {
+      import graft.ops.Snapshot
+      val orders = Tables.orders(s, d)
+      val oldSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val newSnap = orders.filter(col("o_orderkey") % 101 =!= 0)
+      Snapshot.diff(oldSnap, newSnap, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey", "change_type")
+    }),
+
+    // S11 — batch MERGE INTO (Delta/Iceberg semantics): update on match,
+    // insert on no-match, delete on flagged match — one full-outer key
+    // join over a key-unique change batch.
+    "s11_merge_upsert" -> ((s, d) => {
+      import graft.ops.Snapshot
+      val base = Tables.orders(s, d)
+      val updates = base.filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("is_delete", col("o_orderkey") % 200 === 0)
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("is_delete", lit(false))
+      Snapshot.merge(base, updates.unionByName(inserts),
+          Seq("o_orderkey"), col("is_delete"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // O7 — distributed 2D skyline: the Pareto frontier of parts that are
     // simultaneously cheap and small (no other part is ≤ on both axes
     // with one strict). Two-phase running min over a range partitioning —
@@ -336,6 +371,48 @@ object RelationalQueries extends QueryPack {
            UNION ALL SELECT 'orders_orderkey_unique', 'orders', v, total FROM u
            UNION ALL SELECT 'lineitem_orderkey_in_orders', 'lineitem', v, total FROM ri)
          ORDER BY check_name""",
+    "s10_snapshot_diff" ->
+      """WITH old AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         new AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 101 <> 0),
+         j AS (
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                    OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                    THEN 'changed' END AS change_type
+           FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+         SELECT o_orderkey, change_type FROM j
+         WHERE change_type IS NOT NULL
+         ORDER BY o_orderkey, change_type""",
+    "s11_merge_upsert" ->
+      """WITH changes AS (
+           SELECT o_orderkey, o_totalprice * 2.0 AS o_totalprice,
+             o_orderstatus, (o_orderkey % 200 = 0) AS is_delete
+           FROM orders WHERE o_orderkey % 50 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus, false
+           FROM orders WHERE o_orderkey % 97 = 0),
+         m AS (
+           SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             (c.o_orderkey IS NOT NULL) AS in_c,
+             coalesce(c.is_delete, false) AS del
+           FROM orders b FULL OUTER JOIN changes c
+             ON b.o_orderkey = c.o_orderkey)
+         SELECT o_orderkey, o_totalprice, o_orderstatus FROM m
+         WHERE NOT (in_c AND del)
+         ORDER BY o_orderkey""",
     "o7_skyline" ->
       """WITH pts AS (
            SELECT p_retailprice AS retail_price, p_size AS part_size,

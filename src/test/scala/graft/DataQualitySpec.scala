@@ -168,6 +168,43 @@ class DataQualitySpec extends GraftSuite {
     assert(math.abs(exact - builtin) < 1e-6)
   }
 
+  // ---- Snapshot.diff / Snapshot.merge -----------------------------------
+
+  test("snapshot diff classifies added/removed/changed, drops unchanged") {
+    import graft.ops.Snapshot
+    val oldS = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "v", "s")
+    val newS = Seq((1L, 10.0, "A"), (2L, 25.0, "B"), (4L, 40.0, "D"))
+      .toDF("k", "v", "s")
+    val got = Snapshot.diff(oldS, newS, Seq("k"), Seq("v", "s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshot diff treats null values null-safely") {
+    import graft.ops.Snapshot
+    val oldS = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 2.0))
+      .toDF("k", "v")
+    val newS = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, null))
+      .toDF("k", "v")
+    val got = Snapshot.diff(oldS, newS, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed")) // null <=> null is equal, not a change
+  }
+
+  test("merge applies update, insert, and delete in one pass") {
+    import graft.ops.Snapshot
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val changes = Seq(
+      (2L, 99.0, false),  // update
+      (3L, 0.0, true),    // delete
+      (4L, 40.0, false))  // insert
+      .toDF("k", "v", "is_delete")
+    val got = Snapshot.merge(base, changes, Seq("k"), col("is_delete"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 10.0, 2L -> 99.0, 4L -> 40.0))
+  }
+
   // ---- linregByKey ------------------------------------------------------
 
   test("linreg recovers an exact planted line per group") {
