@@ -315,4 +315,25 @@ object EventAnalytics {
         min(col("latency_us")).as("min_us"),
         max(col("latency_us")).as("max_us"))
   }
+
+  /** User growth curve: per day, the number of first-seen users and the
+    * cumulative distinct user count to date — the "distinct users ever"
+    * series that a naive per-day `count_distinct` over growing windows
+    * recomputes quadratically. First-seen day per user is one keyed
+    * aggregation (the corpus collapses to one row per user, then to one
+    * row per day); the cumulative sum runs over the DAY-grain frame via
+    * the two-phase [[Pipeline.runningTotal]] — no SinglePartition window
+    * even though the order is global. */
+  def userGrowth(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val firstSeen = events
+      .groupBy(col(userCol).as("u"))
+      .agg(min(day).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val activeDays = events.select(day.as("day")).distinct()
+    val daily = activeDays.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+    Pipeline.runningTotal(daily, col("new_users"), "users_to_date", col("day"))
+  }
 }

@@ -242,4 +242,28 @@ object Graph {
         pairs("node_a") === edges("id_a") && pairs("node_b") === edges("id_b"),
         "left_anti")
   }
+
+  /** Jaccard-coefficient link prediction: [[commonNeighbors]] candidates
+    * re-scored by neighborhood overlap, J = common / (deg_a + deg_b −
+    * common) — the normalized score that ranks a 3-common-of-6-neighbors
+    * pair above a 3-common-of-60 hub pair, which the raw common count
+    * cannot. Degrees come from the UNCAPPED graph; if `maxDegree` prunes
+    * hub mediators, the common count (and so J) is a lower bound for
+    * pairs touching pruned hubs — documented trade, same as gr3.
+    * One extra join against the degree table per endpoint; exact-integer
+    * IEEE division, bit-identical cross-engine. */
+  def jaccardLinkPrediction(
+      rawEdges: DataFrame, minCommon: Long,
+      maxDegree: Long = Long.MaxValue): DataFrame = {
+    val deg = degrees(rawEdges)
+    commonNeighbors(rawEdges, minCommon, maxDegree)
+      .join(deg.select(col("node").as("node_a"), col("degree").as("deg_a")),
+        "node_a")
+      .join(deg.select(col("node").as("node_b"), col("degree").as("deg_b")),
+        "node_b")
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        (col("common_neighbors").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors"))
+            .cast("double")).as("jaccard"))
+  }
 }

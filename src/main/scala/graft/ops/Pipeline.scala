@@ -413,6 +413,21 @@ object Pipeline {
       .drop("_pid")
   }
 
+  /** Global inclusive running total of `valueCol` (LONG) under
+    * `orderCols` — `sum() OVER (ORDER BY …)` without the SinglePartition
+    * window (same two-phase scheme as [[globalPosition]]). The growth
+    * curve / cumulative-count primitive. */
+  def runningTotal(
+      df: DataFrame, valueCol: Column, totalName: String,
+      orderCols: Column*): DataFrame = {
+    val (ranged, off) = rangedWithOffsets(df, valueCol.cast("long"), orderCols)
+    val local = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(totalName, sum(valueCol.cast("long")).over(local) + off)
+      .drop("_pid")
+  }
+
   // ---- BPE tokenizer training ------------------------------------------
 
   /** Frequency-weighted word table: (word, freq) over whitespace tokens,

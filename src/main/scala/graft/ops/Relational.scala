@@ -96,6 +96,35 @@ object Relational {
         "min_val", "max_val")
   }
 
+  /** Storage-encoding advisory for string columns — the layout-tuning
+    * companion to [[analyzeStats]]: per column, cardinality and average
+    * width, and the encoding a columnar writer should pick (low-NDV
+    * columns dictionary-encode; near-unique ones stay plain — the
+    * decision parquet writers make per row group, surfaced table-wide so
+    * a 100 TB pipeline can set per-column dictionary thresholds instead
+    * of guessing). ONE aggregate pass for all columns; both ratios are
+    * exact-integer IEEE divisions, bit-identical cross-engine. */
+  def encodingAdvice(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "encodingAdvice needs at least one column")
+    val aggs = count(lit(1)).as("__rows") +: columns.flatMap { c => Seq(
+      count_distinct(col(c)).as(s"__d_$c"),
+      sum(length(col(c)).cast("long")).as(s"__len_$c"),
+      count(col(c)).as(s"__n_$c")) }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.map { c =>
+      s"'$c', __d_$c, CAST(__len_$c AS DOUBLE) / CAST(__n_$c AS DOUBLE), " +
+      s"CAST(__d_$c AS DOUBLE) / CAST(__rows AS DOUBLE)" }.mkString(", ")
+    wide.selectExpr(
+      "__rows AS n_rows",
+      s"stack(${columns.size}, $stackArgs) AS " +
+        "(col_name, n_distinct, avg_len, ndv_ratio)")
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("avg_len"), col("ndv_ratio"),
+        when(col("ndv_ratio") <= 0.01, "dictionary")
+          .when(col("ndv_ratio") <= 0.5, "dictionary-candidate")
+          .otherwise("plain").as("advice"))
+  }
+
   /** Distributed 2D skyline (Pareto frontier, minimizing both axes): the
     * distinct points `(x, y)` not strictly dominated by any other point
     * (q dominates p iff q.x ≤ p.x ∧ q.y ≤ p.y with at least one strict).

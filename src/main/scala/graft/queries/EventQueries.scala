@@ -78,7 +78,14 @@ object EventQueries extends QueryPack {
     "ev9_time_to_convert" -> ((s, d) =>
       EventAnalytics.timeToConvert(
         Tables.events(s, d), "user_id", "ts", "event_type",
-        fromType = "view", toType = "purchase"))
+        fromType = "view", toType = "purchase")),
+
+    // User growth curve: first-seen users per day + cumulative distinct
+    // users to date, running-summed over the day-grain frame via the
+    // two-phase prefix machinery (no SinglePartition window).
+    "ev10_user_growth" -> ((s, d) =>
+      EventAnalytics.userGrowth(Tables.events(s, d), "user_id", "ts")
+        .orderBy("day"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -249,6 +256,25 @@ object EventQueries extends QueryPack {
            quantile_cont(latency_us, 0.5) AS p50_us,
            min(latency_us) AS min_us,
            max(latency_us) AS max_us
-         FROM lat"""
+         FROM lat""",
+    "ev10_user_growth" ->
+      """WITH fs AS (
+           SELECT user_id,
+             min(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS INT)) AS day
+           FROM events GROUP BY user_id),
+         nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+           FROM fs GROUP BY day),
+         ad AS (SELECT DISTINCT
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+               AS day
+           FROM events),
+         daily AS (
+           SELECT ad.day, coalesce(nu.new_users, 0) AS new_users
+           FROM ad LEFT JOIN nu USING (day))
+         SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS users_to_date
+         FROM daily ORDER BY day"""
   )
 }

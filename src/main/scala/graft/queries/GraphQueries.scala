@@ -47,6 +47,14 @@ object GraphQueries extends QueryPack {
       Graph.commonNeighbors(simEdges(s, d), minCommon = 2L, maxDegree = 8L)
         .orderBy(col("common_neighbors").desc, col("node_a"), col("node_b"))),
 
+    // Jaccard-normalized link prediction: the gr3 candidates re-scored by
+    // neighborhood overlap J = common/(deg_a + deg_b − common) — ranks
+    // tight-cluster pairs above hub co-occurrences. Uncapped here so J is
+    // the exact coefficient.
+    "gr6_jaccard_links" -> ((s, d) =>
+      Graph.jaccardLinkPrediction(simEdges(s, d), minCommon = 2L)
+        .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))),
+
     // PageRank (5 damped power iterations) — "template centrality" of the
     // near-dup graph: high-rank docs sit inside big boilerplate clusters.
     // Hash-exact despite being float-iterative: per-edge contributions
@@ -139,6 +147,24 @@ object GraphQueries extends QueryPack {
             AND NOT EXISTS (SELECT 1 FROM e
                             WHERE e.id_a = cn.node_a AND e.id_b = cn.node_b)
           ORDER BY common_neighbors DESC, node_a, node_b""",
+    "gr6_jaccard_links" ->
+      s"""WITH $edgeCte,
+          cn AS (SELECT x.node AS node_a, y.node AS node_b,
+                   CAST(count(*) AS BIGINT) AS common_neighbors
+                 FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+                 GROUP BY x.node, y.node),
+          miss AS (SELECT node_a, node_b, common_neighbors FROM cn
+                   WHERE common_neighbors >= 2
+                     AND NOT EXISTS (SELECT 1 FROM e
+                       WHERE e.id_a = cn.node_a AND e.id_b = cn.node_b))
+          SELECT m.node_a, m.node_b, m.common_neighbors,
+            CAST(m.common_neighbors AS DOUBLE) /
+              CAST(da.degree + db.degree - m.common_neighbors AS DOUBLE)
+              AS jaccard
+          FROM miss m
+          JOIN deg da ON da.node = m.node_a
+          JOIN deg db ON db.node = m.node_b
+          ORDER BY jaccard DESC, node_a, node_b""",
     "gr4_pagerank" ->
       s"""WITH $edgeCte,
           $pagerankCtes

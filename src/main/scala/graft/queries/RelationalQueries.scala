@@ -203,6 +203,13 @@ object RelationalQueries extends QueryPack {
         .orderBy("check_name")
     }),
 
+    // S12 — storage-encoding advisory (layout companion to s8): per
+    // string column NDV / width / dictionary-vs-plain advice, one pass.
+    "s12_encoding_advice" -> ((s, d) =>
+      Relational.encodingAdvice(Tables.orders(s, d),
+          Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // S10 — row-level snapshot diff (added/removed/changed between two
     // ingests of orders, simulated deterministically from key residues):
     // ONE full-outer key join; the diff is the small output, never the
@@ -371,6 +378,22 @@ object RelationalQueries extends QueryPack {
            UNION ALL SELECT 'orders_orderkey_unique', 'orders', v, total FROM u
            UNION ALL SELECT 'lineitem_orderkey_in_orders', 'lineitem', v, total FROM ri)
          ORDER BY check_name""",
+    "s12_encoding_advice" -> {
+      val perCol = Seq("o_orderstatus", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS col_name,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+              CAST(sum(length($c)) AS DOUBLE) / CAST(count($c) AS DOUBLE)
+                AS avg_len,
+              CAST(count(DISTINCT $c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS ndv_ratio
+            FROM orders""" }.mkString("\nUNION ALL\n")
+      s"""SELECT col_name, n_rows, n_distinct, avg_len, ndv_ratio,
+            CASE WHEN ndv_ratio <= 0.01 THEN 'dictionary'
+                 WHEN ndv_ratio <= 0.5 THEN 'dictionary-candidate'
+                 ELSE 'plain' END AS advice
+          FROM ($perCol) ORDER BY col_name"""
+    },
     "s10_snapshot_diff" ->
       """WITH old AS (
            SELECT o_orderkey,

@@ -168,6 +168,19 @@ class DataQualitySpec extends GraftSuite {
     assert(math.abs(exact - builtin) < 1e-6)
   }
 
+  // ---- encodingAdvice ---------------------------------------------------
+
+  test("encoding advice trips dictionary/candidate/plain boundaries") {
+    val df = (1 to 200).map { i =>
+      ("k", s"g${i % 60}", s"u$i") }.toDF("low", "mid", "uniq")
+    val got = Relational.encodingAdvice(df, Seq("low", "mid", "uniq"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getString(5)))).toMap
+    assert(got("low") === ((1L, "dictionary")))          // ndv_ratio 0.005
+    assert(got("mid") === ((60L, "dictionary-candidate"))) // 0.3
+    assert(got("uniq") === ((200L, "plain")))            // 1.0
+  }
+
   // ---- Snapshot.diff / Snapshot.merge -----------------------------------
 
   test("snapshot diff classifies added/removed/changed, drops unchanged") {

@@ -195,6 +195,21 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(got.size === 5)
   }
 
+  test("userGrowth: new users per day, cumulative to date, zero-new days kept") {
+    import spark.implicits._
+    def at(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L + 3600000L)
+    val events = Seq(
+      (1L, 1L, at(0), "view"), (2L, 2L, at(0), "view"),   // day 0: users 1,2
+      (3L, 1L, at(1), "view"), (4L, 3L, at(1), "view"),   // day 1: new user 3
+      (5L, 2L, at(2), "view"))                            // day 2: nobody new
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.userGrowth(events, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    graft.ops.Pipeline.releaseCaches()
+    assert(got.toSeq === Seq((0, 2L, 2L), (1, 1L, 3L), (2, 0L, 3L)))
+  }
+
   test("timeToConvert: first view to first later purchase, strict order") {
     import spark.implicits._
     val events = Seq(

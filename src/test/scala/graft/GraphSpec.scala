@@ -9,6 +9,23 @@ import graft.ops.Graph
 class GraphSpec extends GraftSuite {
   import spark.implicits._
 
+  test("jaccard link prediction normalizes hub co-occurrence down") {
+    // candidates 1-2 (via mediators 5,6) and 3-4 (via 5,6): same common
+    // count 2, but 3 and 4 carry extra hub edges → lower jaccard
+    val edges = Seq(
+      (1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L),            // deg(1)=deg(2)=2
+      (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L),
+      (3L, 7L), (3L, 8L), (4L, 9L), (4L, 10L))           // deg(3)=deg(4)=4
+      .toDF("id_a", "id_b")
+    val got = Graph.jaccardLinkPrediction(edges, minCommon = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got((1L, 2L)) === ((2L, 1.0)))        // 2/(2+2-2): perfect overlap
+    assert(got((3L, 4L)) === ((2L, 2.0 / 6.0)))  // 2/(4+4-2): hub-diluted
+    assert(got((1L, 3L))._2 === 2.0 / 4.0)       // 2/(2+4-2)
+  }
+
   // K4 plus a pendant: triangles = C(4,3) = 4, all on {1,2,3,4}.
   private def k4edges = Seq(
     (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))

@@ -368,6 +368,19 @@ class PipelineSpec extends GraftSuite {
     assert(over === 0)
   }
 
+  test("runningTotal matches the naive global running-sum window") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val got = Pipeline.runningTotal(df.repartition(5), col("v"), "cum", col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Pipeline.releaseCaches()
+    var acc = 0L
+    (1 to 500).foreach { i =>
+      acc += i % 7
+      assert(got(i.toLong) === acc, s"at id $i")
+    }
+  }
+
   test("source reweighting: weights positive and sum to 1") {
     val w = SparkEntry.queries("pl15_source_reweight")(spark, sf)
       .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -207,7 +207,7 @@ class PlanSpec extends GraftSuite {
     // (the naive skyline is a global-order window); ev5: the lag window
     // partitions by user and the normalizer by from_type; ta14: the
     // rebuild is an aggregation, not a window at all.
-    Seq("o7_skyline", "ev5_transition_matrix").foreach { q =>
+    Seq("o7_skyline", "ev5_transition_matrix", "ev10_user_growth").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(p.contains("Window"), s"$q:\n$p")
       assert(!p.contains("SinglePartition"), s"$q:\n$p")
