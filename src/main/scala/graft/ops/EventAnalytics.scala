@@ -336,4 +336,41 @@ object EventAnalytics {
       .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
     Pipeline.runningTotal(daily, col("new_users"), "users_to_date", col("day"))
   }
+
+  /** Time-weighted average of `valueCol` per key: each observation holds
+    * until the key's next event, so its weight is that duration (the last
+    * observation carries no weight — no successor defines its span). The
+    * irregular-sampling mean (TWAP) that a plain AVG gets wrong whenever
+    * sampling is bursty.
+    *
+    * Numeric policy: durations are WHOLE SECONDS from exact microsecond
+    * differences (`(next_us − us) div 1e6` — identical integer floor on
+    * both engines; sub-second remainders are deliberately dropped, a
+    * defined semantic), values cast to DECIMAL(18,6) (deterministic
+    * rounding), so Σ v·dt is an exact decimal sum whose unscaled value
+    * stays far below 2^53 — merge-order-independent AND exactly
+    * double-convertible — and the final ratio is one double division.
+    * Per-key lead window, fully parallel across keys. Keys with <2
+    * events have no weighted span and are dropped; zero-second spans
+    * (same-second successor) carry zero weight. */
+  def timeWeightedAvg(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val seq0 = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val spans = events
+      .withColumn("_next_us", lead(unix_micros(col(tsCol)), 1).over(seq0))
+      .where(col("_next_us").isNotNull)
+      .withColumn("_dt",
+        expr("(_next_us - unix_micros(" + tsCol + ")) div 1000000"))
+    spans.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("_dt")).as("total_s"),
+        (sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+             col("_dt")).cast("double") /
+          sum(col("_dt")).cast("double")).as("twap"))
+      // a key whose every span rounds to zero seconds has no defined TWAP
+      .where(col("total_s") > 0)
+  }
 }

@@ -85,7 +85,14 @@ object EventQueries extends QueryPack {
     // two-phase prefix machinery (no SinglePartition window).
     "ev10_user_growth" -> ((s, d) =>
       EventAnalytics.userGrowth(Tables.events(s, d), "user_id", "ts")
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // Time-weighted average value per user (TWAP over irregular samples):
+    // each observation weighted by its hold time until the next event.
+    "ev11_time_weighted_avg" -> ((s, d) =>
+      EventAnalytics.timeWeightedAvg(
+        Tables.events(s, d), "user_id", "ts", "event_id", "value")
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -275,6 +282,23 @@ object EventQueries extends QueryPack {
          SELECT day, new_users,
            CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
              AS BIGINT) AS users_to_date
-         FROM daily ORDER BY day"""
+         FROM daily ORDER BY day""",
+    // hold-until-next spans in whole seconds (identical integer floor),
+    // DECIMAL(18,6)-exact weighted sum, one double division
+    "ev11_time_weighted_avg" ->
+      """WITH spans AS (
+           SELECT user_id, value,
+             (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) - epoch_us(ts)) // 1000000 AS dt
+           FROM events),
+         s2 AS (SELECT * FROM spans WHERE dt IS NOT NULL)
+         SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(dt) AS BIGINT) AS total_s,
+           CAST(sum(CAST(value AS DECIMAL(18,6)) * dt) AS DOUBLE) /
+             CAST(sum(dt) AS DOUBLE) AS twap
+         FROM s2 GROUP BY user_id
+         HAVING sum(dt) > 0
+         ORDER BY user_id"""
   )
 }

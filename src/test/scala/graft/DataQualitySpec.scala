@@ -218,6 +218,26 @@ class DataQualitySpec extends GraftSuite {
     assert(got === Map(1L -> 10.0, 2L -> 99.0, 4L -> 40.0))
   }
 
+  test("merge of diff-derived changes reconstructs the new snapshot") {
+    import graft.ops.Snapshot
+    // old: keys 1..300; new: 1..330 minus multiples of 7, %5 keys revalued
+    def v(k: Int): Double = (k % 13).toDouble
+    val oldS = (1 to 300).map(k => (k.toLong, v(k))).toDF("k", "v")
+    val newS = (1 to 330).filterNot(_ % 7 == 0)
+      .map(k => (k.toLong, if (k % 5 == 0) v(k) + 100.0 else v(k)))
+      .toDF("k", "v")
+    val d = Snapshot.diff(oldS, newS, Seq("k"), Seq("v"))
+    val upserts = d.where(col("change_type").isin("added", "changed"))
+      .join(newS, "k").select(col("k"), col("v"), lit(false).as("is_delete"))
+    val deletes = d.where(col("change_type") === "removed")
+      .select(col("k"), lit(0.0).as("v"), lit(true).as("is_delete"))
+    val rebuilt = Snapshot.merge(
+      oldS, upserts.unionByName(deletes), Seq("k"), col("is_delete"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expected = newS.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rebuilt === expected)
+  }
+
   // ---- linregByKey ------------------------------------------------------
 
   test("linreg recovers an exact planted line per group") {

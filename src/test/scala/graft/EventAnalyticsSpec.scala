@@ -210,6 +210,24 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(got.toSeq === Seq((0, 2L, 2L), (1, 1L, 3L), (2, 0L, 3L)))
   }
 
+  test("timeWeightedAvg: hold-time weights, last event unweighted") {
+    import spark.implicits._
+    // user 1: v=10 held 60 s, v=20 held 180 s, v=99 last (no weight)
+    // → twap = (10·60 + 20·180) / 240 = 17.5
+    val events = Seq(
+      (1L, 1L, ts(1), 10.0), (2L, 1L, ts(2), 20.0), (3L, 1L, ts(5), 99.0),
+      // user 2: single event → dropped
+      (4L, 2L, ts(1), 50.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumnRenamed("value", "value")
+    val got = EventAnalytics
+      .timeWeightedAvg(events, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === ((2L, 240L, 17.5)))
+  }
+
   test("timeToConvert: first view to first later purchase, strict order") {
     import spark.implicits._
     val events = Seq(
