@@ -167,6 +167,33 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("IVF index layout: probed cells prune partitions and files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    val assigned = Similarity.writeIvfIndex(
+      emb, "vec_id", "embedding", numCentroids = 16, path = dir)
+    val cids = assigned.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cids.length > 4, s"want >4 occupied cells, got ${cids.length}")
+    val all = spark.read.parquet(dir)
+    assert(all.count() === emb.count())
+    // probe 4 cells: the scan must carry a PartitionFilter on cid and
+    // touch strictly fewer files than the full index
+    val probes = cids.take(4)
+    val pruned = all.where(col("cid").isin(probes.map(Long.box): _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+    // files actually READ (input_file_name over the filtered scan — a
+    // DataFrame's static inputFiles listing ignores partition pruning)
+    val touched = pruned.select(input_file_name()).distinct().count()
+    val total = all.select(input_file_name()).distinct().count()
+    assert(touched * 2 <= total,
+      s"probing 4/${cids.length} cells should read ≤ half the files: " +
+      s"$touched of $total")
+    // and the pruned read returns exactly the probed cells' rows
+    val expect = assigned.where(col("cid").isin(probes.map(Long.box): _*)).count()
+    assert(pruned.count() === expect)
+  }
+
   test("random projection: basis vector picks its sign; norms preserved") {
     import spark.implicits._
     val signs = Similarity.rpSigns(42L, 8, 64)
