@@ -163,6 +163,25 @@ object Aggregates {
       .select("col_x", "col_y", "n", "corr")
   }
 
+  /** Deterministic per-group mode: the most frequent value, smallest
+    * value winning count ties — unlike the built-in `mode()`, whose tie
+    * winner is whatever partition merge order produced (unusable under a
+    * hash-comparing oracle or a reproducibility contract). Two keyed
+    * aggregations (value counts, then argmax by count with value
+    * tie-break); shuffles key on (group, value) then group. */
+  def modeByKey(
+      df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val counts = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("n").desc, col(valueCol).asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(keys.map(col) :+ col(valueCol).as("mode_value") :+
+        col("n").as("mode_count"): _*)
+  }
+
   /** Per-group ordinary-least-squares line y = slope·x + intercept, from
     * the same exact-decimal moment discipline as [[corrMatrixExact]]:
     * Σx, Σy, Σxy, Σx² are exact DECIMAL sums (merge-order-independent),

@@ -207,6 +207,14 @@ object AggregateQueries extends QueryPack {
         Tables.lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
         .orderBy("col_x", "col_y")),
 
+    // Deterministic mode: most frequent ship-mode-ish value per flag,
+    // smallest value breaking count ties (the built-in mode()'s tie
+    // winner is merge-order-dependent — unusable under a hash oracle).
+    "agg_mode" -> ((s, d) =>
+      graft.ops.Aggregates.modeByKey(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+        .orderBy("l_returnflag")),
+
     // Per-group OLS trend fit from the same exact-decimal moments as
     // agg_corr_matrix: slope/intercept of price on quantity per return
     // flag — bit-identical, reproducible regression without ML baggage.
@@ -327,6 +335,17 @@ object AggregateQueries extends QueryPack {
            UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
            UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w)
          ORDER BY l_returnflag, measure""",
+    "agg_mode" ->
+      """WITH c AS (
+           SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT l_returnflag, l_quantity AS mode_value, n AS mode_count,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY n DESC, l_quantity ASC) AS rn
+           FROM c)
+         SELECT l_returnflag, mode_value, mode_count FROM r WHERE rn = 1
+         ORDER BY l_returnflag""",
     "agg_linreg" ->
       """WITH m AS (
            SELECT l_returnflag,

@@ -127,6 +127,23 @@ object WindowQueries extends QueryPack {
         .filter(col("rn") <= 5)
         .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
         .orderBy("c_mktsegment", "rn")
+    }),
+
+    // Trailing moving median (robust smoothing — percentile as a framed
+    // window aggregate, partitioned per part so it parallelizes).
+    // Quantities are integer-valued, so the interpolated median lands on
+    // .0/.5 exactly on both engines; the order includes the value so
+    // fixture rows duplicated on (orderkey, linenumber) stay total.
+    "w9_moving_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc)
+        .rowsBetween(-4, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("med5", expr("percentile(l_quantity, 0.5)").over(w))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
+          "med5")
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
     })
   )
 
@@ -212,6 +229,13 @@ object WindowQueries extends QueryPack {
          SELECT suppkey, min(start_d) AS span_start, max(end_d) AS span_end,
            CAST(count(*) AS BIGINT) AS n_intervals
          FROM i GROUP BY suppkey, island
-         ORDER BY suppkey, span_start"""
+         ORDER BY suppkey, span_start""",
+    "w9_moving_median" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+           quantile_cont(l_quantity, 0.5) OVER (PARTITION BY l_partkey
+             ORDER BY l_orderkey, l_linenumber, l_quantity
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+         FROM lineitem
+         ORDER BY l_partkey, l_orderkey, l_linenumber, l_quantity"""
   )
 }

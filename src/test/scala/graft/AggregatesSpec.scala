@@ -97,4 +97,19 @@ class AggregatesSpec extends GraftSuite {
       }
     }
   }
+
+  test("modeByKey: argmax by count, smallest value wins ties, layout-stable") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 3.0), ("a", 3.0), ("a", 1.0), ("a", 1.0), ("a", 2.0), // tie 3 vs 1
+      ("b", 7.0), ("b", 7.0), ("b", 5.0))
+      .toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Aggregates.modeByKey(d, Seq("g"), "v")
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+        .toMap
+    val got = run(df)
+    assert(got === Map("a" -> ((1.0, 2L)), "b" -> ((7.0, 2L))))
+    assert(run(df.repartition(7)) === got) // merge order cannot flip ties
+  }
 }
