@@ -86,7 +86,13 @@ object StreamingQueries extends QueryPack {
     "st10_trending" -> ((s, d) =>
       EventStreams.trendingTopK(
         EventStreams.tumblingCounts(Tables.events(s, d)), k = 2)
-        .orderBy("window_start", "rank"))
+        .orderBy("window_start", "rank")),
+
+    // Expanding-mean anomaly flags, batch dual of the stateful streaming
+    // detector (EventStreams.anomalyFlags — StreamingSpec proves parity).
+    "st11_anomaly_flags" -> ((s, d) =>
+      EventStreams.anomalyFlagsBatch(Tables.events(s, d))
+        .orderBy("user_id", "event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,6 +201,21 @@ object StreamingQueries extends QueryPack {
                ORDER BY n_events DESC, event_type ASC) AS INT) AS rank
            FROM c)
          SELECT window_start, event_type, n_events, rank FROM r
-         WHERE rank <= 2 ORDER BY window_start, rank"""
+         WHERE rank <= 2 ORDER BY window_start, rank""",
+    // strict-preceding exact-decimal running mean, identical flag rule
+    "st11_anomaly_flags" ->
+      """WITH x AS (
+           SELECT user_id, event_id, value,
+             count(*) OVER w AS n_prev,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS prev_sum
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, value,
+           prev_sum / CAST(n_prev AS DOUBLE) AS prev_mean,
+           CAST(n_prev AS BIGINT) AS n_prev
+         FROM x
+         WHERE n_prev >= 3 AND value > 3.0 * (prev_sum / CAST(n_prev AS DOUBLE))
+         ORDER BY user_id, event_id"""
   )
 }

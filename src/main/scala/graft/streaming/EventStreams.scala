@@ -211,6 +211,78 @@ object EventStreams {
         })
   }
 
+  case class Anomaly(user_id: Long, event_id: Long, value: Double,
+    prev_mean: Double, n_prev: Long)
+
+  /** Streaming anomaly detection: flag an event whose value exceeds
+    * `k ×` the SAME USER'S running mean over at least `minPrev` prior
+    * events — the streaming dual of the batch `ev3_spikes` detector,
+    * with the trailing window replaced by explicit running state
+    * (count + exact total; the mean derives, so state is two numbers
+    * per user, not a value buffer).
+    *
+    * Same bounded-state discipline as [[userRunningTotals]]: event-time
+    * timeout drops idle users once the watermark passes `maxIdle`, and
+    * the timeout anchors to `max(last event, watermark)`. Within a
+    * micro-batch, rows are folded in (ts, event_id) order so replayed
+    * batches make identical decisions — flags depend on fold order, and
+    * iterator order inside a batch is not otherwise guaranteed. */
+  def anomalyFlags(
+      events: Dataset[Ev], k: Double = 3.0, minPrev: Long = 3,
+      maxIdle: String = "30 days"): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserAgg]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var agg = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+            var maxTs = Long.MinValue
+            val out = Vector.newBuilder[Anomaly]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (agg.n_events >= minPrev) {
+                val mean = agg.total_value / agg.n_events
+                if (e.value > k * mean)
+                  out += Anomaly(uid, e.event_id, e.value, mean, agg.n_events)
+              }
+              agg = UserAgg(uid, agg.n_events + 1, agg.total_value + e.value)
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            state.update(agg)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs + 1), maxIdle)
+            out.result().iterator
+          }
+        })
+  }
+
+  /** Batch dual of [[anomalyFlags]]: the expanding-mean flag as a plain
+    * window program (per-user strict-preceding DECIMAL-exact running sum
+    * and count), oracle-checkable cross-engine. The streaming path folds
+    * plain doubles in state, so a value sitting within an ulp of the
+    * k·mean boundary could in principle flag differently — parity tests
+    * use clear margins; the DECISION RULE is identical. */
+  def anomalyFlagsBatch(
+      events: DataFrame, k: Double = 3.0, minPrev: Long = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("prev_mean",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .over(w).cast("double") / col("n_prev").cast("double"))
+      .where(col("n_prev") >= minPrev && col("value") > lit(k) * col("prev_mean"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("prev_mean"), col("n_prev"))
+  }
+
   /** Streaming upsert (CDC-style "latest row per key" materialization)
     * via foreachBatch — the standard pattern for maintaining a keyed
     * state table on a plain-file sink without a transactional format.

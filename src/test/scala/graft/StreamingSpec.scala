@@ -304,6 +304,26 @@ class StreamingSpec extends GraftSuite {
     assert(lastPerUser.count() === batch.count())
   }
 
+  test("streaming anomaly flags match the batch expanding-mean dual") {
+    import spark.implicits._
+    val ds = EventStreams.readEventStream(spark, streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Ev]
+    val q = EventStreams.anomalyFlags(ds)
+      .writeStream.format("memory").queryName("t_anomaly")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_anomaly")
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStreams.anomalyFlagsBatch(Tables.events(spark, sf))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture should contain at least one spike")
+  }
+
   test("sessionize assigns gap-rule session indices per user") {
     import spark.implicits._
     val base = 1700000000000L
