@@ -207,6 +207,17 @@ object AggregateQueries extends QueryPack {
         Tables.lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
         .orderBy("col_x", "col_y")),
 
+    // Boolean aggregate family: every/any (bool_and/bool_or) + count_if —
+    // the predicate-rollup surface (constraint checks collapse to these).
+    "agg_bool" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          every(col("o_totalprice") > 0.0).as("all_positive"),
+          expr("bool_or(o_totalprice > 300000.0)").as("any_large"),
+          count_if(col("o_totalprice") > 300000.0).as("n_large"))
+        .orderBy("o_orderstatus")),
+
     // Deterministic mode: most frequent ship-mode-ish value per flag,
     // smallest value breaking count ties (the built-in mode()'s tie
     // winner is merge-order-dependent — unusable under a hash oracle).
@@ -335,6 +346,13 @@ object AggregateQueries extends QueryPack {
            UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
            UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w)
          ORDER BY l_returnflag, measure""",
+    "agg_bool" ->
+      """SELECT o_orderstatus,
+           bool_and(o_totalprice > 0.0) AS all_positive,
+           bool_or(o_totalprice > 300000.0) AS any_large,
+           CAST(count(*) FILTER (WHERE o_totalprice > 300000.0) AS BIGINT)
+             AS n_large
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_mode" ->
       """WITH c AS (
            SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n

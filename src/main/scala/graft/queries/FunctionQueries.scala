@@ -218,6 +218,23 @@ object FunctionQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber", "band", "bor", "bxor",
           "shl", "shr", "popcnt")),
 
+    // Nested struct surface: build, field-access (dotted + getField),
+    // nested computation, flattened output — the typed-record shape
+    // every log/event schema carries.
+    "fn_struct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("rec", struct(
+          col("o_orderstatus").as("status"),
+          struct(col("o_totalprice").as("amount"),
+            (col("o_totalprice") * 0.1).as("tax")).as("money")))
+        .select(
+          col("o_orderkey"),
+          col("rec.status").as("status"),
+          col("rec.money.amount").as("amount"),
+          (col("rec").getField("money").getField("tax") +
+            col("rec.money.amount")).as("gross"))
+        .orderBy("o_orderkey")),
+
     // URL parsing (parse_url host/path/query-param) over deterministic
     // synthesized URLs; the oracle states the ground-truth components
     // directly, so this checks Spark's parser against construction.
@@ -346,6 +363,19 @@ object FunctionQueries extends QueryPack {
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber, band, bor, bxor, shl, shr,
            popcnt""",
+    // identical arithmetic through DuckDB's own struct surface
+    "fn_struct" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+             {'status': o_orderstatus,
+              'money': {'amount': o_totalprice,
+                        'tax': o_totalprice * 0.1}} AS rec
+           FROM orders)
+         SELECT o_orderkey,
+           rec.status AS status,
+           rec.money.amount AS amount,
+           rec.money.tax + rec.money.amount AS gross
+         FROM t ORDER BY o_orderkey""",
     "fn_url" ->
       """SELECT doc_id,
            'https://' || source || '.example.com/docs/'
