@@ -337,6 +337,50 @@ object EventAnalytics {
     Pipeline.runningTotal(daily, col("new_users"), "users_to_date", col("day"))
   }
 
+  /** RFM segmentation: per user, Recency (days since last event,
+    * relative to the corpus max day), Frequency (event count), Monetary
+    * (exact-decimal value total), each scored 1–4 (4 = best) against the
+    * metric's own exact quartile THRESHOLDS — `1 + Σ(metric ≥ pₖ)` for
+    * higher-better, the mirrored `≤` form for recency. Threshold scoring
+    * (not ntile) is deliberate: the quartile cut-points are one tiny
+    * global aggregate broadcast to the scan (the winsorize/histogram
+    * shape), so scoring is scan-local with no global-order window, and
+    * equal metric values always land in the same bucket (an ntile splits
+    * ties arbitrarily across buckets). */
+  def rfmScores(
+      events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val per = events.groupBy(col(userCol))
+      .agg(
+        max(day).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("monetary"))
+    val maxDay = per.agg(max(col("last_day")).as("max_day"))
+    val perR = per.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("max_day") - col("last_day"))
+    val cuts = perR.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("r_cuts"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("f_cuts"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("m_cuts"))
+    def upScore(c: Column, cuts: Column): Column =
+      lit(1) + (c >= element_at(cuts, 1)).cast("int") +
+        (c >= element_at(cuts, 2)).cast("int") +
+        (c >= element_at(cuts, 3)).cast("int")
+    def downScore(c: Column, cuts: Column): Column =
+      lit(1) + (c <= element_at(cuts, 3)).cast("int") +
+        (c <= element_at(cuts, 2)).cast("int") +
+        (c <= element_at(cuts, 1)).cast("int")
+    perR.crossJoin(broadcast(cuts))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"),
+        downScore(col("recency_days").cast("double"), col("r_cuts"))
+          .as("r_score"),
+        upScore(col("frequency").cast("double"), col("f_cuts")).as("f_score"),
+        upScore(col("monetary"), col("m_cuts")).as("m_score"))
+  }
+
   /** Time-weighted average of `valueCol` per key: each observation holds
     * until the key's next event, so its weight is that duration (the last
     * observation carries no weight — no successor defines its span). The

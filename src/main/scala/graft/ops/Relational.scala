@@ -125,6 +125,28 @@ object Relational {
           .otherwise("plain").as("advice"))
   }
 
+  /** Per-group 2D skyline: the Pareto frontier WITHIN each group (best
+    * price/size frontier per brand, per supplier, …). Same sort-based
+    * rule as [[skyline2D]], but the running min partitions by the group
+    * key — groups parallelize natively, so no two-phase machinery is
+    * needed; the global frontier is the degenerate one-group case where
+    * [[skyline2D]]'s range-partition scheme takes over. */
+  def skylineByGroup(
+      df: DataFrame, groupCol: Column, xCol: Column, yCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df
+      .where(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(groupCol.as("grp"), xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("_prefix_min", min(col("y")).over(w))
+      .where(col("_prefix_min").isNull || col("y") < col("_prefix_min"))
+      .select(col("grp"), col("x"), col("y"), col("n_rows"))
+  }
+
   /** Distributed 2D skyline (Pareto frontier, minimizing both axes): the
     * distinct points `(x, y)` not strictly dominated by any other point
     * (q dominates p iff q.x ≤ p.x ∧ q.y ≤ p.y with at least one strict).

@@ -92,6 +92,13 @@ object EventQueries extends QueryPack {
     "ev11_time_weighted_avg" -> ((s, d) =>
       EventAnalytics.timeWeightedAvg(
         Tables.events(s, d), "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")),
+
+    // RFM segmentation: recency/frequency/monetary per user, each scored
+    // 1–4 against broadcast exact-quartile thresholds (no global window;
+    // equal metrics always share a bucket, unlike ntile).
+    "ev12_rfm_scores" -> ((s, d) =>
+      EventAnalytics.rfmScores(Tables.events(s, d), "user_id", "ts", "value")
         .orderBy("user_id"))
   )
 
@@ -299,6 +306,38 @@ object EventQueries extends QueryPack {
              CAST(sum(dt) AS DOUBLE) AS twap
          FROM s2 GROUP BY user_id
          HAVING sum(dt) > 0
+         ORDER BY user_id""",
+    // same user-grain metrics, same exact-quartile thresholds, same
+    // 1 + Σ(comparisons) scoring
+    "ev12_rfm_scores" ->
+      """WITH per AS (
+           SELECT user_id,
+             max(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS INT)) AS last_day,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+           FROM events GROUP BY user_id),
+         mx AS (SELECT max(last_day) AS max_day FROM per),
+         perr AS (
+           SELECT user_id, max_day - last_day AS recency_days,
+             frequency, monetary
+           FROM per CROSS JOIN mx),
+         cuts AS (
+           SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS r_cuts,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS f_cuts,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS m_cuts
+           FROM perr)
+         SELECT user_id, recency_days, frequency, monetary,
+           1 + CAST(recency_days <= r_cuts[3] AS INT)
+             + CAST(recency_days <= r_cuts[2] AS INT)
+             + CAST(recency_days <= r_cuts[1] AS INT) AS r_score,
+           1 + CAST(frequency >= f_cuts[1] AS INT)
+             + CAST(frequency >= f_cuts[2] AS INT)
+             + CAST(frequency >= f_cuts[3] AS INT) AS f_score,
+           1 + CAST(monetary >= m_cuts[1] AS INT)
+             + CAST(monetary >= m_cuts[2] AS INT)
+             + CAST(monetary >= m_cuts[3] AS INT) AS m_score
+         FROM perr CROSS JOIN cuts
          ORDER BY user_id"""
   )
 }

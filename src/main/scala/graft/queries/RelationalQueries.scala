@@ -254,7 +254,17 @@ object RelationalQueries extends QueryPack {
           col("p_retailprice"), col("p_size"))
         .withColumnRenamed("x", "retail_price")
         .withColumnRenamed("y", "part_size")
-        .orderBy("retail_price", "part_size"))
+        .orderBy("retail_price", "part_size")),
+
+    // O8 — per-group skyline: the cheap-and-small frontier per brand
+    // (group-partitioned running min — groups parallelize natively).
+    "o8_skyline_per_group" -> ((s, d) =>
+      Relational.skylineByGroup(Tables.part(s, d),
+          col("p_brand"), col("p_retailprice"), col("p_size"))
+        .withColumnRenamed("grp", "brand")
+        .withColumnRenamed("x", "retail_price")
+        .withColumnRenamed("y", "part_size")
+        .orderBy("brand", "retail_price", "part_size"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -436,6 +446,21 @@ object RelationalQueries extends QueryPack {
          SELECT o_orderkey, o_totalprice, o_orderstatus FROM m
          WHERE NOT (in_c AND del)
          ORDER BY o_orderkey""",
+    "o8_skyline_per_group" ->
+      """WITH pts AS (
+           SELECT p_brand AS brand, p_retailprice AS retail_price,
+             p_size AS part_size, CAST(count(*) AS BIGINT) AS n_rows
+           FROM part
+           WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+           GROUP BY 1, 2, 3)
+         SELECT brand, retail_price, part_size, n_rows FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.brand = p.brand
+             AND q.retail_price <= p.retail_price
+             AND q.part_size <= p.part_size
+             AND (q.retail_price < p.retail_price OR q.part_size < p.part_size))
+         ORDER BY brand, retail_price, part_size""",
     "o7_skyline" ->
       """WITH pts AS (
            SELECT p_retailprice AS retail_price, p_size AS part_size,

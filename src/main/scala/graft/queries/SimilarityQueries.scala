@@ -33,6 +33,26 @@ object SimilarityQueries extends QueryPack {
         Tables.embeddings(s, d), col("vec_id"), col("embedding"), k = 32)
         .orderBy("vec_id")),
 
+    // Pairwise-cosine distribution over a deterministic 100-vector slice
+    // — the threshold-calibration input for every dedup/ANN cutoff (dd6's
+    // 0.3, dd14's τ): you pick the threshold where the histogram's
+    // near-dup mode separates from the background bulk. Brute-force ON
+    // THE SLICE by design (4,950 pairs); the corpus-scale distribution
+    // comes from sampling slices, never all-pairs.
+    "ss9_cosine_histogram" -> ((s, d) => {
+      val sample = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      val a = sample.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val b = sample.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      a.join(b, col("ida") < col("idb"))
+        .select((Similarity.dot(col("va"), col("vb")) /
+          (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
+          .as("cos"))
+        .select(least(floor((col("cos") + 1.0) * 10.0).cast("int"), lit(19))
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
+    }),
+
     // Johnson–Lindenstrauss ±1 random projection to 8 dims: first
     // projected coordinate + norm-preservation ratio per vector. The
     // sign matrix is driver-generated from a fixed seed and shared with
@@ -116,6 +136,15 @@ object SimilarityQueries extends QueryPack {
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "ss9_cosine_histogram" ->
+      s"""WITH p AS (
+            SELECT ${cosSql("a.embedding", "b.embedding")} AS cos
+            FROM (SELECT * FROM embeddings WHERE vec_id < 100) a
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 100) b
+              ON a.vec_id < b.vec_id)
+          SELECT least(CAST(floor((cos + 1.0) * 10.0) AS INT), 19) AS bucket,
+            CAST(count(*) AS BIGINT) AS n_pairs
+          FROM p GROUP BY 1 ORDER BY bucket""",
     "ss8_random_projection" -> {
       val p2 = (0 until 8)
         .map(j => s"((${rpProjSql(j)}) * (${rpProjSql(j)}))")

@@ -75,6 +75,32 @@ class DataQualitySpec extends GraftSuite {
     assert(out == naiveSkyline(pts))
   }
 
+  test("skylineByGroup: independent frontiers per group") {
+    val pts = Seq(
+      ("g1", 1.0, 5L), ("g1", 3.0, 2L), ("g1", 3.0, 5L),
+      ("g2", 9.0, 9L)) // dominated in g1's terms but alone in g2 → kept
+      .toDF("g", "x", "y")
+    val got = Relational.skylineByGroup(pts, col("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === Set(("g1", 1.0, 5L), ("g1", 3.0, 2L), ("g2", 9.0, 9L)))
+  }
+
+  test("rfm: strictly increasing metrics score 1..4 against quartile cuts") {
+    def at(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // user u has u events of value 10·u, last event on day u →
+    // frequency and monetary rise with u, recency falls with u
+    val events = (1 to 4).flatMap { u =>
+      (1 to u).map(i => (u.toLong * 100 + i, u.toLong, at(u), 10.0 * u))
+    }.toDF("event_id", "user_id", "ts", "value")
+    val got = graft.ops.EventAnalytics
+      .rfmScores(events, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    (1 to 4).foreach { u =>
+      assert(got(u.toLong) === ((u, u, u)), s"user $u: ${got(u.toLong)}")
+    }
+  }
+
   // ---- stripBoilerplateChunks -------------------------------------------
 
   test("boilerplate strip: shared chunk excised, unique text kept in order") {
