@@ -337,6 +337,30 @@ object EventAnalytics {
     Pipeline.runningTotal(daily, col("new_users"), "users_to_date", col("day"))
   }
 
+  /** Lorenz / Pareto concentration curve: users ranked by activity
+    * (busiest first), each with their cumulative event count and share —
+    * the "top k% of users drive p% of traffic" curve behind every 80/20
+    * capacity claim. The corpus collapses to user grain in one keyed
+    * aggregation; rank and cumulative count are BOTH two-phase global
+    * operators ([[Pipeline.globalPosition]] / [[Pipeline.runningTotal]])
+    * joined back on the user key, so nothing funnels through one task
+    * even with a billion users; the grand total is a 1-row broadcast. */
+  def lorenzCurve(
+      events: DataFrame, userCol: String): DataFrame = {
+    val per = events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+    val order = Seq(col("n_events").desc, col(userCol).asc)
+    val ranked = Pipeline.globalPosition(per, "rank", order: _*)
+      .select(col(userCol), col("rank"))
+    val cum = Pipeline.runningTotal(per, col("n_events"), "cum_events", order: _*)
+    val total = per.agg(sum(col("n_events")).as("total_events"))
+    cum.join(ranked, userCol)
+      .crossJoin(broadcast(total))
+      .select(col(userCol), col("rank"), col("n_events"), col("cum_events"),
+        (col("cum_events").cast("double") / col("total_events").cast("double"))
+          .as("cum_share"))
+  }
+
   /** RFM segmentation: per user, Recency (days since last event,
     * relative to the corpus max day), Frequency (event count), Monetary
     * (exact-decimal value total), each scored 1–4 (4 = best) against the

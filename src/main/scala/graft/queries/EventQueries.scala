@@ -99,7 +99,14 @@ object EventQueries extends QueryPack {
     // equal metrics always share a bucket, unlike ntile).
     "ev12_rfm_scores" -> ((s, d) =>
       EventAnalytics.rfmScores(Tables.events(s, d), "user_id", "ts", "value")
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Lorenz/Pareto concentration: activity-ranked users with cumulative
+    // event share — rank and running sum both two-phase (no single-task
+    // stage, PlanSpec-asserted).
+    "ev13_lorenz_curve" -> ((s, d) =>
+      EventAnalytics.lorenzCurve(Tables.events(s, d), "user_id")
+        .orderBy("rank"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -338,6 +345,22 @@ object EventQueries extends QueryPack {
              + CAST(monetary >= m_cuts[2] AS INT)
              + CAST(monetary >= m_cuts[3] AS INT) AS m_score
          FROM perr CROSS JOIN cuts
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    "ev13_lorenz_curve" ->
+      """WITH per AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY user_id),
+         t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total_events FROM per)
+         SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           n_events,
+           CAST(sum(n_events) OVER (ORDER BY n_events DESC, user_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+           CAST(sum(n_events) OVER (ORDER BY n_events DESC, user_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+             CAST(t.total_events AS DOUBLE) AS cum_share
+         FROM per CROSS JOIN t
+         WINDOW w AS (ORDER BY n_events DESC, user_id)
+         ORDER BY rank"""
   )
 }

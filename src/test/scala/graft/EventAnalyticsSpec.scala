@@ -210,6 +210,21 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(got.toSeq === Seq((0, 2L, 2L), (1, 1L, 3L), (2, 0L, 3L)))
   }
 
+  test("lorenzCurve: busiest-first ranks, cumulative share reaches 1") {
+    import spark.implicits._
+    // user 1: 6 events, user 2: 3, user 3: 1 → shares 0.6, 0.9, 1.0
+    val events = ((1 to 6).map(i => (i.toLong, 1L)) ++
+      (7 to 9).map(i => (i.toLong, 2L)) ++ Seq((10L, 3L)))
+      .map { case (id, u) => (id, u, ts(id.toInt)) }
+      .toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.lorenzCurve(events, "user_id")
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    graft.ops.Pipeline.releaseCaches()
+    assert(got.toSeq === Seq(
+      (1L, 1L, 6L, 0.6), (2L, 2L, 9L, 0.9), (3L, 3L, 10L, 1.0)))
+  }
+
   test("timeWeightedAvg: hold-time weights, last event unweighted") {
     import spark.implicits._
     // user 1: v=10 held 60 s, v=20 held 180 s, v=99 last (no weight)

@@ -214,6 +214,27 @@ class PlanSpec extends GraftSuite {
     }
     val p = plan(SparkEntry.queries("ta14_boilerplate_strip")(spark, sf))
     assert(!p.contains("SinglePartition"), p)
+    // ev13 carries a LEGITIMATE SinglePartition (the 1-row grand-total
+    // merge every ungrouped aggregate ends with), so the blanket string
+    // check is too strict — assert the precise property instead: no
+    // WINDOW stage runs single-partition.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val df13 = SparkEntry.queries("ev13_lorenz_curve")(spark, sf)
+    df13.collect()
+    val windows = allNodes(df13.queryExecution.executedPlan).collect {
+      case w: WindowExec => w }
+    assert(windows.nonEmpty, "ev13 should plan window stages")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"ev13 window must be partitioned, got: $w")
+    }
     graft.ops.Pipeline.releaseCaches()
   }
 
