@@ -111,6 +111,47 @@ object EventAnalytics {
         coalesce(col(valCol) > col("trailing_mean") * k, lit(false)))
   }
 
+  /** Exponentially weighted moving average (adjusted form, pandas
+    * `adjust=True`): per key, over the trailing `lookback` events in
+    * (ts, id) order, `ewma_t = Σ_j w_j·x_{t−j} / Σ_j w_j` with
+    * `w_j = (1−α)^j` — the standard smoother for noisy per-user metrics.
+    *
+    * α is fixed at 1/2 so every weight is an exact power of two: each
+    * term `x·2^−j` is a lossless IEEE scaling, the numerator is a
+    * left-to-right ordered fold written identically in both engines (the
+    * proven dd6/ss1/gr4 pattern), and the denominator collapses to the
+    * closed form `2 − 2^(1−n)` (exact). One final division → hash-exact
+    * cross-engine despite being float arithmetic throughout.
+    *
+    * Scale shape: one shuffle keyed on `keyCol`; the trailing frame is
+    * bounded (`lookback` rows), so per-row state is O(lookback) — no
+    * unbounded running frame, no global window. The collected frame is
+    * sorted by (ts, id) via `array_sort` rather than trusting collection
+    * order, so the fold order is deterministic under any shuffle. */
+  def ewma(
+      events: DataFrame, idCol: String, userCol: String, tsCol: String,
+      valCol: String, lookback: Int = 16): DataFrame = {
+    require(lookback >= 1, "lookback must be >= 1")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(-(lookback - 1), 0)
+    val xsRaw = collect_list(
+      struct(unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
+        col(valCol).cast("double").as("x"))).over(w)
+    val withXs = events.select(col(idCol), col(userCol), col(tsCol), col(valCol))
+      .withColumn("_xs", transform(array_sort(xsRaw), s => s.getField("x")))
+      .withColumn("n_window", size(col("_xs")))
+    val n = col("n_window").cast("double")
+    // oldest-first terms: element i (0-based) is j = n−1−i steps back
+    val terms = transform(col("_xs"),
+      (x, i) => x * pow(lit(0.5), (col("n_window") - 1 - i).cast("double")))
+    withXs
+      .withColumn("ewma",
+        aggregate(terms, lit(0.0), (acc, x) => acc + x) /
+          (lit(2.0) - pow(lit(2.0), lit(1.0) - n)))
+      .drop("_xs")
+  }
+
   /** SCD Type-2 history build: collapse each key's attribute stream into
     * change-tracked validity intervals — (key, attr, valid_from,
     * valid_to, n_events, is_current), where consecutive events with the

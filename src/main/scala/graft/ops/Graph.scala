@@ -266,4 +266,38 @@ object Graph {
           (col("deg_a") + col("deg_b") - col("common_neighbors"))
             .cast("double")).as("jaccard"))
   }
+
+  /** k-hop reachability: per node, the number of DISTINCT nodes reachable
+    * in at most `k` undirected hops (self excluded) — the "blast radius"
+    * of a near-dup cluster: a doc whose 3-hop neighborhood spans half the
+    * corpus sits in template sludge; a doc reaching 2 nodes is an isolated
+    * pair. Classic distributed BFS by frontier expansion: each round joins
+    * the CURRENT frontier (not the whole reach set) against the adjacency
+    * list, anti-joins out pairs already reached, and unions the survivors
+    * in. Per round that is one join shuffle keyed on the mid node, one
+    * `distinct`, and one anti join — state never exceeds the true
+    * reachable-pair set (the output size), and the frontier-only join is
+    * what keeps round r from redoing rounds 1..r−1's work on a 100 TB
+    * edge list. `localCheckpoint` truncates the per-round lineage the same
+    * way [[pageRank]] and `Dedup.duplicateClusters` do. Deterministic
+    * (pure set algebra on longs) → oracle hash-exact. */
+  def kHopCounts(rawEdges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val edges = canon(rawEdges)
+    val adj = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
+      .unionAll(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
+    var reach = adj
+    var frontier = adj
+    (2 to k).foreach { _ =>
+      val expanded = frontier.select(col("node"), col("nbr").as("mid"))
+        .join(adj.select(col("node").as("mid"), col("nbr")), "mid")
+        .select(col("node"), col("nbr"))
+        .filter(col("node") =!= col("nbr"))
+        .distinct()
+      frontier = expanded.join(reach, Seq("node", "nbr"), "left_anti")
+        .localCheckpoint(true)
+      reach = reach.unionAll(frontier)
+    }
+    reach.groupBy("node").agg(count(lit(1)).as("n_reachable"))
+  }
 }

@@ -106,7 +106,15 @@ object EventQueries extends QueryPack {
     // stage, PlanSpec-asserted).
     "ev13_lorenz_curve" -> ((s, d) =>
       EventAnalytics.lorenzCurve(Tables.events(s, d), "user_id")
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // EWMA (α=1/2, trailing 16): every weight an exact power of two +
+    // ordered fold ⇒ hash-exact float smoothing; bounded trailing frame.
+    "ev14_ewma" -> ((s, d) =>
+      EventAnalytics.ewma(
+        Tables.events(s, d), "event_id", "user_id", "ts", "value",
+        lookback = 16)
+        .orderBy("user_id", "ts", "event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -361,6 +369,24 @@ object EventQueries extends QueryPack {
              CAST(t.total_events AS DOUBLE) AS cum_share
          FROM per CROSS JOIN t
          WINDOW w AS (ORDER BY n_events DESC, user_id)
-         ORDER BY rank"""
+         ORDER BY rank""",
+    // Mirrors EventAnalytics.ewma exactly: frame list is (ts, event_id)-
+    // ordered, terms x·2^−j are lossless scalings, list_sum folds
+    // oldest-first exactly like Spark's aggregate(), denominator is the
+    // closed form 2 − 2^(1−n) — one final IEEE division.
+    "ev14_ewma" ->
+      """WITH w AS (
+           SELECT event_id, user_id, ts, value,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS xs
+           FROM events)
+         SELECT event_id, user_id, ts, value,
+           CAST(len(xs) AS INT) AS n_window,
+           list_sum([xs[i] * pow(0.5, len(xs) - i)
+                     for i in range(1, len(xs) + 1)]) /
+             (2.0 - pow(2.0, 1.0 - len(xs))) AS ewma
+         FROM w
+         ORDER BY user_id, ts, event_id"""
   )
 }

@@ -71,7 +71,14 @@ object GraphQueries extends QueryPack {
     // Hash-exact: a single IEEE division of exact integers per node.
     "gr5_clustering_coeff" -> ((s, d) =>
       Graph.clusteringCoefficients(simEdges(s, d))
-        .orderBy(col("clustering_coeff").desc, col("node")))
+        .orderBy(col("clustering_coeff").desc, col("node"))),
+
+    // k-hop blast radius (k=3): distinct nodes reachable in ≤ 3 hops —
+    // distributed BFS by frontier expansion, one join/distinct/anti-join
+    // shuffle trio per round, state bounded by the true reach set.
+    "gr7_khop" -> ((s, d) =>
+      Graph.kHopCounts(simEdges(s, d), 3)
+        .orderBy("node"))
   )
 
   // Same sequential-fold cosine as the Spark side (bit-identical doubles;
@@ -187,6 +194,19 @@ object GraphQueries extends QueryPack {
               (d.degree * (d.degree - 1)) AS clustering_coeff
           FROM deg d LEFT JOIN tc ON tc.node = d.node
           WHERE d.degree >= 2
-          ORDER BY clustering_coeff DESC, d.node"""
+          ORDER BY clustering_coeff DESC, d.node""",
+    // hop-by-hop expansion; UNION (not UNION ALL) dedups the reach set,
+    // mirroring the Spark side's distinct + left_anti accumulation.
+    "gr7_khop" ->
+      s"""WITH $edgeCte,
+          h2 AS (SELECT DISTINCT a.node, b.nbr FROM adj a
+                 JOIN adj b ON b.node = a.nbr WHERE b.nbr <> a.node),
+          h3 AS (SELECT DISTINCT a.node, b.nbr FROM h2 a
+                 JOIN adj b ON b.node = a.nbr WHERE b.nbr <> a.node),
+          reach AS (SELECT node, nbr FROM adj
+                    UNION SELECT node, nbr FROM h2
+                    UNION SELECT node, nbr FROM h3)
+          SELECT node, CAST(count(*) AS BIGINT) AS n_reachable
+          FROM reach GROUP BY node ORDER BY node"""
   )
 }

@@ -225,6 +225,23 @@ class EventAnalyticsSpec extends GraftSuite {
       (1L, 1L, 6L, 0.6), (2L, 2L, 9L, 0.9), (3L, 3L, 10L, 1.0)))
   }
 
+  test("ewma: adjusted alpha=1/2 weights, lookback cap, exact values") {
+    import spark.implicits._
+    // values 8, 4, 2 → every term/denominator an exact binary fraction
+    val events = Seq(
+      (1L, 1L, ts(1), 8.0), (2L, 1L, ts(2), 4.0), (3L, 1L, ts(3), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    def run(lb: Int) = EventAnalytics
+      .ewma(events, "event_id", "user_id", "ts", "value", lookback = lb)
+      .orderBy("event_id").collect()
+      .map(r => (r.getInt(4), r.getDouble(5))).toSeq
+    // n=1: 8; n=2: (8/2+4)/1.5 = 16/3; n=3: (8/4+4/2+2)/1.75 = 24/7
+    assert(run(16) === Seq((1, 8.0), (2, 16.0 / 3.0), (3, 24.0 / 7.0)))
+    // lookback 2 drops the oldest event at t3 (n_window stays 2):
+    // (4/2+2)/1.5 = 8/3
+    assert(run(2) === Seq((1, 8.0), (2, 16.0 / 3.0), (2, 8.0 / 3.0)))
+  }
+
   test("timeWeightedAvg: hold-time weights, last event unweighted") {
     import spark.implicits._
     // user 1: v=10 held 60 s, v=20 held 180 s, v=99 last (no weight)

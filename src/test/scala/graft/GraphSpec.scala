@@ -168,4 +168,21 @@ class GraphSpec extends GraftSuite {
     // and hub 9 remains eligible as an ENDPOINT
     assert(cn(3L) == Map((3L, 9L) -> 2L))
   }
+
+  test("kHopCounts: path graph blast radius, non-canonical input") {
+    // path 1-2-3-4-5 plus an isolated pair 6-7; edges fed reversed/duped
+    val e = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (7L, 6L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    def khop(k: Int) = Graph.kHopCounts(e, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=1 is plain degree
+    assert(khop(1) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L,
+      6L -> 1L, 7L -> 1L))
+    // k=2: endpoints see 2, node 3 sees everyone but 6/7
+    assert(khop(2) == Map(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 5L -> 2L,
+      6L -> 1L, 7L -> 1L))
+    // k=4: whole component (4 others), pair still sees only each other
+    assert(khop(4) == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L,
+      6L -> 1L, 7L -> 1L))
+  }
 }
