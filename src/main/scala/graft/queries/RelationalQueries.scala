@@ -210,6 +210,39 @@ object RelationalQueries extends QueryPack {
           Seq("o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // S13 — incremental view maintenance: a grouped SUM/COUNT view kept
+    // current by folding in a signed CDC batch (inserts %97, deletes %53,
+    // updates %31 as before/after-image pairs) — the base table is never
+    // rescanned; the DuckDB oracle RECOMPUTES the view from the final
+    // state, so a green row proves maintained ≡ recomputed.
+    "s13_ivm_agg" -> ((s, d) => {
+      import graft.ops.Ivm
+      val groups = Seq("o_orderstatus", "o_orderpriority")
+      val orders = Tables.orders(s, d)
+      val base = orders.filter(col("o_orderkey") % 97 =!= 0)
+      val del = base.filter(col("o_orderkey") % 53 === 0)
+        .withColumn("_op", lit("D"))
+      val updBase = base.filter(
+        col("o_orderkey") % 31 === 0 && col("o_orderkey") % 53 =!= 0)
+      val updOld = updBase.withColumn("_op", lit("D"))
+      // after-image price is integer-valued → exact decimal cast, no
+      // cross-engine rounding-tie exposure
+      val updNew = updBase
+        .withColumn("o_totalprice",
+          (col("o_orderkey") % 1000).cast("double") + 100.0)
+        .withColumn("_op", lit("I"))
+      val ins = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("_op", lit("I"))
+      val changes = del.unionByName(updOld).unionByName(updNew)
+        .unionByName(ins)
+      val view = Ivm.sumCountAgg(base, groups, col("o_totalprice"))
+      Ivm.finish(
+          Ivm.maintainSumCount(view, changes, col("_op"), groups,
+            col("o_totalprice")),
+          "total_price")
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // S10 — row-level snapshot diff (added/removed/changed between two
     // ingests of orders, simulated deterministically from key residues):
     // ONE full-outer key join; the diff is the small output, never the
@@ -404,6 +437,30 @@ object RelationalQueries extends QueryPack {
                  ELSE 'plain' END AS advice
           FROM ($perCol) ORDER BY col_name"""
     },
+    // full recompute of the post-CDC state — the independent ground truth
+    // the incremental path must match bit-for-bit
+    "s13_ivm_agg" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         final AS (
+           SELECT o_orderstatus, o_orderpriority, o_totalprice FROM base
+           WHERE o_orderkey % 53 <> 0 AND o_orderkey % 31 <> 0
+           UNION ALL
+           SELECT o_orderstatus, o_orderpriority,
+             CAST(o_orderkey % 1000 AS DOUBLE) + 100.0 AS o_totalprice
+           FROM base
+           WHERE o_orderkey % 31 = 0 AND o_orderkey % 53 <> 0
+           UNION ALL
+           SELECT o_orderstatus, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+         FROM final
+         GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
     "s10_snapshot_diff" ->
       """WITH old AS (
            SELECT o_orderkey,

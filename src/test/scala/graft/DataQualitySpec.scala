@@ -244,6 +244,31 @@ class DataQualitySpec extends GraftSuite {
     assert(got === Map(1L -> 10.0, 2L -> 99.0, 4L -> 40.0))
   }
 
+  // ---- Ivm: maintained grouped view ≡ full recompute ---------------------
+
+  test("ivm maintains sum/count: update pair, group-to-zero, new group") {
+    import graft.ops.Ivm
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0)).toDF("g", "v")
+    val view = Ivm.sumCountAgg(base, Seq("g"), col("v"))
+    // update a(10→15) as a D/I pair; delete b's only row (the group must
+    // vanish, no tombstone); insert a brand-new group c
+    val changes = Seq(
+      ("D", "a", 10.0), ("I", "a", 15.0), ("D", "b", 5.0), ("I", "c", 7.0))
+      .toDF("op", "g", "v")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2)))).toMap
+    val maintained = shape(Ivm.finish(
+      Ivm.maintainSumCount(view, changes, col("op"), Seq("g"), col("v")),
+      "total"))
+    assert(maintained === Map("a" -> ((2L, 35.0)), "c" -> ((1L, 7.0))))
+    // and bit-equal to recomputing the view from the final state
+    val finalState = Seq(("a", 20.0), ("a", 15.0), ("c", 7.0)).toDF("g", "v")
+    assert(maintained ===
+      shape(Ivm.finish(Ivm.sumCountAgg(finalState, Seq("g"), col("v")),
+        "total")))
+  }
+
   test("merge of diff-derived changes reconstructs the new snapshot") {
     import graft.ops.Snapshot
     // old: keys 1..300; new: 1..330 minus multiples of 7, %5 keys revalued
