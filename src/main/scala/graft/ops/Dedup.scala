@@ -336,6 +336,40 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995's
+    * merge/purge method): sort the corpus ONCE by a blocking sort key,
+    * then compare each record only to its `window−1` successors in that
+    * order — cost strictly linear in n·window, the classic when near-dups
+    * cluster under a sort-key prefix (titles, URLs, normalized names).
+    * Complementary to LSH banding (content-hash buckets, `dd3`) and
+    * prefix filtering (global exact threshold, `dd7`).
+    *
+    * Distributed shape: the global order comes from
+    * [[Pipeline.globalPosition]] (two-phase range partitioning — no
+    * SinglePartition window), and the neighborhood "slide" is an
+    * equi-join of positions `p ⋈ p+j, j ∈ [1, window)` — one shuffle on
+    * a long key, never a global sort on one task and never n² pairs.
+    * Verification = exact sorted-merge char-n-gram Jaccard. */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame, id: Column, text: Column, sortKey: Column,
+      window: Int = 5, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val base = docs.select(id.as("sn_id"), sortKey.as("sn_key"),
+      array_sort(charNgrams(text, n)).as("sn_grams"))
+    val pos = Pipeline.globalPosition(base, "sn_pos",
+      col("sn_key"), col("sn_id"))
+    val right = pos.select(col("sn_id").as("r_id"),
+      col("sn_grams").as("r_grams"), col("sn_pos").as("r_pos"))
+    pos
+      .withColumn("_tgt", explode(array(
+        (1 until window).map(j => col("sn_pos") + lit(j.toLong)): _*)))
+      .join(right, col("_tgt") === col("r_pos"))
+      .withColumn("jaccard", jaccardSorted(col("sn_grams"), col("r_grams")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("sn_id"), col("r_id")).as("id_a"),
+        greatest(col("sn_id"), col("r_id")).as("id_b"), col("jaccard"))
+  }
+
   /** Repeated-passage detection — the chunk-level form of exact-substring
     * dedup (cf. Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": verbatim passages recur across crawled

@@ -162,6 +162,17 @@ object DedupQueries extends QueryPack {
       Dedup.containmentPairs(
         Tables.documents(s, d), col("doc_id"), col("text"),
         n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // Sorted-neighborhood (merge/purge): two-phase global sort by the
+    // normalized text prefix, window-5 successor comparison — n·w cost,
+    // no buckets, no n².
+    "dd16_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+          1, 12),
+        window = 5, n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"))
   )
 
@@ -306,6 +317,27 @@ object DedupQueries extends QueryPack {
            JOIN c cb ON cb.doc_id = sh.id_b
          WHERE CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE)
            >= 0.8
+         ORDER BY id_a, id_b""",
+    // row_number over (sort key, id) ≡ the Spark side's two-phase
+    // globalPosition; neighbor pairs = position offset in [1, 4]; same
+    // char-trigram Jaccard as dd5 (integer counts + one division)
+    "dd16_sorted_neighborhood" ->
+      """WITH t AS (SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+               1, 12) AS k,
+             list_distinct([substr(lower(text), i, 3)
+               for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)])
+               AS grams
+           FROM documents),
+         p AS (SELECT doc_id, grams,
+             row_number() OVER (ORDER BY k, doc_id) AS pos FROM t),
+         c AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))) AS jaccard
+           FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 4)
+         SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, jaccard
+         FROM c WHERE jaccard >= 0.5
          ORDER BY id_a, id_b"""
     // dd2/dd3/dd4: no oracle (xxhash64 signatures) — DedupSpec invariants.
   )

@@ -274,4 +274,26 @@ class DedupSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("sortedNeighborhood: window bounds comparisons, sort brings dups together") {
+    import spark.implicits._
+    // sort key = whole text (identity): 1 and 2 are adjacent near-dups;
+    // 4 is a near-dup of 1 TOO FAR AWAY in sort order (window 2 only
+    // compares successors at distance 1), so SNM must miss it — the
+    // documented recall trade of windowing.
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc"), (2L, "aaaa bbbb cccd"),
+      (3L, "mmmm nnnn oooo"), (4L, "aazz bbbb cccc"))
+      .toDF("doc_id", "text")
+    def run(w: Int) = Dedup.sortedNeighborhoodPairs(
+        docs, col("doc_id"), col("text"), col("text"),
+        window = w, n = 3, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sort order by text: 1, 2, 4, 3 — window 2 compares (1,2) J=9/10,
+    // (2,4) J=6/14 (below bar), (4,3) J≈0
+    assert(run(2) === Set((1L, 2L)))
+    // window 3 reaches (1,4) at sort distance 2: J=6/13 ≥ 0.45
+    assert(run(3) === Set((1L, 2L), (1L, 4L)))
+    graft.ops.Pipeline.releaseCaches()
+  }
 }
