@@ -211,4 +211,31 @@ object Aggregates {
       .select(keys.map(col) ++ Seq(
         col("__n").cast("long").as("n"), col("slope"), col("intercept")): _*)
   }
+
+  /** Equi-DEPTH histogram: `buckets` ranges holding (as near as integer
+    * division allows) equal row counts — the boundary set you feed a
+    * range partitioner, a sort-merge bucketing layout, or a monotone
+    * binning UDF at 100 TB, where equi-WIDTH bins (agg_histogram) are
+    * useless under skew. Bucket of a row = `⌊(rank−1)·B / n⌋` on the
+    * GLOBAL rank from [[Pipeline.globalPosition]] (two-phase range
+    * partitioning — no SinglePartition window), n a 1-row broadcast;
+    * per-bucket lo/hi/count is one 16-key aggregation. All-integer
+    * bucket arithmetic → deterministic and oracle hash-exact. Rows tied
+    * across a boundary are placed by the `tiebreaks` order; FULL
+    * duplicates may straddle, which changes nothing observable. */
+  def equiDepthHistogram(
+      df: DataFrame, valCol: Column, buckets: Int,
+      tiebreaks: Column*): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val base = df.select((valCol.as("_v") +: tiebreaks): _*)
+    val ranked = Pipeline.globalPosition(base, "_rk",
+      (col("_v").asc +: tiebreaks.map(_.asc)): _*)
+    val n = base.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        expr(s"CAST(((_rk - 1) * $buckets) div _n AS INT)"))
+      .groupBy("bucket")
+      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+        count(lit(1)).as("n_rows"))
+  }
 }

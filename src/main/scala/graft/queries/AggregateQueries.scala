@@ -168,6 +168,15 @@ object AggregateQueries extends QueryPack {
     // integer-clamped IEEE division — the standard distribution profile
     // an engine's ANALYZE EXTENDED computes, companion to s8. The last
     // bucket is closed (x = max lands in bucket n-1, not n).
+    // Equi-DEPTH histogram (16 quantile buckets over l_extendedprice) —
+    // the range-partition boundary computation: two-phase global rank,
+    // integer bucket arithmetic, 1-row count broadcast.
+    "agg_equidepth" -> ((s, d) =>
+      graft.ops.Aggregates.equiDepthHistogram(
+        Tables.lineitem(s, d), col("l_extendedprice"), 16,
+        col("l_orderkey"), col("l_linenumber"))
+        .orderBy("bucket")),
+
     "agg_histogram" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val bounds = li.agg(
@@ -325,6 +334,16 @@ object AggregateQueries extends QueryPack {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Identical IEEE expression shape as the Spark side: (x-lo)*20/(hi-lo)
     // left-to-right, floor, clamp — bit-identical bucket ids.
+    "agg_equidepth" ->
+      """WITH r AS (SELECT l_extendedprice,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+               l_linenumber) AS rk,
+             count(*) OVER () AS n_total
+           FROM lineitem)
+         SELECT CAST(((rk - 1) * 16) // n_total AS INT) AS bucket,
+           min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM r GROUP BY bucket ORDER BY bucket""",
     "agg_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo,
                       max(l_extendedprice) AS hi FROM lineitem)

@@ -112,4 +112,18 @@ class AggregatesSpec extends GraftSuite {
     assert(got === Map("a" -> ((1.0, 2L)), "b" -> ((7.0, 2L))))
     assert(run(df.repartition(7)) === got) // merge order cannot flip ties
   }
+
+  test("equiDepthHistogram: integer bucket bounds, counts differ by <= 1 run") {
+    import spark.implicits._
+    // 10 rows, 4 buckets: ⌊(rk−1)·4/10⌋ → sizes 3,2,3,2
+    val df = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val got = graft.ops.Aggregates
+      .equiDepthHistogram(df, col("v"), 4, col("id"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    graft.ops.Pipeline.releaseCaches()
+    assert(got.toSeq === Seq(
+      (0, 1.0, 3.0, 3L), (1, 4.0, 5.0, 2L),
+      (2, 6.0, 8.0, 3L), (3, 9.0, 10.0, 2L)))
+  }
 }
