@@ -111,6 +111,47 @@ object EventAnalytics {
         coalesce(col(valCol) > col("trailing_mean") * k, lit(false)))
   }
 
+  /** Sample autocorrelation of the daily event-count series at lags
+    * 1..`maxLag` — the seasonality detector (a weekly cycle shows as a
+    * peak at lag 7) run before choosing a forecast model or an anomaly
+    * baseline. Pearson-at-lag form: `r_k = corr(x_t, x_{t+k})` over the
+    * calendar-day pairs that exist k days apart.
+    *
+    * Shape: the corpus collapses to day grain first (one keyed
+    * aggregation — the 100 TB part), then lag pairs come from an
+    * equi-join on `day + k` over the exploded lag range — never a window
+    * over the whole series, and the series itself is only ever
+    * day-grain-sized. Exactness is the [[Aggregates.linregByKey]]
+    * discipline: counts are exact longs, every moment (Σx, Σy, Σxy, Σx²,
+    * Σy²) is an exact DECIMAL sum (merge-order-independent), and r_k is
+    * one fixed double expression — bit-identical cross-engine. */
+  def autocorrelation(
+      events: DataFrame, tsCol: String, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val daily = events.groupBy(day.as("day")).agg(count(lit(1)).as("x"))
+    val a = daily.select(col("day"), col("x").as("xa"))
+      .withColumn("lag", explode(array((1 to maxLag).map(lit(_)): _*)))
+      .withColumn("day_b", col("day") + col("lag"))
+    val b = daily.select(col("day").as("day_b"), col("x").as("xb"))
+    def d(c: Column) = c.cast(DecimalType(18, 0))
+    a.join(b, "day_b")
+      .groupBy("lag")
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(d(col("xa"))).cast("double").as("_sx"),
+        sum(d(col("xb"))).cast("double").as("_sy"),
+        sum(d(col("xa")) * d(col("xb"))).cast("double").as("_sxy"),
+        sum(d(col("xa")) * d(col("xa"))).cast("double").as("_sxx"),
+        sum(d(col("xb")) * d(col("xb"))).cast("double").as("_syy"))
+      .select(col("lag"),
+        col("_n").cast("long").as("n_pairs"),
+        ((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
+               (col("_n") * col("_syy") - col("_sy") * col("_sy"))))
+          .as("acf"))
+  }
+
   /** Exponentially weighted moving average (adjusted form, pandas
     * `adjust=True`): per key, over the trailing `lookback` events in
     * (ts, id) order, `ewma_t = Σ_j w_j·x_{t−j} / Σ_j w_j` with

@@ -114,7 +114,14 @@ object EventQueries extends QueryPack {
       EventAnalytics.ewma(
         Tables.events(s, d), "event_id", "user_id", "ts", "value",
         lookback = 16)
-        .orderBy("user_id", "ts", "event_id"))
+        .orderBy("user_id", "ts", "event_id")),
+
+    // Daily-count autocorrelation at lags 1..7 (seasonality detector):
+    // day-grain collapse, then an equi-join on day+k — exact-decimal
+    // moments, one fixed double expression per lag.
+    "ev15_acf" -> ((s, d) =>
+      EventAnalytics.autocorrelation(Tables.events(s, d), "ts", maxLag = 7)
+        .orderBy("lag"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -387,6 +394,35 @@ object EventQueries extends QueryPack {
                      for i in range(1, len(xs) + 1)]) /
              (2.0 - pow(2.0, 1.0 - len(xs))) AS ewma
          FROM w
-         ORDER BY user_id, ts, event_id"""
+         ORDER BY user_id, ts, event_id""",
+    // same epoch-day idiom as ev10; moments as exact DECIMAL sums, r_k
+    // one fixed double expression — mirrors EventAnalytics.autocorrelation
+    "ev15_acf" ->
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS INT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY day),
+         p AS (
+           SELECT CAST(r.k AS INT) AS lag, a.x AS xa, b.x AS xb
+           FROM range(1, 8) r(k)
+           CROSS JOIN daily a
+           JOIN daily b ON b.day = a.day + CAST(r.k AS INT)),
+         s AS (
+           SELECT lag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(xa AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(xb AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xa AS DECIMAL(18,0)) * CAST(xb AS DECIMAL(18,0)))
+               AS DOUBLE) AS sxy,
+             CAST(sum(CAST(xa AS DECIMAL(18,0)) * CAST(xa AS DECIMAL(18,0)))
+               AS DOUBLE) AS sxx,
+             CAST(sum(CAST(xb AS DECIMAL(18,0)) * CAST(xb AS DECIMAL(18,0)))
+               AS DOUBLE) AS syy
+           FROM p GROUP BY lag)
+         SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           (n * sxy - sx * sy) /
+             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
+         FROM s ORDER BY lag"""
   )
 }

@@ -225,6 +225,21 @@ class EventAnalyticsSpec extends GraftSuite {
       (1L, 1L, 6L, 0.6), (2L, 2L, 9L, 0.9), (3L, 3L, 10L, 1.0)))
   }
 
+  test("autocorrelation: alternating daily series gives lag1 -1, lag2 +1") {
+    import spark.implicits._
+    def t(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day 12:0$i:00")
+    // daily counts 1,2,1,2 → perfectly anti-correlated at lag 1,
+    // perfectly correlated at lag 2
+    val events = Seq(t(1, 0), t(2, 0), t(2, 1), t(3, 0), t(4, 0), t(4, 1))
+      .zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("event_id", "ts")
+    val got = EventAnalytics.autocorrelation(events, "ts", maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1, 3L, -1.0), (2, 2L, 1.0)))
+  }
+
   test("ewma: adjusted alpha=1/2 weights, lookback cap, exact values") {
     import spark.implicits._
     // values 8, 4, 2 → every term/denominator an exact binary fraction
