@@ -313,30 +313,46 @@ object Similarity {
   def kmeans(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, updates: Int = 2): DataFrame = {
-    require(k > 0 && updates >= 0)
+    val corp = kmeansCorp(df, idCol, vecCol)
+    kmeansAssign(corp, kmeansCentroids(df, idCol, vecCol, k, updates))
+      .select("vec_id", "cid", "d2")
+  }
+
+  private def kmeansCorp(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vec"))
+
+  private def kmeansAssign(
+      corp: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val spark = df.sparkSession
+    val spark = corp.sparkSession
     import spark.implicits._
-    val corp = df.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("vec"))
-    def assign(centDf: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cid").asc)
-      corp.crossJoin(broadcast(centDf))
-        .withColumn("d2", sqDist(col("vec"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("vec"), col("d2"))
-    }
+    val centDf = cents.toDF("cid", "cvec")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    corp.crossJoin(broadcast(centDf))
+      .withColumn("d2", sqDist(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("vec"), col("d2"))
+  }
+
+  /** The driver-side state of [[kmeans]], exposed for quantizer
+    * construction ([[pqTopK]]): the k trained centroids as
+    * (cid, centroid), same deterministic seed/assign/update rules. */
+  def kmeansCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, updates: Int = 2): Seq[(Long, Seq[Double])] = {
+    require(k > 0 && updates >= 0)
+    val corp = kmeansCorp(df, idCol, vecCol)
     var cents: Seq[(Long, Seq[Double])] = corp
       .orderBy(col("vec_id").asc).limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq
     for (_ <- 1 to updates) {
-      val centDf = cents.toDF("cid", "cvec")
       // per-dim exact-decimal mean; collected = k × dim rows (bounded)
-      val means = assign(centDf)
+      val means = kmeansAssign(corp, cents)
         .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
         .agg((sum(graft.queries.OracleSafe.dec(col("v"), 9)).cast("double") /
@@ -350,7 +366,70 @@ object Similarity {
         (cid, updated.getOrElse(cid, old))
       }
     }
-    assign(cents.toDF("cid", "cvec")).select("vec_id", "cid", "d2")
+    cents
+  }
+
+  /** Product quantization ANN (Jégou, Douze & Schmid 2011, "Product
+    * quantization for nearest neighbor search"): split the D-dim space
+    * into `m` orthogonal subspaces, learn a `codebookSize`-entry codebook
+    * per subspace ([[kmeansCentroids]] on the slice — deterministic),
+    * store each corpus vector as m small integer codes, and answer
+    * queries by ASYMMETRIC distance (ADC): the query stays exact and the
+    * estimated distance is `Σ_j lut_j[code_j]`, where `lut_j` is the
+    * query's precomputed distance table to subspace j's codebook.
+    *
+    * THE memory lever of billion-scale ANN: 64 float dims (256 B) shrink
+    * to m=8 codes (8 B, 32×), and the scan reads codes, not vectors.
+    * Here codebooks are bounded driver state (k·D doubles — the same
+    * contract as [[kmeans]]) compiled INTO the plan as literals, so both
+    * the encoder (argmin over per-code squared distances) and the ADC
+    * lookup are scan-local whole-stage-codegen expressions; the only
+    * shuffle is the per-query top-k window. Training scans the corpus
+    * per Lloyd round — at 100 TB you train on a sample; encode/ADC are
+    * unchanged. Fully deterministic (fixed fold order, ties to the
+    * lowest code / lowest id), but the layout is engine-specific →
+    * rows-only + SimilaritySpec. */
+  def pqTopK(
+      queriesDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, topK: Int, dim: Int, m: Int = 8,
+      codebookSize: Int = 16, updates: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(dim % m == 0, "dim must be divisible by m")
+    val sub = dim / m
+    val corp = corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("vec"))
+    // per-subspace codebooks; codes are dense 0..k−1 in seed-id order
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val sliced = corp.select(col("vec_id"),
+        slice(col("vec"), j * sub + 1, sub).as("v"))
+      kmeansCentroids(sliced, "vec_id", "v", codebookSize, updates)
+        .sortBy(_._1).map(_._2)
+    }
+    def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+    def codeExpr(j: Int): Column = {
+      val dists = array(books(j).map(c =>
+        sqDist(slice(col("vec"), j * sub + 1, sub), litVec(c))): _*)
+      // argmin; array_position takes the FIRST minimum → lowest code wins
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val encoded = corp.select(
+      col("vec_id") +: (0 until m).map(j => codeExpr(j).as(s"_c$j")): _*)
+    val luts = queriesDf
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .select(col("qid") +: (0 until m).map { j =>
+        array(books(j).map(c =>
+          sqDist(slice(col("qvec"), j * sub + 1, sub), litVec(c))): _*)
+          .as(s"_lut$j") }: _*)
+    val adc = (0 until m)
+      .map(j => element_at(col(s"_lut$j"), col(s"_c$j") + 1))
+      .reduce(_ + _) // fixed left-to-right fold order
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    encoded.crossJoin(broadcast(luts))
+      .withColumn("approx_d2", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("approx_d2"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -77,6 +77,20 @@ object SimilarityQueries extends QueryPack {
     // IVF ANN top-5: 16 fixed coarse centroids, 4 probed per query.
     // Fully deterministic (exact cosines, total tie-breaks) → oracle-
     // checked end-to-end, unlike the hash-family LSH path.
+    // Product-quantization ANN top-5 (L2/ADC): 8 subspaces × 16 codes —
+    // 32× vector compression; codebooks are plan literals, encode+ADC
+    // scan-local, only the per-query top-k window shuffles. Rows-only:
+    // deterministic but engine-specific layout (SimilaritySpec bounds
+    // exactness and recall).
+    "ss10_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
+        dim = 64, m = 8, codebookSize = 16, updates = 1)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     "ss4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(
