@@ -87,4 +87,38 @@ object DataQuality {
         col("total"),
         (col("violations") === 0L).as("pass"))
   }
+
+  /** Benford first-digit audit: distribution of the leading significant
+    * digit of a positive money-like column vs Benford's law expectation
+    * `log10(1 + 1/d)` — the classic fabricated-data / broken-ETL smell
+    * test (organic multiplicative quantities follow it; synthetic
+    * uniform ones, like TPC-H prices, visibly don't — which is itself
+    * the informative answer here).
+    *
+    * Cross-engine exactness: the value is shifted to integer cents with
+    * `floor(v·100 + 0.5)` (the ss5 half-up trick — no truncation-edge
+    * divergence), the leading digit is the first character of the
+    * INTEGER's decimal string (identical in any engine, unlike
+    * float formatting or log10-based digit math), shares are exact long
+    * ratios, and the Benford expectations are driver-side literal
+    * constants compiled into both plans. One aggregation, scan-local
+    * prep — 9-row output at any scale. */
+  def benford(df: DataFrame, valCol: Column): DataFrame = {
+    val cents = floor(valCol * 100.0 + 0.5).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counted = df.filter(valCol.isNotNull && (valCol > 0.0))
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counted.agg(sum(col("n")).as("_total"))
+    val expected = (1 to 9).map(d =>
+      (d, math.log10(1.0 + 1.0 / d))).toMap
+    val expectedCol = (1 to 9).foldLeft(lit(Double.NaN)) { (acc, d) =>
+      when(col("digit") === d, lit(expected(d))).otherwise(acc)
+    }
+    counted.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("_total").cast("double"))
+          .as("share"),
+        expectedCol.as("benford_expected"))
+  }
 }

@@ -210,6 +210,15 @@ object RelationalQueries extends QueryPack {
           Seq("o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // S14 — Benford first-digit audit on order totals: integer-cents
+    // leading digit (string of a BIGINT — no float formatting, no log10
+    // digit math), exact-long shares, Benford expectations as
+    // driver-side literals in BOTH plans.
+    "s14_benford" -> ((s, d) =>
+      graft.ops.DataQuality.benford(
+        Tables.orders(s, d), col("o_totalprice"))
+        .orderBy("digit")),
+
     // S13 — incremental view maintenance: a grouped SUM/COUNT view kept
     // current by folding in a signed CDC batch (inserts %97, deletes %53,
     // updates %31 as before/after-image pairs) — the base table is never
@@ -437,6 +446,30 @@ object RelationalQueries extends QueryPack {
                  ELSE 'plain' END AS advice
           FROM ($perCol) ORDER BY col_name"""
     },
+    // the Benford expectations are interpolated from the SAME
+    // math.log10 literals the Spark plan compiles in — shortest
+    // round-trip doubles parse back bit-identical
+    "s14_benford" -> {
+      // E-notation: a bare decimal literal parses as DECIMAL in DuckDB
+      // (then a cast re-rounds, 1-ulp drift); an exponent makes the
+      // literal itself a correctly-rounded DOUBLE
+      val cases = (1 to 9)
+        .map(d => s"WHEN $d THEN ${math.log10(1.0 + 1.0 / d)}e0")
+        .mkString(" ")
+      s"""WITH c AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_totalprice > 0.0
+           GROUP BY digit),
+         t AS (SELECT sum(n) AS total FROM c)
+         SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           CASE digit $cases END AS benford_expected
+         FROM c CROSS JOIN t ORDER BY digit"""
+    },
+
     // full recompute of the post-CDC state — the independent ground truth
     // the incremental path must match bit-for-bit
     "s13_ivm_agg" ->

@@ -207,6 +207,19 @@ class DataQualitySpec extends GraftSuite {
     assert(got("uniq") === ((200L, "plain")))            // 1.0
   }
 
+  test("benford: integer-cents leading digit, exact shares, null/neg dropped") {
+    val df = Seq[java.lang.Double](123.45, 0.02, 999.99, 150.0, null, -5.0,
+      0.0).toDF("v")
+    val got = DataQuality.benford(df, col("v")).orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // 123.45→12345, 150.0→15000 (digit 1); 0.02→2 cents (digit 2);
+    // 999.99→99999 (digit 9); null/−5/0 excluded
+    assert(got.toSeq === Seq(
+      (1, 2L, 0.5, math.log10(1.0 + 1.0 / 1)),
+      (2, 1L, 0.25, math.log10(1.0 + 1.0 / 2)),
+      (9, 1L, 0.25, math.log10(1.0 + 1.0 / 9))))
+  }
+
   // ---- Snapshot.diff / Snapshot.merge -----------------------------------
 
   test("snapshot diff classifies added/removed/changed, drops unchanged") {
