@@ -212,6 +212,35 @@ object Aggregates {
         col("__n").cast("long").as("n"), col("slope"), col("intercept")): _*)
   }
 
+  /** Exact weighted percentile: the smallest value v whose cumulative
+    * weight (in value order) reaches p of the total — weighted median at
+    * p = 1/2. The estimator behind "the price point where half the
+    * QUANTITY (not half the rows) has traded", reweighted quantiles of a
+    * mixture, or capacity planning on weighted demand.
+    *
+    * p is a RATIONAL `pNum/pDen`, so the threshold test is
+    * `pDen·cum ≥ pNum·W` — pure integer comparison, no float epsilon at
+    * the boundary in either engine. The cumulative weight is the
+    * two-phase [[Pipeline.runningTotal]] (no SinglePartition window), W
+    * is a 1-row broadcast, and the answer is a TakeOrderedAndProject
+    * limit-1 over the qualifying rows. Weights must be positive longs
+    * (cum is then strictly increasing, making the answer row unique). */
+  def weightedPercentile(
+      df: DataFrame, valCol: Column, weightCol: Column,
+      pNum: Long, pDen: Long, tiebreaks: Column*): DataFrame = {
+    require(pNum >= 0 && pDen > 0 && pNum <= pDen, "need 0 <= p <= 1")
+    val base = df.select((valCol.as("_v") +: weightCol.as("_w") +:
+      tiebreaks): _*)
+    val order = col("_v").asc +: tiebreaks.map(_.asc)
+    val rt = Pipeline.runningTotal(base, col("_w"), "cum_w", order: _*)
+    val total = base.agg(sum(col("_w").cast("long")).as("total_w"))
+    rt.crossJoin(broadcast(total))
+      .filter(col("cum_w") * pDen >= col("total_w") * pNum)
+      .orderBy(col("cum_w").asc)
+      .limit(1)
+      .select(col("_v").as("value"), col("cum_w"), col("total_w"))
+  }
+
   /** Equi-DEPTH histogram: `buckets` ranges holding (as near as integer
     * division allows) equal row counts — the boundary set you feed a
     * range partitioner, a sort-merge bucketing layout, or a monotone

@@ -55,6 +55,31 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
+  /** Sentence count: runs of terminal punctuation, floored at 1 so
+    * fragments still score. Exact integer in any engine. */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("int")
+
+  /** Syllable proxy: vowel-group runs over the lowercased text (word
+    * boundaries break runs, so no per-word explode needed) — the
+    * standard cheap estimator; off-by-a-bit per word, consistent in
+    * aggregate, and exact-integer reproducible. */
+  def syllableCount(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiouy]+")).cast("int")
+
+  /** Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words) — the quality-filter companion to
+    * [[qualityScore]] (training corpora routinely gate on readability
+    * bands). All three inputs are exact integers and the formula is one
+    * fixed double expression with literal coefficients → bit-identical
+    * cross-engine. Scan-local, codegen'd, no explode. */
+  def fleschScore(text: Column): Column = {
+    val w = greatest(wsTokenCount(text), lit(1)).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w)
+  }
+
   /** Ratio of non-alphanumeric-non-space chars to all chars. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") /

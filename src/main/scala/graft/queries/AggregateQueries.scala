@@ -168,6 +168,15 @@ object AggregateQueries extends QueryPack {
     // integer-clamped IEEE division — the standard distribution profile
     // an engine's ANALYZE EXTENDED computes, companion to s8. The last
     // bucket is closed (x = max lands in bucket n-1, not n).
+    // Exact weighted median: the price below which half the traded
+    // QUANTITY sits — rational threshold (2·cum ≥ W, integer compare),
+    // two-phase running weight, limit-1 answer.
+    "agg_weighted_median" -> ((s, d) =>
+      graft.ops.Aggregates.weightedPercentile(
+        Tables.lineitem(s, d), col("l_extendedprice"),
+        col("l_quantity").cast("long"), 1L, 2L,
+        col("l_orderkey"), col("l_linenumber"))),
+
     // Equi-DEPTH histogram (16 quantile buckets over l_extendedprice) —
     // the range-partition boundary computation: two-phase global rank,
     // integer bucket arithmetic, 1-row count broadcast.
@@ -334,6 +343,17 @@ object AggregateQueries extends QueryPack {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Identical IEEE expression shape as the Spark side: (x-lo)*20/(hi-lo)
     // left-to-right, floor, clamp — bit-identical bucket ids.
+    "agg_weighted_median" ->
+      """WITH r AS (SELECT l_extendedprice AS value,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER () AS BIGINT)
+               AS total_w
+           FROM lineitem)
+         SELECT value, cum_w, total_w FROM r
+         WHERE 2 * cum_w >= total_w
+         ORDER BY cum_w LIMIT 1""",
     "agg_equidepth" ->
       """WITH r AS (SELECT l_extendedprice,
              row_number() OVER (ORDER BY l_extendedprice, l_orderkey,

@@ -31,6 +31,18 @@ object TextQueries extends QueryPack {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Flesch reading ease: exact-integer word/sentence/syllable counts +
+    // one fixed double formula — the readability band filter.
+    "ta17_readability" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+          TextAnalysis.sentenceCount(col("text")).as("n_sentences"),
+          TextAnalysis.syllableCount(col("text")).as("n_syllables"),
+          TextAnalysis.fleschScore(col("text")).as("flesch"))
+        .orderBy("doc_id")),
+
     // Token counting: whitespace + BPE-ish subword proxy + distinct.
     "ta3_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -222,6 +234,24 @@ object TextQueries extends QueryPack {
                  WHEN s_fr >= s_es THEN 'fr'
                  ELSE 'es' END AS lang_pred
           FROM sc ORDER BY doc_id""",
+    // n_words mirrors ta2's token split; flesch coefficients carry e0 so
+    // DuckDB types them DOUBLE (a bare decimal literal would be DECIMAL)
+    "ta17_readability" ->
+      s"""WITH t AS (SELECT doc_id,
+            len(regexp_split_to_array(lower(text), '\\s+')) AS w0,
+            greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+            len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+          FROM documents)
+          SELECT doc_id,
+            CAST(w0 AS INT) AS n_words,
+            CAST(s AS INT) AS n_sentences,
+            CAST(sy AS INT) AS n_syllables,
+            206.835e0
+              - 1.015e0 * (CAST(greatest(w0, 1) AS DOUBLE)
+                           / CAST(s AS DOUBLE))
+              - 84.6e0 * (CAST(sy AS DOUBLE)
+                          / CAST(greatest(w0, 1) AS DOUBLE)) AS flesch
+          FROM t ORDER BY doc_id""",
     "ta2_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text,
             regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),

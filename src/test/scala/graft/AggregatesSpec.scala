@@ -113,6 +113,27 @@ class AggregatesSpec extends GraftSuite {
     assert(run(df.repartition(7)) === got) // merge order cannot flip ties
   }
 
+  test("weightedPercentile: weight mass, not row count, picks the value") {
+    import spark.implicits._
+    val df = Seq((10.0, 1L, 1L), (20.0, 2L, 2L), (30.0, 1L, 3L))
+      .toDF("v", "w", "id")
+    def wp(num: Long, den: Long) = graft.ops.Aggregates
+      .weightedPercentile(df, col("v"), col("w"), num, den, col("id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    graft.ops.Pipeline.releaseCaches()
+    // W=4: median needs cum ≥ 2 → 20 (row median would also be 20, but
+    // with w(10)=3 the answer flips to 10 — mass decides)
+    assert(wp(1, 2).toSeq === Seq((20.0, 3L, 4L)))
+    assert(wp(1, 1).toSeq === Seq((30.0, 4L, 4L))) // p=1 → max
+    val heavy = Seq((10.0, 3L, 1L), (20.0, 2L, 2L), (30.0, 1L, 3L))
+      .toDF("v", "w", "id")
+    val got = graft.ops.Aggregates
+      .weightedPercentile(heavy, col("v"), col("w"), 1L, 2L, col("id"))
+      .collect().map(r => r.getDouble(0))
+    graft.ops.Pipeline.releaseCaches()
+    assert(got.toSeq === Seq(10.0))
+  }
+
   test("equiDepthHistogram: integer bucket bounds, counts differ by <= 1 run") {
     import spark.implicits._
     // 10 rows, 4 buckets: ⌊(rk−1)·4/10⌋ → sizes 3,2,3,2

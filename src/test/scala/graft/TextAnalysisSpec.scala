@@ -180,4 +180,23 @@ class TextAnalysisSpec extends GraftSuite {
     // metric spot-check: doc 4 mean word length = 2.0 exactly
     assert(got(4L).getDouble(got(4L).fieldIndex("mean_word_len")) === 2.0)
   }
+
+  test("readability: exact counts and Flesch formula, sentence floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syl
+      (2L, "no terminal punctuation here")) // sentence count floors at 1
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("w"),
+        TextAnalysis.sentenceCount(col("text")).as("s"),
+        TextAnalysis.syllableCount(col("text")).as("sy"),
+        TextAnalysis.fleschScore(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(got(1L)._1 === 6 && got(1L)._2 === 2 && got(1L)._3 === 6)
+    assert(got(1L)._4 === 206.835 - 1.015 * 3.0 - 84.6 * 1.0) // 119.19
+    // "no"(o) "terminal"(e,i,a) "punctuation"(u,ua,io) "here"(e,e) = 9
+    assert(got(2L)._2 === 1 && got(2L)._3 === 9)
+  }
 }
