@@ -59,6 +59,57 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
+  /** Exact max-inner-product top-k (MIPS) — the retrieval objective when
+    * vectors are NOT unit-normalized (recommender/user–item scores, where
+    * magnitude encodes popularity): cosine ranks direction only, MIPS
+    * rewards magnitude too. BRUTE-FORCE BASELINE, same contract as
+    * [[bruteForceTopK]]; the scale path is [[mipsViaCosine]], which
+    * reduces MIPS to the cosine problem every ANN index here serves.
+    * Dot is the ordered left fold → oracle hash-exact. */
+  def mipsTopK(
+      queriesDf: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int): DataFrame = {
+    val q = queriesDf.select(col(idCol).as("qid"),
+      asDouble(col(vecCol)).as("qvec"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+    q.crossJoin(c)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("ip", dot(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "vec_id", "ip")
+  }
+
+  /** Shrivastava & Li (NeurIPS 2014) asymmetric MIPS→cosine reduction:
+    * append `sqrt(M² − ‖x‖²)` to every corpus vector (M = the max corpus
+    * norm — a 1-row broadcast) and `0` to the query. Every augmented
+    * corpus vector then has norm exactly M, so cosine order against the
+    * augmented query equals inner-product order — and any cosine-ANN
+    * structure in this file (SRP-LSH `ss2`, IVF `ss4`, PQ `ss10`) can
+    * serve MIPS with zero new index machinery. The augmentation is one
+    * scan-local map per side; exactness of the RANKING is spec-asserted
+    * against [[mipsTopK]]. */
+  def mipsViaCosine(
+      queriesDf: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val c0 = corpus.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("vec"))
+      .withColumn("_n2", dot(col("vec"), col("vec")))
+    val m2 = c0.agg(max(col("_n2")).as("_m2"))
+    // max-norm row: _m2 − _n2 is exactly 0.0 (same double subtracted), so
+    // sqrt never sees a negative
+    val cAug = c0.crossJoin(broadcast(m2))
+      .select(col("id"),
+        concat(col("vec"), array(sqrt(col("_m2") - col("_n2")))).as("vec"))
+    val qAug = queriesDf.select(col(idCol).as("id"),
+        concat(asDouble(col(vecCol)), array(lit(0.0))).as("vec"))
+    bruteForceTopK(qAug, cAug, "id", "vec", topK)
+  }
+
   /** All pairs above a cosine threshold — BRUTE-FORCE BASELINE (bounded
     * all-pairs comparison). This is the verification/oracle tool, not the
     * scale path: use `srpNearDupPairs` for the bucketed variant that

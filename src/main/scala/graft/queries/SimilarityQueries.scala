@@ -77,6 +77,17 @@ object SimilarityQueries extends QueryPack {
     // IVF ANN top-5: 16 fixed coarse centroids, 4 probed per query.
     // Fully deterministic (exact cosines, total tie-breaks) → oracle-
     // checked end-to-end, unlike the hash-family LSH path.
+    // Exact MIPS top-5 (max inner product — magnitude-aware retrieval):
+    // ordered-fold dot products, total tie-break. The cosine-reduction
+    // scale path (norm augmentation) is spec-asserted rank-identical.
+    "ss11_mips_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mipsTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     // Product-quantization ANN top-5 (L2/ADC): 8 subspaces × 16 codes —
     // 32× vector compression; codebooks are plan literals, encode+ADC
     // scan-local, only the per-query top-k window shuffles. Rows-only:
@@ -195,6 +206,21 @@ object SimilarityQueries extends QueryPack {
            list_max(err) AS max_err,
            list_sum([e*e for e in err]) / 64 AS mse
          FROM e ORDER BY vec_id""",
+    // same list_sum left fold as the Spark dot (dd6/ss1-proven pattern)
+    "ss11_mips_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+          c AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+          sc AS (SELECT qid, vec_id,
+            list_sum([CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)
+                      for i in range(1, 65)]) AS ip
+          FROM q JOIN c ON qid <> vec_id),
+          r AS (SELECT qid, vec_id,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY ip DESC, vec_id ASC) AS INT) AS rank
+          FROM sc)
+          SELECT qid, rank, vec_id FROM r WHERE rank <= 5
+          ORDER BY qid, rank""",
     "ss1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
             FROM embeddings WHERE vec_id < 20),

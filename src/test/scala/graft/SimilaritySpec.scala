@@ -238,6 +238,32 @@ class SimilaritySpec extends GraftSuite {
     full.foreach(row => assert(row.getDouble(1) === 1.0))
   }
 
+  test("mips: norm augmentation reproduces exact inner-product ranking") {
+    val q = emb.filter(col("vec_id") < 20)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = triples(
+      Similarity.mipsTopK(q, emb, "vec_id", "embedding", 5))
+    val reduced = triples(
+      Similarity.mipsViaCosine(q, emb, "vec_id", "embedding", 5))
+    assert(exact === reduced)
+    // (on the fixture MIPS ≡ cosine ranking — the vectors are
+    // unit-normalized — so magnitude-awareness needs its own corpus)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array(1.0, 0.0)),   // query
+      (2L, Array(0.9, 0.1)),   // best direction, small magnitude
+      (3L, Array(5.0, 4.0)))   // worse direction, big magnitude
+      .toDF("vec_id", "embedding")
+    val qd = docs.filter(col("vec_id") === 1L)
+    val mips = triples(Similarity.mipsTopK(qd, docs, "vec_id", "embedding", 2))
+    val cos = triples(
+      Similarity.bruteForceTopK(qd, docs, "vec_id", "embedding", 2))
+    assert(mips === Set((1L, 1, 3L), (1L, 2, 2L))) // ip 5.0 beats 0.9
+    assert(cos === Set((1L, 1, 2L), (1L, 2, 3L)))  // cosine flips them
+  }
+
   test("pq: codebook-aligned corpus makes ADC exact, ranking = brute force") {
     import spark.implicits._
     // k = corpus size and 0 Lloyd updates → codebooks ARE the corpus
