@@ -452,4 +452,40 @@ object TextAnalysis {
       alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
       (wordsOk && lenOk && symOk && alphaOk && stopOk).as("pass"))
   }
+
+  /** Intra-document sentence dedup — the within-doc form of C4's
+    * repeated-line removal (Raffel et al. 2020 dedup "three-sentence
+    * spans"; boilerplate sentences repeat INSIDE crawled pages too):
+    * split on terminal punctuation, keep each distinct sentence's FIRST
+    * occurrence, reassemble in original order. Returns (doc_id,
+    * n_sentences, n_kept, clean_text).
+    *
+    * Scale shape: one explode, one window keyed on (doc, sentence) —
+    * state is a single document's sentences, never corpus-global (the
+    * CROSS-doc form is `Dedup.repeatedChunkStats`) — and one keyed
+    * re-aggregation whose `array_sort(struct(idx, …))` makes the
+    * reassembly order deterministic under any shuffle. */
+  def dedupSentences(
+      docs: org.apache.spark.sql.DataFrame, id: Column, text: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val sents = docs
+      .select(id.as("d_id"),
+        posexplode(split(text, "[.!?]+\\s*")).as(Seq("idx", "sent")))
+      .withColumn("sent", trim(col("sent")))
+      .filter(length(col("sent")) > 0)
+    val stats = sents.groupBy(col("d_id"))
+      .agg(count(lit(1)).as("n_sentences"))
+    val w = Window.partitionBy(col("d_id"), col("sent"))
+      .orderBy(col("idx").asc)
+    val ded = sents
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("d_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("sent")))),
+            x => x.getField("sent")),
+          ". ").as("clean_text"))
+    stats.join(ded, "d_id").withColumnRenamed("d_id", "doc_id")
+  }
 }

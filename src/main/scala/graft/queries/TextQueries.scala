@@ -43,6 +43,13 @@ object TextQueries extends QueryPack {
           TextAnalysis.fleschScore(col("text")).as("flesch"))
         .orderBy("doc_id")),
 
+    // Intra-doc sentence dedup (C4-style repeated-line removal, within
+    // the page): first occurrence kept, original order reassembled.
+    "ta18_sentence_dedup" -> ((s, d) =>
+      TextAnalysis.dedupSentences(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // Token counting: whitespace + BPE-ish subword proxy + distinct.
     "ta3_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -234,6 +241,28 @@ object TextQueries extends QueryPack {
                  WHEN s_fr >= s_es THEN 'fr'
                  ELSE 'es' END AS lang_pred
           FROM sc ORDER BY doc_id""",
+    // zipped unnests give (idx, sentence); same trim/filter/window/
+    // string_agg-by-idx pipeline as the Spark side
+    "ta18_sentence_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+            regexp_split_to_array(text, '[.!?]+\\s*') AS arr
+          FROM documents),
+          s0 AS (SELECT doc_id,
+            unnest(range(1, len(arr) + 1)) AS idx,
+            unnest(arr) AS sent FROM t),
+          s AS (SELECT doc_id, idx, trim(sent) AS sent FROM s0
+                WHERE length(trim(sent)) > 0),
+          k AS (SELECT doc_id, idx, sent,
+              row_number() OVER (PARTITION BY doc_id, sent
+                ORDER BY idx) AS rn FROM s),
+          stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences
+                    FROM s GROUP BY doc_id),
+          ded AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(sent, '. ' ORDER BY idx) AS clean_text
+            FROM k WHERE rn = 1 GROUP BY doc_id)
+          SELECT stats.doc_id, n_sentences, n_kept, clean_text
+          FROM stats JOIN ded USING (doc_id)
+          ORDER BY stats.doc_id""",
     // n_words mirrors ta2's token split; flesch coefficients carry e0 so
     // DuckDB types them DOUBLE (a bare decimal literal would be DECIMAL)
     "ta17_readability" ->

@@ -181,6 +181,21 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got(4L).getDouble(got(4L).fieldIndex("mean_word_len")) === 2.0)
   }
 
+  test("sentence dedup keeps first occurrence, preserves order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Buy now. Great deal! Buy now. Only today. Great deal!"),
+      (2L, "All unique here. Nothing repeats."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .dedupSentences(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 5L, 3L, "Buy now. Great deal. Only today"),
+      (2L, 2L, 2L, "All unique here. Nothing repeats")))
+  }
+
   test("readability: exact counts and Flesch formula, sentence floor") {
     import spark.implicits._
     val docs = Seq(
