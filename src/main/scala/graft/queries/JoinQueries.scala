@@ -196,6 +196,28 @@ object JoinQueries extends QueryPack {
         .orderBy("partkey")
     }),
 
+    // Point-in-time (temporal) join — the feature-store lookup: for each
+    // (user, day) probe at the last microsecond of the day, the state
+    // (latest event type at or before the probe). Runs on the NATIVE
+    // as-of operator: one shuffle keyed on user, no inequality
+    // nested-loop, deterministic (ts, id) tie-break.
+    "j16_temporal_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val day = datediff(to_date(col("ts")), lit("1970-01-01"))
+      val probes = ev.select(col("user_id"), day.as("day")).distinct()
+        .withColumn("probe_ts",
+          expr("timestamp_micros((day + 1) * 86400000000 - 1)"))
+      val hist = ev.select(col("user_id").as("h_user"),
+        col("ts").as("state_since"), col("event_id").as("h_id"),
+        col("event_type").as("state"))
+      Joins.asOf(probes, hist,
+          keys = Seq("user_id" -> "h_user"),
+          leftTime = "probe_ts", rightTime = "state_since",
+          rightTieBreak = Seq("h_id"))
+        .select("user_id", "day", "state", "state_since")
+        .orderBy("user_id", "day")
+    }),
+
     // THETA — non-equi conjunct in the join condition (the reference could
     // only leave these as residual filters, SURVEY §2c): nation pairs in
     // the same region, ordered pair.
@@ -305,6 +327,22 @@ object JoinQueries extends QueryPack {
          SELECT a.pk AS partkey, CAST(count(*) AS BIGINT) AS n_overlaps
          FROM l a JOIN l b
            ON a.pk = b.pk AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
-         GROUP BY a.pk ORDER BY partkey"""
+         GROUP BY a.pk ORDER BY partkey""",
+    // naive statement of the point-in-time join: latest event at or
+    // before each (user, end-of-day) probe, (ts, id) tie-break
+    "j16_temporal_join" ->
+      """WITH probes AS (SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS INT) AS day
+           FROM events),
+         c AS (SELECT p.user_id, p.day, e.event_type AS state,
+             e.ts AS state_since,
+             row_number() OVER (PARTITION BY p.user_id, p.day
+               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+           FROM probes p JOIN events e ON e.user_id = p.user_id
+             AND e.ts <= make_timestamp(
+               CAST(p.day + 1 AS BIGINT) * 86400000000 - 1))
+         SELECT user_id, day, state, state_since FROM c WHERE rn = 1
+         ORDER BY user_id, day"""
   )
 }
