@@ -111,6 +111,37 @@ object EventAnalytics {
         coalesce(col(valCol) > col("trailing_mean") * k, lit(false)))
   }
 
+  /** Rolling N-day active users (WAU at N=7): for every calendar day
+    * with activity, the count of DISTINCT users active in the trailing
+    * N-day window — the engagement curve a product team actually reads
+    * (daily actives double-count bursty users; lifetime distinct never
+    * moves).
+    *
+    * Sliding DISTINCT cannot be two-phased like a sum, so the exact
+    * distributed form goes through the day grain: distinct (user, day)
+    * pairs (the only corpus-sized pass), each fanned to the N probe days
+    * it keeps the user "active" for, re-distinct-ed, and counted per
+    * probe day — all shuffles keyed on (user, day)-sized keys, state
+    * linear in users × N, no window over a global order anywhere. The
+    * approximate companion at much larger N is an HLL sketch per day +
+    * window union (agg_hll_sketch shows the merge). */
+  def rollingActiveUsers(
+      events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val ud = events.select(col(userCol).as("u"), day.as("day")).distinct()
+    val probes = ud
+      .withColumn("probe_day", explode(array(
+        (0 until windowDays).map(k => col("day") + lit(k)): _*)))
+      .select(col("u"), col("probe_day"))
+      .distinct()
+    val presentDays = ud.select(col("day").as("probe_day")).distinct()
+    probes.join(presentDays, "probe_day")
+      .groupBy("probe_day").agg(count(lit(1)).as("wau"))
+      .select(col("probe_day").as("day"), col("wau"))
+  }
+
   /** Sample autocorrelation of the daily event-count series at lags
     * 1..`maxLag` — the seasonality detector (a weekly cycle shows as a
     * peak at lag 7) run before choosing a forecast model or an anomaly

@@ -116,6 +116,14 @@ object EventQueries extends QueryPack {
         lookback = 16)
         .orderBy("user_id", "ts", "event_id")),
 
+    // Rolling 7-day active users: sliding DISTINCT via day-grain fan-out
+    // (distinct (user,day) → N probe days → re-distinct → count) — every
+    // shuffle keyed, no global-order window.
+    "ev16_rolling_wau" -> ((s, d) =>
+      EventAnalytics.rollingActiveUsers(
+        Tables.events(s, d), "user_id", "ts", windowDays = 7)
+        .orderBy("day")),
+
     // Daily-count autocorrelation at lags 1..7 (seasonality detector):
     // day-grain collapse, then an equi-join on day+k — exact-decimal
     // moments, one fixed double expression per lag.
@@ -395,6 +403,17 @@ object EventQueries extends QueryPack {
              (2.0 - pow(2.0, 1.0 - len(xs))) AS ewma
          FROM w
          ORDER BY user_id, ts, event_id""",
+    "ev16_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS INT) AS day
+           FROM events),
+         pr AS (SELECT DISTINCT u, day + CAST(r.k AS INT) AS probe_day
+           FROM ud CROSS JOIN range(0, 7) r(k)),
+         pd AS (SELECT DISTINCT day AS probe_day FROM ud)
+         SELECT probe_day AS day, CAST(count(*) AS BIGINT) AS wau
+         FROM pr JOIN pd USING (probe_day)
+         GROUP BY probe_day ORDER BY day""",
     // same epoch-day idiom as ev10; moments as exact DECIMAL sums, r_k
     // one fixed double expression — mirrors EventAnalytics.autocorrelation
     "ev15_acf" ->

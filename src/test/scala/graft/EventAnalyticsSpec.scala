@@ -225,6 +225,22 @@ class EventAnalyticsSpec extends GraftSuite {
       (1L, 1L, 6L, 0.6), (2L, 2L, 9L, 0.9), (3L, 3L, 10L, 1.0)))
   }
 
+  test("rollingActiveUsers: trailing window, distinct users, active days only") {
+    import spark.implicits._
+    def t(day: Int) =
+      new java.sql.Timestamp(day.toLong * 86400000L + 43200000L) // noon UTC
+    // user 1 active on days 0 and 8; user 2 on day 0 (twice — distinct);
+    // only days 0 and 8 have activity, so only they are reported
+    val events = Seq((1L, 1L, t(0)), (2L, 2L, t(0)), (3L, 2L, t(0)),
+      (4L, 1L, t(8)))
+      .toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.rollingActiveUsers(events, "user_id", "ts", 7)
+      .orderBy("day").collect().map(r => (r.getInt(0), r.getLong(1)))
+    // day 0: users {1,2}; day 8: {1} (day-0 activity fell out of the
+    // 7-day window at day 7)
+    assert(got.toSeq === Seq((0, 2L), (8, 1L)))
+  }
+
   test("autocorrelation: alternating daily series gives lag1 -1, lag2 +1") {
     import spark.implicits._
     def t(day: Int, i: Int) =
