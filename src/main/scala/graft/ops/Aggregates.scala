@@ -212,6 +212,47 @@ object Aggregates {
         col("__n").cast("long").as("n"), col("slope"), col("intercept")): _*)
   }
 
+  /** Per-group skewness and excess kurtosis from exact raw moments —
+    * the shape diagnostics (is the distribution lopsided / heavy-tailed?)
+    * behind outlier policy and transform choice, computed under the same
+    * discipline as [[linregByKey]]/[[corrMatrixExact]]: Σx…Σx⁴ are exact
+    * DECIMAL sums (merge-order-independent — the moments a built-in
+    * `skewness()` accumulates in floats, drifting with partition order),
+    * then population m₂/m₃/m₄ and the ratios are one fixed double
+    * expression. `m₂^1.5` is written `m₂·√m₂` (sqrt is IEEE
+    * correctly-rounded; `pow(x, 1.5)` is not guaranteed to be) →
+    * bit-identical cross-engine. Values must fit DECIMAL(4,0) (integer
+    * grades/quantities/counts): 4th powers then stay within precision 38
+    * through the multiply chain — wider inputs need a scale tradeoff. */
+  def skewKurtosis(
+      df: DataFrame, keys: Seq[String], xCol: String): DataFrame = {
+    val d0 = col(xCol).cast(DecimalType(4, 0))
+    val n = count(lit(1)).cast("double")
+    df.groupBy(keys.map(col): _*)
+      .agg(n.as("_n"),
+        sum(d0).cast("double").as("_sx"),
+        sum(d0 * d0).cast("double").as("_sx2"),
+        sum(d0 * d0 * d0).cast("double").as("_sx3"),
+        sum(d0 * d0 * d0 * d0).cast("double").as("_sx4"))
+      .withColumn("mu", col("_sx") / col("_n"))
+      .withColumn("m2",
+        col("_sx2") / col("_n") - col("mu") * col("mu"))
+      .withColumn("m3",
+        col("_sx3") / col("_n") -
+          lit(3.0) * col("mu") * (col("_sx2") / col("_n")) +
+          lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4",
+        col("_sx4") / col("_n") -
+          lit(4.0) * col("mu") * (col("_sx3") / col("_n")) +
+          lit(6.0) * col("mu") * col("mu") * (col("_sx2") / col("_n")) -
+          lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .select(keys.map(col) ++ Seq(
+        col("_n").cast("long").as("n"),
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+        (col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          .as("kurtosis_excess")): _*)
+  }
+
   /** Exact weighted percentile: the smallest value v whose cumulative
     * weight (in value order) reaches p of the total — weighted median at
     * p = 1/2. The estimator behind "the price point where half the

@@ -168,6 +168,14 @@ object AggregateQueries extends QueryPack {
     // integer-clamped IEEE division — the standard distribution profile
     // an engine's ANALYZE EXTENDED computes, companion to s8. The last
     // bucket is closed (x = max lands in bucket n-1, not n).
+    // Exact skewness / excess kurtosis from DECIMAL raw moments — the
+    // merge-order-independent form of the float-accumulating built-ins;
+    // m2^1.5 written as m2·√m2 for cross-engine bit-parity.
+    "agg_skew_kurtosis" -> ((s, d) =>
+      graft.ops.Aggregates.skewKurtosis(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+        .orderBy("l_returnflag")),
+
     // Exact weighted median: the price below which half the traded
     // QUANTITY sits — rational threshold (2·cum ≥ W, integer compare),
     // two-phase running weight, limit-1 answer.
@@ -343,6 +351,30 @@ object AggregateQueries extends QueryPack {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Identical IEEE expression shape as the Spark side: (x-lo)*20/(hi-lo)
     // left-to-right, floor, clamp — bit-identical bucket ids.
+    "agg_skew_kurtosis" ->
+      """WITH s AS (SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(d) AS DOUBLE) AS sx,
+             CAST(sum(d * d) AS DOUBLE) AS sx2,
+             CAST(sum(d * d * d) AS DOUBLE) AS sx3,
+             CAST(sum(d * d * d * d) AS DOUBLE) AS sx4
+           FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS DECIMAL(4,0)) AS d FROM lineitem)
+           GROUP BY l_returnflag),
+         m AS (SELECT l_returnflag, n, sx / n AS mu, sx2, sx3, sx4
+           FROM s),
+         mm AS (SELECT l_returnflag, n,
+             sx2 / n - mu * mu AS m2,
+             sx3 / n - 3.0e0 * mu * (sx2 / n)
+               + 2.0e0 * mu * mu * mu AS m3,
+             sx4 / n - 4.0e0 * mu * (sx3 / n)
+               + 6.0e0 * mu * mu * (sx2 / n)
+               - 3.0e0 * mu * mu * mu * mu AS m4
+           FROM m)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           m3 / (m2 * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0e0 AS kurtosis_excess
+         FROM mm ORDER BY l_returnflag""",
     "agg_weighted_median" ->
       """WITH r AS (SELECT l_extendedprice AS value,
              CAST(sum(CAST(l_quantity AS BIGINT)) OVER (

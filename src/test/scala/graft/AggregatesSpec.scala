@@ -113,6 +113,29 @@ class AggregatesSpec extends GraftSuite {
     assert(run(df.repartition(7)) === got) // merge order cannot flip ties
   }
 
+  test("skewKurtosis: symmetric group skew 0, formula bit-replicated") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 1), ("b", 4))
+      .toDF("g", "x")
+    val got = graft.ops.Aggregates.skewKurtosis(df, Seq("g"), "x")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    def ref(sx: Double, sx2: Double, sx3: Double, sx4: Double, n: Double) = {
+      val mu = sx / n
+      val m2 = sx2 / n - mu * mu
+      val m3 = sx3 / n - 3.0 * mu * (sx2 / n) + 2.0 * mu * mu * mu
+      val m4 = sx4 / n - 4.0 * mu * (sx3 / n) + 6.0 * mu * mu * (sx2 / n) -
+        3.0 * mu * mu * mu * mu
+      (m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2) - 3.0)
+    }
+    val (skA, kuA) = ref(6, 14, 36, 98, 3)
+    val (skB, kuB) = ref(6, 18, 66, 258, 3)
+    assert(got.toSeq === Seq(("a", 3L, skA, kuA), ("b", 3L, skB, kuB)))
+    assert(skA === 0.0)  // symmetric {1,2,3}
+    assert(skB > 0.5)    // right tail {1,1,4}
+  }
+
   test("weightedPercentile: weight mass, not row count, picks the value") {
     import spark.implicits._
     val df = Seq((10.0, 1L, 1L), (20.0, 2L, 2L), (30.0, 1L, 3L))
