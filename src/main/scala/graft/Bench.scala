@@ -149,8 +149,11 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_LLM").contains("0")) Nil
       else Seq(
         "dd1_exact_dedup", "dd3_minhash_dup_pairs", "dd12_repeated_chunks",
+        "dd16_sorted_neighborhood",
         "ta2_quality_score", "ta16_gopher_rules", "ta14_boilerplate_strip",
-        "ss4_ivf_topk", "pl3_context_packing", "ev5_transition_matrix")
+        "ta18_sentence_dedup",
+        "ss4_ivf_topk", "pl3_context_packing", "ev5_transition_matrix",
+        "ev16_rolling_wau")
         .map { q =>
           SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
           graft.ops.Pipeline.releaseCaches()

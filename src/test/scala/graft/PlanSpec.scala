@@ -226,15 +226,21 @@ class PlanSpec extends GraftSuite {
       case q: QueryStageExec => q +: allNodes(q.plan)
       case other => other +: other.children.flatMap(allNodes)
     }
-    val df13 = SparkEntry.queries("ev13_lorenz_curve")(spark, sf)
-    df13.collect()
-    val windows = allNodes(df13.queryExecution.executedPlan).collect {
-      case w: WindowExec => w }
-    assert(windows.nonEmpty, "ev13 should plan window stages")
-    windows.foreach { w =>
-      assert(w.partitionSpec.nonEmpty,
-        s"ev13 window must be partitioned, got: $w")
-    }
+    // the same precise property gates every two-phase global-order op:
+    // rank (ev13, equi-depth), running sum (ev13, weighted median) —
+    // all must run their window stages PARTITIONED
+    Seq("ev13_lorenz_curve", "agg_equidepth", "agg_weighted_median")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        df.collect()
+        val windows = allNodes(df.queryExecution.executedPlan).collect {
+          case w: WindowExec => w }
+        assert(windows.nonEmpty, s"$q should plan window stages")
+        windows.foreach { w =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$q window must be partitioned, got: $w")
+        }
+      }
     graft.ops.Pipeline.releaseCaches()
   }
 
