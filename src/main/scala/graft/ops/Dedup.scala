@@ -354,20 +354,38 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column, sortKey: Column,
       window: Int = 5, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(window >= 2, "window must be >= 2")
-    val base = docs.select(id.as("sn_id"), sortKey.as("sn_key"),
-      array_sort(charNgrams(text, n)).as("sn_grams"))
-    val pos = Pipeline.globalPosition(base, "sn_pos",
-      col("sn_key"), col("sn_id"))
-    val right = pos.select(col("sn_id").as("r_id"),
-      col("sn_grams").as("r_grams"), col("sn_pos").as("r_pos"))
-    pos
+    // positions travel SLIM (id, key, pos): the gram arrays are ~KBs per
+    // row, and carrying them through the w−1-way explode would replicate
+    // them across the offset shuffle (measured 4× the whole operator's
+    // cost at sf0.1) — candidate ID pairs are built first, grams join in
+    // afterwards by id, each side shuffled exactly once.
+    val slim = docs.select(id.as("sn_id"), sortKey.as("sn_key"))
+    val pos = Pipeline.globalPosition(slim, "sn_pos",
+        col("sn_key"), col("sn_id"))
+      .select(col("sn_id"), col("sn_pos"))
+    val cand = pos
       .withColumn("_tgt", explode(array(
         (1 until window).map(j => col("sn_pos") + lit(j.toLong)): _*)))
-      .join(right, col("_tgt") === col("r_pos"))
-      .withColumn("jaccard", jaccardSorted(col("sn_grams"), col("r_grams")))
+      .select(col("sn_id").as("id_l"), col("_tgt"))
+      .join(pos.select(col("sn_id").as("id_r"), col("sn_pos").as("r_pos")),
+        col("_tgt") === col("r_pos"))
+      .select(col("id_l"), col("id_r"))
+    val grams = docs.select(id.as("g_id"),
+        array_sort(charNgrams(text, n)).as("g"))
+      .withColumn("gsz", size(col("g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pinned.add(grams) // released with the two-phase caches
+    cand
+      .join(grams.select(col("g_id").as("id_l"), col("g").as("g_l"),
+        col("gsz").as("sz_l")), "id_l")
+      .join(grams.select(col("g_id").as("id_r"), col("g").as("g_r"),
+        col("gsz").as("sz_r")), "id_r")
+      // lossless size prune kills hopeless pairs before any merge work
+      .filter(jaccardSizePrune(col("sz_l"), col("sz_r"), threshold))
+      .withColumn("jaccard", jaccardSorted(col("g_l"), col("g_r")))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("sn_id"), col("r_id")).as("id_a"),
-        greatest(col("sn_id"), col("r_id")).as("id_b"), col("jaccard"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("jaccard"))
   }
 
   /** Repeated-passage detection — the chunk-level form of exact-substring
