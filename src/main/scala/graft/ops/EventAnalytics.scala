@@ -111,6 +111,33 @@ object EventAnalytics {
         coalesce(col(valCol) > col("trailing_mean") * k, lit(false)))
   }
 
+  /** Longest consecutive-day activity streak per user — the engagement/
+    * retention metric gamified products live on. Gaps-and-islands on the
+    * user's DISTINCT active days: `day − row_number` is constant within a
+    * consecutive run, so one keyed window + two keyed aggregations give
+    * every streak; the longest (earliest start on ties) is picked by a
+    * second per-user window. Every window PARTITIONS BY user — state is
+    * one user's days, nothing global. Output: (user, n_active_days,
+    * longest_streak, streak_start_day). */
+  def longestStreaks(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
+    val ud = events.select(col(userCol).as("u"), day.as("day")).distinct()
+    val seq0 = Window.partitionBy(col("u")).orderBy(col("day").asc)
+    val streaks = ud
+      .withColumn("_island", col("day") - row_number().over(seq0))
+      .groupBy(col("u"), col("_island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+    val pick = Window.partitionBy(col("u"))
+      .orderBy(col("len").desc, col("start").asc)
+    streaks
+      .withColumn("_rn", row_number().over(pick))
+      .withColumn("_days", sum(col("len")).over(Window.partitionBy(col("u"))))
+      .filter(col("_rn") === 1)
+      .select(col("u").as(userCol), col("_days").as("n_active_days"),
+        col("len").as("longest_streak"), col("start").as("streak_start_day"))
+  }
+
   /** Rolling N-day active users (WAU at N=7): for every calendar day
     * with activity, the count of DISTINCT users active in the trailing
     * N-day window — the engagement curve a product team actually reads

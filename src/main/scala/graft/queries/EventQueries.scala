@@ -116,6 +116,12 @@ object EventQueries extends QueryPack {
         lookback = 16)
         .orderBy("user_id", "ts", "event_id")),
 
+    // Longest consecutive-day streak per user: gaps-and-islands on
+    // distinct active days, all windows user-partitioned.
+    "ev17_streaks" -> ((s, d) =>
+      EventAnalytics.longestStreaks(Tables.events(s, d), "user_id", "ts")
+        .orderBy("user_id")),
+
     // Rolling 7-day active users: sliding DISTINCT via day-grain fan-out
     // (distinct (user,day) → N probe days → re-distinct → count) — every
     // shuffle keyed, no global-order window.
@@ -403,6 +409,26 @@ object EventQueries extends QueryPack {
              (2.0 - pow(2.0, 1.0 - len(xs))) AS ewma
          FROM w
          ORDER BY user_id, ts, event_id""",
+    "ev17_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS INT) AS day
+           FROM events),
+         isl AS (SELECT u, day,
+             day - CAST(row_number() OVER (PARTITION BY u ORDER BY day)
+               AS INT) AS island
+           FROM ud),
+         st AS (SELECT u, island, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS start
+           FROM isl GROUP BY u, island),
+         ranked AS (SELECT u, len, start,
+             row_number() OVER (PARTITION BY u
+               ORDER BY len DESC, start ASC) AS rn,
+             CAST(sum(len) OVER (PARTITION BY u) AS BIGINT) AS n_active_days
+           FROM st)
+         SELECT u AS user_id, n_active_days, len AS longest_streak,
+           start AS streak_start_day
+         FROM ranked WHERE rn = 1 ORDER BY user_id""",
     "ev16_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u,
              CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))

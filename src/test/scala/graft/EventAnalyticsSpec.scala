@@ -225,6 +225,22 @@ class EventAnalyticsSpec extends GraftSuite {
       (1L, 1L, 6L, 0.6), (2L, 2L, 9L, 0.9), (3L, 3L, 10L, 1.0)))
   }
 
+  test("longestStreaks: islands split on gaps, earliest start wins ties") {
+    import spark.implicits._
+    def t(day: Int) =
+      new java.sql.Timestamp(day.toLong * 86400000L + 43200000L)
+    // user 1: days 0,1,2 then 5,6 → longest 3 starting day 0 (5 active)
+    // user 2: days 3,4 and 8,9 → tie of 2s, earliest start 3 wins
+    val events = (Seq(0, 1, 2, 5, 6).map(d => (1L, t(d))) ++
+      Seq(3, 4, 8, 9).map(d => (2L, t(d))) ++ Seq((1L, t(1)))) // dup day
+      .zipWithIndex.map { case ((u, ts), i) => (i.toLong, u, ts) }
+      .toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.longestStreaks(events, "user_id", "ts")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq((1L, 5L, 3L, 0), (2L, 4L, 2L, 3)))
+  }
+
   test("rollingActiveUsers: trailing window, distinct users, active days only") {
     import spark.implicits._
     def t(day: Int) =
