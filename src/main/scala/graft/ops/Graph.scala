@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over an undirected edge list `(id_a, id_b)` — the
@@ -166,7 +166,26 @@ object Graph {
     * Both modes agree to summation noise (spec-asserted ≤ 1e-12). */
   def pageRank(
       rawEdges: DataFrame, iterations: Int,
-      damping: Double = 0.85, orderedFold: Boolean = true): DataFrame = {
+      damping: Double = 0.85, orderedFold: Boolean = true): DataFrame =
+    pageRankImpl(rawEdges, iterations, damping, orderedFold, seedPred = None)
+
+  /** Personalized PageRank: the damped walk RESTARTS onto the seed set
+    * (uniformly) instead of the whole graph — rank becomes "relevance to
+    * the seeds", the query-biased centrality behind related-item
+    * retrieval and seed-expansion labeling (find more docs like this
+    * audited boilerplate set). Identical iteration machinery and
+    * exactness contract as [[pageRank]]; only the restart vector changes
+    * (per-node `when(seed)` expression instead of a constant). Rank mass
+    * still sums to 1; non-seed nodes unreachable from any seed decay to
+    * exactly 0. */
+  def personalizedPageRank(
+      rawEdges: DataFrame, iterations: Int, seedPred: Column,
+      damping: Double = 0.85, orderedFold: Boolean = true): DataFrame =
+    pageRankImpl(rawEdges, iterations, damping, orderedFold, Some(seedPred))
+
+  private def pageRankImpl(
+      rawEdges: DataFrame, iterations: Int, damping: Double,
+      orderedFold: Boolean, seedPred: Option[Column]): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import org.apache.spark.storage.StorageLevel
     require(iterations >= 0, "iterations must be non-negative")
@@ -177,9 +196,18 @@ object Graph {
     val outgoing = adj.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node"))
-    val n = nodes.count() // bounded driver scalar: one long
-    val base = (1.0 - damping) / n
-    var ranks = nodes.withColumn("pagerank", lit(1.0 / n))
+    // bounded driver scalars: the restart-population size (one long)
+    val n = seedPred match {
+      case None => nodes.count()
+      case Some(p) => nodes.filter(p).count()
+    }
+    require(n > 0, "personalization seed set matches no node")
+    // restart vector: constant 1/n for plain PR, 1/|S| on seeds else 0
+    def restart(scale: Double): Column = seedPred match {
+      case None => lit(scale / n)
+      case Some(p) => when(p, lit(scale / n)).otherwise(lit(0.0))
+    }
+    var ranks = nodes.withColumn("pagerank", restart(1.0))
       .localCheckpoint(true)
     (1 to iterations).foreach { _ =>
       val contrib = outgoing
@@ -201,8 +229,8 @@ object Graph {
       ranks = nodes
         .join(sums, col("node") === col("dst"), "left_outer")
         .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0)))
-            .as("pagerank"))
+          (restart(1.0 - damping) + lit(damping) *
+            coalesce(col("s"), lit(0.0))).as("pagerank"))
         .localCheckpoint(true) // truncate lineage; old blocks GC-reclaimed
     }
     outgoing.unpersist(blocking = false)

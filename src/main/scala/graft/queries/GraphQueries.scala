@@ -73,6 +73,15 @@ object GraphQueries extends QueryPack {
       Graph.clusteringCoefficients(simEdges(s, d))
         .orderBy(col("clustering_coeff").desc, col("node"))),
 
+    // Personalized PageRank (restart on seed nodes < 50): query-biased
+    // centrality — "relevance to this audited seed set". Same iteration
+    // machinery and fold-exactness as gr4; only the restart vector is a
+    // per-node when() instead of a constant.
+    "gr8_personalized_pr" -> ((s, d) =>
+      Graph.personalizedPageRank(simEdges(s, d), iterations = 5,
+          seedPred = col("node") < 50)
+        .orderBy(col("pagerank").desc, col("node"))),
+
     // k-hop blast radius (k=3): distinct nodes reachable in ≤ 3 hops —
     // distributed BFS by frontier expansion, one join/distinct/anti-join
     // shuffle trio per round, state bounded by the true reach set.
@@ -103,8 +112,21 @@ object GraphQueries extends QueryPack {
   // (DuckDB's list_sum over an ORDER BY src list ≡ Spark's aggregate()
   // fold over the src-sorted collect_list — the proven dd6/ss1 pattern)
   // and everything else IEEE double — see the operator's exactness note.
-  private val pagerankCtes: String = {
-    val base = "(CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)"
+  private def pagerankCtes(seed: Option[String => String]): String = {
+    // restart vector: constant for plain PR; CASE over the seed predicate
+    // for personalized PR — mirrors Graph.pageRankImpl.restart exactly
+    def restart(scale: String, c: String): String = seed match {
+      case None => s"$scale / (SELECT n FROM nn)"
+      case Some(p) =>
+        s"""CASE WHEN ${p(c)} THEN $scale / (SELECT n FROM nn)
+            ELSE CAST(0 AS DOUBLE) END"""
+    }
+    val nn = seed match {
+      case None => "SELECT CAST(count(*) AS DOUBLE) AS n FROM odeg"
+      case Some(p) =>
+        s"SELECT CAST(count(*) AS DOUBLE) AS n FROM odeg WHERE ${p("src")}"
+    }
+    val base = restart("(CAST(1 AS DOUBLE) - 0.85)", "o.node")
     val iters = (1 to 5).map { i =>
       s"""r$i AS (SELECT o.node,
             $base + 0.85 * COALESCE(s.s, CAST(0 AS DOUBLE)) AS pagerank
@@ -120,9 +142,9 @@ object GraphQueries extends QueryPack {
                  FROM adj2 GROUP BY src),
         adjd AS (SELECT a.src, a.dst, d.deg FROM adj2 a
                  JOIN odeg d ON d.src = a.src),
-        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM odeg),
+        nn AS ($nn),
         r0 AS (SELECT src AS node,
-                 CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pagerank
+                 ${restart("CAST(1 AS DOUBLE)", "src")} AS pagerank
                FROM odeg),
         $iters"""
   }
@@ -174,7 +196,12 @@ object GraphQueries extends QueryPack {
           ORDER BY jaccard DESC, node_a, node_b""",
     "gr4_pagerank" ->
       s"""WITH $edgeCte,
-          $pagerankCtes
+          ${pagerankCtes(None)}
+          SELECT node, pagerank FROM r5
+          ORDER BY pagerank DESC, node""",
+    "gr8_personalized_pr" ->
+      s"""WITH $edgeCte,
+          ${pagerankCtes(Some(c => s"$c < 50"))}
           SELECT node, pagerank FROM r5
           ORDER BY pagerank DESC, node""",
     // tri CTE mirrors gr2 (closed oriented wedges on the canonical edge

@@ -169,6 +169,17 @@ class GraphSpec extends GraftSuite {
     assert(cn(3L) == Map((3L, 9L) -> 2L))
   }
 
+  test("personalized pagerank: mass 1, seed favored, unreachable exactly 0") {
+    // triangle {1,2,3} + disconnected pair {8,9}; restart on node 1 only
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L)).toDF("id_a", "id_b")
+    val r = Graph.personalizedPageRank(e, 5, col("node") === 1L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12) // restart mass conserved
+    assert(r(1L) > r(2L))           // the seed keeps the restart mass
+    assert(r(2L) === r(3L))         // symmetric non-seeds tie exactly
+    assert(r(8L) === 0.0 && r(9L) === 0.0) // unreachable from the seed
+  }
+
   test("kHopCounts: path graph blast radius, non-canonical input") {
     // path 1-2-3-4-5 plus an isolated pair 6-7; edges fed reversed/duped
     val e = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (7L, 6L), (1L, 2L))
