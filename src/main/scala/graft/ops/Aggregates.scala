@@ -265,7 +265,9 @@ object Aggregates {
     * two-phase [[Pipeline.runningTotal]] (no SinglePartition window), W
     * is a 1-row broadcast, and the answer is a TakeOrderedAndProject
     * limit-1 over the qualifying rows. Weights must be positive longs
-    * (cum is then strictly increasing, making the answer row unique). */
+    * (cum is then strictly increasing, making the answer row unique);
+    * the (cum, value) ordering below keeps the pick deterministic even
+    * if a caller slips in zero weights. */
   def weightedPercentile(
       df: DataFrame, valCol: Column, weightCol: Column,
       pNum: Long, pDen: Long, tiebreaks: Column*): DataFrame = {
@@ -277,7 +279,7 @@ object Aggregates {
     val total = base.agg(sum(col("_w").cast("long")).as("total_w"))
     rt.crossJoin(broadcast(total))
       .filter(col("cum_w") * pDen >= col("total_w") * pNum)
-      .orderBy(col("cum_w").asc)
+      .orderBy(col("cum_w").asc, col("_v").asc)
       .limit(1)
       .select(col("_v").as("value"), col("cum_w"), col("total_w"))
   }

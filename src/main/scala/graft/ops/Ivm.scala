@@ -41,7 +41,10 @@ object Ivm {
   /** Fold one CDC batch into the materialized view. `opCol` ∈ {"I","D"};
     * groups whose maintained count reaches 0 are dropped (the view never
     * carries tombstones); groups first seen in the delta appear. Exact:
-    * long counts + decimal sums end-to-end. */
+    * long counts + decimal sums end-to-end. Group keys must be NON-NULL:
+    * the full-outer merge joins with SQL null semantics, so a null group
+    * would split into unmergeable view/delta rows — normalize nulls to a
+    * sentinel upstream if the grouping column admits them. */
   def maintainSumCount(
       baseAgg: DataFrame, changes: DataFrame, opCol: Column,
       groupCols: Seq[String], valCol: Column): DataFrame = {
