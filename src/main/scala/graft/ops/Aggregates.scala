@@ -62,6 +62,43 @@ object Aggregates {
   }
   val weightedAvg = udaf(new WeightedAvg())
 
+  /** EXACT distinct counting via fixed-range bitmaps — the roaring-bitmap
+    * pattern without the library: each (group, id-bucket) cell holds a
+    * `bits`-wide bitset (16 longs at 1024), reduce sets a bit, merge ORs
+    * — fully mergeable and ORDER-INDEPENDENT, so unlike a float sketch it
+    * is exact, and unlike `count_distinct`'s expand it never shuffles raw
+    * ids twice. The caller buckets ids (`id div bits` → bucket key,
+    * `id mod bits` → slot) and SUMS per-bucket popcounts: distinct ids
+    * never collide across buckets, so the sum is the exact global count.
+    * State per cell is bits/8 bytes regardless of row count — the
+    * segment-membership / exact-audience shape at 100 TB (HLL is the
+    * approximate companion when ids are unbounded or cells explode). */
+  class BitsetDistinct(bits: Int)
+      extends Aggregator[Long, Array[Long], Long] {
+    require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    def zero: Array[Long] = new Array[Long](bits / 64)
+    def reduce(b: Array[Long], slot: Long): Array[Long] = {
+      val i = slot.toInt
+      require(i >= 0 && i < bits, s"slot $slot outside [0, $bits)")
+      b(i >> 6) |= 1L << (i & 63)
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Long = {
+      var c = 0L; var i = 0
+      while (i < b.length) { c += java.lang.Long.bitCount(b(i)); i += 1 }
+      c
+    }
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+  val bitsetDistinct1024 = udaf(new BitsetDistinct(1024))
+
   /** Misra–Gries heavy-hitters summary as a typed mergeable Aggregator —
     * the bounded-memory frequent-items sketch (Misra–Gries 1982; merge
     * rule per Agarwal et al., "Mergeable Summaries", PODS'12). The buffer

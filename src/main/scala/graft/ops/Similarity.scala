@@ -59,6 +59,32 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
+  /** k-NN classification: majority label among the query's top-k cosine
+    * neighbors (self excluded), ties to the smallest label — the
+    * classic embedding-space labeler (weak-label propagation from a
+    * seed-annotated corpus slice onto the rest; the evaluation loop of
+    * every embedding model). Deterministic end to end: exact ordered-fold
+    * cosines, total (cos, id) tie-break in the top-k, total (votes,
+    * label) tie-break in the vote — oracle hash-exact. The neighbor
+    * generator swaps freely: compose with [[annTopK]]/[[ivfTopK]]/
+    * [[pqTopK]] for the 100 TB path, identical vote stage. */
+  def knnClassify(
+      queriesDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(queriesDf, corpus, idCol, vecCol, k)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("nbr_label").asc)
+    topk
+      .join(corpus.select(col(idCol).as("vec_id"),
+        col(labelCol).as("nbr_label")), "vec_id")
+      .groupBy("qid", "nbr_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("qid"), col("nbr_label").as("predicted_label"),
+        col("votes"))
+  }
+
   /** Exact max-inner-product top-k (MIPS) — the retrieval objective when
     * vectors are NOT unit-normalized (recommender/user–item scores, where
     * magnitude encodes popularity): cosine ranks direction only, MIPS

@@ -168,6 +168,21 @@ object AggregateQueries extends QueryPack {
     // integer-clamped IEEE division — the standard distribution profile
     // an engine's ANALYZE EXTENDED computes, companion to s8. The last
     // bucket is closed (x = max lands in bucket n-1, not n).
+    // EXACT distinct users per event type via bucketed bitmaps (roaring
+    // pattern): (type, id div 1024) cells hold 16-long bitsets, popcounts
+    // sum — mergeable + order-independent + exact, vs HLL's estimate.
+    "agg_bitmap_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("user_id div 1024").as("bucket"),
+          pmod(col("user_id"), lit(1024)).cast("long").as("slot"))
+        .groupBy("event_type", "bucket")
+        .agg(graft.ops.Aggregates.bitsetDistinct1024(col("slot"))
+          .as("n_local"))
+        .groupBy("event_type")
+        .agg(sum(col("n_local")).as("n_distinct_users"))
+        .orderBy("event_type")),
+
     // Exact skewness / excess kurtosis from DECIMAL raw moments — the
     // merge-order-independent form of the float-accumulating built-ins;
     // m2^1.5 written as m2·√m2 for cross-engine bit-parity.
@@ -351,6 +366,10 @@ object AggregateQueries extends QueryPack {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Identical IEEE expression shape as the Spark side: (x-lo)*20/(hi-lo)
     // left-to-right, floor, clamp — bit-identical bucket ids.
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_skew_kurtosis" ->
       """WITH s AS (SELECT l_returnflag,
              CAST(count(*) AS DOUBLE) AS n,

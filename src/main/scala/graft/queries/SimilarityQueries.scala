@@ -77,6 +77,17 @@ object SimilarityQueries extends QueryPack {
     // IVF ANN top-5: 16 fixed coarse centroids, 4 probed per query.
     // Fully deterministic (exact cosines, total tie-breaks) → oracle-
     // checked end-to-end, unlike the hash-family LSH path.
+    // k-NN classification (k=5 cosine majority vote, ties to smallest
+    // label) — weak-label propagation; vote stage composes unchanged
+    // with any ANN neighbor generator.
+    "ss12_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnClassify(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        "label", k = 5)
+        .orderBy("qid")
+    }),
+
     // Exact MIPS top-5 (max inner product — magnitude-aware retrieval):
     // ordered-fold dot products, total tie-break. The cosine-reduction
     // scale path (norm augmentation) is spec-asserted rank-identical.
@@ -206,6 +217,27 @@ object SimilarityQueries extends QueryPack {
            list_max(err) AS max_err,
            list_sum([e*e for e in err]) / 64 AS mse
          FROM e ORDER BY vec_id""",
+    // ss1's top-5 stage + a grouped vote with the same total tie-breaks
+    "ss12_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+          c AS (SELECT vec_id, embedding AS cvec, label FROM embeddings),
+          sc AS (SELECT qid, vec_id, label,
+            ${cosSql("qvec", "cvec")} AS cos
+          FROM q JOIN c ON qid <> vec_id),
+          r AS (SELECT qid, vec_id, label,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM sc),
+          v AS (SELECT qid, label AS nbr_label,
+            CAST(count(*) AS BIGINT) AS votes
+          FROM r WHERE rn <= 5 GROUP BY qid, label),
+          p AS (SELECT qid, nbr_label, votes,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY votes DESC, nbr_label ASC) AS rn2
+          FROM v)
+          SELECT qid, nbr_label AS predicted_label, votes FROM p
+          WHERE rn2 = 1 ORDER BY qid""",
     // same list_sum left fold as the Spark dot (dd6/ss1-proven pattern)
     "ss11_mips_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec

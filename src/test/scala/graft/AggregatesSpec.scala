@@ -113,6 +113,23 @@ class AggregatesSpec extends GraftSuite {
     assert(run(df.repartition(7)) === got) // merge order cannot flip ties
   }
 
+  test("bitsetDistinct: bucketed bitmaps count exactly, merge-order stable") {
+    import spark.implicits._
+    // ids straddle the 1024 bucket boundary and repeat heavily
+    val ids = Seq(0L, 1L, 1L, 63L, 64L, 1023L, 1024L, 1025L, 1025L, 2048L)
+    val df = ids.map(("g", _)).toDF("g", "id")
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("g"), expr("id div 1024").as("bucket"),
+        pmod(col("id"), lit(1024)).cast("long").as("slot"))
+      .groupBy("g", "bucket")
+      .agg(graft.ops.Aggregates.bitsetDistinct1024(col("slot")).as("n"))
+      .groupBy("g").agg(sum(col("n")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // {0,1,63,64,1023} + {1024,1025} + {2048} = 8 distinct
+    assert(run(df) === Map("g" -> 8L))
+    assert(run(df.repartition(7)) === Map("g" -> 8L))
+  }
+
   test("skewKurtosis: symmetric group skew 0, formula bit-replicated") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 1), ("b", 4))

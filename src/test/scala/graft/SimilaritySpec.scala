@@ -238,6 +238,25 @@ class SimilaritySpec extends GraftSuite {
     full.foreach(row => assert(row.getDouble(1) === 1.0))
   }
 
+  test("knn classify: majority vote, smallest label on tie, self excluded") {
+    import spark.implicits._
+    // query 1 at origin-ish; neighbors: two label-7 close, one label-3
+    // close, two label-9 far → k=3 picks {7,7,3} → 7; k=5 adds {9,9} →
+    // 7:2, 9:2, 3:1 → tie 7 vs 9 → smallest label 7
+    val docs = Seq(
+      (1L, Array(1.0, 0.0), 0),
+      (2L, Array(0.99, 0.1), 7), (3L, Array(0.98, 0.12), 7),
+      (4L, Array(0.97, 0.2), 3),
+      (5L, Array(0.0, 1.0), 9), (6L, Array(0.1, 1.0), 9))
+      .toDF("vec_id", "embedding", "label")
+    val q = docs.filter(col("vec_id") === 1L)
+    def run(k: Int) = Similarity
+      .knnClassify(q, docs, "vec_id", "embedding", "label", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(run(3) === Seq((1L, 7, 2L)))
+    assert(run(5) === Seq((1L, 7, 2L))) // 7 vs 9 tie → smallest label
+  }
+
   test("mips: norm augmentation reproduces exact inner-product ranking") {
     val q = emb.filter(col("vec_id") < 20)
     def triples(df: org.apache.spark.sql.DataFrame) =
