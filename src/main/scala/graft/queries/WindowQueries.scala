@@ -144,6 +144,23 @@ object WindowQueries extends QueryPack {
         .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
           "med5")
         .orderBy("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // Maximum drawdown per user: running peak of the value series minus
+    // current value, maxed — the worst peak-to-trough metric (risk/
+    // regression monitoring on any monotone-hoped series). Exact without
+    // decimals: max/compare are arithmetic-free and the one subtraction
+    // is a single IEEE op; both windows PARTITION BY user.
+    "w10_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("_peak", max(col("value")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("_peak") - col("value")).as("max_drawdown"))
+        .orderBy("user_id")
     })
   )
 
@@ -236,6 +253,15 @@ object WindowQueries extends QueryPack {
              ORDER BY l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
          FROM lineitem
-         ORDER BY l_partkey, l_orderkey, l_linenumber, l_quantity"""
+         ORDER BY l_partkey, l_orderkey, l_linenumber, l_quantity""",
+    "w10_drawdown" ->
+      """WITH p AS (SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM events)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           max(peak - value) AS max_drawdown
+         FROM p GROUP BY user_id ORDER BY user_id"""
   )
 }
