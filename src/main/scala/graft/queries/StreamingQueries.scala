@@ -61,6 +61,19 @@ object StreamingQueries extends QueryPack {
         Tables.events(s, d), EventStreams.typeDim(s))
         .orderBy("event_id")),
 
+    // Incremental-ingest dedup (batch dual of the stream-static LEFT
+    // ANTI join): events whose id is NOT in the simulated historic
+    // digest set (id % 3 = 0), counted per type.
+    "st12_ingest_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val historic = ev.filter(col("event_id") % 3 === 0)
+        .select("event_id")
+      EventStreams.streamDedupAgainst(ev, historic, "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_new_events"))
+        .orderBy("event_type")
+    }),
+
     // Gap-filled hourly series: generate the full hour spine between min
     // and max event time, left-join the actual counts, fill zeros — the
     // standard time-series densification (spine generation is one tiny
@@ -131,6 +144,10 @@ object StreamingQueries extends QueryPack {
          SELECT min(ts) AS session_start, user_id, count(*) AS n_events
          FROM numbered GROUP BY user_id, session_no
          ORDER BY user_id, session_start""",
+    "st12_ingest_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_new_events
+         FROM events WHERE event_id % 3 <> 0
+         GROUP BY event_type ORDER BY event_type""",
     "st4_dedup_events" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -138,6 +138,18 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Incremental-ingest dedup: keep only stream rows whose key is NOT in
+    * the static historic set — a stream-static LEFT ANTI join, the shape
+    * every continuous crawl/ingest pipeline runs in front of the corpus.
+    * The static side is consulted per micro-batch under Spark's
+    * stream-static contract, so at 100 TB that side must be the compact
+    * DIGEST table (content hashes, ~32 B/row, bucketed on the hash), not
+    * raw documents — the same key discipline as `Dedup.exactDedup`.
+    * Batch dual = the identical anti join (st12 oracle). */
+  def streamDedupAgainst(
+      stream: DataFrame, historicKeys: DataFrame, key: String): DataFrame =
+    stream.join(historicKeys, Seq(key), "left_anti")
+
   /** Tiny per-event-type weight dimension shared by the st7 batch dual
     * and the streaming spec. Weights are dyadic-exact doubles so the
     * enrichment product is bit-identical across engines. */

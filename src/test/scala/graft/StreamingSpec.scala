@@ -117,6 +117,21 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.count() === batch.count())
   }
 
+  test("stream-static anti-join dedup passes only unseen keys") {
+    // incremental-ingest dedup: the static historic digest set filters
+    // the stream per micro-batch; stateless, so streamed ≡ batch dual
+    val historic = Tables.events(spark, sf)
+      .filter(col("event_id") % 3 === 0).select("event_id")
+    val streamed = runStream("t_ingest_dedup",
+      ev => EventStreams.streamDedupAgainst(ev, historic, "event_id"),
+      "append")
+    val batch = EventStreams.streamDedupAgainst(
+      Tables.events(spark, sf), historic, "event_id")
+    assert(streamed.count() === batch.count())
+    assert(streamed.filter(col("event_id") % 3 === 0).count() === 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("streaming dedup drops re-delivered events") {
     // Duplicate every event into a second file set → re-delivery.
     val dir = Files.createTempDirectory("graft-dedup-").toString
