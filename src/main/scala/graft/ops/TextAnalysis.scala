@@ -453,6 +453,28 @@ object TextAnalysis {
       (wordsOk && lenOk && symOk && alphaOk && stopOk).as("pass"))
   }
 
+  /** Unicode script profile: per-script character counts (Latin, digit,
+    * CJK, Cyrillic) and the dominant script — the routing signal a
+    * multilingual pipeline applies BEFORE tokenizer/language-id choice
+    * (ta1's stopword langid only separates Latin languages; a CJK page
+    * needs a different tokenizer entirely, and mixed-script text is a
+    * spam/obfuscation smell). Pure counting expressions — scan-local,
+    * exact integers; dominance ties break latin > cjk > cyrillic >
+    * digit, mirrored in the oracle CASE. */
+  def scriptCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit("[A-Za-z]")).cast("long").as("n_latin"),
+    regexp_count(text, lit("[0-9]")).cast("long").as("n_digit"),
+    regexp_count(text, lit("[\\u4e00-\\u9fff]")).cast("long").as("n_cjk"),
+    regexp_count(text, lit("[\\u0400-\\u04ff]")).cast("long")
+      .as("n_cyrillic"))
+
+  def dominantScript(
+      latin: Column, digit: Column, cjk: Column, cyr: Column): Column =
+    when(latin >= cjk && latin >= cyr && latin >= digit, lit("latin"))
+      .when(cjk >= cyr && cjk >= digit, lit("cjk"))
+      .when(cyr >= digit, lit("cyrillic"))
+      .otherwise(lit("digit"))
+
   /** Intra-document sentence dedup — the within-doc form of C4's
     * repeated-line removal (Raffel et al. 2020 dedup "three-sentence
     * spans"; boilerplate sentences repeat INSIDE crawled pages too):

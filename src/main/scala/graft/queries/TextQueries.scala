@@ -43,6 +43,15 @@ object TextQueries extends QueryPack {
           TextAnalysis.fleschScore(col("text")).as("flesch"))
         .orderBy("doc_id")),
 
+    // Unicode script profile + dominant script — the tokenizer-routing
+    // signal ahead of language id; exact per-script char counts.
+    "ta19_script_mix" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id") +: TextAnalysis.scriptCounts(col("text")): _*)
+        .withColumn("dominant_script", TextAnalysis.dominantScript(
+          col("n_latin"), col("n_digit"), col("n_cjk"), col("n_cyrillic")))
+        .orderBy("doc_id")),
+
     // Intra-doc sentence dedup (C4-style repeated-line removal, within
     // the page): first occurrence kept, original order reassembled.
     "ta18_sentence_dedup" -> ((s, d) =>
@@ -241,6 +250,26 @@ object TextQueries extends QueryPack {
                  WHEN s_fr >= s_es THEN 'fr'
                  ELSE 'es' END AS lang_pred
           FROM sc ORDER BY doc_id""",
+    // RE2 spells the unicode ranges \x{...} where Java uses \\uXXXX —
+    // different pattern text, identical character sets
+    "ta19_script_mix" ->
+      s"""WITH c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+              AS n_latin,
+            CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+              AS n_digit,
+            CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))
+              AS BIGINT) AS n_cjk,
+            CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]'))
+              AS BIGINT) AS n_cyrillic
+          FROM documents)
+          SELECT doc_id, n_latin, n_digit, n_cjk, n_cyrillic,
+            CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+                   AND n_latin >= n_digit THEN 'latin'
+                 WHEN n_cjk >= n_cyrillic AND n_cjk >= n_digit THEN 'cjk'
+                 WHEN n_cyrillic >= n_digit THEN 'cyrillic'
+                 ELSE 'digit' END AS dominant_script
+          FROM c ORDER BY doc_id""",
     // zipped unnests give (idx, sentence); same trim/filter/window/
     // string_agg-by-idx pipeline as the Spark side
     "ta18_sentence_dedup" ->

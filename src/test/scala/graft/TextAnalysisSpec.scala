@@ -181,6 +181,30 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got(4L).getDouble(got(4L).fieldIndex("mean_word_len")) === 2.0)
   }
 
+  test("script mix: per-script counts, dominance priority on ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello 123"),                       // latin 5, digit 3
+      (2L, "一丁丂 a"),            // cjk 3, latin 1
+      (3L, "АБ"),                    // cyrillic 2
+      (4L, "123"),                             // digit only
+      (5L, "ab一丁"))                  // 2-2 tie → latin priority
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id") +: TextAnalysis.scriptCounts(col("text")): _*)
+      .withColumn("dom", TextAnalysis.dominantScript(
+        col("n_latin"), col("n_digit"), col("n_cjk"), col("n_cyrillic")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.toSeq === Seq(
+      (1L, 5L, 3L, 0L, 0L, "latin"),
+      (2L, 1L, 0L, 3L, 0L, "cjk"),
+      (3L, 0L, 0L, 0L, 2L, "cyrillic"),
+      (4L, 0L, 3L, 0L, 0L, "digit"),
+      (5L, 2L, 0L, 2L, 0L, "latin")))
+  }
+
   test("sentence dedup keeps first occurrence, preserves order") {
     import spark.implicits._
     val docs = Seq(
