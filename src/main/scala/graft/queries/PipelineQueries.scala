@@ -165,6 +165,21 @@ object PipelineQueries extends QueryPack {
     // data-driven input to pl7's mixture sampling. Source cardinality is
     // bounded (20 here), so the normalizer is a 1-row broadcast over a
     // 20-row aggregate, same shape as agg_histogram's bounds.
+    // Budget-capped selection: docs ranked readability-first, greedy
+    // prefix under a 10k-token global budget — "the best corpus that
+    // fits the compute budget". Cumulative tokens via the two-phase
+    // running total; take-while ≡ filter because cum is monotone.
+    "pl16_budget_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_words"),
+        TextAnalysis.fleschScore(col("text")).as("flesch"))
+      Pipeline.runningTotal(docs, col("n_words"), "cum_tokens",
+          col("flesch").desc, col("doc_id").asc)
+        .filter(col("cum_tokens") <= 10000L)
+        .select("doc_id", "n_words", "flesch", "cum_tokens")
+        .orderBy("cum_tokens")
+    }),
+
     "pl15_source_reweight" -> ((s, d) => {
       val q = Tables.documents(s, d)
         .select(col("source"),
@@ -230,6 +245,29 @@ object PipelineQueries extends QueryPack {
            CAST(ntile(4) OVER (PARTITION BY lang
              ORDER BY n_chars, doc_id) AS INT) AS bucket
          FROM documents ORDER BY doc_id""",
+    // flesch dual identical to ta17's; running sum over the same
+    // (flesch DESC, doc_id) order ≡ the two-phase runningTotal
+    "pl16_budget_select" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+              AS BIGINT) AS n_words,
+            greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+            len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+          FROM documents),
+          f AS (SELECT doc_id, n_words,
+            206.835e0
+              - 1.015e0 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                           / CAST(s AS DOUBLE))
+              - 84.6e0 * (CAST(sy AS DOUBLE)
+                          / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+          FROM t),
+          r AS (SELECT doc_id, n_words, flesch,
+            CAST(sum(n_words) OVER (ORDER BY flesch DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM f)
+          SELECT doc_id, n_words, flesch, cum_tokens FROM r
+          WHERE cum_tokens <= 10000
+          ORDER BY cum_tokens""",
     // qualityScore dual identical to ta2's oracle; per-source exact
     // DECIMAL(18,12) mean, totals normalized over the bounded source set
     "pl15_source_reweight" ->
