@@ -165,6 +165,33 @@ object PipelineQueries extends QueryPack {
     // data-driven input to pl7's mixture sampling. Source cardinality is
     // bounded (20 here), so the normalizer is a 1-row broadcast over a
     // 20-row aggregate, same shape as agg_histogram's bounds.
+    // Dataset card: the one-row corpus datasheet (doc/source/word counts,
+    // exact-dup rate, language mix, exact-decimal mean quality, flesch
+    // range) — every column an already-proven exact expression, composed
+    // in ONE aggregation pass over the corpus.
+    "pl17_dataset_card" -> ((s, d) => {
+      val e = Tables.documents(s, d).select(col("source"), col("text"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("w"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.fleschScore(col("text")).as("fl"))
+      e.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("w")).as("total_words"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        ((count(lit(1)) - countDistinct(col("text"))).cast("double") /
+          count(lit(1)).cast("double")).as("exact_dup_rate"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("lang") === "de", 1L).otherwise(0L)).as("n_de"),
+        sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("n_fr"),
+        sum(when(col("lang") === "es", 1L).otherwise(0L)).as("n_es"),
+        (OracleSafe.moneySum(col("q"), 12) / count(lit(1)))
+          .as("avg_quality"),
+        min(col("fl")).as("min_flesch"),
+        max(col("fl")).as("max_flesch"))
+    }),
+
     // Budget-capped selection: docs ranked readability-first, greedy
     // prefix under a 10k-token global budget — "the best corpus that
     // fits the compute budget". Cumulative tokens via the two-phase
@@ -245,6 +272,55 @@ object PipelineQueries extends QueryPack {
            CAST(ntile(4) OVER (PARTITION BY lang
              ORDER BY n_chars, doc_id) AS INT) AS bucket
          FROM documents ORDER BY doc_id""",
+    // one row composing the ta1/ta2/ta17 duals — every column the same
+    // proven-exact expression text
+    "pl17_dataset_card" ->
+      """WITH t AS (SELECT doc_id, source, text,
+            regexp_split_to_array(lower(text), '\s+') AS toks,
+            lower(text) AS lt, length(text) AS nch,
+            greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+            len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+          FROM documents),
+         sc AS (SELECT *,
+            len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS s_en,
+            len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+            len(list_filter(toks, x -> x IN ('le','la','et','les','des','un'))) AS s_fr,
+            len(list_filter(toks, x -> x IN ('el','los','de','que','y','una'))) AS s_es
+          FROM t),
+         e AS (SELECT source, text,
+            CAST(len(toks) AS BIGINT) AS w,
+            CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr >= s_es THEN 'fr'
+                 ELSE 'es' END AS lang,
+            least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+              + (1.0 - CAST(length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+                  / greatest(nch, 1)) * 0.3
+              + least(CAST(len(list_filter(toks,
+                    x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                  / greatest(len(toks), 1) * 5.0, 1.0) * 0.3 AS q,
+            206.835e0
+              - 1.015e0 * (CAST(greatest(len(toks), 1) AS DOUBLE)
+                           / CAST(snt AS DOUBLE))
+              - 84.6e0 * (CAST(sy AS DOUBLE)
+                          / CAST(greatest(len(toks), 1) AS DOUBLE)) AS fl
+          FROM sc)
+         SELECT
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(w) AS BIGINT) AS total_words,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           CAST(count(*) - count(DISTINCT text) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+           CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+           CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+           CAST(sum(CAST(q AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_quality,
+           min(fl) AS min_flesch,
+           max(fl) AS max_flesch
+         FROM e""",
     // flesch dual identical to ta17's; running sum over the same
     // (flesch DESC, doc_id) order ≡ the two-phase runningTotal
     "pl16_budget_select" ->
