@@ -315,6 +315,37 @@ object Dedup {
       .agg(count(lit(1)).cast("bigint").as("overlap_ngrams"))
   }
 
+  /** GRADED contamination report — the percentage form of
+    * [[decontaminate]] (which flags any-overlap): per training doc, the
+    * fraction of its distinct word n-grams that appear anywhere in the
+    * eval corpus, plus a threshold verdict. This is the GPT-3/PaLM-style
+    * decontamination metric (docs are dropped above a contamination
+    * fraction, not on a single shared phrase — one ubiquitous idiom
+    * shouldn't kill a document). Same scale shape as dd11: distinct-gram
+    * inverted-index equi join keyed on the gram — never pairwise; docs
+    * shorter than n grams produce no grams and are absent (nothing to
+    * leak). */
+  def contaminationReport(
+      train: DataFrame, eval_ : DataFrame, id: Column, text: Column,
+      n: Int = 8, threshold: Double = 0.1): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) = df.select(cols :+
+      explode(array_distinct(graft.ops.TextAnalysis.wordNgrams(
+        split(text, " "), n))).as("gram"): _*)
+    val evalGrams = grams(eval_).distinct()
+    val docGrams = grams(train, id.as("doc_id"))
+    val totals = docGrams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val overlaps = docGrams.join(evalGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap_ngrams"))
+    val frac = coalesce(col("overlap_ngrams"), lit(0L)).cast("double") /
+      col("n_grams").cast("double")
+    totals.join(overlaps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
+        frac.as("contamination"),
+        (frac >= threshold).as("flagged"))
+  }
+
   /** N-gram Jaccard near-dup pairs inside blocking buckets (same `block`
     * value), exact pairwise within a bucket. Demonstration-scale blocking;
     * the 100 TB path is minhashNearDupPairs. */

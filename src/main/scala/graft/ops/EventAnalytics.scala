@@ -111,6 +111,43 @@ object EventAnalytics {
         coalesce(col(valCol) > col("trailing_mean") * k, lit(false)))
   }
 
+  /** Bot-likeness via inter-event timing regularity: per user, the
+    * coefficient of variation of the gaps between consecutive events —
+    * humans are bursty (CV ≳ 1), schedulers are metronomes (CV ≈ 0).
+    * The classic cheap bot/spam heuristic a training-data pipeline runs
+    * on behavioral logs before trusting engagement signals.
+    *
+    * Gaps are exact integer microseconds (`unix_micros` lead diffs, the
+    * proven cross-engine time idiom); Σgap and Σgap² are exact DECIMAL
+    * sums; mean/variance/CV are one fixed double expression — the same
+    * moment discipline as [[autocorrelation]]. One user-keyed window +
+    * one keyed aggregation. Users with < `minGaps` gaps are dropped (no
+    * meaningful regularity signal). */
+  def gapRegularity(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      minGaps: Long = 5L, botCv: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_t").asc, col(idCol).asc)
+    val gaps = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("_t"), col(idCol))
+      .withColumn("_gap", lead(col("_t"), 1).over(w) - col("_t"))
+      .filter(col("_gap").isNotNull)
+    def d(c: Column) = c.cast(DecimalType(18, 0))
+    val agged = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(d(col("_gap"))).cast("double").as("_sx"),
+        sum(d(col("_gap")) * d(col("_gap"))).cast("double").as("_sx2"))
+      .filter(col("_n") >= minGaps.toDouble)
+    val mean = col("_sx") / col("_n")
+    val cv = sqrt(col("_sx2") / col("_n") - mean * mean) / mean
+    agged.select(col(userCol),
+      col("_n").cast("long").as("n_gaps"),
+      mean.as("mean_gap_us"),
+      cv.as("cv_gap"),
+      (cv < botCv).as("is_bot"))
+  }
+
   /** Longest consecutive-day activity streak per user — the engagement/
     * retention metric gamified products live on. Gaps-and-islands on the
     * user's DISTINCT active days: `day − row_number` is constant within a

@@ -113,6 +113,18 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Graded contamination: fraction of each training doc's distinct
+    // 8-grams found in the eval corpus + threshold verdict (the
+    // GPT-3/PaLM metric; dd11 is the boolean any-overlap form).
+    "dd17_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text"), n = 8, threshold = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-duplicates via SRP-LSH buckets + exact-cosine
     // verify — the 100 TB path (shuffles on (table, sig) keys, never n²).
     // Fixture embeddings are uniform random (max pairwise cos ≈ 0.5), so
@@ -318,6 +330,29 @@ object DedupQueries extends QueryPack {
          WHERE CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE)
            >= 0.8
          ORDER BY id_a, id_b""",
+    // empty-range rule mirrors wordNgrams' size<n → [] (docs under 8
+    // tokens are absent from the report)
+    "dd17_contamination_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(
+             [array_to_string(w[i:i+7], ' ')
+              for i in range(1, len(w) - 7 + 1)])) AS gram
+           FROM toks),
+         eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM tg GROUP BY doc_id),
+         ov AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
+           FROM tg t JOIN eg ON eg.gram = t.gram GROUP BY t.doc_id)
+         SELECT tot.doc_id, n_grams,
+           CAST(COALESCE(overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+           CAST(COALESCE(overlap_ngrams, 0) AS DOUBLE)
+             / CAST(n_grams AS DOUBLE) AS contamination,
+           CAST(COALESCE(overlap_ngrams, 0) AS DOUBLE)
+             / CAST(n_grams AS DOUBLE) >= 0.1 AS flagged
+         FROM tot LEFT JOIN ov ON ov.doc_id = tot.doc_id
+         ORDER BY tot.doc_id""",
     // row_number over (sort key, id) ≡ the Spark side's two-phase
     // globalPosition; neighbor pairs = position offset in [1, 4]; same
     // char-trigram Jaccard as dd5 (integer counts + one division)

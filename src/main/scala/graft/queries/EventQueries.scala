@@ -116,6 +116,14 @@ object EventQueries extends QueryPack {
         lookback = 16)
         .orderBy("user_id", "ts", "event_id")),
 
+    // Bot-likeness: CV of inter-event gaps per user (metronome timing ⇒
+    // bot) — exact-µs gaps, decimal moments, one fixed double formula.
+    "ev19_gap_regularity" -> ((s, d) =>
+      EventAnalytics.gapRegularity(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        minGaps = 5L, botCv = 0.3)
+        .orderBy("user_id")),
+
     // Longest consecutive-day streak per user: gaps-and-islands on
     // distinct active days, all windows user-partitioned.
     "ev17_streaks" -> ((s, d) =>
@@ -409,6 +417,29 @@ object EventQueries extends QueryPack {
              (2.0 - pow(2.0, 1.0 - len(xs))) AS ewma
          FROM w
          ORDER BY user_id, ts, event_id""",
+    // epoch_us gaps ≡ unix_micros lead diffs; moments and the CV formula
+    // written identically to the Spark expression tree
+    "ev19_gap_regularity" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id
+           FROM events),
+         g AS (SELECT user_id,
+             lead(t) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) - t AS gap
+           FROM o),
+         s AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(gap AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             -- DECIMAL(19) forces int128 backing: 18-wide decimals are
+             -- int64-backed in DuckDB and the square overflows BEFORE
+             -- widening; values are identical either way
+             CAST(sum(CAST(gap AS DECIMAL(19,0))
+                      * CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS sx2
+           FROM g WHERE gap IS NOT NULL GROUP BY user_id
+           HAVING count(*) >= 5)
+         SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           sx / n AS mean_gap_us,
+           sqrt(sx2 / n - (sx / n) * (sx / n)) / (sx / n) AS cv_gap,
+           sqrt(sx2 / n - (sx / n) * (sx / n)) / (sx / n) < 0.3 AS is_bot
+         FROM s ORDER BY user_id""",
     "ev17_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u,
              CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))

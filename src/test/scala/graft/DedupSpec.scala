@@ -275,6 +275,29 @@ class DedupSpec extends GraftSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("contaminationReport: graded fractions, short docs absent") {
+    import spark.implicits._
+    // eval doc = "a b c d"; train 1 contains it verbatim inside 5 tokens
+    // (2 of its 2 trigrams overlap → 1.0 wait n=3: "a b c d e" grams
+    // {a b c, b c d, c d e}; eval grams {a b c, b c d} → 2/3); train 2
+    // shares nothing; train 3 too short for a trigram → absent
+    val docs = Seq(
+      (50L, "a b c d"), // eval (id % 50 == 0)
+      (1L, "a b c d e"), (2L, "x y z w"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) === ((3L, 2L, 2.0 / 3.0, true)))
+    assert(got(2L) === ((2L, 0L, 0.0, false)))
+    assert(!got.contains(3L)) // shorter than n tokens → no grams
+  }
+
   test("sortedNeighborhood: window bounds comparisons, sort brings dups together") {
     import spark.implicits._
     // sort key = whole text (identity): 1 and 2 are adjacent near-dups;

@@ -225,6 +225,26 @@ class EventAnalyticsSpec extends GraftSuite {
       (1L, 1L, 6L, 0.6), (2L, 2L, 9L, 0.9), (3L, 3L, 10L, 1.0)))
   }
 
+  test("gapRegularity: metronome flagged as bot, bursty human is not") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: exact 60 s metronome (CV = 0); user 2: bursty gaps
+    // {10,600,20,900,30} s; user 3: only 3 events → below minGaps, dropped
+    val bot = (0 to 6).map(i => (1L, t(i * 60)))
+    val human = Seq(0, 10, 610, 630, 1530, 1560).map(s => (2L, t(s)))
+    val few = Seq(0, 5, 10).map(s => (3L, t(s)))
+    val events = (bot ++ human ++ few).zipWithIndex
+      .map { case ((u, ts), i) => (i.toLong, u, ts) }
+      .toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics
+      .gapRegularity(events, "user_id", "ts", "event_id", 5L, 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 6L && got(1L)._2 === 0.0 && got(1L)._3)
+    assert(got(2L)._2 > 1.0 && !got(2L)._3)
+  }
+
   test("longestStreaks: islands split on gaps, earliest start wins ties") {
     import spark.implicits._
     def t(day: Int) =
