@@ -618,4 +618,41 @@ object EventAnalytics {
       // a key whose every span rounds to zero seconds has no defined TWAP
       .where(col("total_s") > 0)
   }
+
+  /** Day-of-week seasonality per event type: peak weekday plus a
+    * chi-square uniformity statistic — the "is this traffic humanlike or
+    * a cron job?" detector (organic traffic dips on weekends; a
+    * scheduled scraper is flat, chi2 ≈ 0; a weekly batch job is a spike,
+    * chi2 huge).
+    *
+    * The statistic is computed from the algebraic identity
+    * χ² = Σ_d (n_d − T/7)² / (T/7) = (7·Σ n_d² − T²) / T, which needs
+    * only integer count aggregates — absent weekdays (n_d = 0) contribute
+    * correctly without generating zero rows, every sum is exact, and the
+    * single closing division is bit-identical across engines. Weekday is
+    * ISO (1 = Monday … 7 = Sunday: Spark `weekday()+1` ≡ DuckDB
+    * `isodow()`). Peak ties break to the earliest weekday. Two keyed
+    * aggregations on (type, dow) then type — scan-shaped at any scale. */
+  def dowSeasonality(
+      events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        (weekday(to_date(col(tsCol))) + 1).as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy("event_type").agg(
+      sum("n").as("total"),
+      sum(col("n") * col("n")).as("_sum_sq"),
+      max("n").as("_max_n"))
+    val peaks = counts
+      .join(stats.select(col("event_type"), col("_max_n")), "event_type")
+      .filter(col("n") === col("_max_n"))
+      .groupBy("event_type")
+      .agg(min("dow").as("peak_dow"), max("n").as("peak_count"))
+    stats.join(peaks, "event_type")
+      .select(col("event_type"), col("total"),
+        col("peak_dow").cast("int").as("peak_dow"), col("peak_count"),
+        ((lit(7L) * col("_sum_sq") - col("total") * col("total"))
+          .cast("double") / col("total")).as("chi2_uniform"))
+  }
 }

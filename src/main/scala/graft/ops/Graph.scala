@@ -295,6 +295,44 @@ object Graph {
             .cast("double")).as("jaccard"))
   }
 
+  /** Bipartite co-occurrence projection: from `(group, item)` links (order
+    * baskets, doc↔shingle incidence, user↔page visits) to a weighted
+    * item-item graph where `weight` = number of distinct groups containing
+    * both items. This is the market-basket / co-citation construction —
+    * the standard way to mint an item graph (then fed to the operators
+    * above) out of transactional data.
+    *
+    * Scale shape: pair generation fans out C(basket, 2) rows per group, so
+    * one degenerate group (a crawler session touching every page, an order
+    * with 10⁵ lines) costs |basket|² alone — `maxBasket` drops such groups
+    * BEFORE the self-join, the same mediator-capping move as
+    * [[commonNeighbors]]'s `maxDegree`. With baskets capped at B, total
+    * work is ≤ |groups|·B², every shuffle is keyed (group id, then item
+    * pair), and nothing is ever all-pairs across groups. `minWeight`
+    * prunes the long singleton tail before it is ever materialized
+    * downstream (HAVING runs map-side partial-agg first). */
+  def bipartiteProjection(
+      links: DataFrame, groupCol: String, itemCol: String,
+      maxBasket: Long = Long.MaxValue, minWeight: Long = 1L): DataFrame = {
+    val base = links
+      .select(col(groupCol).as("_g"), col(itemCol).as("_item")).distinct()
+    val bounded =
+      if (maxBasket == Long.MaxValue) base
+      else {
+        val small = base.groupBy("_g")
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBasket)
+          .select("_g")
+        base.join(small, "_g")
+      }
+    val a = bounded.select(col("_g"), col("_item").as("item_a"))
+    val b = bounded.select(col("_g").as("_g2"), col("_item").as("item_b"))
+    a.join(b, col("_g") === col("_g2") && col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
   /** k-hop reachability: per node, the number of DISTINCT nodes reachable
     * in at most `k` undirected hops (self excluded) — the "blast radius"
     * of a near-dup cluster: a doc whose 3-hop neighborhood spans half the

@@ -612,4 +612,46 @@ object Similarity {
       (pre2 / full2).as("energy_retained"),
       sqrt(pre2 / full2).as("cos_trunc"))
   }
+
+  /** Per-cluster cohesion WITHOUT pairwise comparison, via the
+    * sum-of-vectors identity: for vectors q₁..qₙ,
+    * Σ_{i<j} qᵢ·qⱼ = (‖Σqᵢ‖² − Σ‖qᵢ‖²) / 2 — so the mean pairwise dot
+    * product of a cluster needs only its vector SUM and its summed self
+    * dots. An n²-pair metric becomes two keyed aggregations (one on
+    * (label, dim), one on label); a 10⁶-vector cluster costs 10⁶ rows,
+    * not 10¹² pairs — this is the audit that tells you whether a dedup /
+    * k-means cluster is tight (boilerplate) or loose (topic drift).
+    *
+    * Exactness: vectors are first quantized onto a SHARED integer grid
+    * (qᵢ = floor(xᵢ·qScale + 0.5) — floor of a shifted value, not round();
+    * see [[quantizationError]]), so every sum in the identity is exact
+    * 64-bit integer arithmetic in ANY aggregation order — the
+    * reproducibility property float dots lose at 1000 executors. The one
+    * double emitted (`mean_pair_dot`) is a single division of exact
+    * integers, bit-identical across engines. */
+  def clusterCohesion(
+      df: DataFrame, labelCol: Column, vecCol: Column,
+      qScale: Int = 64): DataFrame = {
+    val q = transform(asDouble(vecCol),
+      v => floor(v * qScale + lit(0.5)).cast("long"))
+    val withQ = df.select(labelCol.as("label"), q.as("_q"))
+    val self = withQ.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(aggregate(col("_q"), lit(0L), (acc, v) => acc + v * v))
+        .as("sum_self_dot"))
+    val sums = withQ
+      .select(col("label"), posexplode(col("_q")).as(Seq("_dim", "_v")))
+      .groupBy("label", "_dim").agg(sum("_v").as("_s"))
+      .groupBy("label").agg(sum(col("_s") * col("_s")).as("_norm_sum_sq"))
+    self.join(sums, "label")
+      .select(col("label"), col("n_vecs"), col("sum_self_dot"),
+        ((col("_norm_sum_sq") - col("sum_self_dot")) / lit(2L))
+          .cast("long").as("pair_dot_sum"),
+        // a singleton cluster has no pairs: emit null, don't let ANSI
+        // mode's divide-by-zero kill the job on one size-1 group
+        when(col("n_vecs") > 1L,
+          (col("_norm_sum_sq") - col("sum_self_dot")).cast("double") /
+            (col("n_vecs") * (col("n_vecs") - lit(1L))))
+          .as("mean_pair_dot"))
+  }
 }

@@ -143,10 +143,37 @@ object EventQueries extends QueryPack {
     // moments, one fixed double expression per lag.
     "ev15_acf" -> ((s, d) =>
       EventAnalytics.autocorrelation(Tables.events(s, d), "ts", maxLag = 7)
-        .orderBy("lag"))
+        .orderBy("lag")),
+
+    // Day-of-week seasonality + chi-square uniformity per event type —
+    // the humanlike-vs-cron traffic detector; the (7·Σn² − T²)/T
+    // identity keeps everything integer until one closing division.
+    "ev20_dow_chi2" -> ((s, d) =>
+      EventAnalytics.dowSeasonality(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
+    // isodow ≡ Spark weekday()+1; the chi-square identity needs only the
+    // nonzero cells, so absent weekdays need no zero-fill; peak ties
+    // break to the earliest weekday on both engines.
+    "ev20_dow_chi2" ->
+      """WITH e AS (SELECT event_type, isodow(CAST(ts AS DATE)) AS dow
+            FROM events),
+         c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY event_type, dow),
+         a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+              CAST(sum(n * n) AS BIGINT) AS sum_sq, max(n) AS max_n
+            FROM c GROUP BY event_type),
+         p AS (SELECT c.event_type, CAST(min(c.dow) AS INT) AS peak_dow,
+              max(c.n) AS peak_count
+            FROM c JOIN a ON a.event_type = c.event_type AND c.n = a.max_n
+            GROUP BY c.event_type)
+         SELECT a.event_type, a.total, p.peak_dow, p.peak_count,
+           CAST(7 * a.sum_sq - a.total * a.total AS DOUBLE) / a.total
+             AS chi2_uniform
+         FROM a JOIN p ON p.event_type = a.event_type
+         ORDER BY a.event_type""",
     // stage-by-stage earliest-completion chain, identical to
     // EventAnalytics.funnel
     "ev1_funnel" ->

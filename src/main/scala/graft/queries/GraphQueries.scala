@@ -87,7 +87,21 @@ object GraphQueries extends QueryPack {
     // shuffle trio per round, state bounded by the true reach set.
     "gr7_khop" -> ((s, d) =>
       Graph.kHopCounts(simEdges(s, d), 3)
-        .orderBy("node"))
+        .orderBy("node")),
+
+    // Market-basket projection: a part↔part graph minted from order
+    // baskets (weight = co-occurring orders). Demonstrates graph
+    // CONSTRUCTION from transactional data, not just analytics on a
+    // given edge list; the basket cap (6 = TPC-H's near-max lines per
+    // order) is the mediator-capping guard that keeps one degenerate
+    // basket from costing |basket|² alone.
+    "gr9_copurchase" -> ((s, d) =>
+      Graph.bipartiteProjection(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", maxBasket = 6L, minWeight = 2L)
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("weight"))
+        .orderBy(col("weight").desc, col("part_a"), col("part_b")))
   )
 
   // Same sequential-fold cosine as the Spark side (bit-identical doubles;
@@ -222,6 +236,18 @@ object GraphQueries extends QueryPack {
           FROM deg d LEFT JOIN tc ON tc.node = d.node
           WHERE d.degree >= 2
           ORDER BY clustering_coeff DESC, d.node""",
+    // same shape as Graph.bipartiteProjection: distinct links → basket
+    // cap → within-group self-join → pair counts.
+    "gr9_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+               FROM lineitem),
+          sz AS (SELECT g FROM li GROUP BY g HAVING count(*) <= 6),
+          b AS (SELECT li.g, li.item FROM li JOIN sz USING (g)),
+          pr AS (SELECT x.item AS part_a, y.item AS part_b
+                 FROM b x JOIN b y ON y.g = x.g AND x.item < y.item)
+          SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS weight
+          FROM pr GROUP BY part_a, part_b HAVING count(*) >= 2
+          ORDER BY weight DESC, part_a, part_b""",
     // hop-by-hop expansion; UNION (not UNION ALL) dedups the reach set,
     // mirroring the Spark side's distinct + left_anti accumulation.
     "gr7_khop" ->

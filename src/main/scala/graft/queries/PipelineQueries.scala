@@ -231,7 +231,18 @@ object PipelineQueries extends QueryPack {
         Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
         strata = Seq(col("lang")),
         order = Seq(col("n_chars").asc, col("doc_id").asc), n = 4)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Length-sorted batches of 32 with per-batch padding waste — the
+    // dataloader-efficiency audit (waste ≈ 0 within length-sorted
+    // batches; arrival order wastes the corpus length spread). Global
+    // rank via the two-phase scheme, then one keyed agg; all integers.
+    "pl18_length_batching" -> ((s, d) =>
+      Pipeline.lengthBatches(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
+        col("n_tokens"), col("doc_id"), batchSize = 32)
+        .orderBy("batch_id"))
   )
 
   // The identical shift/and/or fold as Pipeline.zValue, generated
@@ -244,6 +255,24 @@ object PipelineQueries extends QueryPack {
     }.mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    // same whitespace token count as pl8's oracle; (pos-1)//32 is the
+    // identical floor batch cut.
+    "pl18_length_batching" ->
+      """WITH c AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+              AS n_tokens
+          FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+            CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+              AS pos
+          FROM c),
+         b AS (SELECT (pos - 1) // 32 AS batch_id, n_tokens FROM r)
+         SELECT batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+           max(n_tokens) AS max_len,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+             AS padding_waste
+         FROM b GROUP BY batch_id ORDER BY batch_id""",
     "pl12_winsorize" ->
       """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
                       quantile_cont(n_chars, 0.95) AS hi FROM documents)

@@ -156,7 +156,16 @@ object SimilarityQueries extends QueryPack {
       Similarity.kmeans(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8, updates = 2)
         .select("vec_id", "cid")
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Per-label cohesion via the sum-of-vectors identity
+    // Σ_{i<j} qᵢ·qⱼ = (‖Σq‖² − Σ‖q‖²)/2 on a shared int8-style grid —
+    // an n²-pair audit metric for two keyed aggregations; all-integer,
+    // hence oracle-exact in any merge order.
+    "ss13_cluster_cohesion" -> ((s, d) =>
+      Similarity.clusterCohesion(
+        Tables.embeddings(s, d), col("label"), col("embedding"), qScale = 64)
+        .orderBy("label"))
   )
 
   private def cosSql(a: String, b: String): String =
@@ -172,6 +181,28 @@ object SimilarityQueries extends QueryPack {
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // mirrors Similarity.clusterCohesion: shared-grid quantization
+    // (floor(x·64 + 0.5) — same floor-not-round rule as ss5), exact
+    // integer sums per (label, dim) and per label, one closing division.
+    "ss13_cluster_cohesion" ->
+      """WITH q AS (SELECT label,
+            [CAST(floor(CAST(v AS DOUBLE) * 64 + 0.5) AS BIGINT)
+             for v in embedding] AS qv
+          FROM embeddings),
+         per AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(sum(list_sum([x * x for x in qv])) AS BIGINT)
+              AS sum_self_dot
+          FROM q GROUP BY label),
+         dims AS (SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS s
+          FROM q, range(1, 65) t(i) GROUP BY label, i),
+         nrm AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS norm_sum_sq
+          FROM dims GROUP BY label)
+         SELECT p.label, p.n_vecs, p.sum_self_dot,
+           (n.norm_sum_sq - p.sum_self_dot) // 2 AS pair_dot_sum,
+           CAST(n.norm_sum_sq - p.sum_self_dot AS DOUBLE) /
+             (p.n_vecs * (p.n_vecs - 1)) AS mean_pair_dot
+         FROM per p JOIN nrm n ON n.label = p.label
+         ORDER BY p.label""",
     "ss9_cosine_histogram" ->
       s"""WITH p AS (
             SELECT ${cosSql("a.embedding", "b.embedding")} AS cos

@@ -347,4 +347,25 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(r.getLong(3) === 2 * 60 * 1000000L)
     assert(r.getLong(4) === 4 * 60 * 1000000L)
   }
+
+  test("dowSeasonality: ISO weekday, chi2 identity, tie to earliest dow") {
+    import spark.implicits._
+    def day(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 12:00:00")
+    // 2024-01-01 is a Monday (ISO dow 1)
+    val events = Seq(
+      // x: 3 Monday hits, 1 Tuesday hit
+      ("x", day("1")), ("x", day("1")), ("x", day("1")), ("x", day("2")),
+      // y: Mon/Tue tie -> peak must break to Monday
+      ("y", day("1")), ("y", day("2")))
+      .toDF("event_type", "ts")
+    val got = EventAnalytics.dowSeasonality(events, "event_type", "ts")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    // x: T=4, Σn² = 9+1 = 10 → χ² = (7·10 − 16)/4 = 13.5; absent
+    //    weekdays contribute via the identity without zero-fill rows
+    assert(got("x") === ((4L, 1, 3L, 13.5)))
+    // y: T=2, Σn² = 2 → χ² = (14 − 4)/2 = 5.0; tie → earliest dow
+    assert(got("y") === ((2L, 1, 1L, 5.0)))
+  }
 }

@@ -196,4 +196,24 @@ class GraphSpec extends GraftSuite {
     assert(khop(4) == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L,
       6L -> 1L, 7L -> 1L))
   }
+
+  test("bipartiteProjection: weights, dup links, basket cap, minWeight") {
+    // baskets: g1={1,2,3}, g2={1,2}, g3={1,2} with a duplicated link row
+    val links = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (30L, 2L)) // dup (30,2) must count once
+      .toDF("g", "item")
+    def got(maxBasket: Long, minWeight: Long) =
+      Graph.bipartiteProjection(links, "g", "item", maxBasket, minWeight)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // uncapped: (1,2) in all 3 baskets; (1,3) and (2,3) only in g1
+    assert(got(Long.MaxValue, 1L) ===
+      Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // minWeight prunes the singleton tail
+    assert(got(Long.MaxValue, 2L) === Map((1L, 2L) -> 3L))
+    // maxBasket=2 drops the size-3 basket BEFORE pair generation
+    assert(got(2L, 1L) === Map((1L, 2L) -> 2L))
+  }
 }

@@ -411,4 +411,27 @@ class PipelineSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
     assert(re === got)
   }
+
+  test("lengthBatches: sort order, batch cut, exact padding waste") {
+    import spark.implicits._
+    // lengths sorted (len, id): (2,1),(5,2),(3,5),(4,5),(1,10)
+    val rows = Seq((1L, 10L), (2L, 1L), (3L, 5L), (4L, 5L), (5L, 2L))
+      .toDF("doc_id", "len")
+    val got = Pipeline
+      .lengthBatches(rows, col("len"), col("doc_id"), batchSize = 2)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 2L, 3L, 1L),    // [(2,len1),(5,len2)]: pads len-1 → 2
+      (1L, 2L, 5L, 10L, 0L),   // equal lengths → zero waste
+      (2L, 1L, 10L, 10L, 0L))) // ragged final batch, no waste alone
+    // deterministic under a different physical layout (two-phase rank)
+    val re = Pipeline
+      .lengthBatches(rows.repartition(5), col("len"), col("doc_id"), 2)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(re.toSeq === got.toSeq)
+  }
 }

@@ -324,4 +324,32 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.2, s"pq recall@5 = $recall")
     assert(pq.size === exact.size)
   }
+
+  test("clusterCohesion matches hand-computed sums and brute-force pairs") {
+    import spark.implicits._
+    // label a: q = [64,0],[64,0],[0,64]; label b: a lone vector
+    val df = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)), ("a", Seq(0.0f, 1.0f)),
+      ("b", Seq(0.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val rows = Similarity
+      .clusterCohesion(df, col("label"), col("embedding"), qScale = 64)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    // a: sum_self = 3·64² = 12288; Σq = [128,64] → ‖Σq‖² = 20480;
+    //    pair_dot_sum = (20480−12288)/2 = 4096 — exactly the brute-force
+    //    q1·q2 + q1·q3 + q2·q3 = 4096 + 0 + 0; mean over ordered pairs
+    //    = 8192/6
+    val a = rows("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getDouble(4)) ===
+      ((3L, 12288L, 4096L, 8192.0 / 6.0)))
+    // b: q = [32,32] (floor(0.5·64 + 0.5) = 32, shared-grid rule);
+    //    a singleton has no pairs → sum 0, mean null (guarded against
+    //    ANSI divide-by-zero), the honest "undefined" answer
+    val b = rows("b")
+    assert(b.getLong(1) === 1L)
+    assert(b.getLong(2) === 2L * 32L * 32L)
+    assert(b.getLong(3) === 0L)
+    assert(b.isNullAt(4))
+  }
 }
