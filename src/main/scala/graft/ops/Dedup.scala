@@ -526,4 +526,75 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "shared", "containment")
   }
+
+  /** Pairwise source-overlap matrix: for every pair of corpus sources,
+    * the exact Jaccard of their distinct word-n-gram SETS plus both
+    * directed containments — the "how much of CommonCrawl is already in
+    * Books" audit that decides cross-source dedup order and mixture
+    * double-counting. Source-level, not doc-level: [[decontaminate]]
+    * flags individual docs; this grades whole corpora against each other.
+    *
+    * Scale shape: one distinct on (source, gram) — the gram sets of a
+    * source dedup map-side before the shuffle — then a self-equi-join
+    * keyed ON THE GRAM (never pairwise across docs) and one count per
+    * source pair. The pair frame is |sources|² ≤ tiny, so the size join
+    * at the end broadcasts. All-integer counts → one division each for
+    * jaccard/containment → oracle hash-exact. Pairs with zero shared
+    * grams still appear (overlap 0 is the finding that matters most). */
+  def sourceOverlapMatrix(
+      docs: DataFrame, source: Column, text: Column, n: Int): DataFrame = {
+    val grams = docs.select(source.as("src"),
+      explode(array_distinct(graft.ops.TextAnalysis.wordNgrams(
+        split(text, " "), n))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("sz"))
+    val inter = grams.alias("a")
+      .join(grams.alias("b"),
+        col("a.gram") === col("b.gram") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    sizes.alias("x")
+      .join(sizes.alias("y"), col("x.src") < col("y.src"))
+      .select(col("x.src").as("src_a"), col("y.src").as("src_b"),
+        col("x.sz").as("grams_a"), col("y.sz").as("grams_b"))
+      .join(inter, Seq("src_a", "src_b"), "left_outer")
+      .withColumn("shared_grams", coalesce(col("shared_grams"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams"))
+            .cast("double")).as("jaccard"),
+        (col("shared_grams").cast("double") / col("grams_a").cast("double"))
+          .as("frac_a_in_b"),
+        (col("shared_grams").cast("double") / col("grams_b").cast("double"))
+          .as("frac_b_in_a"))
+  }
+
+  /** Survivor election after clustering: given cluster membership
+    * (doc, cluster) and a per-doc quality score, pick ONE representative
+    * per cluster — highest quality, ties to the smallest id — and emit
+    * every doc with its redirect target. This is the step between "LSH
+    * found the duplicate clusters" and "write the deduped corpus": the
+    * keep-rule must be auditable (deterministic argmax, not "first seen"),
+    * and the losers' `rep_id` column IS the redirect map a downstream
+    * join uses to repoint references at the surviving copy.
+    *
+    * Scale shape: one window ranked WITHIN each cluster (keyed partition,
+    * never SinglePartition) and one broadcast-size join of reps back to
+    * members. Deterministic total order (quality desc, id asc) →
+    * oracle hash-exact. */
+  def electRepresentatives(
+      members: DataFrame, idCol: String, clusterCol: String,
+      quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = members.withColumn("_q", quality)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(clusterCol))
+          .orderBy(col("_q").desc, col(idCol).asc)))
+    val reps = ranked.filter(col("_rn") === 1)
+      .select(col(clusterCol), col(idCol).as("rep_id"))
+    ranked.join(reps, clusterCol)
+      .select(col(idCol).as("doc_id"), col(clusterCol).as("cluster_id"),
+        col("rep_id"), (col(idCol) === col("rep_id")).as("kept"))
+  }
 }

@@ -455,6 +455,52 @@ object Pipeline {
         col("n_rows") * col("max_len") - col("sum_len"))
   }
 
+  /** Population Stability Index between a reference split and a
+    * comparison split of the same column — THE production drift monitor
+    * for a feature/quality score between two corpus snapshots or between
+    * train and serve. Buckets are the reference split's exact interpolated
+    * quantiles (drift is measured against where the REFERENCE mass sat,
+    * the standard PSI construction), and each bucket row carries both
+    * shares plus its additive term (p_ref − p_cmp)·ln(p_ref/p_cmp);
+    * PSI = Σ terms (rule of thumb: < 0.1 stable, > 0.25 shifted). A
+    * bucket empty on either side emits a null term — the honest
+    * "ln 0 undefined" answer, not an epsilon fudge.
+    *
+    * Scale shape: one exact-percentile aggregation over the reference,
+    * edges broadcast as a 1-row frame, bucket assignment a scan-local
+    * fold over ≤ nBuckets−1 edges, then one keyed count per (bucket,
+    * split) — scan-shaped at any corpus size. Counts are exact longs,
+    * shares exact-integer ratios, and each term is one fixed double
+    * expression per row (never a cross-row float sum) → oracle
+    * hash-exact. */
+  def psiDrift(
+      df: DataFrame, value: Column, isRef: Column,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val edges = df.filter(isRef)
+      .agg(percentile(value, lit(probes.toArray)).as("_edges"))
+    val bucketed = df
+      .select(value.cast("double").as("_v"), isRef.as("_ref"))
+      .crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        aggregate(col("_edges"), lit(0),
+          (acc, e) => acc + when(col("_v") > e, 1).otherwise(0)))
+    val counts = bucketed.groupBy("bucket").agg(
+      sum(when(col("_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("_ref"), 0L).otherwise(1L)).as("n_cmp"))
+    val totals = counts.agg(
+      sum("n_ref").as("_t_ref"), sum("n_cmp").as("_t_cmp"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_ref", col("n_ref").cast("double") / col("_t_ref"))
+      .withColumn("p_cmp", col("n_cmp").cast("double") / col("_t_cmp"))
+      .select(col("bucket"), col("n_ref"), col("n_cmp"),
+        col("p_ref"), col("p_cmp"),
+        when(col("n_ref") > 0L && col("n_cmp") > 0L,
+          (col("p_ref") - col("p_cmp")) * log(col("p_ref") / col("p_cmp")))
+          .as("psi_term"))
+  }
+
   // ---- BPE tokenizer training ------------------------------------------
 
   /** Frequency-weighted word table: (word, freq) over whitespace tokens,

@@ -510,4 +510,34 @@ object TextAnalysis {
           ". ").as("clean_text"))
     stats.join(ded, "d_id").withColumnRenamed("d_id", "doc_id")
   }
+
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT word
+    * n-grams that appear in no other document — the doc-level
+    * "how much of this is boilerplate seen elsewhere" score. Complements
+    * the pairwise operators (`Dedup.containmentPairs` says WHO you
+    * overlap with; this says HOW MUCH of you is original at all), and a
+    * `novelty ≈ 0` filter is the cheap pre-pass that drops mirror/
+    * template sludge before any pairwise machinery runs.
+    *
+    * Scale shape: the corpus-global structure is a gram
+    * document-frequency table (distinct (doc, gram) → count per gram) —
+    * an inverted-index aggregation keyed on the gram, the same shape as
+    * [[Dedup.decontaminate]]; the doc join back is keyed on (doc, gram).
+    * Never pairwise, never a global window. All-integer counts → one
+    * division → oracle hash-exact. Docs shorter than n words have no
+    * grams and are absent (nothing to judge). */
+  def ngramNovelty(
+      docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(id.as("doc_id"),
+      explode(array_distinct(wordNgrams(split(text, " "), n))).as("gram"))
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("_df"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") > 1L, 1L).otherwise(0L)).as("shared_grams"))
+      .select(col("doc_id"), col("n_grams"), col("shared_grams"),
+        ((col("n_grams") - col("shared_grams")).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+  }
 }

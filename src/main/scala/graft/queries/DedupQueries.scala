@@ -125,6 +125,35 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Source-vs-source overlap matrix: exact Jaccard + both directed
+    // containments over each source's distinct word-3-gram SET — the
+    // corpus-level "how much of A is already in B" audit (dd11 grades
+    // docs; this grades whole sources). Gram-keyed self-join, never
+    // pairwise across docs; zero-overlap pairs still reported.
+    "dd18_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapMatrix(
+        Tables.documents(s, d), col("source"), col("text"), n = 3)
+        .orderBy("src_a", "src_b")),
+
+    // Survivor election on dd10's clusters: keep the longest doc per
+    // near-dup cluster (n_chars as the audit-friendly quality proxy,
+    // ties to smallest id); every doc carries its redirect target —
+    // the step between "LSH found clusters" and "write the deduped
+    // corpus". Cluster-keyed window + broadcast rep join.
+    "dd19_cluster_reps" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.ngramJaccardPairs(
+        docs, col("doc_id"), col("text"), col("source"),
+        n = 3, threshold = 0.6)
+      val cc = Dedup
+        .connectedComponents(docs, col("doc_id"), edges, "id_a", "id_b")
+      val members = cc.select(col("cc_id").as("doc_id"), col("cluster_id"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+      Dedup.electRepresentatives(members, "doc_id", "cluster_id",
+        col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-duplicates via SRP-LSH buckets + exact-cosine
     // verify — the 100 TB path (shuffles on (table, sig) keys, never n²).
     // Fixture embeddings are uniform random (max pairwise cos ≈ 0.5), so
@@ -251,6 +280,61 @@ object DedupQueries extends QueryPack {
           FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
           SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
           ORDER BY id_a, id_b""",
+    // distinct (source, gram) sets → sizes + gram-keyed intersection,
+    // zero-overlap pairs preserved by the sizes cross join.
+    "dd18_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w
+            FROM documents),
+          g AS (SELECT DISTINCT source AS src, unnest(list_distinct(
+              [array_to_string(w[i:i+2], ' ')
+               for i in range(1, len(w) - 1)])) AS gram
+            FROM toks),
+          sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz
+            FROM g GROUP BY src),
+          it AS (SELECT a.src AS src_a, b.src AS src_b,
+              CAST(count(*) AS BIGINT) AS shared
+            FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+            GROUP BY 1, 2)
+          SELECT x.src AS src_a, y.src AS src_b, x.sz AS grams_a,
+            y.sz AS grams_b, COALESCE(it.shared, 0) AS shared_grams,
+            CAST(COALESCE(it.shared, 0) AS DOUBLE) /
+              (x.sz + y.sz - COALESCE(it.shared, 0)) AS jaccard,
+            CAST(COALESCE(it.shared, 0) AS DOUBLE) / x.sz AS frac_a_in_b,
+            CAST(COALESCE(it.shared, 0) AS DOUBLE) / y.sz AS frac_b_in_a
+          FROM sz x JOIN sz y ON x.src < y.src
+          LEFT JOIN it ON it.src_a = x.src AND it.src_b = y.src
+          ORDER BY src_a, src_b""",
+    // dd10's recursive-CC CTE, then per-cluster argmax on
+    // (n_chars DESC, doc_id ASC) elects the representative.
+    "dd19_cluster_reps" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+            list_distinct([substr(lower(text), i, 3)
+                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
+          FROM documents),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              AS jaccard
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
+          e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.6),
+          ue AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r),
+          m AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id),
+          q AS (SELECT m.doc_id, m.cluster_id, d.n_chars
+            FROM m JOIN documents d USING (doc_id)),
+          rk AS (SELECT doc_id, cluster_id, row_number() OVER (
+              PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC)
+              AS rn
+            FROM q),
+          rep AS (SELECT cluster_id, doc_id AS rep_id FROM rk WHERE rn = 1)
+          SELECT q.doc_id, q.cluster_id, rep.rep_id,
+            q.doc_id = rep.rep_id AS kept
+          FROM q JOIN rep USING (cluster_id) ORDER BY q.doc_id""",
     "dd10_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, source,
             list_distinct([substr(lower(text), i, 3)

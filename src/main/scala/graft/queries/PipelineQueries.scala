@@ -242,7 +242,17 @@ object PipelineQueries extends QueryPack {
         Tables.documents(s, d).select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
         col("n_tokens"), col("doc_id"), batchSize = 32)
-        .orderBy("batch_id"))
+        .orderBy("batch_id")),
+
+    // PSI drift between the even-id half (reference) and the odd-id half
+    // of the corpus over n_chars: exact reference-decile buckets, exact
+    // count shares, one fixed double term per bucket (never a cross-row
+    // float sum) — the standard corpus-snapshot drift monitor.
+    "pl20_psi_drift" -> ((s, d) =>
+      Pipeline.psiDrift(
+        Tables.documents(s, d), col("n_chars"),
+        col("doc_id") % 2 === 0, nBuckets = 10)
+        .orderBy("bucket"))
   )
 
   // The identical shift/and/or fold as Pipeline.zValue, generated
@@ -255,6 +265,35 @@ object PipelineQueries extends QueryPack {
     }.mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    // reference-half deciles via quantile_cont (≡ Spark percentile,
+    // proven by pl12); probe literals carry e0 so DuckDB types them
+    // DOUBLE, not DECIMAL; bucket = #edges strictly below the value.
+    "pl20_psi_drift" ->
+      """WITH e AS (SELECT quantile_cont(n_chars,
+              [0.1e0, 0.2e0, 0.3e0, 0.4e0, 0.5e0,
+               0.6e0, 0.7e0, 0.8e0, 0.9e0]) AS edges
+            FROM documents WHERE doc_id % 2 = 0),
+          b AS (SELECT CAST(n_chars AS DOUBLE) AS v, doc_id % 2 = 0 AS is_ref
+            FROM documents),
+          bk AS (SELECT CAST(len([x for x in e.edges if b.v > x]) AS INT)
+              AS bucket, b.is_ref
+            FROM b, e),
+          c AS (SELECT bucket,
+              CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ref,
+              CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_cmp
+            FROM bk GROUP BY bucket),
+          t AS (SELECT sum(n_ref) AS t_ref, sum(n_cmp) AS t_cmp FROM c)
+          SELECT bucket, n_ref, n_cmp,
+            CAST(n_ref AS DOUBLE) / t_ref AS p_ref,
+            CAST(n_cmp AS DOUBLE) / t_cmp AS p_cmp,
+            CASE WHEN n_ref > 0 AND n_cmp > 0 THEN
+              (CAST(n_ref AS DOUBLE) / t_ref - CAST(n_cmp AS DOUBLE) / t_cmp)
+                * ln((CAST(n_ref AS DOUBLE) / t_ref) /
+                     (CAST(n_cmp AS DOUBLE) / t_cmp))
+            END AS psi_term
+          FROM c, t ORDER BY bucket""",
     // same whitespace token count as pl8's oracle; (pos-1)//32 is the
     // identical floor batch cut.
     "pl18_length_batching" ->

@@ -52,6 +52,14 @@ object TextQueries extends QueryPack {
           col("n_latin"), col("n_digit"), col("n_cjk"), col("n_cyrillic")))
         .orderBy("doc_id")),
 
+    // Per-doc n-gram novelty: fraction of a doc's distinct word-3-grams
+    // seen in no other doc — the "how much of this is boilerplate"
+    // pre-filter; gram-DF inverted index, keyed joins only.
+    "ta20_ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(
+        Tables.documents(s, d), col("doc_id"), col("text"), n = 3)
+        .orderBy("doc_id")),
+
     // Intra-doc sentence dedup (C4-style repeated-line removal, within
     // the page): first occurrence kept, original order reassembled.
     "ta18_sentence_dedup" -> ((s, d) =>
@@ -235,6 +243,23 @@ object TextQueries extends QueryPack {
   private val esList = "('el','los','de','que','y','una')"
 
   val oracle: Map[String, String] = Map(
+    // same word-3-gram construction as dd11's oracle; df > 1 marks a
+    // gram shared with any other doc (distinct per doc first).
+    "ta20_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(
+              [array_to_string(w[i:i+2], ' ')
+               for i in range(1, len(w) - 1)])) AS gram
+            FROM toks),
+          dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+          j AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS shared_grams
+            FROM g JOIN dfq USING (gram) GROUP BY g.doc_id)
+          SELECT doc_id, n_grams, shared_grams,
+            CAST(n_grams - shared_grams AS DOUBLE) / n_grams AS novelty
+          FROM j ORDER BY doc_id""",
     "ta1_langid" ->
       s"""WITH t AS (SELECT doc_id, lang,
             regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),

@@ -319,4 +319,42 @@ class DedupSpec extends GraftSuite {
     assert(run(3) === Set((1L, 2L), (1L, 4L)))
     graft.ops.Pipeline.releaseCaches()
   }
+
+  test("sourceOverlapMatrix: gram-set jaccard, containments, zero pair") {
+    import spark.implicits._
+    // 2-gram sets: A = {a b, b c} (both docs identical → set dedup),
+    // B = {a b, b d}, C = {x y}
+    val docs = Seq(
+      ("A", "a b c"), ("A", "a b c"), ("B", "a b d"), ("C", "x y"))
+      .toDF("source", "text")
+    val got = Dedup
+      .sourceOverlapMatrix(docs, col("source"), col("text"), n = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.size === 3) // all pairs, including zero-overlap ones
+    // A∩B = {a b}: jaccard 1/3, half of each side contained
+    assert(got(("A", "B")) === ((2L, 2L, 1L, 1.0 / 3.0, 0.5, 0.5)))
+    assert(got(("A", "C")) === ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(("B", "C")) === ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("electRepresentatives: quality argmax, id tie-break, redirects") {
+    import spark.implicits._
+    // cluster 1: doc 3 has top quality; cluster 2: tie → smallest id 4
+    val members = Seq(
+      (1L, 1L, 5.0), (2L, 1L, 7.0), (3L, 1L, 9.0),
+      (4L, 2L, 4.0), (5L, 2L, 4.0),
+      (6L, 6L, 1.0)) // singleton keeps itself
+      .toDF("doc_id", "cluster_id", "q")
+    val got = Dedup
+      .electRepresentatives(members, "doc_id", "cluster_id", col("q"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, false)), 2L -> ((3L, false)), 3L -> ((3L, true)),
+      4L -> ((4L, true)), 5L -> ((4L, false)),
+      6L -> ((6L, true))))
+  }
 }

@@ -434,4 +434,23 @@ class PipelineSpec extends GraftSuite {
         r.getLong(4)))
     assert(re.toSeq === got.toSeq)
   }
+
+  test("psiDrift: identical halves → 0, shifted half → null + positive") {
+    import spark.implicits._
+    def run(cmp: Seq[Long]) = Pipeline.psiDrift(
+        (Seq(1L, 2L, 3L, 4L).map((_, true)) ++ cmp.map((_, false)))
+          .toDF("v", "is_ref"),
+        col("v"), col("is_ref"), nBuckets = 2)
+      .orderBy("bucket").collect()
+    // same distribution on both sides: every term exactly 0.0
+    val same = run(Seq(1L, 2L, 3L, 4L))
+    assert(same.map(_.getInt(0)).toSeq === Seq(0, 1))
+    assert(same.forall(r => r.getDouble(5) === 0.0))
+    // cmp mass all above the ref median: bucket 0 empty on the cmp side
+    // → null term (not a divide/ln crash); bucket 1 term = −0.5·ln 0.5
+    val shifted = run(Seq(100L, 200L))
+    assert(shifted(0).getLong(1) === 2L && shifted(0).getLong(2) === 0L)
+    assert(shifted(0).isNullAt(5))
+    assert(shifted(1).getDouble(5) === -0.5 * math.log(0.5))
+  }
 }

@@ -238,4 +238,23 @@ class TextAnalysisSpec extends GraftSuite {
     // "no"(o) "terminal"(e,i,a) "punctuation"(u,ua,io) "here"(e,e) = 9
     assert(got(2L)._2 === 1 && got(2L)._3 === 9)
   }
+
+  test("ngramNovelty: shared grams counted once, short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d}; "b c d" also in doc 2
+      (2L, "b c d e"),   // grams {b c d, c d e}
+      (3L, "x y z w"),   // fully unique → novelty 1
+      (4L, "too short")) // < n words → no grams → absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .ngramNovelty(docs, col("doc_id"), col("text"), n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 1.0))))
+  }
 }
