@@ -570,6 +570,41 @@ object Dedup {
           .as("frac_b_in_a"))
   }
 
+  /** Approximate source-overlap via Theta sketches (Apache DataSketches,
+    * shipped with Spark 4) — the 100 TB path for [[sourceOverlapMatrix]].
+    * The exact matrix shuffles every distinct (source, gram) row and
+    * self-joins on the gram; here each source's gram set collapses to a
+    * fixed-size (default 4096-entry) mergeable sketch built map-side —
+    * no pre-`distinct` needed, the sketch dedups by construction — and
+    * the pairwise stage intersects |sources|² tiny sketches on the
+    * driver-side broadcast scale. Unlike HLL (union-only), Theta
+    * sketches support INTERSECTION, which is exactly what an overlap
+    * matrix needs; relative error ~1/√k once sets exceed the sketch
+    * size, exact below it.
+    *
+    * Rows-only by design (sketch estimates are engine-specific);
+    * DedupSpec bounds the estimates against the exact matrix. */
+  def thetaSourceOverlap(
+      docs: DataFrame, source: Column, text: Column, n: Int): DataFrame = {
+    val grams = docs.select(source.as("src"),
+      explode(array_distinct(graft.ops.TextAnalysis.wordNgrams(
+        split(text, " "), n))).as("gram"))
+    val sk = grams.groupBy("src")
+      .agg(expr("theta_sketch_agg(gram)").as("sk"))
+    val a = sk.select(col("src").as("src_a"), col("sk").as("_sk_a"))
+    val b = sk.select(col("src").as("src_b"), col("sk").as("_sk_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("est_a", expr("theta_sketch_estimate(_sk_a)"))
+      .withColumn("est_b", expr("theta_sketch_estimate(_sk_b)"))
+      .withColumn("est_shared",
+        expr("theta_sketch_estimate(theta_intersection(_sk_a, _sk_b))"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_shared"),
+        (col("est_shared").cast("double") /
+          (col("est_a") + col("est_b") - col("est_shared")).cast("double"))
+          .as("jaccard_est"))
+  }
+
   /** Survivor election after clustering: given cluster membership
     * (doc, cluster) and a per-doc quality score, pick ONE representative
     * per cluster — highest quality, ties to the smallest id — and emit

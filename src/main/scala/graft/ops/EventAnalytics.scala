@@ -633,6 +633,38 @@ object EventAnalytics {
     * ISO (1 = Monday … 7 = Sunday: Spark `weekday()+1` ≡ DuckDB
     * `isodow()`). Peak ties break to the earliest weekday. Two keyed
     * aggregations on (type, dow) then type — scan-shaped at any scale. */
+  /** Batch sessionization: split each user's event stream into sessions
+    * at inactivity gaps > `gapUs` and emit per-session stats — the batch
+    * twin of the streaming session window (`st3`/`st8`), run over the
+    * historical log where watermarks don't apply. Session identity is
+    * the classic gaps-and-islands construction: a new-session flag from
+    * the keyed lag, then a running count of flags — both windows
+    * partitioned BY USER (state = one user's events, never a global
+    * order), then one keyed aggregation. Exact-µs gap arithmetic
+    * (`unix_micros`, the cross-engine-safe time representation) and a
+    * deterministic (ts, event_id) tie-break → oracle hash-exact. */
+  def sessionize(
+      events: DataFrame, userCol: String, tsCol: String,
+      eventIdCol: String, gapUs: Long): DataFrame = {
+    val base = events.select(col(userCol).as("user_id"),
+      col(tsCol).as("ts"), col(eventIdCol).as("event_id"))
+      .withColumn("_t", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("_t"), 1).over(w)
+    base
+      .withColumn("_new",
+        when(prev.isNull || col("_t") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("_t")) - min(col("_t"))).as("duration_us"))
+  }
+
   def dowSeasonality(
       events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
     val counts = events

@@ -135,6 +135,17 @@ object DedupQueries extends QueryPack {
         Tables.documents(s, d), col("source"), col("text"), n = 3)
         .orderBy("src_a", "src_b")),
 
+    // Theta-sketch approximate source overlap — the 100 TB path for
+    // dd18: per-source gram sets collapse to fixed-size mergeable
+    // sketches map-side (no pre-distinct; the sketch dedups), then
+    // |sources|² sketch intersections. Rows-only (sketch estimates are
+    // engine-specific); DedupSpec bounds every estimate against dd18's
+    // exact matrix.
+    "dd20_theta_overlap" -> ((s, d) =>
+      Dedup.thetaSourceOverlap(
+        Tables.documents(s, d), col("source"), col("text"), n = 3)
+        .orderBy("src_a", "src_b")),
+
     // Survivor election on dd10's clusters: keep the longest doc per
     // near-dup cluster (n_chars as the audit-friendly quality proxy,
     // ties to smallest id); every doc carries its redirect target —

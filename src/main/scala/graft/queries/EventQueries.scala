@@ -151,9 +151,35 @@ object EventQueries extends QueryPack {
     "ev20_dow_chi2" -> ((s, d) =>
       EventAnalytics.dowSeasonality(Tables.events(s, d), "event_type", "ts")
         .orderBy("event_type"))
+,
+    // Batch sessionization at a 30-minute inactivity gap — the
+    // gaps-and-islands twin of the streaming session window, over the
+    // historical log; user-keyed windows only, exact-µs arithmetic.
+    "ev18_sessions" -> ((s, d) =>
+      EventAnalytics.sessionize(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        gapUs = 30L * 60 * 1000000)
+        .orderBy("user_id", "session_idx"))
   )
 
   val oracle: Map[String, String] = Map(
+    // identical gaps-and-islands: lag flag, running flag sum, keyed agg;
+    // epoch_us both sides, (ts, event_id) tie-break.
+    "ev18_sessions" ->
+      """WITH o AS (SELECT user_id, ts, event_id, epoch_us(ts) AS t
+            FROM events),
+          f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+            FROM o WINDOW w AS (PARTITION BY user_id
+              ORDER BY ts, event_id)),
+          s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f)
+          SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+            min(ts) AS session_start, max(ts) AS session_end,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(max(t) - min(t) AS BIGINT) AS duration_us
+          FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
     // isodow ≡ Spark weekday()+1; the chi-square identity needs only the
     // nonzero cells, so absent weekdays need no zero-fill; peak ties
     // break to the earliest weekday on both engines.

@@ -340,6 +340,27 @@ class DedupSpec extends GraftSuite {
     assert(got(("B", "C")) === ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("thetaSourceOverlap estimates track the exact matrix within 5%") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val exact = Dedup
+      .sourceOverlapMatrix(docs, col("source"), col("text"), n = 3)
+      .collect().map(r => key(r) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val est = Dedup
+      .thetaSourceOverlap(docs, col("source"), col("text"), n = 3)
+      .collect().map(r => key(r) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(est.keySet === exact.keySet) // every pair, including zeros
+    def close(e: Long, x: Long): Boolean =
+      if (x == 0L) e == 0L else math.abs(e - x).toDouble / x <= 0.05
+    est.foreach { case (k, (ea, eb, es)) =>
+      val (xa, xb, xs) = exact(k)
+      assert(close(ea, xa) && close(eb, xb) && close(es, xs),
+        s"$k: est ($ea,$eb,$es) vs exact ($xa,$xb,$xs)")
+    }
+  }
+
   test("electRepresentatives: quality argmax, id tie-break, redirects") {
     import spark.implicits._
     // cluster 1: doc 3 has top quality; cluster 2: tie → smallest id 4

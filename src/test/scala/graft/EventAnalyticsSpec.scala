@@ -348,6 +348,30 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(r.getLong(4) === 4 * 60 * 1000000L)
   }
 
+  test("sessionize: gap rule strict, boundary stays, singleton session") {
+    import spark.implicits._
+    // user 1: 0 / 10min (same session) / 40min (gap 30min exactly — NOT
+    // > gap, stays) / 75min (gap 35min → new session); user 2: one event
+    def tm(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val events = Seq(
+      (1L, 1L, tm(0)), (2L, 1L, tm(10)), (3L, 1L, tm(40)), (4L, 1L, tm(75)),
+      (5L, 2L, tm(5)))
+      .toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics
+      .sessionize(events, "user_id", "ts", "event_id",
+        gapUs = 30L * 60 * 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), r.getTimestamp(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet === Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    // first session spans 0..40min inclusive (the exact-gap event stays)
+    assert(got((1L, 1L)) === ((tm(0), tm(40), 3L, 40L * 60 * 1000000)))
+    assert(got((1L, 2L)) === ((tm(75), tm(75), 1L, 0L)))
+    assert(got((2L, 1L)) === ((tm(5), tm(5), 1L, 0L)))
+  }
+
   test("dowSeasonality: ISO weekday, chi2 identity, tie to earliest dow") {
     import spark.implicits._
     def day(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 12:00:00")
