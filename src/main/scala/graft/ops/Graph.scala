@@ -333,6 +333,46 @@ object Graph {
       .filter(col("weight") >= minWeight)
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007): every node starts as its own community, then for a fixed
+    * number of rounds simultaneously adopts the most frequent label among
+    * its neighbors (ties to the smallest label — the determinism rule
+    * that makes async LPA's run-to-run noise disappear). On a near-dup
+    * graph this splits what connected components would merge: CC calls
+    * two template families bridged by one chance edge a single cluster;
+    * LPA keeps them apart because each side's majority wins locally.
+    *
+    * Scale shape: per round one join shuffled on the neighbor key, one
+    * (node, label) count, one per-node argmax — all keyed, state = one
+    * label per node, `localCheckpoint` truncates per-round lineage like
+    * [[pageRank]]. Fixed rounds + total tie order → deterministic →
+    * oracle hash-exact (the oracle replays the same rounds as staged
+    * CTEs). */
+  def labelPropagation(rawEdges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.storage.StorageLevel
+    val edges = canon(rawEdges)
+    val adj = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
+      .unionAll(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      labels = adj
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        // min over (−count, label): highest count, then smallest label
+        .agg(min(struct((-col("cnt")).as("_nc"), col("lbl").as("lbl")))
+          .as("_m"))
+        .select(col("node"), col("_m.lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist()
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** k-hop reachability: per node, the number of DISTINCT nodes reachable
     * in at most `k` undirected hops (self excluded) — the "blast radius"
     * of a near-dup cluster: a doc whose 3-hop neighborhood spans half the

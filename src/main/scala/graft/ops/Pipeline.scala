@@ -455,6 +455,33 @@ object Pipeline {
         col("n_rows") * col("max_len") - col("sum_len"))
   }
 
+  /** Balanced downsampling: cap every stratum at the size of the
+    * SMALLEST stratum, keeping the first `target` rows per stratum under
+    * a caller-chosen deterministic priority order — the class-balancing
+    * step before training a classifier (language-ID, quality) on skewed
+    * data, where the majority class otherwise swamps the loss. The
+    * deterministic order makes the keep-set auditable and reproducible
+    * (pass a quality ranking to keep the BEST of each class, or an id
+    * order for an unbiased-as-the-ids slice; seeded-random balancing is
+    * [[mixtureSample]]'s territory).
+    *
+    * Scale shape: one keyed count to find the minimum (broadcast back as
+    * a 1-row frame), one rank window partitioned BY STRATUM — state is
+    * one stratum's rows, never a global order. Deterministic →
+    * oracle hash-exact. */
+  def balancedDownsample(
+      df: DataFrame, stratum: Column, order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "need a deterministic priority order")
+    val tagged = df.withColumn("_s", stratum)
+    val target = tagged.groupBy("_s").agg(count(lit(1)).as("_n"))
+      .agg(min("_n").as("_target"))
+    val w = Window.partitionBy(col("_s")).orderBy(order: _*)
+    tagged.withColumn("_rk", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("_rk") <= col("_target"))
+      .drop("_s", "_rk", "_target")
+  }
+
   /** Population Stability Index between a reference split and a
     * comparison split of the same column — THE production drift monitor
     * for a feature/quality score between two corpus snapshots or between

@@ -95,6 +95,14 @@ object GraphQueries extends QueryPack {
     // given edge list; the basket cap (6 = TPC-H's near-max lines per
     // order) is the mediator-capping guard that keeps one degenerate
     // basket from costing |basket|² alone.
+    // Community detection: 3 rounds of synchronous label propagation
+    // with smallest-label tie-break — splits template families that CC
+    // would merge across one chance bridge edge; per round one
+    // neighbor-keyed join + (node,label) count + per-node argmax.
+    "gr10_communities" -> ((s, d) =>
+      Graph.labelPropagation(simEdges(s, d), rounds = 3)
+        .orderBy("node")),
+
     "gr9_copurchase" -> ((s, d) =>
       Graph.bipartiteProjection(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
@@ -120,6 +128,19 @@ object GraphQueries extends QueryPack {
                 UNION ALL SELECT id_b, id_a FROM e),
         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
                 FROM adj GROUP BY node)"""
+
+  // Synchronous LPA rounds as staged CTEs: round k counts neighbor
+  // labels from l{k-1} and takes the per-node argmax with
+  // (count DESC, label ASC) — the same total order as the Spark side's
+  // min(struct(-cnt, lbl)).
+  private def lpaRounds(rounds: Int): String = (1 to rounds).map { k =>
+    s"""c$k AS (SELECT adj.node, l${k - 1}.lbl, count(*) AS cnt
+          FROM adj JOIN l${k - 1} ON l${k - 1}.node = adj.nbr
+          GROUP BY adj.node, l${k - 1}.lbl),
+        l$k AS (SELECT node, lbl FROM (
+            SELECT node, lbl, row_number() OVER (PARTITION BY node
+              ORDER BY cnt DESC, lbl ASC) AS rn FROM c$k) WHERE rn = 1)"""
+  }.mkString(",\n        ")
 
   // Mirrors Graph.pageRank exactly: r0 = 1/n; r_{i+1} = (1-d)/n + d·Σ
   // with the per-node sum as a SOURCE-ORDERED sequential double fold
@@ -168,6 +189,11 @@ object GraphQueries extends QueryPack {
       s"""WITH $edgeCte
           SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
           FROM deg GROUP BY degree ORDER BY degree""",
+    "gr10_communities" ->
+      s"""WITH $edgeCte,
+          l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+          ${lpaRounds(3)}
+          SELECT node, lbl AS community FROM l3 ORDER BY node""",
     "gr2_triangles" ->
       s"""WITH $edgeCte,
           tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c

@@ -244,6 +244,16 @@ object PipelineQueries extends QueryPack {
         col("n_tokens"), col("doc_id"), batchSize = 32)
         .orderBy("batch_id")),
 
+    // Balanced downsampling: every language capped at the smallest
+    // language's size, keeping the longest docs first (deterministic,
+    // auditable keep-set) — the class-balancing step before training a
+    // classifier on skewed strata.
+    "pl19_balanced_sample" -> ((s, d) =>
+      Pipeline.balancedDownsample(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        col("lang"), Seq(col("n_chars").desc, col("doc_id").asc))
+        .orderBy("doc_id")),
+
     // PSI drift between the even-id half (reference) and the odd-id half
     // of the corpus over n_chars: exact reference-decile buckets, exact
     // count shares, one fixed double term per bucket (never a cross-row
@@ -265,6 +275,17 @@ object PipelineQueries extends QueryPack {
     }.mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    // per-lang counts → global min cap → lang-keyed rank, same
+    // (n_chars DESC, doc_id ASC) priority as the Spark window.
+    "pl19_balanced_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+            GROUP BY lang),
+          t AS (SELECT min(n) AS target FROM c),
+          r AS (SELECT doc_id, lang, n_chars, row_number() OVER (
+              PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM documents)
+          SELECT doc_id, lang, n_chars FROM r, t
+          WHERE rk <= target ORDER BY doc_id""",
     // reference-half deciles via quantile_cont (≡ Spark percentile,
     // proven by pl12); probe literals carry e0 so DuckDB types them
     // DOUBLE, not DECIMAL; bucket = #edges strictly below the value.

@@ -52,6 +52,18 @@ object TextQueries extends QueryPack {
           col("n_latin"), col("n_digit"), col("n_cjk"), col("n_cyrillic")))
         .orderBy("doc_id")),
 
+    // Character-repertoire diversity (Simpson + Hill-2 effective
+    // alphabet) — the gibberish/encoded-blob detector. The oracle checks
+    // the rational columns; Shannon (one JVM-vs-C 1-ulp transcendental
+    // per char, structurally un-hashable cross-engine) stays a
+    // spec-pinned library column.
+    "ta21_char_diversity" -> ((s, d) =>
+      TextAnalysis.charDiversity(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+        .select("doc_id", "n_chars", "n_distinct", "simpson",
+          "effective_chars")
+        .orderBy("doc_id")),
+
     // Per-doc n-gram novelty: fraction of a doc's distinct word-3-grams
     // seen in no other doc — the "how much of this is boilerplate"
     // pre-filter; gram-DF inverted index, keyed joins only.
@@ -243,6 +255,20 @@ object TextQueries extends QueryPack {
   private val esList = "('el','los','de','que','y','una')"
 
   val oracle: Map[String, String] = Map(
+    // exact integer Σn² per doc, then single divisions — Simpson and
+    // Hill-2 are hash-exact by construction (no transcendentals).
+    "ta21_char_diversity" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents),
+          f AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n
+            FROM ch WHERE length(ch) > 0 GROUP BY doc_id, ch)
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+            CAST(count(*) AS BIGINT) AS n_distinct,
+            1.0 - CAST(sum(n * n) AS DOUBLE) /
+              CAST(sum(n) * sum(n) AS DOUBLE) AS simpson,
+            CAST(sum(n) * sum(n) AS DOUBLE) /
+              CAST(sum(n * n) AS DOUBLE) AS effective_chars
+          FROM f GROUP BY doc_id ORDER BY doc_id""",
     // same word-3-gram construction as dd11's oracle; df > 1 marks a
     // gram shared with any other doc (distinct per doc first).
     "ta20_ngram_novelty" ->

@@ -197,6 +197,19 @@ class GraphSpec extends GraftSuite {
       6L -> 1L, 7L -> 1L))
   }
 
+  test("labelPropagation: bridge-joined triangles split, CC would merge") {
+    // triangles {1,2,3} and {4,5,6} joined by one bridge edge 3-4 —
+    // hand-traced 3 sync rounds with (count desc, label asc) tie-break
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val got = Graph.labelPropagation(e, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // exactly two communities — the bridge did NOT merge them (CC would)
+    assert(got.values.toSet.size === 2)
+  }
+
   test("bipartiteProjection: weights, dup links, basket cap, minWeight") {
     // baskets: g1={1,2,3}, g2={1,2}, g3={1,2} with a duplicated link row
     val links = Seq(

@@ -435,6 +435,21 @@ class PipelineSpec extends GraftSuite {
     assert(re.toSeq === got.toSeq)
   }
 
+  test("balancedDownsample: min-stratum cap, priority order, tie-break") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0),
+      ("b", 4L, 1.0),
+      ("c", 5L, 2.0), ("c", 6L, 7.0))
+      .toDF("lang", "doc_id", "score")
+    val got = Pipeline.balancedDownsample(rows, col("lang"),
+        Seq(col("score").desc, col("doc_id").asc))
+      .collect().map(r => r.getLong(1)).toSet
+    // min stratum (b) has 1 row → one winner per stratum: a's score tie
+    // at 9.0 breaks to the smaller id 2; c keeps its best 6
+    assert(got === Set(2L, 4L, 6L))
+  }
+
   test("psiDrift: identical halves → 0, shifted half → null + positive") {
     import spark.implicits._
     def run(cmp: Seq[Long]) = Pipeline.psiDrift(

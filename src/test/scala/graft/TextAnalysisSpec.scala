@@ -239,6 +239,27 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got(2L)._2 === 1 && got(2L)._3 === 9)
   }
 
+  test("charDiversity: exact simpson/hill2, shannon fold, runs vs spread") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab"), (2L, "abcd"), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val ln2 = math.log(2.0)
+    // aaab: N=4, Σn²=10 → simpson 6/16, hill2 16/10; H = the same
+    // char-ordered left fold the column computes
+    val h1 = -((0.0 + 0.75 * (math.log(0.75) / ln2)) +
+      0.25 * (math.log(0.25) / ln2))
+    assert(got(1L) === ((4L, 2L, 1.0 - 10.0 / 16.0, 16.0 / 10.0, h1)))
+    // uniform 4-char doc: hill2 = alphabet size, H = 2 bits exactly
+    assert(got(2L)._4 === 4.0)
+    assert(got(2L)._5 === 2.0)
+    // single-char run: no diversity at all
+    assert(got(3L) === ((4L, 1L, 0.0, 1.0, -0.0)))
+  }
+
   test("ngramNovelty: shared grams counted once, short docs absent") {
     import spark.implicits._
     val docs = Seq(
