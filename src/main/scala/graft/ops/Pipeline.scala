@@ -455,6 +455,62 @@ object Pipeline {
         col("n_rows") * col("max_len") - col("sum_len"))
   }
 
+  /** The whole preprocessing pipeline as ONE declarative plan — the
+    * flagship composition of the LLM-data track: Gopher quality gates →
+    * exact-duplicate canonical election → eval-set decontamination →
+    * balanced per-language cap, emitting a full per-document DECISION
+    * RECORD (every gate's verdict plus the final keep) rather than just
+    * the survivors. The audit shape matters in production: "why did doc
+    * X get dropped" must be answerable without re-running anything.
+    *
+    * Every stage is an already-proven operator
+    * ([[graft.ops.TextAnalysis.gopherRules]],
+    * [[graft.ops.Dedup.contaminationReport]], the dd1 min-id window,
+    * [[balancedDownsample]]'s rank-cap) — the point here is that they
+    * compose into one lazy plan Catalyst optimizes END TO END: one scan
+    * of the corpus feeds all four gates, the contamination join is
+    * gram-keyed, the dup window is text-keyed, the balance window is
+    * language-keyed — no stage materializes an intermediate corpus.
+    * Deterministic throughout → oracle hash-exact. */
+  def corpusPipeline(
+      docs: DataFrame, isEval: Column, nGram: Int, minWords: Int,
+      contThreshold: Double = 0.1): DataFrame = {
+    val train = docs.filter(!isEval)
+    val eval_ = docs.filter(isEval)
+    val quality = train.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), col("text"),
+      graft.ops.TextAnalysis.gopherRules(col("text"), minWords)
+        .last.as("pass_quality")) // .last IS the conjunction column
+    val flagged = quality
+      .withColumn("is_canonical",
+        col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val cont = graft.ops.Dedup.contaminationReport(
+      train, eval_, col("doc_id"), col("text"), nGram, contThreshold)
+      .select(col("doc_id"), col("flagged").as("_cont"))
+    val joined = flagged.join(cont, Seq("doc_id"), "left_outer")
+      .withColumn("is_contaminated", coalesce(col("_cont"), lit(false)))
+    val elig = joined
+      .filter(col("pass_quality") && col("is_canonical") &&
+        !col("is_contaminated"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val target = elig.groupBy("lang").agg(count(lit(1)).as("_n"))
+      .agg(min("_n").as("_target"))
+    val bal = elig
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .crossJoin(broadcast(target))
+      .select(col("doc_id"), (col("_rk") <= col("_target")).as("_kept"))
+    joined.join(bal, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("pass_quality"), col("is_canonical"), col("is_contaminated"),
+        coalesce(col("_kept"), lit(false)).as("kept_balance"),
+        (col("pass_quality") && col("is_canonical") &&
+          !col("is_contaminated") && coalesce(col("_kept"), lit(false)))
+          .as("final_keep"))
+  }
+
   /** Balanced downsampling: cap every stratum at the size of the
     * SMALLEST stratum, keeping the first `target` rows per stratum under
     * a caller-chosen deterministic priority order — the class-balancing

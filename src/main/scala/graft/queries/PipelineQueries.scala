@@ -244,6 +244,17 @@ object PipelineQueries extends QueryPack {
         col("n_tokens"), col("doc_id"), batchSize = 32)
         .orderBy("batch_id")),
 
+    // The WHOLE preprocessing pipeline as one declarative plan: Gopher
+    // gates → exact-dup canonical election → eval decontamination →
+    // balanced per-lang cap, emitting a per-doc decision record (every
+    // gate's verdict + final keep). One corpus scan feeds all gates;
+    // each stage is an already-proven operator.
+    "pl21_corpus_pipeline" -> ((s, d) =>
+      Pipeline.corpusPipeline(
+        Tables.documents(s, d), col("doc_id") % 50 === 0,
+        nGram = 3, minWords = 20, contThreshold = 0.1)
+        .orderBy("doc_id")),
+
     // Balanced downsampling: every language capped at the smallest
     // language's size, keeping the longest docs first (deterministic,
     // auditable keep-set) — the class-balancing step before training a
@@ -275,6 +286,69 @@ object PipelineQueries extends QueryPack {
     }.mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    // stage-by-stage composition of the proven ta16 / dd1 / dd17 / pl19
+    // oracle fragments, restricted to the train split.
+    "pl21_corpus_pipeline" ->
+      """WITH tr AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+          t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM tr),
+          q AS (SELECT doc_id,
+              ((len(toks) >= 20 AND len(toks) <= 100000)
+               AND (CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) >= 3.0
+                    AND CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) <= 10.0)
+               AND (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                      AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 0.1)
+               AND (CAST(len(list_filter(toks,
+                      x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) >= 0.8)
+               AND (CAST(len(list_filter(
+                      ['the','be','to','of','and','that','have','with'],
+                      w -> list_contains(toks, w))) AS INT) >= 2))
+                AS pass_quality
+            FROM t),
+          dup AS (SELECT doc_id,
+              doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canon
+            FROM tr),
+          g0 AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(
+              [array_to_string(w[i:i+2], ' ')
+               for i in range(1, len(w) - 1)])) AS gram
+            FROM g0),
+          evg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+          tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+          tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM tg GROUP BY doc_id),
+          ov AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS ov
+            FROM tg JOIN evg USING (gram) GROUP BY tg.doc_id),
+          cont AS (SELECT tot.doc_id,
+              CAST(COALESCE(ov.ov, 0) AS DOUBLE)
+                / CAST(tot.n_grams AS DOUBLE) >= 0.1 AS is_cont
+            FROM tot LEFT JOIN ov ON ov.doc_id = tot.doc_id),
+          flags AS (SELECT tr.doc_id, tr.lang, tr.source, tr.n_chars,
+              q.pass_quality, dup.is_canon,
+              COALESCE(cont.is_cont, FALSE) AS is_cont
+            FROM tr
+            JOIN q USING (doc_id) JOIN dup USING (doc_id)
+            LEFT JOIN cont ON cont.doc_id = tr.doc_id),
+          elig AS (SELECT doc_id, lang, n_chars FROM flags
+            WHERE pass_quality AND is_canon AND NOT is_cont),
+          tgt AS (SELECT min(n) AS target FROM
+            (SELECT lang, count(*) AS n FROM elig GROUP BY lang)),
+          rk AS (SELECT doc_id, row_number() OVER (PARTITION BY lang
+              ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM elig),
+          bal AS (SELECT rk.doc_id, rk.rk <= tgt.target AS kept
+            FROM rk, tgt)
+          SELECT f.doc_id, f.lang, f.source, f.n_chars, f.pass_quality,
+            f.is_canon AS is_canonical, f.is_cont AS is_contaminated,
+            COALESCE(b.kept, FALSE) AS kept_balance,
+            (f.pass_quality AND f.is_canon AND NOT f.is_cont
+              AND COALESCE(b.kept, FALSE)) AS final_keep
+          FROM flags f LEFT JOIN bal b ON b.doc_id = f.doc_id
+          ORDER BY f.doc_id""",
     // per-lang counts → global min cap → lang-keyed rank, same
     // (n_chars DESC, doc_id ASC) priority as the Spark window.
     "pl19_balanced_sample" ->

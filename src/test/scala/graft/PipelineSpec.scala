@@ -435,6 +435,36 @@ class PipelineSpec extends GraftSuite {
     assert(re.toSeq === got.toSeq)
   }
 
+  test("corpusPipeline: each gate drops its doc, decisions are auditable") {
+    import spark.implicits._
+    val t1 = "these have been words that stay"
+    val docs = Seq(
+      // eval doc (excluded from output, contamination reference)
+      (0L, "the cat and dog run fast", "en", "s", 24L),
+      (1L, "zz xx", "en", "s", 5L),                      // fails quality
+      (2L, t1, "en", "s", 31L),                          // dup canonical
+      (3L, t1, "en", "s", 31L),                          // dup copy
+      (4L, "the cat and dog swim well", "en", "s", 25L), // contaminated
+      (5L, "those have been symbols that stand", "en", "s", 40L),
+      (6L, "words that move and feel alive", "fr", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Pipeline.corpusPipeline(docs, col("doc_id") === 0L,
+        nGram = 2, minWords = 3, contThreshold = 0.1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L)) // eval absent
+    //                 (quality, canonical, contaminated, balance, keep)
+    assert(got(1L) === ((false, true, false, false, false)))
+    // eligible en docs {2 (31 chars), 5 (40)}; fr {6} → target 1, so the
+    // longer en doc 5 wins the balance cap and 2 is the documented loser
+    assert(got(2L) === ((true, true, false, false, false)))
+    assert(got(3L) === ((true, false, false, false, false)))
+    assert(got(4L) === ((true, true, true, false, false)))
+    assert(got(5L) === ((true, true, false, true, true)))
+    assert(got(6L) === ((true, true, false, true, true)))
+  }
+
   test("balancedDownsample: min-stratum cap, priority order, tie-break") {
     import spark.implicits._
     val rows = Seq(
