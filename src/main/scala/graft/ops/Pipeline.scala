@@ -467,11 +467,14 @@ object Pipeline {
     * ([[graft.ops.TextAnalysis.gopherRules]],
     * [[graft.ops.Dedup.contaminationReport]], the dd1 min-id window,
     * [[balancedDownsample]]'s rank-cap) — the point here is that they
-    * compose into one lazy plan Catalyst optimizes END TO END: one scan
-    * of the corpus feeds all four gates, the contamination join is
+    * compose into one lazy plan Catalyst optimizes END TO END: no stage
+    * materializes an intermediate corpus, the contamination join is
     * gram-keyed, the dup window is text-keyed, the balance window is
-    * language-keyed — no stage materializes an intermediate corpus.
-    * Deterministic throughout → oracle hash-exact. */
+    * language-keyed. (The physical plan re-reads the parquet for the
+    * gram and balance branches — scans are cheap and column-pruned; the
+    * thing avoided is a driver-side staged workflow with materialized
+    * intermediate tables.) Deterministic throughout → oracle
+    * hash-exact. */
   def corpusPipeline(
       docs: DataFrame, isEval: Column, nGram: Int, minWords: Int,
       contThreshold: Double = 0.1): DataFrame = {
