@@ -253,6 +253,41 @@ class PlanSpec extends GraftSuite {
     assert(!s8.contains("SinglePartition"), s8)
   }
 
+  test("late-round-7 window ops are keyed, never single-task") {
+    // ev18 sessionize lag/sum windows partition by user; dd19's election
+    // window by cluster — every window must stay keyed. (pl18 rides
+    // globalPosition's two-phase scheme, whose precise WindowExec
+    // property is asserted in the ev13 test above.)
+    Seq("ev18_sessions", "dd19_cluster_reps")
+      .foreach { q =>
+        val p = plan(SparkEntry.queries(q)(spark, sf))
+        assert(p.contains("Window"), s"$q:\n$p")
+        assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      }
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    // pl19/pl21's ungrouped min-target aggregate legitimately merges on
+    // one row (the ev13 exemption) — assert the precise property
+    // instead: every WINDOW stage is partitioned
+    Seq("pl19_balanced_sample", "pl21_corpus_pipeline").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val windows = allNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q should plan window stages")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$q window must be partitioned, got: $w")
+      }
+    }
+  }
+
   test("ta10 bm25 plans broadcast corpus stats and top-k, no global sort") {
     val df = SparkEntry.queries("ta10_bm25_search")(spark, sf)
     df.collect()
