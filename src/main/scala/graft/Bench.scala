@@ -153,7 +153,10 @@ object Bench {
         "ta2_quality_score", "ta16_gopher_rules", "ta14_boilerplate_strip",
         "ta18_sentence_dedup",
         "ss4_ivf_topk", "pl3_context_packing", "ev5_transition_matrix",
-        "ev16_rolling_wau")
+        "ev16_rolling_wau",
+        // the composed flagship (quality+dedup+decontamination+balance
+        // in one plan) and the batch sessionizer — both late-round-7
+        "pl21_corpus_pipeline", "ev18_sessions")
         .map { q =>
           SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
           graft.ops.Pipeline.releaseCaches()
