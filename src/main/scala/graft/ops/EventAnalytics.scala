@@ -35,19 +35,33 @@ object EventAnalytics {
     * completion frame when it fits. */
   def funnel(
       events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxGapUs: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    // per-stage per-user earliest completion times, chained
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    // per-stage per-user earliest completion times, chained; with a
+    // finite maxGapUs each stage must also land within the conversion
+    // window after the previous stage's earliest completion — the
+    // standard first-touch windowed funnel (greedy-earliest anchoring,
+    // NOT maximal matching over all event combinations: the analytics
+    // convention, and the only deterministic one)
     val completions: Seq[DataFrame] = steps.zipWithIndex
       .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
         val stepEvents = events.filter(col(typeCol) === step)
           .select(col(userCol).as("u"), col(tsCol).as("t"))
         val reached =
           if (i == 0) stepEvents
-          else stepEvents.join(
-            acc.last.select(col("u"), col("t").as("prev_t")), Seq("u"))
-            .filter(col("t") > col("prev_t"))
-            .select(col("u"), col("t"))
+          else {
+            val chained = stepEvents.join(
+              acc.last.select(col("u"), col("t").as("prev_t")), Seq("u"))
+              .filter(col("t") > col("prev_t"))
+            val bounded =
+              if (maxGapUs == Long.MaxValue) chained
+              else chained.filter(
+                unix_micros(col("t")) - unix_micros(col("prev_t")) <=
+                  maxGapUs)
+            bounded.select(col("u"), col("t"))
+          }
         acc :+ reached.groupBy("u").agg(min(col("t")).as("t"))
       }
     val counts = completions.zipWithIndex.map { case (df, i) =>

@@ -62,6 +62,32 @@ object Relational {
     * handles scoping; this is just the ergonomic wrapper. */
   def subquery(name: String)(df: DataFrame): DataFrame = df.alias(name)
 
+  /** Keyset (cursor) pagination — the at-scale replacement for
+    * LIMIT/OFFSET ([[limit]]/o6): page N via OFFSET forces the engine to
+    * produce and discard all N·pageSize earlier rows EVERY page (O(n²)
+    * over a full pagination sweep), where the keyset predicate
+    * `(k₁,k₂,…) > (after₁,after₂,…)` makes every page the same cheap
+    * plan: the lexicographic filter PUSHES DOWN to the parquet scan
+    * (min/max row-group pruning on the leading key) and the sort+limit
+    * plans `TakeOrderedAndProject` — per-partition heap, no global sort,
+    * cost independent of how deep into the result set the cursor sits.
+    * Requires what correct pagination requires anyway: a total order
+    * (make the last key a unique id).
+    *
+    * `keys` pairs each order column with the cursor value from the last
+    * row of the previous page. */
+  def keysetPage(df: DataFrame, keys: Seq[(Column, Column)], pageSize: Int)
+      : DataFrame = {
+    require(keys.nonEmpty, "keyset pagination needs at least one key")
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    // lexicographic >: k1 > a1 OR (k1 = a1 AND k2 > a2) OR …
+    val pred = keys.indices.map { i =>
+      keys.take(i).map { case (k, a) => k === a }
+        .foldRight(keys(i)._1 > keys(i)._2)(_ && _)
+    }.reduce(_ || _)
+    df.filter(pred).orderBy(keys.map(_._1): _*).limit(pageSize)
+  }
+
   /** ANALYZE-style column statistics in ONE scan: per requested column a
     * row `(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)`.
     * This is the statistics collection a cost-based optimizer feeds on

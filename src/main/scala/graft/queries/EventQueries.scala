@@ -152,6 +152,15 @@ object EventQueries extends QueryPack {
       EventAnalytics.dowSeasonality(Tables.events(s, d), "event_type", "ts")
         .orderBy("event_type"))
 ,
+    // Windowed funnel: each stage must convert within 24 h of the
+    // previous stage's earliest completion — the realistic funnel form
+    // (ev1 is the unbounded variant; windowed counts are ≤ ev1's).
+    "ev22_windowed_funnel" -> ((s, d) =>
+      EventAnalytics.funnel(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"),
+        maxGapUs = 24L * 3600 * 1000000)),
+
     // Batch sessionization at a 30-minute inactivity gap — the
     // gaps-and-islands twin of the streaming session window, over the
     // historical log; user-keyed windows only, exact-µs arithmetic.
@@ -163,6 +172,29 @@ object EventQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // ev1's chained-min CTEs with the added 24 h epoch_us bound per
+    // stage (first-touch anchoring on the previous stage's earliest).
+    "ev22_windowed_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.u
+             WHERE e.event_type = 'click' AND e.ts > s1.t
+               AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000
+             GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.u
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t
+               AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000
+             GROUP BY e.user_id),
+         c AS (
+           SELECT 1 AS stage, 'view' AS step,
+             (SELECT count(*) FROM s1) AS users
+           UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+         SELECT CAST(stage AS INT) AS stage, step,
+           CAST(users AS BIGINT) AS users
+         FROM c ORDER BY stage""",
     // identical gaps-and-islands: lag flag, running flag sum, keyed agg;
     // epoch_us both sides, (ts, event_id) tie-break.
     "ev18_sessions" ->

@@ -85,6 +85,18 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_orderkey")
         .offset(50).limit(25)),
 
+    // Keyset pagination — the scale-correct o6: the cursor predicate
+    // pushes down to the scan and the page plans TakeOrderedAndProject,
+    // so page 10⁶ costs the same as page 1 (OFFSET re-produces and
+    // discards everything before it). Cursor = last row of prior page.
+    "o9_keyset_page" -> ((s, d) =>
+      Relational.keysetPage(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_totalprice"),
+        Seq(col("o_orderdate") -> lit("1995-06-15").cast("date"),
+          col("o_orderkey") -> lit(0L)),
+        pageSize = 20)),
+
     // O3 — UNION ALL (M:289-295; reference never dedups).
     "o3_union_all" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
@@ -341,6 +353,12 @@ object RelationalQueries extends QueryPack {
     "o6_limit_offset" ->
       """SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey
          LIMIT 25 OFFSET 50""",
+    // identical lexicographic cursor predicate + page order
+    "o9_keyset_page" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         WHERE o_orderdate > DATE '1995-06-15'
+            OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 0)
+         ORDER BY o_orderdate, o_orderkey LIMIT 20""",
     "o5_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

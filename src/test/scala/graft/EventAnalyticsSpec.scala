@@ -348,6 +348,27 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(r.getLong(4) === 4 * 60 * 1000000L)
   }
 
+  test("windowed funnel: boundary gap counts, overflow and re-touch don't") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: click exactly AT the 10-min window (counts), purchase 15 min
+      // after the click (overflows)
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(25), "purchase"),
+      // u2: click 21 min after the FIRST view — the later view at 20 min
+      // does not re-anchor (first-touch greedy-earliest semantics)
+      (2L, ts(0), "view"), (2L, ts(20), "view"), (2L, ts(21), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapUs = 10L * 60 * 1000000)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 2L, 2 -> 1L, 3 -> 0L))
+    // unbounded default reproduces the plain funnel on the same fixture
+    val plain = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(plain === Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+  }
+
   test("sessionize: gap rule strict, boundary stays, singleton session") {
     import spark.implicits._
     // user 1: 0 / 10min (same session) / 40min (gap 30min exactly — NOT

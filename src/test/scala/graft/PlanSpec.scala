@@ -20,6 +20,17 @@ class PlanSpec extends GraftSuite {
            p.contains("IsNotNull(l_shipdate"), p)
   }
 
+  test("o9 keyset page pushes the cursor to the scan and plans top-k") {
+    val p = plan(SparkEntry.queries("o9_keyset_page")(spark, sf))
+    // the leading-key half of the lexicographic cursor reaches parquet
+    // (row-group min/max pruning on o_orderdate at scale)…
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(o_orderdate") ||
+           p.contains("Or(GreaterThan(o_orderdate"), p)
+    // …and the page is a per-partition heap, not a global sort + skip
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("p1 projection prunes the scan schema to 4 columns") {
     val p = plan(SparkEntry.queries("p1_project_compute")(spark, sf))
     // ReadSchema must not include unused cols like l_comment/l_returnflag.
