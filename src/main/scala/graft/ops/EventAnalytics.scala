@@ -633,6 +633,47 @@ object EventAnalytics {
       .where(col("total_s") > 0)
   }
 
+  /** Per-user transition concentration: the Herfindahl index Σp² over a
+    * user's (from_type → to_type) event transitions, plus its Hill-2
+    * reciprocal ("effective transition variety") — the behavioral
+    * cousin of [[gapRegularity]]: gap CV catches metronome TIMING, this
+    * catches deterministic SEQUENCES (a scraper looping view→view→view
+    * concentrates to 1.0 effective transitions; organic browsing spreads
+    * across many pairs). Same rational-exactness design as the χ² and
+    * diversity operators: Σn² is an exact integer, both outputs are
+    * single divisions — no transcendentals, hash-exact by construction
+    * (the Shannon form of this metric is NOT cross-engine-hashable; see
+    * `TextAnalysis.charDiversity`).
+    *
+    * Scale shape: one user-keyed lag window, one (user, from, to) count,
+    * one per-user aggregation — never global. */
+  def transitionConcentration(
+      events: DataFrame, userCol: String, tsCol: String,
+      eventIdCol: String, typeCol: String,
+      minTransitions: Long = 5L): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(eventIdCol).asc)
+    val pairs = events
+      .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(eventIdCol).as("event_id"), col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    pairs.groupBy("user_id", "from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_transitions"),
+        count(lit(1)).as("n_distinct_pairs"),
+        sum(col("n") * col("n")).as("_sum_sq"))
+      .filter(col("n_transitions") >= minTransitions)
+      .select(col("user_id"), col("n_transitions"),
+        col("n_distinct_pairs"),
+        (col("_sum_sq").cast("double") /
+          (col("n_transitions") * col("n_transitions")).cast("double"))
+          .as("herfindahl"),
+        ((col("n_transitions") * col("n_transitions")).cast("double") /
+          col("_sum_sq").cast("double")).as("effective_transitions"))
+  }
+
   /** Day-of-week seasonality per event type: peak weekday plus a
     * chi-square uniformity statistic — the "is this traffic humanlike or
     * a cron job?" detector (organic traffic dips on weekends; a

@@ -152,6 +152,15 @@ object EventQueries extends QueryPack {
       EventAnalytics.dowSeasonality(Tables.events(s, d), "event_type", "ts")
         .orderBy("event_type"))
 ,
+    // Transition concentration (Herfindahl over event-type transitions)
+    // — the sequence-determinism bot signal; rational by design, the
+    // ev19 timing companion.
+    "ev23_transition_conc" -> ((s, d) =>
+      EventAnalytics.transitionConcentration(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        minTransitions = 5L)
+        .orderBy("user_id")),
+
     // Windowed funnel: each stage must convert within 24 h of the
     // previous stage's earliest completion — the realistic funnel form
     // (ev1 is the unbounded variant; windowed counts are ≤ ev1's).
@@ -172,6 +181,29 @@ object EventQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same lag pairing (ts, event_id tie-break), exact integer Σn²,
+    // two single divisions.
+    "ev23_transition_conc" ->
+      """WITH p AS (SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+           FROM events),
+         c AS (SELECT user_id, from_type, to_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE from_type IS NOT NULL
+           GROUP BY user_id, from_type, to_type),
+         u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_transitions,
+             CAST(count(*) AS BIGINT) AS n_distinct_pairs,
+             CAST(sum(n * n) AS BIGINT) AS sum_sq
+           FROM c GROUP BY user_id
+           HAVING sum(n) >= 5)
+         SELECT user_id, n_transitions, n_distinct_pairs,
+           CAST(sum_sq AS DOUBLE) /
+             CAST(n_transitions * n_transitions AS DOUBLE) AS herfindahl,
+           CAST(n_transitions * n_transitions AS DOUBLE) /
+             CAST(sum_sq AS DOUBLE) AS effective_transitions
+         FROM u ORDER BY user_id""",
     // ev1's chained-min CTEs with the added 24 h epoch_us bound per
     // stage (first-touch anchoring on the previous stage's earliest).
     "ev22_windowed_funnel" ->

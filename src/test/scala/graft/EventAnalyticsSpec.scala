@@ -348,6 +348,29 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(r.getLong(4) === 4 * 60 * 1000000L)
   }
 
+  test("transitionConcentration: looper at 1.0, varied browser lower") {
+    import spark.implicits._
+    // u1 loops view→view… → one transition pair, herfindahl 1.0;
+    // u2 spreads 6 transitions over 6 distinct pairs → 1/6 each;
+    // u3 has only 2 transitions → dropped by minTransitions = 5
+    val loops = (1 to 8).map(i => (i.toLong, 1L, ts(i), "view"))
+    val varied = Seq("view", "click", "view", "buy", "click", "buy", "view")
+      .zipWithIndex.map { case (t, i) => (20L + i, 2L, ts(i), t) }
+    val few = Seq((40L, 3L, ts(1), "view"), (41L, 3L, ts(2), "click"),
+      (42L, 3L, ts(3), "view"))
+    val events = (loops ++ varied ++ few)
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.transitionConcentration(
+        events, "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((7L, 1L, 1.0, 1.0))) // pure loop: max concentration
+    // 6 transitions, all distinct pairs: Σn² = 6 → H = 6/36, Hill-2 = 6
+    assert(got(2L) === ((6L, 6L, 6.0 / 36.0, 6.0)))
+  }
+
   test("windowed funnel: boundary gap counts, overflow and re-touch don't") {
     import spark.implicits._
     val events = Seq(
