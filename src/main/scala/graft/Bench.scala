@@ -122,7 +122,17 @@ object Bench {
     // (BASELINE.md defines the 8-query suite) but a regression in e.g.
     // q9/q18/q21 becomes visible round-over-round instead of timed
     // nowhere. Disable with SPARK_GRAFT_BENCH_TPCH22=0.
-    val tpch22: Seq[(String, Double)] =
+    // Informational sweeps are wrapped: a crash in one must NOT kill the
+    // headline artifact (round 7's driver bench lost its number exactly
+    // this way — a loader regression threw inside the tpch22 sweep and the
+    // whole process exited rc=1 with nothing recorded).
+    def informational(label: String)(body: => Seq[(String, Double)]): Seq[(String, Double)] =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $label sweep failed, omitting: ${e.getMessage}")
+          Nil
+      }
+    val tpch22: Seq[(String, Double)] = informational("tpch22") {
       if (sys.env.get("SPARK_GRAFT_BENCH_TPCH22").contains("0")) Nil
       else graft.queries.TpchQueries.queries.keys.toSeq
         .sortBy(n => n.drop(1).takeWhile(_.isDigit).toInt)
@@ -132,6 +142,7 @@ object Bench {
           SparkEntry.queries(q)(spark, sfDir).count()
           q -> (System.nanoTime() - t0) / 1e9
         }
+    }
 
     // Informational LLM-pipeline sweep: representative beyond-reference
     // operators (dedup, similarity join, text filters, packing,
@@ -145,7 +156,7 @@ object Bench {
     // blocking brute-forces inside blocks (26 s) — both are documented as
     // oracle baselines whose 100 TB path is dd3/dd12, and a minutes-long
     // informational entry would dominate the whole bench run.
-    val llmSuite: Seq[(String, Double)] =
+    val llmSuite: Seq[(String, Double)] = informational("llm") {
       if (sys.env.get("SPARK_GRAFT_BENCH_LLM").contains("0")) Nil
       else Seq(
         "dd1_exact_dedup", "dd3_minhash_dup_pairs", "dd12_repeated_chunks",
@@ -166,6 +177,7 @@ object Bench {
           graft.ops.Pipeline.releaseCaches()
           q -> dt
         }
+    }
 
     // Bucketed-layout experiment on the two fact-to-fact queries, measured
     // apples-to-apples (the r2 numbers were not: plain read startup-cached

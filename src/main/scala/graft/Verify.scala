@@ -24,6 +24,10 @@ object Verify {
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
       s"catalog has ${SparkEntry.queries.size} entries")
+    // Failed queries must be LOUD: the driver's compare silently drops
+    // queries with no dump, so a crash could masquerade as "not graded".
+    // Record each failure as a sentinel file and exit nonzero at the end.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -31,6 +35,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        val sentinelDir = Paths.get(s"$outDir/_failed")
+        Files.createDirectories(sentinelDir)
+        Files.writeString(sentinelDir.resolve(s"$name.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
       // free any frames the two-phase prefix sum pinned for this query —
       // the write above consumed them, and a 140-query session must not
@@ -53,5 +62,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +
+        failed.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

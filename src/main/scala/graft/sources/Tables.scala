@@ -30,14 +30,34 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default. Read nanos as long (legacy conf) and
-    * convert with integer division — int64 nanos (~1.7e18) exceed double's
-    * 2^53 mantissa, so a float division would silently corrupt timestamps. */
+  /** Schema-adaptive events load: fixtures have shipped `ts` as both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across regenerations, and a
+    * real user's parquet varies the same way — so branch on the schema the
+    * file actually declares instead of assuming a byte layout.
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it by default; retry with
+    *    the nanos-as-long legacy conf and convert via integer division
+    *    (int64 nanos ~1.7e18 exceed double's 2^53 mantissa — a float
+    *    division would silently corrupt timestamps).
+    *  - TIMESTAMP(MICROS) without UTC adjustment reads as TIMESTAMP_NTZ;
+    *    normalize once to session-local TimestampType (session TZ is UTC
+    *    everywhere in this engine, so the cast is value-preserving) so
+    *    every downstream operator sees one `ts` type.
+    *  - Already TimestampType: pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions._
+    val raw =
+      try load(s, d, "events")
+      catch { case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("NANOS") =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
