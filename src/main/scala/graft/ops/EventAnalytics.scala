@@ -742,4 +742,41 @@ object EventAnalytics {
         ((lit(7L) * col("_sum_sq") - col("total") * col("total"))
           .cast("double") / col("total")).as("chi2_uniform"))
   }
+
+  /** Calendar-keyed seasonal baseline: per (event_type, ISO weekday,
+    * hour-of-day) cell, its event count, its LIFT over the uniform
+    * 7×24-cell expectation, and its exact-decimal mean value. The
+    * hour-of-week profile is the standard seasonal baseline behind
+    * "traffic is 3× its usual Tuesday-9am level" alerting — [[dowSeasonality]]
+    * answers "is this type seasonal at all?", this op hands the alerting
+    * system the baseline itself (`hot` marks cells ≥ `hotLift`).
+    *
+    * Cross-engine exactness: counts are longs, lift = n·168/total is one
+    * double division of exact longs, and mean value goes through a
+    * DECIMAL(18,6) sum (float summation order never surfaces). Shape at
+    * 100 TB: one map-side-partial groupBy to ≤ types·168 cells, then a
+    * per-type normalizer window over that tiny result — the corpus is
+    * touched exactly once, scan-shaped. */
+  def seasonalProfile(
+      events: DataFrame, typeCol: String, tsCol: String, valueCol: String,
+      hotLift: Double = 2.0): DataFrame = {
+    val cells = events
+      .select(col(typeCol).as("event_type"),
+        (weekday(to_date(col(tsCol))) + 1).as("dow"),
+        hour(col(tsCol)).as("hour"),
+        col(valueCol).cast("decimal(18,6)").as("_v"))
+      .groupBy("event_type", "dow", "hour")
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_v_sum"))
+    val byType = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("_total", sum(col("n")).over(byType))
+      .select(
+        col("event_type"), col("dow").cast("int").as("dow"),
+        col("hour").cast("int").as("hour"), col("n"),
+        ((col("n") * lit(168L)).cast("double") /
+          col("_total").cast("double")).as("lift"),
+        (col("_v_sum").cast("double") / col("n").cast("double"))
+          .as("mean_value"))
+      .withColumn("hot", col("lift") >= lit(hotLift))
+  }
 }

@@ -585,4 +585,34 @@ object TextAnalysis {
         ((col("n_grams") - col("shared_grams")).cast("double") /
           col("n_grams").cast("double")).as("novelty"))
   }
+
+  /** fastText-style hashed-feature linear classifier INFERENCE — the
+    * shape under "score every document with a quality classifier", the
+    * filtering step the GPT-3 / LLaMA data pipelines ran over their whole
+    * crawl (Brown et al. 2020 §A; Touvron et al. 2023 §2). Features are
+    * unigrams + bigrams hashed into `dim` buckets (the hashing trick —
+    * no vocabulary object at all); here the weight for bucket b is a
+    * deterministic pseudo-weight ((b·2654435761) mod 1000003)/1000003 − ½
+    * standing in for trained parameters, so results are reproducible
+    * without shipping a model file. Swapping in real weights means
+    * swapping this one scalar expression for an `element_at` into a
+    * broadcast array literal — the plan shape does not change.
+    *
+    * The entire score is ONE scan-local codegen'd expression chain
+    * (split → transform → xxhash64 → aggregate-fold → sigmoid): no UDF,
+    * no shuffle, no model state. At 100 TB this runs at full scan
+    * throughput on every executor — exactly why the hashing trick is the
+    * industry default for corpus-scale classifier filtering. */
+  def hashedClassifierScore(text: Column, dim: Int = 1 << 20): Column = {
+    val toks = split(lower(trim(text)), "[^\\p{L}\\p{Nd}]+")
+    val clean = filter(toks, t => length(t) > 0)
+    val feats = concat(clean, wordNgrams(clean, 2))
+    val bucket = (f: Column) => pmod(xxhash64(f), lit(dim.toLong))
+    val weight = (f: Column) =>
+      pmod(bucket(f) * lit(2654435761L), lit(1000003L)).cast("double") /
+        lit(1000003.0) - lit(0.5)
+    val raw = aggregate(feats, lit(0.0), (acc, f) => acc + weight(f))
+    val norm = raw / sqrt(greatest(size(feats), lit(1)).cast("double"))
+    lit(1.0) / (lit(1.0) + exp(-norm * lit(4.0)))
+  }
 }

@@ -152,6 +152,15 @@ object EventQueries extends QueryPack {
       EventAnalytics.dowSeasonality(Tables.events(s, d), "event_type", "ts")
         .orderBy("event_type"))
 ,
+    // Hour-of-week seasonal baseline per event type: count, lift over
+    // the uniform 168-cell expectation, exact-decimal mean value, hot
+    // flag — the baseline an alerting system compares live traffic
+    // against (ev20 detects seasonality, ev21 hands over the profile).
+    "ev21_seasonal_baseline" -> ((s, d) =>
+      EventAnalytics.seasonalProfile(
+        Tables.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "dow", "hour")),
+
     // Transition concentration (Herfindahl over event-type transitions)
     // — the sequence-determinism bot signal; rational by design, the
     // ev19 timing companion.
@@ -264,6 +273,25 @@ object EventQueries extends QueryPack {
              AS chi2_uniform
          FROM a JOIN p ON p.event_type = a.event_type
          ORDER BY a.event_type""",
+    // same cell keys (isodow ≡ weekday()+1, hour), same DECIMAL(18,6)
+    // value sum, lift/mean as single divisions of exact inputs
+    "ev21_seasonal_baseline" ->
+      """WITH c AS (
+           SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             EXTRACT(hour FROM ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS v_sum
+           FROM events GROUP BY 1, 2, 3),
+         t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+           FROM c GROUP BY event_type)
+         SELECT c.event_type, CAST(c.dow AS INT) AS dow,
+           CAST(c.hour AS INT) AS hour, c.n,
+           CAST(c.n * 168 AS DOUBLE) / CAST(t.total AS DOUBLE) AS lift,
+           CAST(c.v_sum AS DOUBLE) / CAST(c.n AS DOUBLE) AS mean_value,
+           (CAST(c.n * 168 AS DOUBLE) / CAST(t.total AS DOUBLE)) >= 2.0
+             AS hot
+         FROM c JOIN t ON t.event_type = c.event_type
+         ORDER BY c.event_type, dow, hour""",
     // stage-by-stage earliest-completion chain, identical to
     // EventAnalytics.funnel
     "ev1_funnel" ->

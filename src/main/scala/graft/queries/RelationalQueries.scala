@@ -222,6 +222,29 @@ object RelationalQueries extends QueryPack {
           Seq("o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // S15 — JSONL ingestion roundtrip: line-delimited JSON is the corpus
+    // interchange format (crawl dumps, API exports, annotation drops all
+    // ship it). Write documents as JSONL, read it back with an EXPLICIT
+    // schema — at 100 TB schema inference would be a second full pass
+    // over the corpus, and JSONL's line framing is what keeps the read
+    // splittable across executors — then aggregate per (lang, source).
+    // The oracle computes the identical aggregate over the parquet
+    // original, so a green row proves the roundtrip lossless (counts,
+    // distinct text set, and both length sums all survive).
+    "s15_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft-jsonl-")
+        .resolve("documents").toString
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("distinct_texts"),
+          sum("n_chars").as("total_chars"),
+          sum(length(col("text")).cast("long")).as("total_text_len"))
+        .orderBy("lang", "source")
+    }),
+
     // S14 — Benford first-digit audit on order totals: integer-cents
     // leading digit (string of a BIGINT — no float formatting, no log10
     // digit math), exact-long shares, Benford expectations as
@@ -448,6 +471,14 @@ object RelationalQueries extends QueryPack {
            UNION ALL SELECT 'orders_orderkey_unique', 'orders', v, total FROM u
            UNION ALL SELECT 'lineitem_orderkey_in_orders', 'lineitem', v, total FROM ri)
          ORDER BY check_name""",
+    // over the parquet ORIGINAL on purpose: equality proves the Spark
+    // side's JSONL write→read cycle lost nothing
+    "s15_jsonl_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "s12_encoding_advice" -> {
       val perCol = Seq("o_orderstatus", "o_orderpriority").map { c =>
         s"""SELECT '$c' AS col_name,

@@ -64,6 +64,18 @@ object TextQueries extends QueryPack {
           "effective_chars")
         .orderBy("doc_id")),
 
+    // fastText-style hashed-feature classifier inference: unigram+bigram
+    // hashing trick → deterministic pseudo-weights → sigmoid, one
+    // scan-local codegen'd expression (xxhash64 is engine-local →
+    // rows-only; TextAnalysisSpec pins scores by recomputing per-feature
+    // through an independent literal-frame path).
+    "ta22_hashed_classifier" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.hashedClassifierScore(col("text")).as("score"))
+        .withColumn("accepted", col("score") >= lit(0.5))
+        .orderBy("doc_id")),
+
     // Per-doc n-gram novelty: fraction of a doc's distinct word-3-grams
     // seen in no other doc — the "how much of this is boilerplate"
     // pre-filter; gram-DF inverted index, keyed joins only.

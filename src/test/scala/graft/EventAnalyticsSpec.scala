@@ -436,4 +436,34 @@ class EventAnalyticsSpec extends GraftSuite {
     // y: T=2, Σn² = 2 → χ² = (14 − 4)/2 = 5.0; tie → earliest dow
     assert(got("y") === ((2L, 1, 1L, 5.0)))
   }
+
+  test("seasonalProfile: hour-of-week cells, uniform lift, hot flag") {
+    import spark.implicits._
+    def at(d: Int, h: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-0$d%d $h%02d:00:00")
+    // 2024-01-01 is a Monday (ISO dow 1). Type x: 3 events Mon 09h,
+    // 1 event Tue 14h → total 4.
+    // Type y: 167 events Mon 09h + 1 Tue 14h → the Tue cell holds
+    // exactly its uniform share (lift 1.0) and must NOT be hot.
+    val events = (Seq(
+      ("x", at(1, 9), 1.0), ("x", at(1, 9), 2.0), ("x", at(1, 9), 3.0),
+      ("x", at(2, 14), 10.0)) ++
+      Seq.fill(167)(("y", at(1, 9), 5.0)) :+ ("y", at(2, 14), 7.0))
+      .toDF("event_type", "ts", "value")
+    val got = EventAnalytics
+      .seasonalProfile(events, "event_type", "ts", "value", hotLift = 2.0)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    // x Mon-09: n=3, lift = 3·168/4 = 126, mean = 2.0, hot
+    assert(got(("x", 1, 9)) === ((3L, 126.0, 2.0, true)))
+    // x Tue-14: n=1, lift = 168/4 = 42, mean = 10.0, hot
+    assert(got(("x", 2, 14)) === ((1L, 42.0, 10.0, true)))
+    // y Tue-14: n=1 of 168 → lift exactly 1.0 → NOT hot
+    assert(got(("y", 2, 14)) === ((1L, 1.0, 7.0, false)))
+    assert(got(("y", 1, 9))._1 === 167L)
+    // only cells with events appear — no zero-fill rows
+    assert(got.size === 4)
+  }
 }

@@ -278,4 +278,33 @@ class TextAnalysisSpec extends GraftSuite {
       2L -> ((2L, 1L, 0.5)),
       3L -> ((2L, 0L, 1.0))))
   }
+
+  test("hashedClassifierScore: fold matches per-feature recomputation") {
+    import spark.implicits._
+    // tokens (lowered, punctuation split away): alpha beta gamma beta;
+    // bigrams in order: "alpha beta" "beta gamma" "gamma beta"
+    val feats = Seq("alpha", "beta", "gamma", "beta",
+      "alpha beta", "beta gamma", "gamma beta")
+    // independent path: each feature through the same hash→weight scalar
+    // ONE PER ROW (no array fold), reassembled in Scala in array order
+    val dim = (1 << 20).toLong
+    val weights = feats.toDF("f")
+      .select((pmod(pmod(xxhash64(col("f")), lit(dim)) * lit(2654435761L),
+          lit(1000003L)).cast("double") / lit(1000003.0) - lit(0.5)).as("w"))
+      .collect().map(_.getDouble(0))
+    val expected =
+      1.0 / (1.0 + math.exp(-(weights.sum / math.sqrt(7.0)) * 4.0))
+    val got = one("Alpha beta, GAMMA beta!",
+      TextAnalysis.hashedClassifierScore(col("text")))
+      .asInstanceOf[Double]
+    assert(math.abs(got - expected) < 1e-12)
+    // score is a proper probability and varies across inputs
+    assert(got > 0.0 && got < 1.0)
+  }
+
+  test("hashedClassifierScore: featureless text sits at the 0.5 midpoint") {
+    assert(one("", TextAnalysis.hashedClassifierScore(col("text"))) === 0.5)
+    assert(one("  ... !!! ",
+      TextAnalysis.hashedClassifierScore(col("text"))) === 0.5)
+  }
 }
