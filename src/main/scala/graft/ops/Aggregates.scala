@@ -99,6 +99,65 @@ object Aggregates {
   }
   val bitsetDistinct1024 = udaf(new BitsetDistinct(1024))
 
+  /** Count-Min sketch as a typed mergeable Aggregator (Cormode &
+    * Muthukrishnan 2005) — the point-frequency member of the sketch
+    * family (HLL = cardinality, theta = set overlap, Misra–Gries =
+    * frequent items, GK = quantiles, CMS = "how often did THIS key
+    * occur"). The buffer is a fixed depth×width counter matrix: reduce
+    * adds 1 to one counter per row (the row's seeded hash of the item),
+    * merge sums element-wise — mergeable and order-independent, so it
+    * map-side-combines and shuffles depth·width longs regardless of
+    * corpus size or key cardinality. Estimates (min over rows, see
+    * [[cmsEstimate]]) can only OVERCOUNT: est − true ≤ e/width · N with
+    * probability 1 − (1/e)^depth. Row-sum invariant: every row of the
+    * matrix independently sums to N. */
+  class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    def zero: Array[Long] = new Array[Long](depth * width)
+    def reduce(b: Array[Long], item: String): Array[Long] = {
+      var d = 0
+      while (d < depth) {
+        b(d * width + CountMin.bucket(item, d, width)) += 1L
+        d += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+  object CountMin {
+    /** Row-d bucket for an item: seeded MurmurHash3, floor-mod to width —
+      * shared by the aggregator's update path and the estimate side, which
+      * is what makes a persisted sketch queryable later. */
+    def bucket(item: String, d: Int, width: Int): Int =
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(item, d), width)
+  }
+
+  /** Point-frequency estimate from a finished CMS: min over each row's
+    * counter for the item — never under the true count. The sketch is a
+    * bounded scalar (depth·width longs) — broadcasting it to score a key
+    * list is the intended 100 TB use. */
+  def cmsEstimate(sketch: Array[Long], depth: Int, width: Int,
+      item: String): Long = {
+    var est = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = sketch(d * width + CountMin.bucket(item, d, width))
+      if (c < est) est = c
+      d += 1
+    }
+    est
+  }
+
   /** Misra–Gries heavy-hitters summary as a typed mergeable Aggregator —
     * the bounded-memory frequent-items sketch (Misra–Gries 1982; merge
     * rule per Agarwal et al., "Mergeable Summaries", PODS'12). The buffer

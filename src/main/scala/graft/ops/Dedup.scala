@@ -632,4 +632,51 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(clusterCol).as("cluster_id"),
         col("rep_id"), (col(idCol) === col("rep_id")).as("kept"))
   }
+
+  /** Incremental ingestion dedup: flag INCOMING docs that near-duplicate
+    * any EXISTING corpus doc — the continuous-crawl gate ("is this newly
+    * crawled page already in the training set?"), which [[minhashNearDupPairs]]'
+    * whole-corpus self-join cannot serve: re-deduping the corpus per batch
+    * is quadratic in ingests. Same banded MinHash-LSH machinery, but the
+    * band join is ASYMMETRIC (incoming probes existing), so per-ingest
+    * work scales with the BATCH: at 100 TB the existing side's band table
+    * is a precomputed artifact bucketed on band key (one row per
+    * (band, doc), maintained additively as batches commit), the incoming
+    * bands equi-join into it, and only colliding candidates pay exact
+    * Jaccard verification. Emits one row per matched incoming doc:
+    * its best existing match (highest jaccard, ties to the smallest
+    * existing id via the struct-max trick — ids must be numeric) and the
+    * verified-match count. */
+  def incrementalNearDups(
+      existing: DataFrame, incoming: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / bands
+    def prepared(df: DataFrame, pfx: String): DataFrame = df.select(
+        id.as(s"${pfx}_id"),
+        array_sort(array_distinct(
+          wordShingles(TextAnalysis.tokens(text), shingleN)))
+          .as(s"${pfx}_sh"))
+      .withColumn(s"${pfx}_bkeys",
+        bandKeys(minhashSignature(col(s"${pfx}_sh"), numHashes), bands, r))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = prepared(existing, "ex")
+    val in = prepared(incoming, "in")
+    val cand = in.select(col("in_id"), explode(col("in_bkeys")).as("bkey"))
+      .join(ex.select(col("ex_id"), explode(col("ex_bkeys")).as("bkey")),
+        "bkey")
+      .select("in_id", "ex_id").distinct()
+    cand
+      .join(in.select(col("in_id"), col("in_sh")), "in_id")
+      .join(ex.select(col("ex_id"), col("ex_sh")), "ex_id")
+      .withColumn("jaccard", jaccardSorted(col("in_sh"), col("ex_sh")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("in_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard").as("j"), (-col("ex_id")).as("neg")))
+          .as("_m"))
+      .select(col("in_id").as("incoming_id"),
+        (-col("_m.neg")).as("matched_id"),
+        col("_m.j").as("jaccard"), col("n_matches"))
+  }
 }

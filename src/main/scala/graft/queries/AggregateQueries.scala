@@ -295,6 +295,29 @@ object AggregateQueries extends QueryPack {
           hll_sketch_estimate(col("sk")).as("approx_users"))
         .unionByName(union)
         .orderBy("scope")
+    }),
+
+    // Count-Min sketch point-frequency audit: one global depth×width CMS
+    // over the composite (event_type, user) key, then every distinct key
+    // scored against its exact count — the overcount is the sketch's
+    // collision cost, ≥ 0 by construction. The sketch collects as ONE
+    // bounded scalar (depth·width longs, the k-means-centroid precedent)
+    // and the estimate udf runs over the GROUPED key domain, never the
+    // corpus scan. Seeded-hash sketch state is engine-local → rows-only;
+    // AggregatesSpec pins the min/row-sum/ε-bound guarantees.
+    "agg_cms_freq" -> ((s, d) => {
+      val depth = 4; val width = 256
+      val keyed = Tables.events(s, d)
+        .select(concat_ws("_", col("event_type"), col("user_id")).as("k"))
+      val cms = udaf(new Aggregates.CountMin(depth, width))
+      val sketch = keyed.agg(cms(col("k")).as("sk"))
+        .collect()(0).getSeq[Long](0).toArray
+      val est = udf((k: String) =>
+        Aggregates.cmsEstimate(sketch, depth, width, k))
+      keyed.groupBy("k").agg(count(lit(1)).as("exact_n"))
+        .withColumn("cms_estimate", est(col("k")))
+        .withColumn("overcount", col("cms_estimate") - col("exact_n"))
+        .orderBy("k")
     })
   )
 

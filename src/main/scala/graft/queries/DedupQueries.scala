@@ -36,6 +36,22 @@ object DedupQueries extends QueryPack {
           element_at(col("sig"), 2).as("mh_1"))
         .orderBy("doc_id")),
 
+    // Incremental ingestion dedup: docs with doc_id % 5 == 0 play the
+    // incoming crawl batch, the rest the existing corpus; the band join
+    // is ASYMMETRIC (batch probes corpus), so per-ingest work scales
+    // with the batch — the continuous-crawl gate dd3's whole-corpus
+    // self-join cannot serve. MinHash engine-local → rows-only; DedupSpec
+    // pins planted matches, best-match argmax, and the tie-break.
+    "dd21_incremental_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("incoming_id")
+    }),
+
     // Full MinHash-LSH near-dup pipeline: bands → candidates → exact
     // Jaccard ≥ 0.5 verification. May legitimately be empty at tiny SF.
     "dd3_minhash_dup_pairs" -> ((s, d) =>

@@ -130,6 +130,41 @@ class AggregatesSpec extends GraftSuite {
     assert(run(df.repartition(7)) === Map("g" -> 8L))
   }
 
+  test("count-min sketch: row sums = N, never undercounts, merge-order stable") {
+    import spark.implicits._
+    import graft.ops.Aggregates
+    val depth = 4; val width = 1024
+    // skewed stream: key_i occurs i times, N = 1+2+…+50 = 1275
+    val items = (1 to 50).flatMap(i => Seq.fill(i)(s"key_$i"))
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def sketchOf(parts: Int): Array[Long] = items.toDF("k").repartition(parts)
+      .agg(udaf(new Aggregates.CountMin(depth, width)).apply(col("k")).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    val sketch = sketchOf(5)
+    // every row of the matrix independently sums to the stream length
+    (0 until depth).foreach { d =>
+      assert(sketch.slice(d * width, (d + 1) * width).sum === 1275L)
+    }
+    // point estimates never undercount (the one-sided CMS guarantee)
+    exact.foreach { case (k, n) =>
+      val est = Aggregates.cmsEstimate(sketch, depth, width, k)
+      assert(est >= n, s"$k: est $est under true $n")
+      // 50 keys across 4×1024 counters: the min-row is collision-free
+      // for this fixed fixture, so the estimate is exact
+      assert(est === n, s"$k: est $est != exact $n at width $width")
+    }
+    // merge order must not matter: different partitioning, same sketch
+    assert(sketchOf(1).toSeq === sketch.toSeq)
+    // a deliberately undersized sketch (width 2) forces collisions —
+    // estimates inflate but still never undercount
+    val tiny = items.toDF("k")
+      .agg(udaf(new Aggregates.CountMin(2, 2)).apply(col("k")).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    exact.foreach { case (k, n) =>
+      assert(Aggregates.cmsEstimate(tiny, 2, 2, k) >= n)
+    }
+  }
+
   test("skewKurtosis: symmetric group skew 0, formula bit-replicated") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 1), ("b", 4))

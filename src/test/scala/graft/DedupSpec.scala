@@ -378,4 +378,48 @@ class DedupSpec extends GraftSuite {
       4L -> ((4L, true)), 5L -> ((4L, false)),
       6L -> ((6L, true))))
   }
+
+  test("incrementalNearDups: batch probes corpus, argmax match, clean doc absent") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val existing = Seq(
+      (1L, base),
+      // doc 2: one word changed -> high but lower jaccard than doc 1
+      (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely unrelated text about database query planning " +
+        "with columnar storage and vectorized execution engines"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // near-copy of doc 1 (one trailing word changed): must match BOTH
+      // 1 and 2, best match = 1 (highest jaccard)
+      (100L, base.replace("tonight", "today")),
+      // clean doc: no row at all
+      (101L, "a brand new page about cooking pasta with fresh basil " +
+        "tomatoes olive oil and garlic for dinner guests"))
+      .toDF("doc_id", "text")
+    // 16 bands of 2 rows: candidate probability at the weaker match's
+    // j≈0.6 is 1−(1−0.6²)^16 ≈ 0.999 (8×4 banding would miss it ~28% of
+    // the time — the test pins recall at a banding suited to τ=0.5)
+    val got = Dedup.incrementalNearDups(
+        existing, incoming, col("doc_id"), col("text"),
+        numHashes = 32, bands = 16, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got.keySet === Set(100L))
+    val (matched, nMatches) = got(100L)
+    assert(matched === 1L, "best match must be the highest-jaccard doc")
+    assert(nMatches === 2L, "both near-dup corpus docs verified")
+  }
+
+  test("incrementalNearDups: exact-duplicate tie breaks to smallest id") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val existing = Seq((7L, t), (3L, t)).toDF("doc_id", "text")
+    val incoming = Seq((50L, t)).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(
+        existing, incoming, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((50L, 3L, 1.0)))
+  }
 }
