@@ -300,15 +300,16 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Near-duplicate images from perceptual hashes: candidates share one
-    * of the four 16-bit aHash chunks (pigeonhole — lossless for Hamming
-    * ≤ 3), then an exact popcount verifies. Same scale shape as the
-    * SimHash text path: shuffles on (chunk index, chunk value) keys
-    * only, never the n² pair space. Input: [[perceptualHash]] output. */
-  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Near-duplicate pairs from any 64-bit perceptual hash column:
+    * candidates share one of the four 16-bit chunks (pigeonhole —
+    * lossless for Hamming ≤ 3), then an exact popcount verifies. Same
+    * scale shape as the SimHash text path: shuffles on (chunk index,
+    * chunk value) keys only, never the n² pair space. */
+  def nearDupByHash(
+      hashes: DataFrame, hashCol: String, maxHamming: Int = 3): DataFrame = {
     val chunks = array((0 until 4).map(c =>
-      shiftright(col("ahash"), c * 16).bitwiseAND(lit(0xffffL))): _*)
-    val buckets = hashes.select(col("media_id"), col("ahash"),
+      shiftright(col(hashCol), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val buckets = hashes.select(col("media_id"), col(hashCol),
       posexplode(chunks).as(Seq("chunk_idx", "chunk")))
     buckets.alias("a")
       .join(buckets.alias("b"),
@@ -316,9 +317,67 @@ object Multimodal {
         col("a.chunk") === col("b.chunk") &&
         col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate images from [[perceptualHash]] output (aHash leg). */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupByHash(hashes, "ahash", maxHamming)
+
+  /** Audio envelope fingerprint — the audio analog of [[perceptualHash]]
+    * (the Shazam-family idea reduced to one band): decode (real
+    * RIFF/WAVE PCM16, deterministic stub otherwise), split the mono
+    * samples into 65 equal time frames, per-frame mean energy, bit i =
+    * sign of the energy gradient between frames i and i+1 → a 64-bit
+    * signature. Gradient signs survive uniform gain (loudness
+    * normalization can't split a duplicate pair) and near-identical
+    * clips differ in few bits, so [[nearDupByHash]]'s chunk-bucket join
+    * finds pairs at scale with no pairwise scan. Scan-local
+    * partition-batch work, same discipline as every decode op.
+    * Output: (media_id, kind, real_decode, afp). */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("real_decode", BooleanType),
+      StructField("afp", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded = r.getAs[String]("kind") match {
+          case "audio" => decodeWavSamples(payload)
+          case _ => None
+        }
+        val px = decoded.getOrElse(fakeDecode(payload, 1024))
+        val frames = 65
+        val energy = new Array[Double](frames)
+        val n = px.length
+        var f = 0
+        while (f < frames) {
+          // equal partition of [0, n): frame f covers [f*n/65, (f+1)*n/65)
+          val lo = (f.toLong * n / frames).toInt
+          val hi = ((f + 1).toLong * n / frames).toInt
+          var e = 0.0
+          var i = lo
+          while (i < hi) { e += px(i).toDouble * px(i); i += 1 }
+          energy(f) = if (hi > lo) e / (hi - lo) else 0.0
+          f += 1
+        }
+        var afp = 0L
+        var b = 0
+        while (b < 64) {
+          if (energy(b + 1) > energy(b)) afp |= 1L << b
+          b += 1
+        }
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+          decoded.isDefined, afp)
+      }
+    }(encoder)
   }
 
   /** Image resize STUB: keeps the plumbing (binary in → binary out with

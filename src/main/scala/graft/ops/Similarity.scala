@@ -654,4 +654,27 @@ object Similarity {
             (col("n_vecs") * (col("n_vecs") - lit(1L))))
           .as("mean_pair_dot"))
   }
+
+  /** Recall@k of an approximate neighbor list against the exact one —
+    * the operational quality gate an ANN deployment runs continuously on
+    * a query SAMPLE while the index serves traffic (tune nprobe /
+    * tables·bits until the sampled recall clears the SLO, re-audit as
+    * the corpus drifts). Composes with ANY neighbor generator: both
+    * inputs are plain (qid, vec_id) lists. Per query: hit count, exact
+    * count, recall = |approx ∩ exact| / |exact|; queries the approximate
+    * index missed entirely still appear (recall 0 via the left join).
+    * Shape: two keyed counts + one equi-join on (qid, vec_id) — the
+    * sample size, never the corpus, is the cost. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("qid"), col("vec_id"))
+    val a = approx.select(col("qid"), col("vec_id"))
+    val hits = e.join(a, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    e.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
 }

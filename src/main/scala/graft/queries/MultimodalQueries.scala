@@ -55,7 +55,29 @@ object MultimodalQueries extends QueryPack {
         Multimodal.perceptualHash(
           Multimodal.mediaFromDocuments(Tables.documents(s, d))),
         maxHamming = 3)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Audio envelope fingerprints + per-clip near-dup degree (the audio
+    // analog of mm4/mm5: 64-bit energy-gradient signature, chunk-bucket
+    // Hamming join). One row per audio clip so the dump is never empty:
+    // fixture audio payloads are text stand-ins whose stub decode rarely
+    // pairs (a length change shifts the whole frame grid — the same
+    // time-shift limitation a real fixed-grid envelope has), so the
+    // PAIR machinery is pinned in MultimodalSpec on real PCM16 WAVs
+    // (gain-variant duplicate found, different envelope not).
+    "mm6_audio_fingerprint" -> ((s, d) => {
+      val fp = Multimodal.audioFingerprint(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d))
+          .filter(col("kind") === "audio"))
+      val pairs = Multimodal.nearDupByHash(fp, "afp", maxHamming = 3)
+      val deg = pairs.select(col("id_a").as("media_id"))
+        .unionAll(pairs.select(col("id_b").as("media_id")))
+        .groupBy("media_id").agg(count(lit(1)).as("n_neardups"))
+      fp.join(deg, Seq("media_id"), "left")
+        .select(col("media_id"), col("real_decode"), col("afp"),
+          coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+        .orderBy("media_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Pipeline, TextAnalysis}
+import graft.ops.{Dedup, Pipeline, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data pipeline queries: sampling (rows-only, seeded RNG is
@@ -10,6 +10,30 @@ import graft.sources.Tables
 object PipelineQueries extends QueryPack {
 
   val queries: Map[String, Fn] = Map(
+    // Dedup-discounted sampling weights: each near-dup CLUSTER's total
+    // sampling mass is 1 (weight = 1/cluster_size per member) — the
+    // count-once-per-cluster rule corpus pipelines apply instead of hard
+    // deletion, preserving coverage while removing duplication bias.
+    // Composes the dd10 cluster construction (same-source trigram
+    // near-dup edges, min-label connected components) with one keyed
+    // size aggregate + join; the single double division of exact longs
+    // keeps it oracle hash-exact.
+    "pl22_cluster_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.ngramJaccardPairs(
+        docs, col("doc_id"), col("text"), col("source"),
+        n = 3, threshold = 0.6)
+      val cc = Dedup.connectedComponents(docs, col("doc_id"), edges,
+          "id_a", "id_b")
+        .select(col("cc_id").as("doc_id"), col("cluster_id"))
+      val sizes = cc.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // Stratified sample by language — spec asserts per-stratum rates;
     // rows-only here (Bernoulli draws are engine-specific).
     "pl1_stratified_sample" -> ((s, d) =>
@@ -286,6 +310,33 @@ object PipelineQueries extends QueryPack {
     }.mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    // the dd10 recursive-CTE cluster construction + a size rollup; the
+    // weight is one double division of exact longs on both engines
+    "pl22_cluster_weights" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+            list_distinct([substr(lower(text), i, 3)
+                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
+          FROM documents),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              AS jaccard
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
+          e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.6),
+          ue AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r),
+          cl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id),
+          sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM cl GROUP BY cluster_id)
+          SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+            CAST(1 AS DOUBLE) / CAST(sz.cluster_size AS DOUBLE) AS weight
+          FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""",
+
     // stage-by-stage composition of the proven ta16 / dd1 / dd17 / pl19
     // oracle fragments, restricted to the train split.
     "pl21_corpus_pipeline" ->

@@ -113,6 +113,26 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // ANN recall audit: recall@5 of the SRP-LSH and IVF indexes against
+    // the exact brute-force top-5 on the 20-query sample — the
+    // operational gate that tells you whether nprobe/tables·bits clear
+    // the recall SLO before you trust the index at corpus scale.
+    // Rows-only (the SRP leg is hash-family engine-local); SimilaritySpec
+    // pins recallAtK's arithmetic and the IVF leg's floor.
+    "ss14_ann_recall_audit" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      def audit(name: String, approx: org.apache.spark.sql.DataFrame) =
+        Similarity.recallAtK(exact, approx).withColumn("method", lit(name))
+      audit("ivf", Similarity.ivfTopK(
+          q, emb, "vec_id", "embedding", 5, numCentroids = 16, nprobe = 4))
+        .unionByName(audit("srp", Similarity.annTopK(
+          q, emb, "vec_id", "embedding", 5, tables = 16, bits = 6, dim = 64)))
+        .select("method", "qid", "n_hits", "n_exact", "recall")
+        .orderBy("method", "qid")
+    }),
+
     "ss4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(

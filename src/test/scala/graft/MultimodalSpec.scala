@@ -180,4 +180,41 @@ class MultimodalSpec extends GraftSuite {
     assert(perVideo.filter(col("n") > 4).count() === 0)
     assert(frames.count() > 0)
   }
+
+  test("audio fingerprint: gain-invariant envelope signature, near-dup join") {
+    import spark.implicits._
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(16000).putInt(16000 * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // 650 samples = 65 fingerprint frames of 10: frame f holds constant
+    // amplitude 100·(f+1) → strictly rising energy → all 64 bits set
+    val rising = (0 until 650).map(i => (100 * (i / 10 + 1)).toShort)
+    val half = rising.map(s => (s / 2).toShort) // uniform −6 dB gain
+    val falling = rising.reverse
+    val m = Seq(
+      (1L, "audio", wav(rising)), (2L, "audio", wav(half)),
+      (3L, "audio", wav(falling)))
+      .toDF("media_id", "kind", "payload")
+    val fp = Multimodal.audioFingerprint(m).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(fp.values.forall(_._1), "all payloads are real WAVs")
+    assert(fp(1L)._2 === -1L, "strictly rising energy sets all 64 bits")
+    assert(fp(2L)._2 === fp(1L)._2, "uniform gain cannot change the signature")
+    assert(fp(3L)._2 === 0L, "strictly falling energy sets no bits")
+    val pairs = Multimodal.nearDupByHash(
+        Multimodal.audioFingerprint(m), "afp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)),
+      "only the gain-variant pair is a near-dup; falling is 64 bits away")
+  }
 }

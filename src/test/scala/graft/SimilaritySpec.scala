@@ -352,4 +352,27 @@ class SimilaritySpec extends GraftSuite {
     assert(b.getLong(3) === 0L)
     assert(b.isNullAt(4))
   }
+
+  test("recallAtK: exact arithmetic, zero-hit query kept, audit ivf floor") {
+    import spark.implicits._
+    // q1: 2 of 3 recovered; q2: none (must still appear at recall 0)
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("qid", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 98L))
+      .toDF("qid", "vec_id")
+    val got = graft.ops.Similarity.recallAtK(exact, approx)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 3L, 2.0 / 3.0)),
+      2L -> ((0L, 1L, 0.0))))
+    // the catalog audit's deterministic IVF leg: every query present,
+    // macro recall at nprobe=4/16 clears the same floor the ss4 spec uses
+    val audit = SparkEntry.queries("ss14_ann_recall_audit")(spark, sf)
+      .filter(col("method") === "ivf").collect()
+    assert(audit.length === 20)
+    val macroRecall = audit.map(_.getDouble(4)).sum / audit.length
+    assert(macroRecall >= 0.5, s"ivf macro recall@5 $macroRecall < 0.5")
+  }
 }
