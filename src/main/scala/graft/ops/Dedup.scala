@@ -679,4 +679,60 @@ object Dedup {
         (-col("_m.neg")).as("matched_id"),
         col("_m.j").as("jaccard"), col("n_matches"))
   }
+
+  /** Materialize the EXISTING-corpus side of [[incrementalNearDups]] as a
+    * durable band index: one row per (band key, doc), bucketed on the
+    * band key so every future ingest probe joins it WITHOUT shuffling
+    * the corpus side — the precomputed artifact the incremental gate's
+    * 100 TB story presumes. The doc's shingle set rides along so the
+    * exact-Jaccard verification also needs no second corpus pass; new
+    * batches are appended additively as they commit (same bucketing →
+    * still one file per bucket per batch, scans stay bucket-pruned). */
+  def writeBandIndex(
+      docs: DataFrame, id: Column, text: Column, table: String,
+      buckets: Int, shingleN: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): Unit = {
+    val r = numHashes / bands
+    val prepared = docs.select(
+        id.as("ex_id"),
+        array_sort(array_distinct(
+          wordShingles(TextAnalysis.tokens(text), shingleN))).as("ex_sh"))
+      .withColumn("bkey",
+        explode(bandKeys(minhashSignature(col("ex_sh"), numHashes), bands, r)))
+      .select("bkey", "ex_id", "ex_sh")
+    graft.sources.Tables.writeBucketed(prepared, table, buckets, "bkey")
+  }
+
+  /** Ingest-gate probe against a [[writeBandIndex]] table: identical
+    * semantics to [[incrementalNearDups]], but the existing side is the
+    * durable bucketed band index — its scan carries the bucket hash, so
+    * the band equi-join plans NO shuffle on the corpus side (PlanSpec/
+    * DedupSpec-asserted); only the incoming batch hashes, explodes and
+    * exchanges. Per-ingest cost is batch-sized at any corpus size. */
+  def probeBandIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      incoming: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / bands
+    val ex = spark.table(table)
+    val in = incoming.select(
+        id.as("in_id"),
+        array_sort(array_distinct(
+          wordShingles(TextAnalysis.tokens(text), shingleN))).as("in_sh"))
+      .withColumn("bkey",
+        explode(bandKeys(minhashSignature(col("in_sh"), numHashes), bands, r)))
+    in.join(ex, "bkey")
+      .select(col("in_id"), col("in_sh"), col("ex_id"), col("ex_sh"))
+      .withColumn("jaccard", jaccardSorted(col("in_sh"), col("ex_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select("in_id", "ex_id", "jaccard").distinct()
+      .groupBy("in_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard").as("j"), (-col("ex_id")).as("neg")))
+          .as("_m"))
+      .select(col("in_id").as("incoming_id"),
+        (-col("_m.neg")).as("matched_id"),
+        col("_m.j").as("jaccard"), col("n_matches"))
+  }
 }

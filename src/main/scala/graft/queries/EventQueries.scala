@@ -152,6 +152,34 @@ object EventQueries extends QueryPack {
       EventAnalytics.dowSeasonality(Tables.events(s, d), "event_type", "ts")
         .orderBy("event_type"))
 ,
+    // Funnel step conversions with Wilson 95% confidence intervals —
+    // the "is the step-2 drop real or noise" reading of ev1: p̂ and its
+    // score interval per step, n = the previous stage's cohort. The CI
+    // is one fixed double expression (1.96 literal, sqrt correctly
+    // rounded) replicated structurally in the oracle → hash-exact. The
+    // 3-row stage chain joins to itself on stage-1 (no window — a
+    // single-partition window over even 3 rows is a banned shape here).
+    "ev25_funnel_ci" -> ((s, d) => {
+      val f = EventAnalytics.funnel(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      val prev = f.select((col("stage") + 1).as("stage"),
+        col("users").as("prev_users"))
+      val n = col("prev_users").cast("double")
+      val p = col("users").cast("double") / n
+      val z2 = lit(1.96) * lit(1.96)
+      val denom = lit(1.0) + z2 / n
+      val center = (p + z2 / (n * lit(2.0))) / denom
+      val half = (lit(1.96) *
+        sqrt(p * (lit(1.0) - p) / n + z2 / (n * n * lit(4.0)))) / denom
+      f.join(prev, Seq("stage"), "left")
+        .select(col("stage"), col("step"), col("users"), col("prev_users"),
+          when(col("prev_users").isNotNull, p).as("conv_rate"),
+          when(col("prev_users").isNotNull, center - half).as("ci_low"),
+          when(col("prev_users").isNotNull, center + half).as("ci_high"))
+        .orderBy("stage")
+    }),
+
     // Hour-of-week seasonal baseline per event type: count, lift over
     // the uniform 168-cell expectation, exact-decimal mean value, hot
     // flag — the baseline an alerting system compares live traffic
@@ -273,6 +301,47 @@ object EventQueries extends QueryPack {
              AS chi2_uniform
          FROM a JOIN p ON p.event_type = a.event_type
          ORDER BY a.event_type""",
+    // the ev1 stage chain + a stage-1 self-join; the Wilson expression
+    // mirrors the Spark tree op-for-op (e-notation literals so DuckDB
+    // types them DOUBLE, sqrt correctly rounded on both)
+    "ev25_funnel_ci" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.u
+             WHERE e.event_type = 'click' AND e.ts > s1.t
+             GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.u
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             GROUP BY e.user_id),
+         f AS (
+           SELECT 1 AS stage, 'view' AS step,
+             (SELECT count(*) FROM s1) AS users
+           UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)),
+         j AS (SELECT f.stage, f.step, f.users, p.users AS prev_users
+           FROM f LEFT JOIN f p ON p.stage = f.stage - 1),
+         w AS (SELECT stage, step, CAST(users AS BIGINT) AS users,
+             CAST(prev_users AS BIGINT) AS prev_users,
+             CAST(users AS DOUBLE) / CAST(prev_users AS DOUBLE) AS p,
+             CAST(prev_users AS DOUBLE) AS n
+           FROM j)
+         SELECT CAST(stage AS INT) AS stage, step, users, prev_users,
+           CASE WHEN prev_users IS NOT NULL THEN p END AS conv_rate,
+           CASE WHEN prev_users IS NOT NULL THEN
+             (p + (1.96e0 * 1.96e0) / (n * 2.0e0)) /
+               (1.0e0 + (1.96e0 * 1.96e0) / n) -
+             (1.96e0 * sqrt(p * (1.0e0 - p) / n +
+               (1.96e0 * 1.96e0) / (n * n * 4.0e0))) /
+               (1.0e0 + (1.96e0 * 1.96e0) / n) END AS ci_low,
+           CASE WHEN prev_users IS NOT NULL THEN
+             (p + (1.96e0 * 1.96e0) / (n * 2.0e0)) /
+               (1.0e0 + (1.96e0 * 1.96e0) / n) +
+             (1.96e0 * sqrt(p * (1.0e0 - p) / n +
+               (1.96e0 * 1.96e0) / (n * n * 4.0e0))) /
+               (1.0e0 + (1.96e0 * 1.96e0) / n) END AS ci_high
+         FROM w ORDER BY stage""",
     // same cell keys (isodow ≡ weekday()+1, hour), same DECIMAL(18,6)
     // value sum, lift/mean as single divisions of exact inputs
     "ev21_seasonal_baseline" ->

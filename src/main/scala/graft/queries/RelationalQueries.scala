@@ -245,6 +245,34 @@ object RelationalQueries extends QueryPack {
         .orderBy("lang", "source")
     }),
 
+    // S16 — schema-evolution read: two producer generations write the
+    // same table (an older batch WITHOUT n_chars, an evolved batch with
+    // it); `mergeSchema` reconciles the footers into one relation where
+    // the legacy batch's missing column reads as null. This is the
+    // steady state of any long-lived 100 TB corpus — ingestion code
+    // evolves mid-corpus and the reader must union generations without
+    // a rewrite. The oracle recomputes from the parquet original using
+    // the same doc_id split, so a green row proves null-fill + merge
+    // semantics end-to-end.
+    "s16_schema_evolution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft-evo-")
+        .toString
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen1", s"$base/gen2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+            .as("legacy_rows"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("known_chars"))
+        .orderBy("lang")
+    }),
+
     // S14 — Benford first-digit audit on order totals: integer-cents
     // leading digit (string of a BIGINT — no float formatting, no log10
     // digit math), exact-long shares, Benford expectations as
@@ -471,6 +499,15 @@ object RelationalQueries extends QueryPack {
            UNION ALL SELECT 'orders_orderkey_unique', 'orders', v, total FROM u
            UNION ALL SELECT 'lineitem_orderkey_in_orders', 'lineitem', v, total FROM ri)
          ORDER BY check_name""",
+    // recomputed from the original with the same doc_id parity split —
+    // equality proves merge + null-fill semantics
+    "s16_schema_evolution" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS legacy_rows,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+             AS BIGINT) AS known_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     // over the parquet ORIGINAL on purpose: equality proves the Spark
     // side's JSONL write→read cycle lost nothing
     "s15_jsonl_roundtrip" ->

@@ -422,4 +422,68 @@ class DedupSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === Seq((50L, 3L, 1.0)))
   }
+
+  test("band index: durable probe equals inline gate, corpus side unshuffled") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val existing = Seq(
+      (1L, base), (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely unrelated text about database query planning " +
+        "with columnar storage and vectorized execution engines"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base.replace("tonight", "today")),
+      (101L, "a brand new page about cooking pasta with fresh basil " +
+        "tomatoes olive oil and garlic for dinner guests"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandIndex(existing, col("doc_id"), col("text"),
+      "band_idx_t", buckets = 4, bands = 16)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast would hide the bucketing; the 100 TB question is a
+      // batch too big to broadcast probing a corpus-sized index
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.probeBandIndex(spark, "band_idx_t", incoming,
+        col("doc_id"), col("text"), bands = 16, threshold = 0.5)
+      val inline = Dedup.incrementalNearDups(existing, incoming,
+        col("doc_id"), col("text"), bands = 16, threshold = 0.5)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val got = rows(probe)
+      assert(got === rows(inline) && got.nonEmpty,
+        "durable probe must reproduce the inline gate exactly")
+      // plan shape: the band join's index side must contain ZERO shuffle
+      // exchanges — the bucketed scan already carries the join hash
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case q: QueryStageExec => unwrap(q.plan)
+        case o => o
+      }
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val u = unwrap(p)
+        u +: u.children.flatMap(nodes)
+      }
+      val joinSides = nodes(probe.queryExecution.executedPlan).collectFirst {
+        case j: SortMergeJoinExec => (j.left, j.right)
+        case j: ShuffledHashJoinExec => (j.left, j.right)
+      }
+      assert(joinSides.nonEmpty, "expected a shuffled band equi-join")
+      val (l, r) = joinSides.get
+      val exSide =
+        if (l.toString.contains("band_idx_t")) l
+        else { assert(r.toString.contains("band_idx_t")); r }
+      val exShuffles = nodes(exSide).count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(exShuffles === 0,
+        s"index side must not shuffle, found $exShuffles:\n$exSide")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS band_idx_t")
+    }
+  }
 }
