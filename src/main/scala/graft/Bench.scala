@@ -277,6 +277,45 @@ object Bench {
           None
       }
 
+    // Materialized-partsupp experiment: the 5 partsupp-family TPC-H
+    // queries run their derived-view CTE (a full lineitem group-by) once
+    // PER QUERY in the tpch22 sweep — correct for the oracle contract,
+    // but SCALE.md's deployment story is "materialize partsupp ONCE,
+    // reuse". This measures that story: same query bodies, `partsupp`
+    // now a cached materialized temp view (materialization time charged
+    // to `partsupp_build`), vs their CTE forms. Informational; disable
+    // with SPARK_GRAFT_BENCH_PSMAT=0.
+    val psmat: Seq[(String, Double)] = informational("psmat") {
+      if (sys.env.get("SPARK_GRAFT_BENCH_PSMAT").contains("0")) Nil
+      else {
+        import graft.queries.TpchQueries
+        Tables.registerAll(spark, sfDir)
+        def timeAll(run: String => org.apache.spark.sql.DataFrame): Double =
+          TpchQueries.partsuppRaw.keys.toSeq.sorted.map { q =>
+            run(q).count() // warmup/codegen
+            val t0 = System.nanoTime()
+            run(q).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sum
+        val cte = timeAll(q => SparkEntry.queries(q)(spark, sfDir))
+        val t0 = System.nanoTime()
+        val ps = spark.sql(Tables.partsuppViewSql).cache()
+        ps.count()
+        val build = (System.nanoTime() - t0) / 1e9
+        ps.createOrReplaceTempView("partsupp")
+        try {
+          val mat = timeAll(q => spark.sql(TpchQueries.partsuppRaw(q)))
+          Seq("partsupp_cte_total" -> cte, "partsupp_build" -> build,
+            "partsupp_materialized_total" -> mat)
+        } finally {
+          ps.unpersist()
+          // restore the shared derived-view definition for any later use
+          spark.sql(
+            s"CREATE OR REPLACE TEMPORARY VIEW partsupp AS ${Tables.partsuppViewSql}")
+        }
+      }
+    }
+
     // Skew-join experiment: synthesize the adversarial 90%-hot-key fact
     // join (90% of lineitem rows collapse onto one key) and measure three
     // physical strategies on IDENTICAL inputs, broadcast disabled (the
@@ -381,13 +420,15 @@ object Bench {
       else s""","llm_total":${llmSuite.map(_._2).sum},"llm":${jsonMap(llmSuite)}"""
     val skewField =
       if (skew.isEmpty) "" else s""","skew":${jsonMap(skew)}"""
+    val psmatField =
+      if (psmat.isEmpty) "" else s""","psmat":${jsonMap(psmat)}"""
     val layoutField = layout.map { case (sh, bk) =>
       s""","shuffled":${jsonMap(sh.map { case (k, r) => (k, r.min) })}""" +
       s""","bucketed":${jsonMap(bk.map { case (k, r) => (k, r.min) })}""" +
       s""","shuffled_reps":${jsonRepMap(sh)},"bucketed_reps":${jsonRepMap(bk)}"""
     }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$llmField$skewField$layoutField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$llmField$psmatField$skewField$layoutField,"sf":"$sfDir"}"""
     // stdout for the driver's log scrape AND a file for robust parsing
     // (sbt prefixes stdout lines with [info], which breaks json.loads).
     println(line)

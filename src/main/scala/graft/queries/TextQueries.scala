@@ -64,6 +64,25 @@ object TextQueries extends QueryPack {
           "effective_chars")
         .orderBy("doc_id")),
 
+    // Tokenizer fertility report: chars-per-token by (lang, source) —
+    // the input to "which tokenizer does this corpus deserve": high
+    // fertility (CJK under a byte-level regex) means more tokens per
+    // character of signal, directly pricing context budget and training
+    // FLOPs per char. Exact integer sums, two closing divisions.
+    "ta23_tokenizer_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long"))
+            .as("total_tokens"))
+        .withColumn("chars_per_token",
+          col("total_chars").cast("double") /
+            col("total_tokens").cast("double"))
+        .withColumn("tokens_per_doc",
+          col("total_tokens").cast("double") / col("n_docs").cast("double"))
+        .orderBy("lang", "source")),
+
     // fastText-style hashed-feature classifier inference: unigram+bigram
     // hashing trick → deterministic pseudo-weights → sigmoid, one
     // scan-local codegen'd expression (xxhash64 is engine-local →
@@ -388,6 +407,20 @@ object TextQueries extends QueryPack {
               + (1.0 - punct_ratio) * 0.3
               + least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality
           FROM c ORDER BY doc_id""",
+    // same byte-level token regex as ta3; exact long sums then two
+    // double divisions — hash-exact
+    "ta23_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, source, n_chars,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks
+         FROM documents)
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+             AS chars_per_token,
+           CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS tokens_per_doc
+         FROM t GROUP BY lang, source ORDER BY lang, source""",
     "ta3_token_stats" ->
       """SELECT doc_id,
            CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS ws_tokens,

@@ -42,10 +42,24 @@ object TpchQueries extends QueryPack {
   private def withPartsupp(q: String): String =
     s"WITH partsupp AS (${Tables.partsuppViewSql})\n$q"
 
+  /** The partsupp-family query bodies WITHOUT the derived-view CTE —
+    * run them against a materialized `partsupp` temp view to measure
+    * the materialize-once deployment SCALE.md describes (Bench does). */
+  lazy val partsuppRaw: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Raw, "q9_product_profit" -> q9Raw,
+    "q11_important_stock" -> q11Raw, "q16_supplier_count" -> q16Raw,
+    "q20_part_promotion" -> q20Raw)
+
+  lazy val q2Sql: String = withPartsupp(q2Raw)
+  lazy val q9Sql: String = withPartsupp(q9Raw)
+  lazy val q11Sql: String = withPartsupp(q11Raw)
+  lazy val q16Sql: String = withPartsupp(q16Raw)
+  lazy val q20Sql: String = withPartsupp(q20Raw)
+
   /** Q2: minimum-cost supplier per part — correlated min subquery over
     * partsupp re-joining supplier/nation/region inside the correlation
     * (official Q2 text modulo the derived-view cost semantics). */
-  val q2Sql: String = withPartsupp(
+  val q2Raw: String =
     """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
        FROM part, supplier, partsupp, nation, region
        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
@@ -59,7 +73,7 @@ object TpchQueries extends QueryPack {
              AND n2.n_nationkey = s2.s_nationkey
              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_brand
-       LIMIT 100""")
+       LIMIT 100"""
 
   /** Q8-shape: national market share — one nation's share of regional
     * import volume per year (8-way join, conditional decimal sums,
@@ -87,7 +101,7 @@ object TpchQueries extends QueryPack {
   /** Q9: product-type profit by supplier nation and year — official join
     * text through partsupp; the stand-in's ps_supplycost (min extended
     * price per pair, scaled to a per-unit magnitude) is the cost side. */
-  val q9Sql: String = withPartsupp(
+  val q9Raw: String =
     """SELECT n_name AS nation, o_year,
          CAST(sum(amount) AS DOUBLE) AS sum_profit
        FROM (
@@ -100,7 +114,7 @@ object TpchQueries extends QueryPack {
            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
            AND p_name LIKE '%gear%') profit
        GROUP BY nation, o_year
-       ORDER BY nation, o_year DESC""")
+       ORDER BY nation, o_year DESC"""
 
   /** Q11: important inventory value per part — official grouped
     * availqty × supplycost sums over partsupp, filtered by a
@@ -111,7 +125,7 @@ object TpchQueries extends QueryPack {
     * the oracle by one ulp at a rounding boundary. The threshold
     * comparison happens in double (exact-decimal sums cast double are
     * bit-identical across engines below 2^53 unscaled). */
-  val q11Sql: String = withPartsupp(
+  val q11Raw: String =
     """SELECT ps_partkey,
          CAST(sum(CAST(ps_supplycost AS DECIMAL(14,2)) *
                   CAST(ps_availqty AS DECIMAL(14,2))) AS DOUBLE) AS part_value
@@ -126,11 +140,11 @@ object TpchQueries extends QueryPack {
          FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
            JOIN nation ON s_nationkey = n_nationkey
          WHERE n_regionkey = 2)
-       ORDER BY part_value DESC, ps_partkey""")
+       ORDER BY part_value DESC, ps_partkey"""
 
   /** Q16: supplier count per part attribute triple over partsupp,
     * excluding a NOT-IN supplier set (official text). */
-  val q16Sql: String = withPartsupp(
+  val q16Raw: String =
     """SELECT p_brand, p_type, p_size,
          CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
        FROM partsupp JOIN part ON p_partkey = ps_partkey
@@ -139,7 +153,7 @@ object TpchQueries extends QueryPack {
          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                 WHERE s_acctbal < 0.0)
        GROUP BY p_brand, p_type, p_size
-       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
   /** Q17-shape: correlated avg — quantity below 20% of the part's own
     * average (exact decimal sum ÷ count on both engines). */
@@ -157,7 +171,7 @@ object TpchQueries extends QueryPack {
     * availability threshold against the date-windowed shipped quantity →
     * nation IN region set) — official Q20's
     * `ps_availqty > 0.5 * correlated sum(l_quantity)` shape. */
-  val q20Sql: String = withPartsupp(
+  val q20Raw: String =
     """SELECT s_suppkey, s_name, s_acctbal
        FROM supplier
        WHERE s_suppkey IN (
@@ -173,7 +187,7 @@ object TpchQueries extends QueryPack {
                  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'))
          AND s_nationkey IN (SELECT n_nationkey FROM nation
                              WHERE n_regionkey IN (0, 1, 2))
-       ORDER BY s_suppkey""")
+       ORDER BY s_suppkey"""
 
   /** Q21-shape: EXISTS + NOT EXISTS lineitem self-joins with non-equality
     * correlation (l2.l_suppkey <> l1.l_suppkey) — the hardest
@@ -664,3 +678,4 @@ object TpchQueries extends QueryPack {
             OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)"""
   )
 }
+
