@@ -105,7 +105,20 @@ object StreamingQueries extends QueryPack {
     // detector (EventStreams.anomalyFlags — StreamingSpec proves parity).
     "st11_anomaly_flags" -> ((s, d) =>
       EventStreams.anomalyFlagsBatch(Tables.events(s, d))
-        .orderBy("user_id", "event_id"))
+        .orderBy("user_id", "event_id")),
+
+    // Seasonal-baseline alerting, batch dual — live tumbling-hour counts
+    // vs the hour-of-week expectation (ev21's baseline as an expected
+    // count per window occurrence), alert at 2× lift. The streaming
+    // deployment broadcast-joins the static expectation per micro-batch
+    // (StreamingSpec proves stream/batch parity).
+    "st13_seasonal_alerts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventStreams.seasonalAlerts(
+        EventStreams.tumblingCounts(ev),
+        EventStreams.seasonalExpectation(ev), k = 2.0)
+        .orderBy("window_start", "event_type")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -219,6 +232,31 @@ object StreamingQueries extends QueryPack {
            FROM c)
          SELECT window_start, event_type, n_events, rank FROM r
          WHERE rank <= 2 ORDER BY window_start, rank""",
+    // same cell keys (isodow ≡ weekday()+1), expectation = cell count /
+    // dates of that weekday; lift and alert as single double steps
+    "st13_seasonal_alerts" ->
+      """WITH wc AS (SELECT date_trunc('hour', ts) AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         cells AS (SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             EXTRACT(hour FROM ts) AS hour,
+             CAST(count(*) AS BIGINT) AS cell_n
+           FROM events GROUP BY 1, 2, 3),
+         dows AS (SELECT isodow(d) AS dow,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+           FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+           GROUP BY 1),
+         e AS (SELECT c.event_type, c.dow, c.hour,
+             CAST(c.cell_n AS DOUBLE) / CAST(o.n_occurrences AS DOUBLE)
+               AS expected
+           FROM cells c JOIN dows o USING (dow))
+         SELECT wc.window_start, wc.event_type, wc.n_events, e.expected,
+           CAST(wc.n_events AS DOUBLE) / e.expected AS observed_lift,
+           (CAST(wc.n_events AS DOUBLE) / e.expected) >= 2.0 AS alert
+         FROM wc JOIN e ON e.event_type = wc.event_type
+           AND e.dow = isodow(CAST(wc.window_start AS DATE))
+           AND e.hour = EXTRACT(hour FROM wc.window_start)
+         ORDER BY wc.window_start, wc.event_type""",
     // strict-preceding exact-decimal running mean, identical flag rule
     "st11_anomaly_flags" ->
       """WITH x AS (

@@ -401,6 +401,47 @@ object EventStreams {
     spark.read.parquet(s"$stateDir/$v")
   }
 
+  /** Hour-of-week expectation table from a HISTORICAL batch corpus — the
+    * static side of [[seasonalAlerts]] (ev21's baseline resolved to an
+    * expected-count-per-window-occurrence): cell count / number of dates
+    * that weekday occurs in the corpus. ≤ types·168 rows; at scale a
+    * periodically refreshed table, here recomputed per run. Exact longs,
+    * one closing division. */
+  def seasonalExpectation(events: DataFrame): DataFrame = {
+    val cells = events.select(col("event_type"),
+        (weekday(to_date(col("ts"))) + 1).as("dow"),
+        hour(col("ts")).as("hour"))
+      .groupBy("event_type", "dow", "hour")
+      .agg(count(lit(1)).as("cell_n"))
+    val dows = events.select(to_date(col("ts")).as("d")).distinct()
+      .select((weekday(col("d")) + 1).as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("n_occurrences"))
+    cells.join(dows, "dow")
+      .select(col("event_type"), col("dow"), col("hour"),
+        (col("cell_n").cast("double") / col("n_occurrences").cast("double"))
+          .as("expected"))
+  }
+
+  /** Streaming seasonal-baseline alerting — the live half of ev21's
+    * story: each finalized tumbling-hour window count ([[tumblingCounts]],
+    * the watermark-bounded stateful stage) stream-static-joins the
+    * broadcast expectation table on its (type, weekday, hour) cell, and
+    * observed/expected ≥ k raises the alert. The static side re-broadcasts
+    * per micro-batch (≤ types·168 rows — constant at any corpus size);
+    * the same code runs in batch and is oracle-checked as st13. */
+  def seasonalAlerts(
+      windowCounts: DataFrame, expectation: DataFrame,
+      k: Double = 2.0): DataFrame =
+    windowCounts
+      .withColumn("dow", weekday(to_date(col("window_start"))) + 1)
+      .withColumn("hour", hour(col("window_start")))
+      .join(broadcast(expectation), Seq("event_type", "dow", "hour"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("expected"),
+        (col("n_events").cast("double") / col("expected"))
+          .as("observed_lift"))
+      .withColumn("alert", col("observed_lift") >= lit(k))
+
   /** File-source streaming read from a directory of (µs-timestamp) parquet
     * files, one file per micro-batch — the standard way to drive a
     * streaming query from static fixtures. Schema is taken from a batch

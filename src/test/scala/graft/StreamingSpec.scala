@@ -61,6 +61,23 @@ class StreamingSpec extends GraftSuite {
     assert(streamedRank.count() > 0)
   }
 
+  test("seasonal alerts: in-stream static join matches the batch dual") {
+    val batchEvents = Tables.events(spark, sf)
+    val expectation = EventStreams.seasonalExpectation(batchEvents)
+    // the static expectation joins INSIDE the streaming query (the
+    // deployment shape: re-broadcast per micro-batch after the
+    // watermark-finalized window agg)
+    val streamed = runStream("t_seasonal",
+      ev => EventStreams.seasonalAlerts(
+        EventStreams.tumblingCounts(ev), expectation),
+      "append")
+    val batch = EventStreams.seasonalAlerts(
+      EventStreams.tumblingCounts(batchEvents), expectation)
+    assert(streamed.exceptAll(batch).count() === 0,
+      "streamed alert rows must all appear in the batch dual")
+    assert(streamed.count() >= batch.count() - 5)
+  }
+
   test("sliding window: streaming rows are a watermark-closed subset of batch") {
     val streamed = runStream("t_sliding", EventStreams.slidingCounts, "append")
     val batch = EventStreams.slidingCounts(Tables.events(spark, sf))
