@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
   * pixels inside the partition batch loop. AUDIO decode is REAL for
   * RIFF/WAVE PCM16 (a pure container format — hand-rolled chunk walk, no
   * codec): `kind=audio` payloads decode to mono float samples. Payloads
+  * VIDEO is real for the engine's GFV0 frame container (length-prefixed
+  * PNG/JPEG frames, [[packVideo]]) — frame extraction parses actual byte
+  * framing and per-frame pixel work runs ImageIO (this environment ships
+  * no general video codecs, so foreign formats can't be parsed). Payloads
   * that are not decodable media (the documents-derived fixture uses text
   * bytes as stand-in payloads) fall back to the deterministic STUB
-  * pseudo-decode, as does video (this container ships no video codecs).
+  * pseudo-decode, flagged `real_decode=false` wherever surfaced.
   * Everything around the decode is the real scale plumbing — schema,
   * binary handling, mapPartitions batching (the Scala analog of
   * `mapInPandas`: one JVM-side batch loop per partition, codec state
@@ -188,6 +192,14 @@ object Multimodal {
               .getOrElse(fakeDecode(payload, 256))
           case "audio" =>
             decodeWavSamples(payload).getOrElse(fakeDecode(payload, 256))
+          case "video" =>
+            // real path: first GFV0 frame's pixels (the thumbnail
+            // feature); foreign containers fall back to the stub
+            unpackVideo(payload)
+              .flatMap(_.headOption)
+              .flatMap(decodeImagePixels)
+              .map(_._1)
+              .getOrElse(fakeDecode(payload, 256))
           case _ => fakeDecode(payload, 256)
         }
         // pooled feature: deterministic, fixed shape regardless of the
@@ -402,13 +414,84 @@ object Multimodal {
   /** Video frame-sampling STUB: one "frame" (byte window) per second of
     * duration, capped — demonstrates the explode-to-frames shape that a
     * real pipeline uses before per-frame feature extraction. */
-  def sampleFrames(media: DataFrame, maxFrames: Int = 8): DataFrame =
+  // ---- video frame container -------------------------------------------
+
+  private val videoMagic: Array[Byte] = "GFV0".getBytes("US-ASCII")
+
+  /** Pack image frames into the engine's minimal video container "GFV0":
+    * 4-byte ASCII magic, big-endian int32 frame count, then per frame a
+    * big-endian int32 length prefix and the encoded image bytes (PNG /
+    * JPEG — anything ImageIO sniffs). The container is OURS (this repo
+    * ships no ffmpeg), but everything downstream of it is REAL: frame
+    * extraction parses actual byte framing and per-frame pixel work runs
+    * javax.imageio decode — the part the earlier stub faked. */
+  def packVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(_.length + 4).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.put(videoMagic).putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Parse a GFV0 container; None for any malformed/foreign payload (the
+    * caller falls back to the deterministic stub, same contract as the
+    * WAV/ImageIO decoders). */
+  private def unpackVideo(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (payload == null || payload.length < 8 ||
+      !payload.startsWith(videoMagic)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload, 4, payload.length - 4)
+      val n = bb.getInt()
+      if (n < 0 || n > 100000) return None
+      val frames = (0 until n).map { _ =>
+        val len = bb.getInt()
+        if (len < 0 || len > bb.remaining()) return None
+        val f = new Array[Byte](len)
+        bb.get(f)
+        f
+      }
+      if (bb.remaining() != 0) None else Some(frames)
+    } catch { case _: Exception => None }
+  }
+
+  /** Frame sampling: video → one row per frame, capped at `maxFrames`.
+    * GFV0 payloads yield their REAL encoded frames (`real_decode=true`;
+    * each frame is then a plain image for [[perceptualHash]]-style
+    * per-frame work — MultimodalSpec drives packed PNGs through to
+    * hash-identical pixels); other payloads keep the deterministic
+    * byte-stride stub with the duration-derived frame count. Scan-local
+    * partition-batch parse, no shuffle. */
+  def sampleFrames(media: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_bytes", BinaryType),
+      StructField("real_decode", BooleanType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
     media.filter(col("kind") === "video")
-      .withColumn("n_frames",
-        least(greatest((col("meta.duration_ms") / 1000).cast("int"), lit(1)),
-          lit(maxFrames)))
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_frames") - 1)))
-      .select(col("media_id"), col("frame_idx"),
-        expr("substring(payload, frame_idx * 16 + 1, 16)").as("frame_bytes"))
+      .select(col("media_id"), col("payload"),
+        col("meta.duration_ms").as("dur"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          unpackVideo(payload) match {
+            case Some(frames) =>
+              frames.take(maxFrames).zipWithIndex.map { case (f, i) =>
+                Row(id, i, f, true)
+              }
+            case None =>
+              val n = math.min(
+                math.max(r.getAs[Int]("dur") / 1000, 1), maxFrames)
+              (0 until n).map { i =>
+                val lo = math.min(i * 16, payload.length)
+                val hi = math.min(lo + 16, payload.length)
+                Row(id, i, java.util.Arrays.copyOfRange(payload, lo, hi),
+                  false)
+              }
+          }
+        }
+      }(encoder)
+  }
 }

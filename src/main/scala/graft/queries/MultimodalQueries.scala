@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 import graft.sources.Tables
 
-/** Multimodal plumbing over binary payload columns (decode step stubbed —
-  * see Multimodal). Rows-only checks: binary/array outputs aren't oracle
+/** Multimodal plumbing over binary payload columns — real decode where a
+  * JDK codec exists (ImageIO images, PCM16 WAV, GFV0 frame containers),
+  * deterministic stub with a real_decode flag otherwise. Rows-only checks: binary/array outputs aren't oracle
   * material, the schema/partitioning/batching contract is spec-tested in
   * MultimodalSpec. The metadata projection (mm1) IS oracle-checked since
   * it's plain arithmetic on documents. */
@@ -32,12 +33,13 @@ object MultimodalQueries extends QueryPack {
             (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
         .orderBy("media_id")),
 
-    // Frame sampling: video → exploded frame rows.
+    // Frame sampling: video → exploded frame rows (real GFV0 container
+    // parse when the payload is one; stub stride otherwise, flagged).
     "mm3_video_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .select(col("media_id"), col("frame_idx"),
-          length(col("frame_bytes")).as("frame_len"))
+          length(col("frame_bytes")).as("frame_len"), col("real_decode"))
         .orderBy("media_id", "frame_idx")),
 
     // Perceptual image hashes (aHash/dHash — the image SimHash). Fixture

@@ -133,6 +133,27 @@ object SimilarityQueries extends QueryPack {
         .orderBy("method", "qid")
     }),
 
+    // IVF tuning curve: macro recall@5 vs nprobe ∈ {1,2,4,8} of 16
+    // lists against exact brute force — the table an operator reads to
+    // pick the cheapest nprobe that clears the recall SLO (ss14 audits
+    // one operating point; this sweeps the dial). Deterministic IVF but
+    // a 4-way sweep is not reasonable oracle SQL → rows-only;
+    // SimilaritySpec asserts recall is monotone in nprobe and exact at
+    // nprobe = numCentroids.
+    "ss15_ivf_tuning_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.recallAtK(exact, Similarity.ivfTopK(
+            q, emb, "vec_id", "embedding", 5, numCentroids = 16, nprobe = np))
+          .agg(sum("n_hits").as("hits"), sum("n_exact").as("possible"))
+          .select(lit(np).as("nprobe"), col("hits"), col("possible"),
+            (col("hits").cast("double") / col("possible").cast("double"))
+              .as("macro_recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
+
     "ss4_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(

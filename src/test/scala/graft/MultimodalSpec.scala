@@ -181,6 +181,54 @@ class MultimodalSpec extends GraftSuite {
     assert(frames.count() > 0)
   }
 
+  test("GFV0 video container: real frames out, per-frame hash = source hash") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val f0 = png((_, y) => if (y < 4) 0x000000 else 0xffffff)
+    val f1 = png((x, _) => if (x < 4) 0xffffff else 0x000000)
+    val vid = Multimodal.packVideo(Seq(f0, f1))
+    val m = Seq(
+      (1L, "video", vid, (8, 8, 0, 2000)),
+      // non-container payload under kind=video → stub path, flagged
+      (2L, "video", "plain text stand-in payload".getBytes("UTF-8"),
+        (8, 8, 0, 3000)))
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("m").cast("struct<width:int,height:int,sample_rate:int," +
+          "duration_ms:int>").as("meta"))
+    val frames = Multimodal.sampleFrames(m, maxFrames = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getAs[Array[Byte]](2), r.getBoolean(3)))).toMap
+    // container frames come back byte-identical and flagged real
+    assert(frames((1L, 0))._1.toSeq === f0.toSeq && frames((1L, 0))._2)
+    assert(frames((1L, 1))._1.toSeq === f1.toSeq && frames((1L, 1))._2)
+    // stub path: duration-derived count (3s → 3 frames), flagged fake
+    assert((0 until 3).forall(i => frames.contains((2L, i))))
+    assert(!frames((2L, 0))._2 && !frames.contains((2L, 3)))
+    // the extracted frame is a plain image: hashing it through the REAL
+    // ImageIO path equals hashing the source PNG directly
+    val asImages = Seq((10L, "image", f0), (11L, "image", frames((1L, 0))._1))
+      .toDF("media_id", "kind", "payload")
+    val h = Multimodal.perceptualHash(asImages).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(h(10L) === h(11L) && h(10L)._1)
+    // features for a GFV0 video = features of its first frame decoded
+    // for real (the thumbnail feature), not the byte-stride stub
+    val vf = Multimodal.extractFeatures(m.filter(col("media_id") === 1L))
+      .collect().head.getSeq[Float](2)
+    val imf = Multimodal.extractFeatures(
+        Seq((10L, "image", f0)).toDF("media_id", "kind", "payload"))
+      .collect().head.getSeq[Float](2)
+    assert(vf === imf)
+  }
+
   test("audio fingerprint: gain-invariant envelope signature, near-dup join") {
     import spark.implicits._
     def wav(samples: Seq[Short]): Array[Byte] = {

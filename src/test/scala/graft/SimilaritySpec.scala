@@ -375,4 +375,23 @@ class SimilaritySpec extends GraftSuite {
     val macroRecall = audit.map(_.getDouble(4)).sum / audit.length
     assert(macroRecall >= 0.5, s"ivf macro recall@5 $macroRecall < 0.5")
   }
+
+  test("ivf tuning curve: recall monotone in nprobe, exact at full probe") {
+    val curve = SparkEntry.queries("ss15_ivf_tuning_curve")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(curve.keySet === Set(1, 2, 4, 8))
+    assert(curve(1) <= curve(2) && curve(2) <= curve(4) &&
+      curve(4) <= curve(8), s"recall not monotone: $curve")
+    // probing every list IS brute force — recall must be exactly 1
+    import graft.ops.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+    val full = Similarity.recallAtK(exact, Similarity.ivfTopK(
+        q, emb, "vec_id", "embedding", 5, numCentroids = 16, nprobe = 16))
+      .agg(sum("n_hits").cast("double") / sum("n_exact").cast("double"))
+      .collect().head.getDouble(0)
+    assert(full === 1.0, s"full-probe recall $full != 1.0")
+  }
 }
