@@ -61,15 +61,20 @@ object Bench {
     // InMemoryRelation via logical-plan cache matching.
     Tables.tpch.foreach { t => Tables.load(spark, sfDir, t).cache().count() }
 
-    // TWO warmup passes: the first absorbs plan + whole-stage-codegen
+    // THREE warmup passes: the first absorbs plan + whole-stage-codegen
     // compilation, the second catches the stragglers (C2 recompiles, the
-    // first GC young-gen resize) that otherwise land a one-off spike in
-    // the first timed rep — at sub-second magnitudes one such rep moves
-    // even a median-of-3 (the r3→r4 "q10 regression" was a single
-    // environment spike the artifact couldn't disprove).
-    (1 to 2).foreach { _ =>
+    // first GC young-gen resize), the third settles allocation-rate
+    // ergonomics — at sub-second magnitudes one straggler rep moves even
+    // a median-of-5 (r8's recorded headline doubled vs r6 purely from
+    // rep-loop GC churn; per-query gc_ms up to 1.16 s proved it).
+    (1 to 3).foreach { _ =>
       headline.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     }
+    // GC settle before the timed reps: force a full collection and give
+    // concurrent phases a beat to finish, so the timed loop starts from a
+    // compacted heap instead of paying the warmups' garbage.
+    System.gc()
+    Thread.sleep(1000)
 
     /** Total stop-the-world GC time across all collectors, in ms. */
     def gcMillis(): Long = {
@@ -126,22 +131,66 @@ object Bench {
     // headline artifact (round 7's driver bench lost its number exactly
     // this way — a loader regression threw inside the tpch22 sweep and the
     // whole process exited rc=1 with nothing recorded).
+    // NonFatal only: an OutOfMemoryError or similar fatal JVM state must
+    // kill the process rather than record a healthy-looking headline from
+    // an unreliable JVM.
     def informational(label: String)(body: => Seq[(String, Double)]): Seq[(String, Double)] =
       try body catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $label sweep failed, omitting: ${e.getMessage}")
           Nil
       }
+    // Saved-table pair for the bucketed-layout paths: identical parquet
+    // tables except for the bucketing spec. Bucket count is sized to the
+    // DATA, not the core count: each bucket holds roughly one scan-task's
+    // worth (~16 MB compressed here; ~128 MB at cluster scale) — 32
+    // buckets over an 11 MB fact table measured SLOWER than shuffling.
+    // Written lazily once; reused by the tpch22 bucketed mode, the layout
+    // experiment, and the end-to-end sweep.
+    lazy val bucketedTablesReady: Boolean =
+      try {
+        val factBytes =
+          graft.ops.Pipeline.directoryBytes(spark, s"$sfDir/lineitem.parquet")
+        val b = sys.env.get("SPARK_GRAFT_BENCH_BUCKETS").map(_.toInt)
+          .getOrElse(math.max(4, (factBytes / (16L << 20)).toInt))
+        val liSrc = Tables.load(spark, sfDir, "lineitem")
+        val ordSrc = Tables.load(spark, sfDir, "orders")
+        liSrc.write.mode("overwrite").format("parquet").saveAsTable("bench_li_p")
+        ordSrc.write.mode("overwrite").format("parquet").saveAsTable("bench_ord_p")
+        Tables.writeBucketed(liSrc, "bench_li_b", b, "l_orderkey")
+        Tables.writeBucketed(ordSrc, "bench_ord_b", b, "o_orderkey")
+        true
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] bucketed table write failed: ${e.getMessage}")
+          false
+      }
+
+    // SPARK_GRAFT_BUCKETED=1 routes the WHOLE tpch22 sweep over the
+    // bucketed fact tables through the unmodified SparkEntry entry points
+    // (Tables.overrides) — the reproducible end-to-end form of the
+    // co-located-join claim, not just the side experiment.
+    val tpch22Bucketed =
+      sys.env.get("SPARK_GRAFT_BUCKETED").contains("1")
     val tpch22: Seq[(String, Double)] = informational("tpch22") {
       if (sys.env.get("SPARK_GRAFT_BENCH_TPCH22").contains("0")) Nil
-      else graft.queries.TpchQueries.queries.keys.toSeq
-        .sortBy(n => n.drop(1).takeWhile(_.isDigit).toInt)
-        .map { q =>
-          SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
-          val t0 = System.nanoTime()
-          SparkEntry.queries(q)(spark, sfDir).count()
-          q -> (System.nanoTime() - t0) / 1e9
+      else {
+        if (tpch22Bucketed && bucketedTablesReady) {
+          Tables.overrides("lineitem") = spark.table("bench_li_b")
+          Tables.overrides("orders") = spark.table("bench_ord_b")
         }
+        try graft.queries.TpchQueries.queries.keys.toSeq
+          .sortBy(n => n.drop(1).takeWhile(_.isDigit).toInt)
+          .map { q =>
+            SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
+            val t0 = System.nanoTime()
+            SparkEntry.queries(q)(spark, sfDir).count()
+            q -> (System.nanoTime() - t0) / 1e9
+          }
+        finally {
+          Tables.overrides.remove("lineitem"); Tables.overrides.remove("orders")
+        }
+      }
     }
 
     // Informational LLM-pipeline sweep: representative beyond-reference
@@ -198,23 +247,7 @@ object Bench {
     val layout: Option[(Seq[(String, Seq[Double])], Seq[(String, Seq[Double])])] =
       if (sys.env.get("SPARK_GRAFT_BENCH_BUCKETED").contains("0")) None
       else try {
-        // Bucket count is sized to the DATA, not the core count: each
-        // bucket should hold roughly one scan-task's worth (~16 MB
-        // compressed here; ~128 MB at cluster scale). Measured at sf0.1:
-        // 32 buckets over an 11 MB fact table made the bucketed variant
-        // SLOWER than shuffling (32 fixed tasks, no AQE coalescing, the
-        // r2/r3 contradiction); 4 task-sized buckets beat the shuffled
-        // variant by ~30% on both queries.
-        val factBytes =
-          graft.ops.Pipeline.directoryBytes(spark, s"$sfDir/lineitem.parquet")
-        val b = sys.env.get("SPARK_GRAFT_BENCH_BUCKETS").map(_.toInt)
-          .getOrElse(math.max(4, (factBytes / (16L << 20)).toInt))
-        val liSrc = Tables.load(spark, sfDir, "lineitem")
-        val ordSrc = Tables.load(spark, sfDir, "orders")
-        liSrc.write.mode("overwrite").format("parquet").saveAsTable("bench_li_p")
-        ordSrc.write.mode("overwrite").format("parquet").saveAsTable("bench_ord_p")
-        Tables.writeBucketed(liSrc, "bench_li_b", b, "l_orderkey")
-        Tables.writeBucketed(ordSrc, "bench_ord_b", b, "o_orderkey")
+        require(bucketedTablesReady, "bucketed tables unavailable")
         val cust = Tables.load(spark, sfDir, "customer")
         val nat = Tables.load(spark, sfDir, "nation")
         def runs(li: DataFrame, ord: DataFrame): Seq[(String, () => DataFrame)] = Seq(
@@ -277,6 +310,43 @@ object Bench {
           None
       }
 
+    // End-to-end bucketed sweep: the two fact⋈fact queries through the
+    // UNMODIFIED SparkEntry.queries entry points (not the q3Body/q10Body
+    // harness), with lineitem/orders resolved via Tables.overrides to the
+    // plain vs bucketed saved tables — proving the co-located-join win
+    // survives the real query path, not just the side experiment. Both
+    // legs read fresh uncached fact tables (dims stay cached in both);
+    // broadcast disabled for the same reason as the layout experiment.
+    // Reported as `e2e_plain`/`e2e_bucketed`; min-of-3 per query.
+    val bucketedE2e: Seq[(String, Double)] = informational("bucketed_e2e") {
+      if (sys.env.get("SPARK_GRAFT_BENCH_BUCKETED").contains("0") ||
+          !bucketedTablesReady) Nil
+      else {
+        val qs = Seq("q3_shipping_priority", "q10_returned_items")
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          def leg(li: String, ord: String, suffix: String): Seq[(String, Double)] = {
+            Tables.overrides("lineitem") = spark.table(li)
+            Tables.overrides("orders") = spark.table(ord)
+            try qs.map { q =>
+              SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
+              val reps = (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                SparkEntry.queries(q)(spark, sfDir).count()
+                (System.nanoTime() - t0) / 1e9
+              }
+              s"${q}_$suffix" -> reps.min
+            } finally {
+              Tables.overrides.remove("lineitem"); Tables.overrides.remove("orders")
+            }
+          }
+          leg("bench_li_p", "bench_ord_p", "e2e_plain") ++
+            leg("bench_li_b", "bench_ord_b", "e2e_bucketed")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    }
+
     // Materialized-partsupp experiment: the 5 partsupp-family TPC-H
     // queries run their derived-view CTE (a full lineitem group-by) once
     // PER QUERY in the tpch22 sweep — correct for the oracle contract,
@@ -285,6 +355,12 @@ object Bench {
     // now a cached materialized temp view (materialization time charged
     // to `partsupp_build`), vs their CTE forms. Informational; disable
     // with SPARK_GRAFT_BENCH_PSMAT=0.
+    // Materialize-once is now the DEFAULT Spark path (Tables.registerAll
+    // registers a cached partsupp; the q2/q9/q11/q16/q20 entries run raw
+    // bodies against it). This experiment keeps the comparison honest by
+    // timing the old per-query-CTE form (the oracle text, which carries
+    // the derivation inline) against the default path, plus the one-time
+    // materialization cost it amortizes.
     val psmat: Seq[(String, Double)] = informational("psmat") {
       if (sys.env.get("SPARK_GRAFT_BENCH_PSMAT").contains("0")) Nil
       else {
@@ -297,27 +373,26 @@ object Bench {
             run(q).count()
             (System.nanoTime() - t0) / 1e9
           }.sum
-        val cte = timeAll(q => SparkEntry.queries(q)(spark, sfDir))
+        // CTE leg: the oracle text re-derives partsupp inside every query
+        // (twice for q11's HAVING scalar subquery) — what each execution
+        // paid before materialize-once became the default.
+        val cte = timeAll(q => spark.sql(TpchQueries.oracle(q)))
+        // Cold-build leg: drop the memoized cache first, else the timed
+        // materialization plan-matches the live InMemoryRelation and
+        // measures nothing.
+        Tables.invalidatePartsupp(spark, sfDir)
         val t0 = System.nanoTime()
-        val ps = spark.sql(Tables.partsuppViewSql).cache()
-        ps.count()
+        Tables.partsupp(spark, sfDir).count()
         val build = (System.nanoTime() - t0) / 1e9
-        ps.createOrReplaceTempView("partsupp")
-        try {
-          val mat = timeAll(q => spark.sql(TpchQueries.partsuppRaw(q)))
-          Seq("partsupp_cte_total" -> cte, "partsupp_build" -> build,
-            "partsupp_materialized_total" -> mat)
-        } finally {
-          ps.unpersist()
-          // restore the shared derived-view definition for any later use
-          spark.sql(
-            s"CREATE OR REPLACE TEMPORARY VIEW partsupp AS ${Tables.partsuppViewSql}")
-        }
+        Tables.registerAll(spark, sfDir)
+        val mat = timeAll(q => SparkEntry.queries(q)(spark, sfDir))
+        Seq("partsupp_cte_total" -> cte, "partsupp_build" -> build,
+          "partsupp_materialized_total" -> mat)
       }
     }
 
-    // Skew-join experiment: synthesize the adversarial 90%-hot-key fact
-    // join (90% of lineitem rows collapse onto one key) and measure three
+    // Skew-join experiment: synthesize the adversarial 99%-hot-key fact
+    // join (99% of lineitem rows collapse onto one key) and measure three
     // physical strategies on IDENTICAL inputs, broadcast disabled (the
     // 100 TB question is fact⋈dim-too-big-to-broadcast under skew):
     //   naive  — sort-merge join, AQE fully off: one reducer owns the hot
@@ -427,12 +502,23 @@ object Bench {
       s""","bucketed":${jsonMap(bk.map { case (k, r) => (k, r.min) })}""" +
       s""","shuffled_reps":${jsonRepMap(sh)},"bucketed_reps":${jsonRepMap(bk)}"""
     }.getOrElse("")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$llmField$psmatField$skewField$layoutField,"sf":"$sfDir"}"""
-    // stdout for the driver's log scrape AND a file for robust parsing
-    // (sbt prefixes stdout lines with [info], which breaks json.loads).
-    println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    val e2eField =
+      if (bucketedE2e.isEmpty) ""
+      else s""","bucketed_e2e":${jsonMap(bucketedE2e)}"""
+    val layoutTag =
+      if (tpch22Bucketed) s""","tpch22_layout":"bucketed"""" else ""
+    val totalMin = mins.map(_._2).sum
+    val head =
+      s""""metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField"""
+    // stdout carries the SLIM contract line only: r8's full line outgrew
+    // the driver's log-scrape tail window and degraded its record to
+    // `"parsed": null`. Full detail (reps, gc, every informational
+    // section) lives in BENCH_LAST.json.
+    val slim = s"""{$head,"sf":"$sfDir"}"""
+    val full =
+      s"""{$head,"reps":$repsField,"gc_ms":$gcField$tpch22Field$layoutTag$llmField$psmatField$skewField$layoutField$e2eField,"sf":"$sfDir"}"""
+    println(slim)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     spark.stop()
   }
 }

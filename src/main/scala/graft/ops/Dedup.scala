@@ -662,6 +662,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = prepared(existing, "ex")
     val in = prepared(incoming, "in")
+    // pinned → released by Pipeline.releaseCaches after the consuming
+    // action, so repeated per-batch ingest calls (and the multi-hundred-
+    // query verify session) don't accumulate cache entries for the session
+    Pipeline.pinned.add(ex)
+    Pipeline.pinned.add(in)
     val cand = in.select(col("in_id"), explode(col("in_bkeys")).as("bkey"))
       .join(ex.select(col("ex_id"), explode(col("ex_bkeys")).as("bkey")),
         "bkey")
@@ -701,6 +706,14 @@ object Dedup {
         explode(bandKeys(minhashSignature(col("ex_sh"), numHashes), bands, r)))
       .select("bkey", "ex_id", "ex_sh")
     graft.sources.Tables.writeBucketed(prepared, table, buckets, "bkey")
+    // Parameter sidecar: a probe run with different LSH parameters would
+    // SILENTLY return zero matches (band keys never collide), so the
+    // parameters are persisted with the index and validated at probe time.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands)).toDF("shingle_n", "num_hashes", "bands")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_lshparams")
   }
 
   /** Ingest-gate probe against a [[writeBandIndex]] table: identical
@@ -714,6 +727,28 @@ object Dedup {
       incoming: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    // Validate against the sidecar [[writeBandIndex]] persisted: band keys
+    // from mismatched parameters never collide, so a silent mismatch reads
+    // as "no duplicates" — the worst possible failure mode for a dedup
+    // gate. Loud beats wrong.
+    val side =
+      try spark.table(s"${table}_lshparams").collect().headOption
+      catch { case scala.util.control.NonFatal(_) => None }
+    side match {
+      case Some(p) =>
+        require(
+          p.getInt(0) == shingleN && p.getInt(1) == numHashes &&
+            p.getInt(2) == bands,
+          s"probeBandIndex($table): probe parameters (shingleN=$shingleN, " +
+          s"numHashes=$numHashes, bands=$bands) do not match the index " +
+          s"(shingleN=${p.getInt(0)}, numHashes=${p.getInt(1)}, " +
+          s"bands=${p.getInt(2)}) — a mismatched probe silently returns " +
+          "zero matches")
+      case None => throw new IllegalStateException(
+        s"probeBandIndex($table): no ${table}_lshparams sidecar — index " +
+        "was not written by writeBandIndex (or the sidecar was dropped); " +
+        "refusing to probe with unverifiable parameters")
+    }
     val r = numHashes / bands
     val ex = spark.table(table)
     val in = incoming.select(

@@ -482,8 +482,12 @@ object Multimodal {
                 Row(id, i, f, true)
               }
             case None =>
-              val n = math.min(
-                math.max(r.getAs[Int]("dur") / 1000, 1), maxFrames)
+              // meta/duration_ms is nullable: a null must fall back to one
+              // frame (matching the old expression path's null propagation)
+              // instead of NPE-ing inside the task
+              val durIdx = r.fieldIndex("dur")
+              val dur = if (r.isNullAt(durIdx)) 1000 else r.getInt(durIdx)
+              val n = math.min(math.max(dur / 1000, 1), maxFrames)
               (0 until n).map { i =>
                 val lo = math.min(i * 16, payload.length)
                 val hi = math.min(lo + 16, payload.length)

@@ -252,6 +252,43 @@ object Pipeline {
     df.withColumn("split", expr)
   }
 
+  /** Cumulative md5-range boundaries for [[assignSplitPortable]]: for all
+    * but the last split, the EXCLUSIVE upper bound of its share of the
+    * 128-bit md5 space as a 32-digit lowercase hex string (the last split
+    * takes the remainder). Public so a query and its oracle SQL embed the
+    * SAME constants — the two sides cannot drift. */
+  def md5SplitBounds(splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive weights")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail
+    splits.init.zip(cum.init).map { case ((name, _), frac) =>
+      val v = (BigDecimal(frac) * BigDecimal(BigInt(1) << 128)).toBigInt
+      name -> String.format("%032x", v.bigInteger)
+    }
+  }
+
+  /** Portable variant of [[assignSplit]]: the unit-interval draw is the
+    * md5 hex digest of (salt ++ key) compared against the precomputed
+    * [[md5SplitBounds]] range boundaries. md5 is the SAME function in
+    * every engine (unlike xxhash64, which is Spark-internal), so the
+    * assignment reproduces bit-identically in DuckDB / Trino / Python —
+    * the split of a 100 TB corpus survives an engine migration, and the
+    * query becomes oracle-checkable. Equal-length lowercase hex compares
+    * lexicographically exactly as the 128-bit value it encodes. Same
+    * scale shape as assignSplit: a pure per-row expression, no shuffle. */
+  def assignSplitPortable(
+      df: DataFrame, keyCol: Column, salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val h = md5(concat(lit(salt), keyCol.cast("string")).cast("binary"))
+    val expr = md5SplitBounds(splits).foldRight(lit(splits.last._1): Column) {
+      case ((name, bound), elseExpr) =>
+        when(h < lit(bound), lit(name)).otherwise(elseExpr)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Attach data-quality counters to a frame via Spark's `observe` —
     * metrics accumulate on the EXECUTORS during whatever action runs the
     * frame (zero extra passes, zero shuffles, unlike a separate

@@ -9,6 +9,14 @@ import graft.sources.Tables
   * context-window packing (oracle-exact window arithmetic). */
 object PipelineQueries extends QueryPack {
 
+  // pl6's split spec and its md5-range boundaries — shared between the
+  // Spark query and the generated oracle SQL so the constants cannot
+  // drift between the two sides.
+  private val pl6Splits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private lazy val pl6Bounds: Seq[(String, String)] =
+    Pipeline.md5SplitBounds(pl6Splits)
+
   val queries: Map[String, Fn] = Map(
     // Dedup-discounted sampling weights: each near-dup CLUSTER's total
     // sampling mass is 1 (weight = 1/cluster_size per member) — the
@@ -44,14 +52,19 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
-    // Reproducible shuffle position: same seed → same permutation
-    // (spec-asserted); rows-only (hash order is ours). The position column
-    // comes from the two-phase globalPosition, not a global row_number
-    // window (which would funnel everything through one task).
+    // Reproducible shuffle position: same seed → same permutation. The
+    // shuffle key is the md5 hex digest of (salt ++ doc_id) — md5 is the
+    // same function in every engine (xxhash64 is Spark-internal), so the
+    // permutation reproduces bit-identically in DuckDB and the query is
+    // ORACLE-EXACT, not rows-only. The position column comes from the
+    // two-phase globalPosition, not a global row_number window (which
+    // would funnel everything through one task).
     "pl2_deterministic_shuffle" -> ((s, d) =>
       Pipeline.globalPosition(
         Tables.documents(s, d).select("doc_id", "n_chars"),
-        "shuffle_pos", xxhash64(lit(7L), col("doc_id")), col("doc_id"))
+        "shuffle_pos",
+        md5(concat(lit("7:"), col("doc_id").cast("string")).cast("binary")),
+        col("doc_id"))
         .orderBy("doc_id")),
 
     // Context packing by 8k-token budget over whitespace token counts.
@@ -75,14 +88,15 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
-    // Deterministic train/val/test split — pure function of (seed, key),
-    // stable under any repartitioning (unlike randomSplit). Rows-only
-    // (xxhash64 is engine-local); PipelineSpec asserts determinism,
-    // exhaustiveness, and proportions.
+    // Deterministic train/val/test split — pure function of (salt, key),
+    // stable under any repartitioning (unlike randomSplit) AND portable
+    // across engines: the draw is the md5 digest against precomputed
+    // 128-bit range boundaries (assignSplitPortable), so the split is
+    // ORACLE-EXACT and survives an engine migration. PipelineSpec asserts
+    // determinism, exhaustiveness, and proportions.
     "pl6_dataset_split" -> ((s, d) =>
-      Pipeline.assignSplit(
-        Tables.documents(s, d), col("doc_id"), seed = 7L,
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Pipeline.assignSplitPortable(
+        Tables.documents(s, d), col("doc_id"), salt = "7:", pl6Splits)
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
@@ -310,6 +324,21 @@ object PipelineQueries extends QueryPack {
     }.mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    "pl2_deterministic_shuffle" ->
+      """SELECT doc_id, n_chars,
+           CAST(row_number() OVER (
+             ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS shuffle_pos
+         FROM documents ORDER BY doc_id""",
+    "pl6_dataset_split" -> {
+      val h = "md5('7:' || CAST(doc_id AS VARCHAR))"
+      val cases = pl6Bounds
+        .map { case (name, bound) => s"WHEN $h < '$bound' THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT doc_id,
+            CASE $cases ELSE '${pl6Splits.last._1}' END AS split
+          FROM documents ORDER BY doc_id"""
+    },
     // the dd10 recursive-CTE cluster construction + a size rollup; the
     // weight is one double division of exact longs on both engines
     "pl22_cluster_weights" ->

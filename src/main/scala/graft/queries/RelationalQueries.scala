@@ -11,6 +11,26 @@ import graft.sources.Tables
   */
 object RelationalQueries extends QueryPack {
 
+  /** Stable scratch directory for the write-then-read-back queries
+    * (s15/s16): one FIXED path per (tag, fixture dir), overwritten in
+    * place on each invocation and deleted at JVM exit — repeated
+    * verify/bench runs in one session reuse a single bounded directory
+    * instead of accumulating a fresh /tmp copy of documents per call. */
+  private val scratchRoots =
+    scala.collection.concurrent.TrieMap.empty[(String, String), java.nio.file.Path]
+  private def scratchDir(tag: String, d: String): java.nio.file.Path =
+    scratchRoots.getOrElseUpdate((tag, d), {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Exception => () }
+      }))
+      p
+    })
+
   val queries: Map[String, Fn] = Map(
     // S1/S4/S7 — DDL registration into the session catalog + scan through
     // the SQL text path (reference: Microbase.scala:950-958, 724-728).
@@ -233,8 +253,7 @@ object RelationalQueries extends QueryPack {
     // distinct text set, and both length sums all survive).
     "s15_jsonl_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft-jsonl-")
-        .resolve("documents").toString
+      val path = scratchDir("jsonl", d).resolve("documents").toString
       docs.write.mode("overwrite").json(path)
       s.read.schema(docs.schema).json(path)
         .groupBy("lang", "source")
@@ -256,8 +275,7 @@ object RelationalQueries extends QueryPack {
     // semantics end-to-end.
     "s16_schema_evolution" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val base = java.nio.file.Files.createTempDirectory("graft-evo-")
-        .toString
+      val base = scratchDir("evo", d).toString
       docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "text", "lang", "source")
         .write.mode("overwrite").parquet(s"$base/gen1")

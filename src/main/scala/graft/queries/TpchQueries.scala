@@ -36,15 +36,19 @@ object TpchQueries extends QueryPack {
   // decimal accumulation, DOUBLE at the boundary, total ORDER BY.
 
   /** `WITH partsupp AS (...)` prefix — the derived stand-in
-    * (Tables.partsuppViewSql) inlined so the same text runs on Spark and
-    * on the DuckDB oracle, letting these queries name `partsupp` with
-    * official TPC-H column names. */
+    * (Tables.partsuppViewSql) inlined as a CTE. This is the ORACLE form
+    * only: DuckDB has no `partsupp` table, so the oracle text carries the
+    * derivation inline. The Spark side runs the raw bodies against the
+    * cached materialized view `Tables.registerAll` registers — one
+    * lineitem aggregation per session instead of one (or, for q11's
+    * HAVING scalar subquery, two) per execution. Same rows either way:
+    * the derivation is an exact decimal sum/min, order-insensitive. */
   private def withPartsupp(q: String): String =
     s"WITH partsupp AS (${Tables.partsuppViewSql})\n$q"
 
   /** The partsupp-family query bodies WITHOUT the derived-view CTE —
-    * run them against a materialized `partsupp` temp view to measure
-    * the materialize-once deployment SCALE.md describes (Bench does). */
+    * the Spark-side form (resolved against the cached `partsupp` view);
+    * Bench's psmat experiment also times them against the CTE forms. */
   lazy val partsuppRaw: Map[String, String] = Map(
     "q2_min_cost_supplier" -> q2Raw, "q9_product_profit" -> q9Raw,
     "q11_important_stock" -> q11Raw, "q16_supplier_count" -> q16Raw,
@@ -445,10 +449,10 @@ object TpchQueries extends QueryPack {
     }),
 
     // Q2 — minimum-cost supplier per part: correlated min over partsupp
-    // (the derived stand-in view — see Tables.partsuppViewSql).
+    // (the derived stand-in, materialized once — see Tables.partsupp).
     "q2_min_cost_supplier" -> ((s, d) => {
       Tables.registerAll(s, d)
-      s.sql(q2Sql)
+      s.sql(q2Raw)
     }),
 
     // Q8-shape — national market share: 8-way join through two nation
@@ -462,21 +466,24 @@ object TpchQueries extends QueryPack {
     // negative-capable decimal amounts).
     "q9_product_profit" -> ((s, d) => {
       Tables.registerAll(s, d)
-      s.sql(q9Sql)
+      s.sql(q9Raw)
     }),
 
     // Q11-shape — important inventory value: grouped HAVING against a
     // scalar-subquery fraction of the total.
+    // The HAVING scalar subquery references partsupp a second time — over
+    // the cached view both references scan ONE InMemoryRelation instead of
+    // re-running the lineitem aggregation twice (was 36% of the sweep).
     "q11_important_stock" -> ((s, d) => {
       Tables.registerAll(s, d)
-      s.sql(q11Sql)
+      s.sql(q11Raw)
     }),
 
     // Q16-shape — supplier count by part attributes with a NOT IN
     // exclusion set.
     "q16_supplier_count" -> ((s, d) => {
       Tables.registerAll(s, d)
-      s.sql(q16Sql)
+      s.sql(q16Raw)
     }),
 
     // Q17-shape — small-quantity-order revenue: correlated avg subquery
@@ -491,7 +498,7 @@ object TpchQueries extends QueryPack {
     // pattern IN, nation IN region set.
     "q20_part_promotion" -> ((s, d) => {
       Tables.registerAll(s, d)
-      s.sql(q20Sql)
+      s.sql(q20Raw)
     }),
 
     // Q21-shape — suppliers who kept orders waiting: EXISTS + NOT EXISTS

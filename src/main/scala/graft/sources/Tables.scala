@@ -17,10 +17,18 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
 
+  /** Opt-in per-table layout overrides (Bench's bucketed end-to-end path):
+    * while a name is present, [[load]] returns the override instead of the
+    * parquet scan, so the SAME unmodified query entry points run over an
+    * alternative physical layout (e.g. bucketed saved tables). Bench sets
+    * and clears these around its timed legs; empty in every other context,
+    * so correctness runs never see it. */
+  val overrides = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** Parquet scan of one fixture table. Column pruning + predicate pushdown
     * reach the scan automatically because this stays a plain relation. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    overrides.getOrElse(name, spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -85,13 +93,66 @@ object Tables {
          CAST(min(l_extendedprice) AS DOUBLE) AS ps_supplycost
        FROM lineitem GROUP BY l_partkey, l_suppkey"""
 
+  // Materialize-once memo for the derived partsupp, keyed per (session,
+  // fixture dir). Plain `CREATE TEMP VIEW` inlines the CTE body at every
+  // reference — q11's HAVING scalar subquery then recomputes the full
+  // lineitem groupBy TWICE per execution (measured: 36% of the tpch22
+  // sweep). Caching the derivation is the single-node analog of the
+  // 100 TB deployment story (materialize bucketed on ps_partkey once,
+  // reuse across the query mix); the decimal sum/min derivation is
+  // order-insensitive, so cached and inline results are bit-identical
+  // and the DuckDB oracle keeps running the CTE text.
+  private val psCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The derived partsupp as a DataFrame, cached on first use (lazy — no
+    * cost until a partsupp-family query materializes it). Re-registers
+    * `lineitem` from `dir` so the SQL derivation binds to the right
+    * fixture even when called before [[registerAll]]. */
+  def partsupp(spark: SparkSession, dir: String): DataFrame =
+    psCache.getOrElseUpdate((spark, dir), {
+      lineitem(spark, dir).createOrReplaceTempView("lineitem")
+      spark.sql(partsuppViewSql).cache()
+    })
+
+  /** Drop the memoized partsupp cache for (session, dir) — used by Bench's
+    * psmat experiment to time a cold materialization honestly (a fresh
+    * `spark.sql(partsuppViewSql).cache()` would otherwise plan-match the
+    * live InMemoryRelation and measure nothing). */
+  def invalidatePartsupp(spark: SparkSession, dir: String): Unit = {
+    psCache.remove((spark, dir)).foreach(_.unpersist(blocking = true))
+    // the `partsupp` temp view still references the dropped frame — force
+    // the next registerAll to re-register against the fresh cache
+    registeredDir.remove(spark)
+  }
+
+  // Which fixture dir each session's temp views currently point at. The
+  // un-memoized registration re-read ten parquet footers per call
+  // (measured ~0.5 s), and EVERY SQL-path catalog query calls
+  // registerAll — a flat tax on the whole sweep. Views are global per
+  // session, so the memo is "current dir per session", not a set: asking
+  // for a different dir re-registers.
+  private val registeredDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
   /** Register every fixture table as a temp view so `spark.sql` text queries
     * resolve — the Spark analog of the reference's global `hm` catalog map
-    * (Microbase.scala:29). Idempotent; events is registered normalized;
-    * the derived [[partsuppViewSql]] stand-in registers as `partsupp`. */
+    * (Microbase.scala:29). Memoized per (session → dir); events is
+    * registered normalized; the derived partsupp stand-in registers as a
+    * CACHED `partsupp` view (see [[partsupp]]) so the q2/q9/q11/q16/q20
+    * family reuses one materialization instead of re-deriving per
+    * reference. While Bench's layout [[overrides]] are active the memo is
+    * bypassed (views must re-bind to the override frames) and dropped, so
+    * the next plain call re-registers the real fixtures. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    all.foreach(n => accessors(n)(spark, dir).createOrReplaceTempView(n))
-    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW partsupp AS $partsuppViewSql")
+    def doRegister(): Unit = {
+      all.foreach(n => accessors(n)(spark, dir).createOrReplaceTempView(n))
+      partsupp(spark, dir).createOrReplaceTempView("partsupp")
+    }
+    if (overrides.nonEmpty) { registeredDir.remove(spark); doRegister() }
+    else if (!registeredDir.get(spark).contains(dir)) {
+      doRegister(); registeredDir(spark) = dir
+    }
   }
 
   /** Reference-style CSV DDL (Microbase.scala:960-983): delimiter-split
