@@ -46,6 +46,16 @@ object Verify {
       // accumulate pinned cache entries
       graft.ops.Pipeline.releaseCaches()
     }
+    // Multimodal ground truth: the mm2–mm6 oracle SQL reads expected
+    // values (independent scalar reimplementation, MediaTruth) back from
+    // parquet — regenerate them for this run's fixtures. A failure here
+    // must be as loud as a query failure: without the truth tables the
+    // mm oracles would error and read as a correctness regression.
+    try graft.ops.MediaTruth.write(spark, sfDir, graft.ops.MediaTruth.defaultDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] media truth write failed: ${e.getMessage}")
+      failed += "media_truth"
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

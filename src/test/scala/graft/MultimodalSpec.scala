@@ -265,4 +265,36 @@ class MultimodalSpec extends GraftSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 0)),
       "only the gain-variant pair is a near-dup; falling is 64 bits away")
   }
+
+  test("MediaTruth ground truth matches the operator outputs bit-for-bit") {
+    // The mm2–mm6 oracles compare against MediaTruth's INDEPENDENT
+    // scalar reimplementation — this test pins the two implementations
+    // to each other locally, so a drift in either fails here (red suite)
+    // before it fails in the driver's round report.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mtruth-").toString
+    graft.ops.MediaTruth.write(spark, sf, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    val mm4op = Multimodal.perceptualHash(media)
+      .select("media_id", "kind", "real_decode", "ahash", "dhash")
+      .orderBy("media_id")
+    val mm4tr = spark.read.parquet(s"$dir/mm4.parquet")
+      .select("media_id", "kind", "real_decode", "ahash", "dhash")
+      .orderBy("media_id")
+    assert(rows(mm4op) === rows(mm4tr), "mm4 perceptual hashes drifted")
+    val mm6op = Multimodal.audioFingerprint(
+        media.filter(col("kind") === "audio"))
+      .select("media_id", "real_decode", "afp").orderBy("media_id")
+    val mm6tr = spark.read.parquet(s"$dir/mm6.parquet")
+      .select("media_id", "real_decode", "afp").orderBy("media_id")
+    assert(rows(mm6op) === rows(mm6tr), "mm6 audio fingerprints drifted")
+    val mm2op = Multimodal.extractFeatures(media)
+      .select(col("media_id"),
+        round(aggregate(col("feature"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+      .orderBy("media_id")
+    val mm2tr = spark.read.parquet(s"$dir/mm2.parquet")
+      .select("media_id", "feat_sum").orderBy("media_id")
+    assert(rows(mm2op) === rows(mm2tr), "mm2 pooled features drifted")
+  }
 }

@@ -367,13 +367,25 @@ class SimilaritySpec extends GraftSuite {
     assert(got === Map(
       1L -> ((2L, 3L, 2.0 / 3.0)),
       2L -> ((0L, 1L, 0.0))))
-    // the catalog audit's deterministic IVF leg: every query present,
-    // macro recall at nprobe=4/16 clears the same floor the ss4 spec uses
+    // REGRESSION GATES on the catalog audit — the audit used to only
+    // measure; now a deliberate recall break turns the suite red. Floors
+    // sit just under the measured operating points on the uniform-random
+    // fixtures (ANN's hardest case: neighbors barely beat strangers —
+    // IVF nprobe=4/16 measures 0.85, SRP 0.62 here; clustered real-world
+    // embeddings recall far higher, and the dedup-relevant SRP pair path
+    // is already gated at >=0.9 in the srpNearDupPairs test above).
     val audit = SparkEntry.queries("ss14_ann_recall_audit")(spark, sf)
-      .filter(col("method") === "ivf").collect()
-    assert(audit.length === 20)
-    val macroRecall = audit.map(_.getDouble(4)).sum / audit.length
-    assert(macroRecall >= 0.5, s"ivf macro recall@5 $macroRecall < 0.5")
+      .collect()
+    val ivfRows = audit.filter(_.getString(0) == "ivf")
+    assert(ivfRows.length === 20)
+    val ivfMacro = ivfRows.map(_.getDouble(4)).sum / ivfRows.length
+    assert(ivfMacro >= 0.8, s"ivf macro recall@5 $ivfMacro < 0.8")
+    val srpRows = audit.filter(_.getString(0) == "srp")
+    assert(srpRows.length === 20)
+    val srpMacro = srpRows.map(_.getDouble(4)).sum / srpRows.length
+    // measured 0.52 at the suite's sf0.001 (0.62 at sf0.01) — floor sits
+    // under the smaller fixture's operating point
+    assert(srpMacro >= 0.5, s"srp macro recall@5 $srpMacro < 0.5")
   }
 
   test("ivf tuning curve: recall monotone in nprobe, exact at full probe") {
@@ -382,6 +394,11 @@ class SimilaritySpec extends GraftSuite {
     assert(curve.keySet === Set(1, 2, 4, 8))
     assert(curve(1) <= curve(2) && curve(2) <= curve(4) &&
       curve(4) <= curve(8), s"recall not monotone: $curve")
+    // absolute gates at the two operating points the docs recommend
+    // (measured 0.85 / 0.93 on the fixtures — floors just underneath so
+    // a recall regression fails loudly instead of shipping silently)
+    assert(curve(4) >= 0.8, s"nprobe=4 recall ${curve(4)} < 0.8")
+    assert(curve(8) >= 0.9, s"nprobe=8 recall ${curve(8)} < 0.9")
     // probing every list IS brute force — recall must be exactly 1
     import graft.ops.Similarity
     import graft.sources.Tables

@@ -70,6 +70,46 @@ class SourcesSpec extends GraftSuite {
     assert(pruned.count() === expected)
   }
 
+  test("fixture dtype contract: events/documents/embeddings pin their types") {
+    import org.apache.spark.sql.types._
+    // The loader surface GUARANTEES these downstream types. The driver
+    // has regenerated fixtures with changed physical types before (events
+    // ts: TIMESTAMP(NANOS) → TIMESTAMP(MICROS) across rounds, round 7
+    // broke 64 queries before the schema-adaptive loader) — this test
+    // exists so any future dtype drift in ANY of the three beyond-TPC-H
+    // fixtures fails HERE, loudly, instead of as 64 mysterious query
+    // regressions.
+    def assertSchema(
+        name: String, df: org.apache.spark.sql.DataFrame,
+        expected: Seq[(String, DataType)]): Unit = {
+      val got = df.schema.map(f => f.name -> f.dataType)
+      assert(got === expected,
+        s"$name fixture drifted: got $got, contract is $expected")
+    }
+    assertSchema("events", Tables.events(spark, sf), Seq(
+      "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType))
+    assertSchema("documents", Tables.documents(spark, sf), Seq(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType))
+    assertSchema("embeddings", Tables.embeddings(spark, sf), Seq(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType))
+    // Negative leg: a synthetic drifted fixture MUST trip the same check
+    // (proves the contract detects drift rather than vacuously passing).
+    val dir = Files.createTempDirectory("graft-drift-").toString
+    Tables.documents(spark, sf)
+      .withColumn("n_chars", col("n_chars").cast("int"))   // long → int
+      .withColumn("doc_id", col("doc_id").cast("string")) // long → string
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertSchema("documents", Tables.documents(spark, dir), Seq(
+        "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+        "source" -> StringType, "n_chars" -> LongType))
+    }
+  }
+
   test("date columns parse as epoch-day-equivalent DateType") {
     val dir = Files.createTempDirectory("graft-csv3-").toString
     Files.writeString(java.nio.file.Paths.get(dir, "s.data"),
