@@ -56,6 +56,14 @@ object Verify {
       System.err.println(s"[verify] media truth write failed: ${e.getMessage}")
       failed += "media_truth"
     }
+    // Signature ground truth (dd2/dd3/dd4/dd8/dd9/dd21, ta5/ta22) — same
+    // contract as the media truth above.
+    try graft.ops.SignatureTruth.write(
+      spark, sfDir, graft.ops.SignatureTruth.defaultDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] signature truth write failed: ${e.getMessage}")
+      failed += "signature_truth"
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -10,7 +10,9 @@ import graft.sources.Tables
   * exact variants double as their verification oracles at test scale.
   *
   * Queries using xxhash64-derived signatures have no DuckDB oracle (hash
-  * family is engine-specific) — they get rows-only checks here and
+  * family is engine-specific) — those compare against SignatureTruth's
+  * independently recomputed ground truth (with the pair pipelines
+  * re-derived by DuckDB itself where the math is exact) and
   * invariant tests in DedupSpec (identical texts → identical signatures;
   * the known near-dup pairs in the fixtures are found).
   */
@@ -24,7 +26,7 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")),
 
     // MinHash signatures (32 hashes over 3-word shingles) — first two
-    // signature components exposed for the rows-only check.
+    // signature components value-checked against SignatureTruth.
     "dd2_minhash_signature" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -40,7 +42,8 @@ object DedupQueries extends QueryPack {
     // incoming crawl batch, the rest the existing corpus; the band join
     // is ASYMMETRIC (batch probes corpus), so per-ingest work scales
     // with the batch — the continuous-crawl gate dd3's whole-corpus
-    // self-join cannot serve. MinHash engine-local → rows-only; DedupSpec
+    // self-join cannot serve. Value-checked: DuckDB recomputes the
+    // asymmetric band join + argmax from SignatureTruth bands; DedupSpec
     // pins planted matches, best-match argmax, and the tie-break.
     "dd21_incremental_ingest" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -94,7 +97,8 @@ object DedupQueries extends QueryPack {
 
     // SimHash near-dup pairs: chunk-bucket candidates + exact Hamming
     // verify (lossless for Hamming ≤ 3 by pigeonhole). May be empty at
-    // tiny SF. Rows-only (our hash family).
+    // tiny SF. Value-checked: DuckDB recomputes the pairs from
+    // SignatureTruth's simhash values via bit_count/xor.
     "dd8_simhash_pairs" -> ((s, d) =>
       Dedup.simhashNearDupPairs(
         Tables.documents(s, d), col("doc_id"), col("text"), maxHamming = 3)
@@ -249,7 +253,72 @@ object DedupQueries extends QueryPack {
         (sqrt(list_sum([CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE) for i in range(1,65)])) *
          sqrt(list_sum([CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1,65)])))"""
 
+  // The engine-seeded hash queries compare against SignatureTruth's
+  // ground-truth tables (independent scalar recomputation written by
+  // graft.Verify each run). Where the math is exact in SQL, DuckDB
+  // recomputes the PIPELINE itself from the per-doc primitives — band
+  // collisions + set-Jaccard verification (dd3/dd21), Hamming pairs via
+  // bit_count/xor (dd8) — so the distributed join/dedup/argmax machinery
+  // is value-checked, not just the hash values.
+  private val truth = graft.ops.SignatureTruth.defaultDir
+  private val jaccardSql =
+    """CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+       CAST(len(da.shingles) + len(db.shingles)
+            - len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)"""
+
   val oracle: Map[String, String] = Map(
+    "dd2_minhash_signature" ->
+      s"""SELECT doc_id, mh_0, mh_1
+          FROM read_parquet('$truth/docs.parquet/*.parquet')
+          ORDER BY doc_id""",
+    "dd3_minhash_dup_pairs" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$truth/bands.parquet/*.parquet')),
+            d AS (SELECT doc_id, shingles
+                  FROM read_parquet('$truth/docs.parquet/*.parquet')),
+            cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                     FROM b x JOIN b y
+                       ON x.band = y.band AND x.key = y.key
+                          AND x.doc_id < y.doc_id)
+          SELECT id_a, id_b, $jaccardSql AS jaccard
+          FROM cand JOIN d da ON cand.id_a = da.doc_id
+                    JOIN d db ON cand.id_b = db.doc_id
+          WHERE $jaccardSql >= 0.5
+          ORDER BY id_a, id_b""",
+    "dd4_simhash" ->
+      s"""SELECT doc_id, simhash, chunk0
+          FROM read_parquet('$truth/docs.parquet/*.parquet')
+          ORDER BY doc_id""",
+    "dd8_simhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, simhash
+                     FROM read_parquet('$truth/docs.parquet/*.parquet'))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM d a, d b
+          WHERE a.doc_id < b.doc_id
+            AND bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY id_a, id_b""",
+    "dd9_srp_neardup_pairs" ->
+      s"""SELECT id_a, id_b
+          FROM read_parquet('$truth/srp_pairs.parquet/*.parquet')
+          ORDER BY id_a, id_b""",
+    "dd21_incremental_ingest" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$truth/bands.parquet/*.parquet')),
+            d AS (SELECT doc_id, shingles
+                  FROM read_parquet('$truth/docs.parquet/*.parquet')),
+            cand AS (SELECT DISTINCT i.doc_id AS id_a, e.doc_id AS id_b
+                     FROM b i JOIN b e ON i.key = e.key
+                     WHERE i.doc_id % 5 = 0 AND e.doc_id % 5 <> 0),
+            v AS (SELECT id_a, id_b, $jaccardSql AS jaccard
+                  FROM cand JOIN d da ON cand.id_a = da.doc_id
+                            JOIN d db ON cand.id_b = db.doc_id),
+            f AS (SELECT * FROM v WHERE jaccard >= 0.5),
+            ranked AS (SELECT id_a, id_b, jaccard,
+                         row_number() OVER (PARTITION BY id_a
+                           ORDER BY jaccard DESC, id_b ASC) AS rn,
+                         count(*) OVER (PARTITION BY id_a) AS n_matches
+                       FROM f)
+          SELECT id_a AS incoming_id, id_b AS matched_id, jaccard, n_matches
+          FROM ranked WHERE rn = 1 ORDER BY incoming_id""",
     "dd12_repeated_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),
@@ -485,6 +554,6 @@ object DedupQueries extends QueryPack {
          SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, jaccard
          FROM c WHERE jaccard >= 0.5
          ORDER BY id_a, id_b"""
-    // dd2/dd3/dd4: no oracle (xxhash64 signatures) — DedupSpec invariants.
+    // dd2/dd3/dd4/dd8/dd9/dd21: SignatureTruth oracles (head of this map).
   )
 }

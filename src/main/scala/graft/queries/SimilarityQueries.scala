@@ -63,8 +63,9 @@ object SimilarityQueries extends QueryPack {
         k = 8, seed = 42L, dim = 64)
         .orderBy("vec_id")),
 
-    // SRP-LSH ANN top-5 for the same queries (16 tables × 6 bits).
-    // Rows-only; recall vs ss1 is asserted in SimilaritySpec.
+    // SRP-LSH ANN top-5 for the same queries (16 tables × 6 bits) —
+    // value-checked against SignatureTruth; recall vs ss1 is gated in
+    // SimilaritySpec.
     "ss2_srp_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(
@@ -117,8 +118,8 @@ object SimilarityQueries extends QueryPack {
     // the exact brute-force top-5 on the 20-query sample — the
     // operational gate that tells you whether nprobe/tables·bits clear
     // the recall SLO before you trust the index at corpus scale.
-    // Rows-only (the SRP leg is hash-family engine-local); SimilaritySpec
-    // pins recallAtK's arithmetic and the IVF leg's floor.
+    // Value-checked against SignatureTruth's scalar recomputation of
+    // both legs; SimilaritySpec additionally gates the recall floors.
     "ss14_ann_recall_audit" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 20)
@@ -137,7 +138,8 @@ object SimilarityQueries extends QueryPack {
     // lists against exact brute force — the table an operator reads to
     // pick the cheapest nprobe that clears the recall SLO (ss14 audits
     // one operating point; this sweeps the dial). Deterministic IVF but
-    // a 4-way sweep is not reasonable oracle SQL → rows-only;
+    // the sweep is value-checked against SignatureTruth's independent
+    // scalar recomputation;
     // SimilaritySpec asserts recall is monotone in nprobe and exact at
     // nprobe = numCentroids.
     "ss15_ivf_tuning_curve" -> ((s, d) => {
@@ -222,6 +224,23 @@ object SimilarityQueries extends QueryPack {
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // ss2/ss14/ss15: deterministic ANN paths (total tie-breaks, fixed
+    // hyperplanes/centroids) recomputed independently by SignatureTruth's
+    // scalar implementation — read back as the truth (float cosines are
+    // bit-reproducible in the same fold order but not in SQL, so the
+    // RESULTS are the truth rather than a SQL recomputation).
+    "ss2_srp_ann_topk" ->
+      s"""SELECT qid, rank, vec_id
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/ss2.parquet/*.parquet')
+          ORDER BY qid, rank""",
+    "ss14_ann_recall_audit" ->
+      s"""SELECT method, qid, n_hits, n_exact, recall
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/ss14.parquet/*.parquet')
+          ORDER BY method, qid""",
+    "ss15_ivf_tuning_curve" ->
+      s"""SELECT nprobe, hits, possible, macro_recall
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/ss15.parquet/*.parquet')
+          ORDER BY nprobe""",
     // mirrors Similarity.clusterCohesion: shared-grid quantization
     // (floor(x·64 + 0.5) — same floor-not-round rule as ss5), exact
     // integer sums per (label, dim) and per label, one closing division.
@@ -384,7 +403,7 @@ object SimilarityQueries extends QueryPack {
           ${kmeansUpdate(2)},
           ${kmeansRound("c2", 3)}
           SELECT vec_id, cid FROM a3 ORDER BY vec_id"""
-    // ss2: no oracle (our SRP hash family); SimilaritySpec checks recall.
+    // ss2/ss14/ss15: SignatureTruth oracles (head of this map).
   )
 
   /** One k-means assignment round in SQL: distances to `centCte`'s

@@ -85,9 +85,9 @@ object TextQueries extends QueryPack {
 
     // fastText-style hashed-feature classifier inference: unigram+bigram
     // hashing trick → deterministic pseudo-weights → sigmoid, one
-    // scan-local codegen'd expression (xxhash64 is engine-local →
-    // rows-only; TextAnalysisSpec pins scores by recomputing per-feature
-    // through an independent literal-frame path).
+    // scan-local codegen'd expression. Value-checked against
+    // SignatureTruth's independent scalar recomputation (and
+    // TextAnalysisSpec pins scores through a literal-frame path).
     "ta22_hashed_classifier" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -134,8 +134,9 @@ object TextQueries extends QueryPack {
     }),
 
     // Winnowing-style rolling-hash fingerprint — native Catalyst Expression
-    // with codegen (graft.functions.RollingMinHash). No oracle: the hash
-    // family is ours; correctness is spec-tested against a reference fold.
+    // with codegen (graft.functions.RollingMinHash). Value-checked against
+    // SignatureTruth's independent scalar recomputation (plus the
+    // spec-pinned reference fold).
     "ta5_rolling_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -286,6 +287,18 @@ object TextQueries extends QueryPack {
   private val esList = "('el','los','de','que','y','una')"
 
   val oracle: Map[String, String] = Map(
+    // ta5/ta22: engine-local hash families recomputed independently by
+    // SignatureTruth (written by graft.Verify) — read back as the truth.
+    "ta5_rolling_fingerprint" ->
+      s"""SELECT doc_id, fingerprint
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/docs.parquet/*.parquet')
+          ORDER BY doc_id""",
+    "ta22_hashed_classifier" ->
+      s"""SELECT t.doc_id, d.lang, t.cls_score AS score,
+            t.cls_score >= 0.5 AS accepted
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/docs.parquet/*.parquet') t
+          JOIN documents d USING (doc_id)
+          ORDER BY t.doc_id""",
     // exact integer Σn² per doc, then single divisions — Simpson and
     // Hill-2 are hash-exact by construction (no transcendentals).
     "ta21_char_diversity" ->
@@ -433,7 +446,7 @@ object TextQueries extends QueryPack {
            count(*) OVER (PARTITION BY substring(md5(lower(trim(text))), 1, 16))
              AS group_size
          FROM documents ORDER BY doc_id""",
-    // ta5_rolling_fingerprint: no oracle (custom hash family) — spec-tested.
+    // ta5/ta22 oracles are at the head of this map (SignatureTruth).
     "ta7_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          g AS (SELECT doc_id, w,

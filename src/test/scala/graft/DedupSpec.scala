@@ -486,4 +486,37 @@ class DedupSpec extends GraftSuite {
       spark.sql("DROP TABLE IF EXISTS band_idx_t")
     }
   }
+
+  test("SignatureTruth matches the operator outputs bit-for-bit") {
+    // The dd2/dd4/dd9/ta5/ta22/ss2 oracles compare against
+    // SignatureTruth's independent scalar recomputation — pin the two
+    // implementations to each other locally so drift in either (hash
+    // mixing, tokenization, fold order, tie-breaks) fails here before it
+    // fails in the driver's round report.
+    val dir = java.nio.file.Files.createTempDirectory("graft-struth-").toString
+    graft.ops.SignatureTruth.write(spark, sf, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    val truthDocs = spark.read.parquet(s"$dir/docs.parquet")
+    assert(rows(SparkEntry.queries("dd2_minhash_signature")(spark, sf)) ===
+      rows(truthDocs.select("doc_id", "mh_0", "mh_1").orderBy("doc_id")),
+      "minhash signatures drifted")
+    assert(rows(SparkEntry.queries("dd4_simhash")(spark, sf)) ===
+      rows(truthDocs.select("doc_id", "simhash", "chunk0").orderBy("doc_id")),
+      "simhash drifted")
+    assert(rows(SparkEntry.queries("ta5_rolling_fingerprint")(spark, sf)) ===
+      rows(truthDocs.select("doc_id", "fingerprint").orderBy("doc_id")),
+      "rolling fingerprint drifted")
+    assert(rows(SparkEntry.queries("ta22_hashed_classifier")(spark, sf)
+        .select("doc_id", "score")) ===
+      rows(truthDocs.select("doc_id", "cls_score").orderBy("doc_id")),
+      "classifier scores drifted")
+    assert(rows(SparkEntry.queries("dd9_srp_neardup_pairs")(spark, sf)) ===
+      rows(spark.read.parquet(s"$dir/srp_pairs.parquet")
+        .orderBy("id_a", "id_b")),
+      "srp near-dup pairs drifted")
+    assert(rows(SparkEntry.queries("ss2_srp_ann_topk")(spark, sf)) ===
+      rows(spark.read.parquet(s"$dir/ss2.parquet").orderBy("qid", "rank")),
+      "srp ann top-k drifted")
+  }
 }
