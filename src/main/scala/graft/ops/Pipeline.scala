@@ -225,6 +225,35 @@ object Pipeline {
       sourceCol, fractions, seed)
   }
 
+  /** [[mixtureSample]] with the portable hash-Bernoulli core
+    * ([[stratifiedSamplePortable]]): same binding-source-kept-whole
+    * fraction math, but the per-row selection is a pure function of
+    * (salt, key) — layout-independent and engine-recomputable. */
+  def mixtureSamplePortable(
+      df: DataFrame, sourceCol: String,
+      targetShares: Map[String, Double], salt: String,
+      keyCol: Column): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0),
+      "target shares must be positive")
+    val total = targetShares.values.sum
+    val want = targetShares.map { case (k, v) => k -> v / total }
+    val have: Map[String, Long] = df
+      .filter(col(sourceCol).isin(want.keys.toSeq: _*))
+      .groupBy(sourceCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = want.keySet.diff(have.keySet)
+    require(missing.isEmpty, s"no rows for requested sources: $missing")
+    val bindingKey = have.minBy { case (k, n) => n / want(k) }._1
+    val outTotal = have(bindingKey) / want(bindingKey)
+    val fractions = want.map { case (k, w) =>
+      k -> (if (k == bindingKey) 1.0
+            else math.min(1.0, outTotal * w / have(k)))
+    }
+    stratifiedSamplePortable(
+      df.filter(col(sourceCol).isin(want.keys.toSeq: _*)),
+      sourceCol, fractions, salt, keyCol)
+  }
+
   /** Deterministic dataset split (train/val/test …): each row's split is
     * a pure function of (seed, key) — the same row lands in the same
     * split on any cluster, any partitioning, any run, and rows are never
@@ -257,6 +286,15 @@ object Pipeline {
     * 128-bit md5 space as a 32-digit lowercase hex string (the last split
     * takes the remainder). Public so a query and its oracle SQL embed the
     * SAME constants — the two sides cannot drift. */
+  /** `frac` of the 128-bit md5 space as a 32-digit lowercase hex string —
+    * comparing an md5 hex digest `< md5Bound(frac)` keeps a `frac`
+    * Bernoulli share, identically in every engine (equal-length lowercase
+    * hex compares exactly as the 128-bit value it encodes). */
+  def md5Bound(frac: Double): String = {
+    val v = (BigDecimal(frac) * BigDecimal(BigInt(1) << 128)).toBigInt
+    String.format("%032x", v.bigInteger)
+  }
+
   def md5SplitBounds(splits: Seq[(String, Double)]): Seq[(String, String)] = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "splits need positive weights")
@@ -264,9 +302,29 @@ object Pipeline {
     val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .tail
     splits.init.zip(cum.init).map { case ((name, _), frac) =>
-      val v = (BigDecimal(frac) * BigDecimal(BigInt(1) << 128)).toBigInt
-      name -> String.format("%032x", v.bigInteger)
+      name -> md5Bound(frac)
     }
+  }
+
+  /** Portable per-stratum Bernoulli sample: a row is kept iff the md5 of
+    * (salt ++ key) lands under its stratum's fraction of the hash space.
+    * Unlike the RNG [[stratifiedSample]], the selection is a pure
+    * function of (salt, key) — the same rows are kept on any cluster,
+    * any partitioning, any engine (a resumed job with a different
+    * layout keeps the SAME sample, and DuckDB can recompute the
+    * selection outright). Strata absent from `fractions` are dropped,
+    * matching sampleBy. Scan-local, no shuffle, no RNG state. */
+  def stratifiedSamplePortable(
+      df: DataFrame, strataCol: String, fractions: Map[String, Double],
+      salt: String, keyCol: Column): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val h = md5(concat(lit(salt), keyCol.cast("string")).cast("binary"))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s,
+        if (f >= 1.0) lit(true) else h < lit(md5Bound(f))).otherwise(acc)
+    }
+    df.filter(keep)
   }
 
   /** Portable variant of [[assignSplit]]: the unit-interval draw is the

@@ -197,9 +197,11 @@ object SignatureTruth {
     val bands = 8
     val r = numHashes / bands
 
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-      .select("doc_id", "text").collect()
-      .map(rw => (rw.getLong(0), rw.getString(1)))
+    val docsFull = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source", "n_chars").collect()
+      .map(rw => (rw.getLong(0), rw.getString(1), rw.getString(2),
+        rw.getLong(3)))
+    val docs = docsFull.map { case (id, text, _, _) => (id, text) }
 
     val perDoc = docs.map { case (id, text) =>
       val toks = tokens(text)
@@ -317,5 +319,105 @@ object SignatureTruth {
       (np, hits, possible, hits.toDouble / possible.toDouble)
     }.toDF("nprobe", "hits", "possible", "macro_recall")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ss15.parquet")
+
+    // ---- PQ/ADC truth (ss10): deterministic end to end — lowest-id
+    // codebook seeds, ONE Lloyd round with exact-DECIMAL(18,9) per-dim
+    // means, first-minimum argmin encoding, left-fold ADC sum, total
+    // (approx_d2 asc, vec_id asc) rank. Replicated with the same decimal
+    // rounding (HALF_UP at scale 9) and fold orders.
+    val dim = 64; val m = 8; val sub = dim / m; val cbSize = 16
+    val dvecs: Map[Long, Array[Double]] =
+      emb.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def slice(id: Long, j: Int): Array[Double] =
+      dvecs(id).slice(j * sub, j * sub + sub)
+    def sqd(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val books: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
+      var cents: Seq[(Long, Array[Double])] =
+        corpusIds.take(cbSize).map(id => id -> slice(id, j)).toSeq
+      // one Lloyd update: assign by (d2 asc, cid asc), per-dim decimal mean
+      val byCid = corpusIds.toSeq.groupBy { id =>
+        cents.map { case (cid, cv) => (cid, sqd(slice(id, j), cv)) }
+          .minBy { case (cid, d2) => (d2, cid) }._1
+      }
+      cents = cents.map { case (cid, old) =>
+        val members = byCid.getOrElse(cid, Seq.empty)
+        if (members.isEmpty) cid -> old
+        else cid -> Array.tabulate(sub) { d =>
+          val s = members.map(id =>
+            JBD.valueOf(slice(id, j)(d)).setScale(9, RM.HALF_UP))
+            .reduce(_ add _)
+          s.doubleValue() / members.size.toDouble
+        }
+      }
+      cents.sortBy(_._1).map(_._2)
+    }
+    val codes: Map[Long, Array[Int]] = corpusIds.map { id =>
+      id -> Array.tabulate(m) { j =>
+        val dists = books(j).map(c => sqd(slice(id, j), c))
+        dists.indexOf(dists.min) // first minimum = lowest code
+      }
+    }.toMap
+    qids.flatMap { q =>
+      val luts = (0 until m).map(j => books(j).map(c => sqd(slice(q, j), c)))
+      corpusIds.map { id =>
+        var d2 = 0.0
+        var j = 0
+        while (j < m) { d2 += luts(j)(codes(id)(j)); j += 1 }
+        (q, id, d2)
+      }.sortBy { case (_, id, d2) => (d2, id) }.take(5).zipWithIndex
+        .map { case ((qq, id, _), i) => (qq, i + 1, id) }
+    }.toSeq.toDF("qid", "rank", "vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ss10.parquet")
+
+    // ---- weighted-sample truth (pl10): A-ES (exponential-sort) weighted
+    // k-sample with the xxhash64-derived uniform draw — deterministic
+    // pure function of (seed, key). StrictMath.pow matches Spark's
+    // codegen (same 1-ulp caveat as the classifier sigmoid).
+    val hSeed = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(3L, 42L)
+    docsFull.map { case (id, _, source, nChars) =>
+      val u = (org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(id, hSeed) >>> 1).toDouble / 9.223372036854776e18
+      val aes = StrictMath.pow(u, 1.0 / nChars.toDouble)
+      (id, source, nChars, aes)
+    }.toSeq
+      .sortBy { case (id, _, _, aes) => (-aes, id) }.take(50)
+      .map { case (id, source, nChars, _) => (id, source, nChars) }
+      .sortBy(_._1)
+      .toDF("doc_id", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/pl10.parquet")
+
+    // ---- mixture-sample truth (pl7): the portable hash-Bernoulli
+    // mixture — replicate the data-dependent fraction math (normalized
+    // shares, binding source kept whole at EXACTLY 1.0, per-source
+    // downsample fractions) and the md5-range selection.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val wantTotal = shares.values.sum
+    val want = shares.map { case (k, v) => k -> v / wantTotal }
+    val have: Map[String, Long] = docsFull
+      .filter { case (_, _, src, _) => want.contains(src) }
+      .groupBy(_._3).map { case (k, rows) => k -> rows.length.toLong }
+    val bindingKey = have.minBy { case (k, n) => n / want(k) }._1
+    val outTotal = have(bindingKey) / want(bindingKey)
+    val fracs = want.map { case (k, w) =>
+      k -> (if (k == bindingKey) 1.0
+            else math.min(1.0, outTotal * w / have(k)))
+    }
+    docsFull.collect {
+      case (id, _, src, _) if want.contains(src) &&
+          (fracs(src) >= 1.0 ||
+            md5hex(s"11:$id") < Pipeline.md5Bound(fracs(src))) =>
+        (id, src)
+    }.toSeq.sortBy(_._1).toDF("doc_id", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/pl7.parquet")
   }
 }

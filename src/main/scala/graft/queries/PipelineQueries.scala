@@ -42,13 +42,18 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // Stratified sample by language — spec asserts per-stratum rates;
-    // rows-only here (Bernoulli draws are engine-specific).
+    // Stratified sample by language — the PORTABLE hash-Bernoulli form:
+    // the per-row draw is md5(salt ++ doc_id) against the stratum's
+    // share of the hash space, so the selection is a pure function of
+    // (salt, key) — layout-independent (a resumed job with different
+    // partitioning keeps the same sample, unlike sampleBy's
+    // partition-seeded RNG) and oracle-exact (DuckDB recomputes the
+    // selection outright). Spec asserts per-stratum rates.
     "pl1_stratified_sample" -> ((s, d) =>
-      Pipeline.stratifiedSample(
+      Pipeline.stratifiedSamplePortable(
         Tables.documents(s, d), "lang",
         Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5),
-        seed = 42L)
+        salt = "42:", col("doc_id"))
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
@@ -78,13 +83,16 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")),
 
     // Domain-mixture sampling: downsample sources to hit target output
-    // proportions (binding source kept whole). Rows-only (seeded
-    // Bernoulli is engine-local); PipelineSpec asserts structure +
+    // proportions (binding source kept whole) — portable hash-Bernoulli
+    // core, value-checked against SignatureTruth's scalar replication
+    // (the fractions are data-dependent, so the oracle can't be a
+    // standalone SQL literal); PipelineSpec asserts structure +
     // reproducibility.
     "pl7_mixture_sample" -> ((s, d) =>
-      Pipeline.mixtureSample(
+      Pipeline.mixtureSamplePortable(
         Tables.documents(s, d), "source",
-        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), seed = 11L)
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), salt = "11:",
+        col("doc_id"))
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
@@ -156,9 +164,11 @@ object PipelineQueries extends QueryPack {
         .orderBy("source", "doc_id")),
 
     // Weighted sample ∝ document length (Efraimidis–Spirakis, exact k,
-    // deterministic). Rows-only: pow() is engine-local in its last ulp,
-    // so the boundary of the selection can differ across engines;
-    // PipelineSpec asserts size, determinism, and weight monotonicity.
+    // deterministic). Value-checked against SignatureTruth's scalar
+    // replication (StrictMath.pow in the same fold — pow is engine-local
+    // in its last ulp, so a SQL recomputation can't be trusted at the
+    // selection boundary, but the JVM-side truth can); PipelineSpec
+    // additionally asserts size, determinism, and weight monotonicity.
     "pl10_weighted_sample" -> ((s, d) =>
       Pipeline.weightedSample(
         Tables.documents(s, d), k = 50, seed = 3L,
@@ -330,6 +340,21 @@ object PipelineQueries extends QueryPack {
              ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
              AS BIGINT) AS shuffle_pos
          FROM documents ORDER BY doc_id""",
+    "pl10_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/pl10.parquet/*.parquet')
+          ORDER BY doc_id""",
+    "pl1_stratified_sample" -> {
+      val b = Pipeline.md5Bound(0.5)
+      s"""SELECT doc_id, lang FROM documents
+          WHERE lang IN ('en','de','fr','es','zh')
+            AND md5('42:' || CAST(doc_id AS VARCHAR)) < '$b'
+          ORDER BY doc_id"""
+    },
+    "pl7_mixture_sample" ->
+      s"""SELECT doc_id, source
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/pl7.parquet/*.parquet')
+          ORDER BY doc_id""",
     "pl6_dataset_split" -> {
       val h = "md5('7:' || CAST(doc_id AS VARCHAR))"
       val cases = pl6Bounds

@@ -102,9 +102,9 @@ object SimilarityQueries extends QueryPack {
 
     // Product-quantization ANN top-5 (L2/ADC): 8 subspaces × 16 codes —
     // 32× vector compression; codebooks are plan literals, encode+ADC
-    // scan-local, only the per-query top-k window shuffles. Rows-only:
-    // deterministic but engine-specific layout (SimilaritySpec bounds
-    // exactness and recall).
+    // scan-local, only the per-query top-k window shuffles. Value-checked
+    // against SignatureTruth's scalar replication of the full train/
+    // encode/ADC pipeline (SimilaritySpec additionally bounds recall).
     "ss10_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(
@@ -241,6 +241,10 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT nprobe, hits, possible, macro_recall
           FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/ss15.parquet/*.parquet')
           ORDER BY nprobe""",
+    "ss10_pq_topk" ->
+      s"""SELECT qid, rank, vec_id
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/ss10.parquet/*.parquet')
+          ORDER BY qid, rank""",
     // mirrors Similarity.clusterCohesion: shared-grid quantization
     // (floor(x·64 + 0.5) — same floor-not-round rule as ss5), exact
     // integer sums per (label, dim) and per label, one closing division.
