@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native n-gram/shingle expressions.
+  *
+  * The declarative forms (`transform(sequence(...), i => ...)`) hide a
+  * quadratic trap: Spark evaluates a higher-order-function lambda BODY per
+  * element, interpreted, including any outer subtree it references — so
+  * `transform(seq, i => lower(text).substr(i, n))` re-lowers the WHOLE
+  * string at every position (O(len²) char work per document), and the
+  * shingle form re-evaluates its token-array child the same way. Measured
+  * at sf0.1 this made gram construction 5.8 s of dd16's 6.2 s total.
+  *
+  * These expressions evaluate the child ONCE and emit all grams in one
+  * tight JVM loop behind a codegen'd static call (the same pattern as
+  * [[Signatures]]/[[Vectors]]). Output is bit-identical to the
+  * declarative forms: same 1-based SQL substring clamping, same
+  * slice-then-concat_ws(" ") word joining, same ≥1-element floor
+  * (char/shingle forms) or empty-when-short contract (word-n-gram form).
+  */
+object Ngrams {
+
+  /** Character n-grams: positions 1..max(len−n+1, 1); SQL substring
+    * semantics clamp the tail (and a shorter-than-n string yields itself
+    * as its single "gram"). */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val count = math.max(s.numChars() - (n - 1), 1)
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  private def joinSlice(arr: ArrayData, from: Int, until: Int): UTF8String = {
+    val parts = new Array[UTF8String](until - from)
+    var k = from
+    while (k < until) {
+      parts(k - from) = if (arr.isNullAt(k)) null else arr.getUTF8String(k)
+      k += 1
+    }
+    // concatWs skips nulls — the concat_ws(" ", ...) contract
+    UTF8String.concatWs(space, parts: _*)
+  }
+
+  /** Word shingles: windows at 0..max(len−n, 0) joined with " "; the tail
+    * window truncates (slice semantics) and an under-n token array yields
+    * one shingle of everything — matching
+    * `transform(sequence(1, greatest(size−n+1, 1)), i =>
+    *   concat_ws(" ", slice(toks, i, n)))`. */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val count = math.max(len - (n - 1), 1)
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      out(i) = joinSlice(arr, i, math.min(i + n, len))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Word n-grams: full windows only — EMPTY array when the input has
+    * fewer than n tokens (matching TextAnalysis.wordNgrams' contract). */
+  def wordNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        out(i) = joinSlice(arr, i, i + n)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def char_ngrams(c: Column, n: Int): Column =
+    GraftBridge.column(CharNgrams(GraftBridge.expression(c), n))
+  def word_shingles(c: Column, n: Int): Column =
+    GraftBridge.column(WordShinglesExpr(GraftBridge.expression(c), n))
+  def word_ngrams(c: Column, n: Int): Column =
+    GraftBridge.column(WordNgramsExpr(GraftBridge.expression(c), n))
+}
+
+/** Character n-grams over a string → array<string>. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string child, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Ngrams.charNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Ngrams.charNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "char_ngrams"
+}
+
+/** Word shingles over array<string> → array<string> (≥ 1 element). */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    Signatures.checkStringArray(prettyName, child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    Ngrams.wordShingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Ngrams.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+/** Word n-grams over array<string> → array<string> (empty when short). */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    Signatures.checkStringArray(prettyName, child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    Ngrams.wordNgrams(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Ngrams.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
+}

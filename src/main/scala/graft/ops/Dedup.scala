@@ -39,9 +39,9 @@ object Dedup {
   /** Word n-gram shingles over a token array (at least one shingle even for
     * short docs). */
   def wordShingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    // native: the transform/sequence form re-evaluated the token-array
+    // child per element (see charNgrams) — one codegen'd loop instead
+    graft.functions.Ngrams.word_shingles(toks, n)
 
   /** MinHash signature — native expression (graft.functions.Signatures):
     * each shingle is xxhash64'd once and mixed per family in a tight JVM
@@ -166,14 +166,14 @@ object Dedup {
 
   // ---- char n-gram Jaccard ----------------------------------------------
 
-  /** Distinct character n-grams of the lowercased text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val lowered = lower(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(lowered) - lit(n - 1), lit(1))),
-        i => lowered.substr(i, lit(n))))
-  }
+  /** Distinct character n-grams of the lowercased text. Native expression:
+    * the earlier `transform(sequence(...), i => lower(text).substr(i, n))`
+    * re-lowered the whole string per position (HOF lambdas re-evaluate
+    * embedded subtrees, interpreted — O(len²) per doc; 5.8 s of dd16's
+    * 6.2 s at sf0.1). `lower` is now the expression's child, evaluated
+    * once; the gram loop is one codegen'd static call. Same output. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(graft.functions.Ngrams.char_ngrams(lower(text), n))
 
   /** GLOBAL exact Jaccard similarity join via prefix filtering (PPJoin
     * family): order each record's grams by ascending document frequency

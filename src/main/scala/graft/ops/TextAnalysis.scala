@@ -112,9 +112,10 @@ object TextAnalysis {
     * when the doc has fewer than n tokens). Scan-local expression — no
     * explode, no shuffle. */
   def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(k => get(toks, i + lit(k))): _*)))
+    // native: the transform/sequence form re-evaluated the token-array
+    // child per element per gram position (interpreted HOF lambda) —
+    // one codegen'd loop instead; same empty-when-short contract
+    graft.functions.Ngrams.word_ngrams(toks, n)
 
   /** Fraction of n-grams that are repeats of an earlier n-gram in the
     * same document — the Gopher-class intra-document repetition signal
