@@ -87,10 +87,66 @@ object Ngrams {
     }
   }
 
+  /** Sorted-distinct character n-grams in one loop — equivalent to
+    * `array_sort(array_distinct(charNgrams(...)))` (string sort is total,
+    * so sort-then-dedup equals distinct-then-sort), without two further
+    * interpreted collection passes and their allocations. UTF8String's
+    * compareTo is the same binary ordering array_sort uses. */
+  def charNgramsSorted(s: UTF8String, n: Int): ArrayData = {
+    val count = math.max(s.numChars() - (n - 1), 1)
+    val grams = new Array[UTF8String](count)
+    var i = 0
+    while (i < count) {
+      grams(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    java.util.Arrays.sort(grams, null) // natural (binary) UTF8String order
+    val out = new Array[Any](count)
+    var m = 0
+    i = 0
+    while (i < count) {
+      if (m == 0 || grams(i).compareTo(out(m - 1).asInstanceOf[UTF8String]) != 0) {
+        out(m) = grams(i)
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == out.length) out else out.take(m))
+  }
+
   def char_ngrams(c: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(c), n))
+  def char_ngrams_sorted(c: Column, n: Int): Column =
+    GraftBridge.column(CharNgramsSorted(GraftBridge.expression(c), n))
+  /** Sorted-distinct word shingles — `array_sort(array_distinct(
+    * wordShingles(...)))` fused into one loop (see charNgramsSorted). */
+  def wordShinglesSorted(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val count = math.max(len - (n - 1), 1)
+    val sh = new Array[UTF8String](count)
+    var i = 0
+    while (i < count) {
+      sh(i) = joinSlice(arr, i, math.min(i + n, len))
+      i += 1
+    }
+    java.util.Arrays.sort(sh, null)
+    val out = new Array[Any](count)
+    var m = 0
+    i = 0
+    while (i < count) {
+      if (m == 0 || sh(i).compareTo(out(m - 1).asInstanceOf[UTF8String]) != 0) {
+        out(m) = sh(i)
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == out.length) out else out.take(m))
+  }
+
   def word_shingles(c: Column, n: Int): Column =
     GraftBridge.column(WordShinglesExpr(GraftBridge.expression(c), n))
+  def word_shingles_sorted(c: Column, n: Int): Column =
+    GraftBridge.column(WordShinglesSorted(GraftBridge.expression(c), n))
   def word_ngrams(c: Column, n: Int): Column =
     GraftBridge.column(WordNgramsExpr(GraftBridge.expression(c), n))
 }
@@ -112,6 +168,23 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "char_ngrams"
 }
 
+/** Sorted-distinct character n-grams over a string → array<string>. */
+case class CharNgramsSorted(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string child, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Ngrams.charNgramsSorted(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Ngrams.charNgramsSorted($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "char_ngrams_sorted"
+}
+
 /** Word shingles over array<string> → array<string> (≥ 1 element). */
 case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -124,6 +197,21 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+/** Sorted-distinct word shingles over array<string> → array<string>. */
+case class WordShinglesSorted(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    Signatures.checkStringArray(prettyName, child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    Ngrams.wordShinglesSorted(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Ngrams.wordShinglesSorted($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles_sorted"
 }
 
 /** Word n-grams over array<string> → array<string> (empty when short). */

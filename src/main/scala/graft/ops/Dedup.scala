@@ -43,6 +43,13 @@ object Dedup {
     // child per element (see charNgrams) — one codegen'd loop instead
     graft.functions.Ngrams.word_shingles(toks, n)
 
+  /** `array_sort(array_distinct(wordShingles(...)))` fused into the
+    * native loop — the canonical shingle-set form the MinHash pipelines
+    * persist (sorted for the merge-count Jaccard, distinct for set
+    * semantics), without two interpreted collection passes per row. */
+  def wordShinglesSorted(toks: Column, n: Int): Column =
+    graft.functions.Ngrams.word_shingles_sorted(toks, n)
+
   /** MinHash signature — native expression (graft.functions.Signatures):
     * each shingle is xxhash64'd once and mixed per family in a tight JVM
     * loop with codegen, vs the declarative HOF form that re-hashes every
@@ -107,7 +114,7 @@ object Dedup {
     // hash pipeline would be recomputed for each of the three scans.
     val prepared = docs.select(
       id.as("mh_id"),
-      array_sort(array_distinct(wordShingles(TextAnalysis.tokens(text), shingleN)))
+      wordShinglesSorted(TextAnalysis.tokens(text), shingleN)
         .as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("bkeys", bandKeys(col("sig"), bands, r))
@@ -174,6 +181,12 @@ object Dedup {
     * once; the gram loop is one codegen'd static call. Same output. */
   def charNgrams(text: Column, n: Int): Column =
     array_distinct(graft.functions.Ngrams.char_ngrams(lower(text), n))
+
+  /** `array_sort(charNgrams(...))` fused into the native loop (sort-then-
+    * dedup ≡ distinct-then-sort under a total string order) — skips two
+    * further interpreted collection passes on the hot dedup paths. */
+  def charNgramsSorted(text: Column, n: Int): Column =
+    graft.functions.Ngrams.char_ngrams_sorted(lower(text), n)
 
   /** GLOBAL exact Jaccard similarity join via prefix filtering (PPJoin
     * family): order each record's grams by ascending document frequency
@@ -353,7 +366,7 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column, block: Column,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val t = docs.select(id.as("ng_id"), block.as("blk"),
-      array_sort(charNgrams(text, n)).as("grams"))
+      charNgramsSorted(text, n).as("grams"))
       .withColumn("gsz", size(col("grams")))
     t.alias("a")
       .join(t.alias("b"),
@@ -402,7 +415,7 @@ object Dedup {
         col("_tgt") === col("r_pos"))
       .select(col("id_l"), col("id_r"))
     val grams = docs.select(id.as("g_id"),
-        array_sort(charNgrams(text, n)).as("g"))
+        charNgramsSorted(text, n).as("g"))
       .withColumn("gsz", size(col("g")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Pipeline.pinned.add(grams) // released with the two-phase caches
@@ -654,8 +667,7 @@ object Dedup {
     val r = numHashes / bands
     def prepared(df: DataFrame, pfx: String): DataFrame = df.select(
         id.as(s"${pfx}_id"),
-        array_sort(array_distinct(
-          wordShingles(TextAnalysis.tokens(text), shingleN)))
+        wordShinglesSorted(TextAnalysis.tokens(text), shingleN)
           .as(s"${pfx}_sh"))
       .withColumn(s"${pfx}_bkeys",
         bandKeys(minhashSignature(col(s"${pfx}_sh"), numHashes), bands, r))
@@ -700,8 +712,7 @@ object Dedup {
     val r = numHashes / bands
     val prepared = docs.select(
         id.as("ex_id"),
-        array_sort(array_distinct(
-          wordShingles(TextAnalysis.tokens(text), shingleN))).as("ex_sh"))
+        wordShinglesSorted(TextAnalysis.tokens(text), shingleN).as("ex_sh"))
       .withColumn("bkey",
         explode(bandKeys(minhashSignature(col("ex_sh"), numHashes), bands, r)))
       .select("bkey", "ex_id", "ex_sh")
@@ -753,8 +764,7 @@ object Dedup {
     val ex = spark.table(table)
     val in = incoming.select(
         id.as("in_id"),
-        array_sort(array_distinct(
-          wordShingles(TextAnalysis.tokens(text), shingleN))).as("in_sh"))
+        wordShinglesSorted(TextAnalysis.tokens(text), shingleN).as("in_sh"))
       .withColumn("bkey",
         explode(bandKeys(minhashSignature(col("in_sh"), numHashes), bands, r)))
     in.join(ex, "bkey")
