@@ -223,7 +223,13 @@ object TextAnalysis {
       idCol: String, textCol: String,
       window: Int = 2, minCount: Long = 5): org.apache.spark.sql.DataFrame = {
     require(window >= 1 && minCount >= 1)
-    val toks = split(col(textCol), " ")
+    // The token array must be a BOUND column before the nested lambdas:
+    // HOF lambda bodies re-evaluate embedded subtrees per element
+    // interpreted, so an inline split(text) would re-split the whole
+    // document for every (i, j) pair — O(n²·len) per doc (the same trap
+    // the native n-gram expressions fixed). As an attribute, the
+    // per-element reference is a pointer read.
+    val toks = col("_toks")
     val n = size(toks)
     val pairsArr = flatten(transform(sequence(lit(0), n - 2), i =>
       transform(sequence(i + 1, least(i + lit(window), n - 1)), j =>
@@ -232,6 +238,7 @@ object TextAnalysis {
           greatest(element_at(toks, i + 1), element_at(toks, j + 1))
             .as("b")))))
     val pairs = docs
+      .select(split(col(textCol), " ").as("_toks"))
       // guard: sequence(0, n-2) is invalid for single-token docs
       .select(explode(when(n >= 2, pairsArr)
         .otherwise(array().cast("array<struct<a:string,b:string>>")))
@@ -240,7 +247,7 @@ object TextAnalysis {
     val pairCounts = pairs.groupBy("a", "b")
       .agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minCount)
-    val uni = docs.select(explode(toks).as("token"))
+    val uni = docs.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
     val totals = uni.agg(sum(col("c")).cast("double").as("nt"))
       .crossJoin(broadcast(
