@@ -769,4 +769,125 @@ object Pipeline {
       .select(explode(syms).as("symbol"), col("freq"))
       .groupBy("symbol").agg(sum(col("freq")).as("n"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how target-like its hashed-bigram bag is,
+    * w(doc) = Σ_occurrences log p_target(b)/p_raw(b), under two add-one-
+    * smoothed bag-of-hashed-bigram models — the standard pretraining
+    * data-selection lever (fit cheap bag models on a trusted target
+    * corpus and the raw crawl, weight raw docs, resample by weight).
+    *
+    * Engine-exact re-derivation of both halves:
+    *  - features are md5-prefix buckets (substr(md5(bigram), 1, 4):
+    *    65 536 virtual buckets) — md5 is the same function in every
+    *    engine, unlike xxhash64 (same portability argument as
+    *    [[assignSplitPortable]]);
+    *  - the per-bucket log-ratio is replaced by its (1,1)-Padé
+    *    surrogate 2(r−1)/(r+1), r the smoothed probability ratio:
+    *    strictly monotone in r, equal to ln r to third order around
+    *    r = 1 (hashed-bucket ratios concentrate there), and composed
+    *    ONLY of correctly-rounded IEEE ops — so every engine produces
+    *    the identical double, where ln drifts in the last ulp across
+    *    libm implementations (the same family as the rational idf in
+    *    TextAnalysis.bm25Search);
+    *  - per-doc summation quantizes each term to nano-units
+    *    (floor(w·1e9) as BIGINT) and sums exact integers — order-
+    *    independent, unlike double summation, and engine-exact, unlike
+    *    decimal casts of arbitrary doubles (Spark rounds half-up on the
+    *    shortest repr; DuckDB truncates x·10^scale).
+    *
+    * Docs with fewer than two tokens have no bigram features and no row.
+    *
+    * Scale shape: the bucket-count model tables are ≤ 65 536 rows —
+    * broadcast; corpus totals are one row — broadcast; the only corpus-
+    * sized shuffles are the bucket groupBys and the per-doc agg. At
+    * 100 TB the target model is built once per target snapshot and the
+    * scoring pass is scan + broadcast-join + one keyed agg. */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val buckets = 65536L // 16-bit md5 prefix
+    val occ = docs.select(
+        col(idCol).as("doc_id"), isTarget.as("is_target"),
+        explode(TextAnalysis.wordNgrams(
+          TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
+      .withColumn("b", substring(md5(col("bg").cast("binary")), 1, 4))
+      .select("doc_id", "is_target", "b")
+    val raw = occ.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tgt = occ.filter(col("is_target"))
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val model = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("c_t"))
+    val totals = model.agg(
+      sum(col("c_r")).as("nr"), sum(col("c_t")).as("nt"))
+    // smoothed ratio r = p_t(b)/p_r(b): numerator and denominator are
+    // exact integer products (< 2^53 — counts and totals are corpus
+    // bigram occurrences), so the single division is the only rounding
+    val r = ((col("c_t") + lit(1L)).cast("double") *
+             (col("nr") + lit(buckets)).cast("double")) /
+            ((col("c_r") + lit(1L)).cast("double") *
+             (col("nt") + lit(buckets)).cast("double"))
+    val w = lit(2.0) * (r - lit(1.0)) / (r + lit(1.0))
+    occ.select("doc_id", "b")
+      .join(broadcast(model), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), floor(w * lit(1e9)).as("w_nano"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("w_nano")).as("w_nano_sum"))
+      .withColumn("dsir_weight",
+        col("w_nano_sum").cast("double") / lit(1e9))
+  }
+
+  /** Temperature-scaled source mixture — the multilingual / data-mixing
+    * lever of mT5 (Xue et al. 2021) and XLM-R (Conneau et al. 2020):
+    * sample source s with probability ∝ n_s^α, α < 1 upweighting small
+    * sources. Each source is deterministically downsampled to
+    * t_s = ⌊budget · n_s^α / Σ_t n_t^α⌋ rows via the portable
+    * md5-Bernoulli rule ([[stratifiedSamplePortable]]'s mechanics).
+    *
+    * α is FIXED at ½ because sqrt is an IEEE correctly-rounded operation
+    * (pow/exp/ln are not): every derived quantity — per-source share,
+    * target count, keep fraction, 60-bit hash threshold — reproduces
+    * bit-identically on any engine, so the sample survives an engine
+    * migration and is oracle-checkable outright. The per-source sqrt
+    * terms are quantized to micro-units and summed as exact integers
+    * (order-independence; same mechanics as [[dsirWeights]]).
+    *
+    * The keep test compares the first 15 hex digits of md5(salt‖key) —
+    * a uniform 60-bit draw — against ⌊f_s·2^60⌋ rendered as a 15-digit
+    * zero-padded hex literal: equal-length lowercase hex compares
+    * lexicographically exactly as the integers it encodes. Sources whose
+    * target meets or exceeds their count are kept whole.
+    *
+    * Scale shape: the per-source share table is #sources rows —
+    * broadcast; the keep test is a pure scan-local expression on the
+    * fact side. No fact shuffle at all. */
+  def temperatureMixture(
+      df: DataFrame, sourceCol: String, keyCol: Column, salt: String,
+      budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1.0, "budgetFrac in (0, 1]")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n_s"))
+      .withColumn("q_micro",
+        floor(sqrt(col("n_s").cast("double")) * lit(1e6)))
+    val tot = counts.agg(sum(col("q_micro")).as("sq_micro"),
+      sum(col("n_s")).as("n_total"))
+    val shares = counts.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        floor(col("n_total").cast("double") * lit(budgetFrac)))
+      .withColumn("t_s",
+        floor(col("q_micro").cast("double") / col("sq_micro").cast("double") *
+          col("budget").cast("double")))
+      .withColumn("f_s",
+        col("t_s").cast("double") / col("n_s").cast("double"))
+      .withColumn("_bound", format_string("%015x",
+        floor(col("f_s") * lit(1152921504606846976.0 /* 2^60 */))))
+      .select(col(sourceCol), col("t_s").as("_t_s"), col("n_s").as("_n_s"),
+        col("_bound"))
+    val h = substring(
+      md5(concat(lit(salt), keyCol.cast("string")).cast("binary")), 1, 15)
+    df.join(broadcast(shares), Seq(sourceCol))
+      .filter(col("_t_s") >= col("_n_s") || h < col("_bound"))
+      .drop("_t_s", "_n_s", "_bound")
+  }
 }

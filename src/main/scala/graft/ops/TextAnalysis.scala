@@ -623,4 +623,50 @@ object TextAnalysis {
     val norm = raw / sqrt(greatest(size(feats), lit(1)).cast("double"))
     lit(1.0) / (lit(1.0) + exp(-norm * lit(4.0)))
   }
+
+  /** Corpus-LM token-rarity scoring — the perplexity-proxy quality
+    * filter (Wenzek et al. 2020 "CCNet" keep/drop documents by LM
+    * perplexity; at corpus scale the unigram LM is its shuffle-cheap
+    * first approximation). Per document: the arithmetic mean and max of
+    * each token's INVERSE unigram probability N/c(tok) — the log-free
+    * cousin of perplexity, which is the GEOMETRIC mean of the same
+    * per-token inverse probabilities. The arithmetic form keeps every
+    * per-token value an exact integer ratio (one correctly-rounded IEEE
+    * division → bit-identical on any engine), where ln/exp are not
+    * correctly-rounded-mandated and drift in the last ulp across libm
+    * implementations (same reasoning as bm25Search's rational idf).
+    *
+    * Cross-engine-exact mean: per-token values are quantized scan-side
+    * to integer micro-units — floor(x·1e6), multiply and floor both
+    * deterministic IEEE ops on identical inputs — and summed as BIGINT:
+    * an exact, order-independent sum. (Double summation is
+    * partition-order-dependent, and decimal casts of arbitrary doubles
+    * round DIFFERENTLY across engines: Spark half-up on the shortest
+    * repr, DuckDB truncation of x·10^scale — the OracleSafe decimal
+    * trick is only safe for decimal-origin money values.)
+    *
+    * Scale shape: one token-keyed shuffle builds the count table
+    * (vocab-sized, a reusable per-corpus-snapshot artifact at 100 TB),
+    * the corpus total broadcasts as one row, the token→count join is
+    * the only fan-in, and the final agg is keyed on doc_id. */
+  def unigramRarity(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val invP = col("n_total").cast("double") / col("c").cast("double")
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), invP.as("inv_p"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(floor(col("inv_p") * lit(1e6))).as("sum_inv_p_micro"),
+        max(col("inv_p")).as("max_inv_p"))
+      .withColumn("mean_inv_p",
+        col("sum_inv_p_micro").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double"))
+  }
 }

@@ -82,6 +82,25 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "n_tokens", "cum_tokens", "bin")
         .orderBy("doc_id")),
 
+    // DSIR importance weights over hashed-bigram bag models: target =
+    // the corpus's 'en' slice, raw = everything. md5-prefix buckets +
+    // Padé log-ratio surrogate + nano-unit integer sums make the whole
+    // derivation oracle-EXACT; see Pipeline.dsirWeights.
+    "pl23_dsir_weights" -> ((s, d) =>
+      Pipeline.dsirWeights(
+        Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")),
+
+    // Temperature-scaled (α = ½) source mixture: sample ∝ √n_s to half
+    // the corpus — sqrt is IEEE-correctly-rounded, so the whole share →
+    // target → hash-threshold derivation is oracle-EXACT end to end;
+    // see Pipeline.temperatureMixture.
+    "pl24_temperature_mixture" -> ((s, d) =>
+      Pipeline.temperatureMixture(
+        Tables.documents(s, d), "source", col("doc_id"), salt = "24:")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Domain-mixture sampling: downsample sources to hit target output
     // proportions (binding source kept whole) — portable hash-Bernoulli
     // core, value-checked against SignatureTruth's scalar replication
@@ -334,6 +353,62 @@ object PipelineQueries extends QueryPack {
     }.mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    // mirrors Pipeline.dsirWeights step by step: md5-prefix buckets,
+    // exact-integer smoothed-ratio products, the 2(r−1)/(r+1) Padé
+    // surrogate with identical association, nano-unit floor + BIGINT sum.
+    "pl23_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang = 'en' AS is_target,
+             regexp_split_to_array(lower(text), '\s+') AS w
+           FROM documents),
+         occ AS (SELECT doc_id, is_target, substr(md5(bg), 1, 4) AS b
+           FROM (SELECT doc_id, is_target,
+                   unnest([w[i] || ' ' || w[i+1]
+                           for i in range(1, len(w))]) AS bg
+                 FROM tk)),
+         raw AS (SELECT b, count(*) AS c_r FROM occ GROUP BY b),
+         tgt AS (SELECT b, count(*) AS c_t FROM occ
+           WHERE is_target GROUP BY b),
+         model AS (SELECT raw.b, c_r, coalesce(c_t, 0) AS c_t
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         t AS (SELECT sum(c_r) AS nr, sum(c_t) AS nt FROM model),
+         wt AS (SELECT b, 2.0 * (r - 1.0) / (r + 1.0) AS w
+           FROM (SELECT b,
+               (CAST(c_t + 1 AS DOUBLE) * CAST(nr + 65536 AS DOUBLE)) /
+               (CAST(c_r + 1 AS DOUBLE) * CAST(nt + 65536 AS DOUBLE)) AS r
+             FROM model CROSS JOIN t)),
+         sc AS (SELECT doc_id,
+             CAST(floor(w * 1000000000.0) AS BIGINT) AS w_nano
+           FROM occ JOIN wt USING (b))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(w_nano) AS BIGINT) AS w_nano_sum,
+           CAST(sum(w_nano) AS DOUBLE) / 1000000000.0 AS dsir_weight
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // mirrors Pipeline.temperatureMixture: micro-unit sqrt shares,
+    // floor target counts, 60-bit hash threshold as 15-hex-digit
+    // zero-padded literal, keep-whole when t_s >= n_s.
+    "pl24_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_s,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS q_micro
+           FROM documents GROUP BY source),
+         t AS (SELECT sum(q_micro) AS sq_micro, sum(n_s) AS n_total
+           FROM c),
+         f AS (SELECT source, n_s,
+             CAST(floor(
+               CAST(q_micro AS DOUBLE) / CAST(sq_micro AS DOUBLE) *
+               CAST(CAST(floor(CAST(n_total AS DOUBLE) * 0.5) AS BIGINT)
+                 AS DOUBLE)) AS BIGINT) AS t_s
+           FROM c CROSS JOIN t),
+         b AS (SELECT source, n_s, t_s,
+             printf('%015x', CAST(floor(
+               CAST(t_s AS DOUBLE) / CAST(n_s AS DOUBLE) *
+               1152921504606846976.0) AS BIGINT)) AS bound
+           FROM f)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN b USING (source)
+         WHERE t_s >= n_s
+            OR substr(md5('24:' || CAST(doc_id AS VARCHAR)), 1, 15) < bound
+         ORDER BY d.doc_id""",
     "pl2_deterministic_shuffle" ->
       """SELECT doc_id, n_chars,
            CAST(row_number() OVER (

@@ -69,6 +69,13 @@ object TextQueries extends QueryPack {
     // fertility (CJK under a byte-level regex) means more tokens per
     // character of signal, directly pricing context budget and training
     // FLOPs per char. Exact integer sums, two closing divisions.
+    // Perplexity-proxy quality filter (CCNet family): per-doc mean/max
+    // INVERSE unigram probability — the log-free, engine-exact form of
+    // LM-rarity scoring; see TextAnalysis.unigramRarity.
+    "ta24_unigram_rarity" -> ((s, d) =>
+      TextAnalysis.unigramRarity(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "ta23_tokenizer_fertility" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -422,6 +429,28 @@ object TextQueries extends QueryPack {
           FROM c ORDER BY doc_id""",
     // same byte-level token regex as ta3; exact long sums then two
     // double divisions — hash-exact
+    // mirrors unigramRarity term by term: one correctly-rounded division
+    // per token, micro-unit quantization, exact BIGINT sum, identical
+    // division association for the mean ((sum/1e6)/n).
+    "ta24_unigram_rarity" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+         t AS (SELECT sum(c) AS n_total FROM c)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(floor(
+               CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE) * 1000000.0)
+             AS BIGINT)) AS BIGINT) AS sum_inv_p_micro,
+           max(CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE)) AS max_inv_p,
+           CAST(sum(CAST(floor(
+               CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE) * 1000000.0)
+             AS BIGINT)) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)
+             AS mean_inv_p
+         FROM tk JOIN c USING (token) CROSS JOIN t
+         GROUP BY doc_id ORDER BY doc_id""",
+
     "ta23_tokenizer_fertility" ->
       """WITH t AS (SELECT lang, source, n_chars,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks

@@ -498,4 +498,54 @@ class PipelineSpec extends GraftSuite {
     assert(shifted(0).isNullAt(5))
     assert(shifted(1).getDouble(5) === -0.5 * math.log(0.5))
   }
+
+  test("dsirWeights: target-like docs outscore non-target, bounds hold") {
+    import spark.implicits._
+    // target slice shares vocabulary with doc 30 (target-like) but not
+    // with doc 31 (alien vocabulary): DSIR must rank 30 above 31
+    val rows = (1L to 20L).map(i => (i, true, "the quick brown fox jumps")) ++
+      Seq((30L, false, "the quick brown fox runs"),
+          (31L, false, "zqx wvu ytr plk mno"))
+    val got = Pipeline.dsirWeights(
+        rows.toDF("doc_id", "is_t", "text"), "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // every doc has >= 2 tokens -> n_features = n_tokens - 1
+    assert(got(1L)._1 === 4L && got(31L)._1 === 4L)
+    // Padé surrogate of the log-ratio is bounded: |w| < 2 per feature
+    got.values.foreach { case (nf, nano, _) =>
+      assert(math.abs(nano) < 2e9 * nf) }
+    // the shared-vocab doc scores strictly above the alien-vocab doc,
+    // and pure-target docs score above both
+    assert(got(30L)._3 > got(31L)._3)
+    assert(got(1L)._3 > got(30L)._3)
+    // weight column is exactly the nano sum over 1e9 (the exact path)
+    got.values.foreach { case (_, nano, w) => assert(w === nano / 1e9) }
+  }
+
+  test("temperatureMixture: sqrt-share targets, upweights small sources") {
+    import spark.implicits._
+    // 400 vs 100 rows: alpha=1/2 shares are 2/3 vs 1/3 of the budget
+    // (250), so targets are 166 vs 83 -> keep fractions 0.415 vs 0.83:
+    // the SMALL source keeps a strictly larger fraction (the mixing
+    // lever this operator exists for)
+    val rows = (1L to 400L).map((_, "big")) ++ (401L to 500L).map((_, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val kept = Pipeline.temperatureMixture(df, "source", col("doc_id"), "t:")
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fBig = bySrc("big") / 400.0
+    val fSmall = bySrc("small") / 100.0
+    assert(fSmall > fBig, s"small kept $fSmall <= big kept $fBig")
+    // kept counts concentrate on the exact targets (binomial, 4 sigma)
+    assert(math.abs(bySrc("big") - 166L) <= 40, bySrc)
+    assert(math.abs(bySrc("small") - 83L) <= 16, bySrc)
+    // pure function of (salt, key): bit-reproducible
+    val again = Pipeline.temperatureMixture(df, "source", col("doc_id"), "t:")
+    assert(kept.exceptAll(again).count() === 0)
+    assert(again.exceptAll(kept).count() === 0)
+    // a different salt draws a different sample (not degenerate)
+    val other = Pipeline.temperatureMixture(df, "source", col("doc_id"), "u:")
+    assert(other.exceptAll(kept).count() > 0)
+  }
 }

@@ -345,6 +345,24 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("dsir and temperature-mixture broadcast their bounded model side") {
+    // pl23: the 65536-row bucket model and the one-row totals must join
+    // via broadcast — the corpus side never shuffles for the model join
+    val dsir = SparkEntry.queries("pl23_dsir_weights")(spark, sf)
+    dsir.collect()
+    val pd = dsir.queryExecution.executedPlan.toString
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    assert(pd.contains("BroadcastNestedLoopJoin"), pd) // one-row totals
+    assert(!pd.contains("CartesianProduct"), pd)
+    // pl24: the #sources share table broadcasts; the fact side's only
+    // join is a BroadcastHashJoin (keep test is scan-local)
+    val mix = SparkEntry.queries("pl24_temperature_mixture")(spark, sf)
+    mix.collect()
+    val pm = mix.queryExecution.executedPlan.toString
+    assert(pm.contains("BroadcastHashJoin"), pm)
+    assert(!pm.contains("SortMergeJoin"), pm)
+  }
+
   test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
     // AQE only materializes the final physical plan after execution, so
     // run the query first and inspect executedPlan.

@@ -307,4 +307,23 @@ class TextAnalysisSpec extends GraftSuite {
     assert(one("  ... !!! ",
       TextAnalysis.hashedClassifierScore(col("text"))) === 0.5)
   }
+
+  test("unigramRarity: exact hand-computed inverse-probability stats") {
+    import spark.implicits._
+    // corpus: N = 5 tokens, c(a) = 2, c(b) = 2, c(c) = 1
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramRarity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: three tokens, each inv_p = 5/2 = 2.5 (exact binary) ->
+    // micro sum 3 * 2_500_000, mean exactly 2.5, max 2.5
+    assert(got(0).getLong(1) === 3L)
+    assert(got(0).getLong(2) === 7500000L)
+    assert(got(0).getDouble(3) === 2.5)
+    assert(got(0).getDouble(4) === 2.5)
+    // doc 2: inv_p = 2.5 and 5.0 -> mean 3.75, max 5.0 (the hapax)
+    assert(got(1).getLong(1) === 2L)
+    assert(got(1).getLong(2) === 7500000L)
+    assert(got(1).getDouble(3) === 5.0)
+    assert(got(1).getDouble(4) === 3.75)
+  }
 }
