@@ -863,6 +863,50 @@ object Pipeline {
     * Scale shape: the per-source share table is #sources rows —
     * broadcast; the keep test is a pure scan-local expression on the
     * fact side. No fact shuffle at all. */
+  /** Data-constrained epoch schedule (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": repeating data up to ~4 epochs
+    * costs little vs fresh tokens; beyond that returns decay fast): given
+    * per-source token inventories and a total training-token budget,
+    * allocate each source a √-share target ([[temperatureMixture]]'s
+    * α = ½ lever — upweights small/rare sources) and cap repetition at
+    * `maxEpochs`. Emits the planning record per source: inventory,
+    * target, epochs implied, achieved tokens after the cap, and the
+    * unfillable deficit — the "can this mixture even be trained at this
+    * budget" audit that precedes any 100 TB run.
+    *
+    * All engine-exact: integer inventories, micro-unit sqrt shares
+    * (exact BIGINT sums), floor targets, the cap as an exact integer
+    * min(target, maxEpochs·n) — maxEpochs·n is an exact double product
+    * for integer maxEpochs-scaled values, floored identically anywhere.
+    * Scale shape: one keyed agg to the #sources-row table; everything
+    * after is arithmetic on that bounded table. */
+  def epochSchedule(
+      docs: DataFrame, sourceCol: String, tokenCol: Column,
+      budgetTokens: Column, maxEpochs: Double = 4.0): DataFrame = {
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val counts = docs.groupBy(sourceCol)
+      .agg(sum(tokenCol).as("n_tokens"))
+      .withColumn("q_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)))
+    val tot = counts.agg(sum(col("q_micro")).as("sq_micro"),
+      budgetTokens.as("budget"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(col("q_micro").cast("double") / col("sq_micro").cast("double") *
+          col("budget").cast("double")))
+      .withColumn("cap_tokens",
+        floor(lit(maxEpochs) * col("n_tokens").cast("double")))
+      .withColumn("achieved_tokens",
+        least(col("target_tokens"), col("cap_tokens")))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("achieved_tokens"))
+      .withColumn("epochs",
+        col("achieved_tokens").cast("double") /
+          col("n_tokens").cast("double"))
+      .select(sourceCol, "n_tokens", "target_tokens", "achieved_tokens",
+        "deficit_tokens", "epochs")
+  }
+
   def temperatureMixture(
       df: DataFrame, sourceCol: String, keyCol: Column, salt: String,
       budgetFrac: Double = 0.5): DataFrame = {

@@ -649,6 +649,37 @@ object TextAnalysis {
     * (vocab-sized, a reusable per-corpus-snapshot artifact at 100 TB),
     * the corpus total broadcasts as one row, the token→count join is
     * the only fan-in, and the final agg is keyed on doc_id. */
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3:
+    * terciles of LM score; head = most target-like, tail = candidates
+    * for dropping): bucket each doc by its [[unigramRarity]] score
+    * against the corpus's exact tercile boundaries. LOW rarity = fluent,
+    * common vocabulary → head.
+    *
+    * Scale shape: boundaries come from the exact percentile AGGREGATE
+    * (one reduce to a single row — broadcast back; never an ntile/global
+    * window, which would funnel the corpus through one task); the
+    * bucketing itself is a scan-local comparison. At 100 TB swap the
+    * exact percentile for approx_percentile (same plan shape) — the
+    * boundary moves within the sketch error; the bucket rule is
+    * unchanged. Tie-robust cross-engine: a boundary either equals a
+    * tied score (interpolation between equal neighbors is exact) or
+    * falls strictly between two distinct scores — both compare
+    * identically everywhere. */
+  def rarityBuckets(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val scored = unigramRarity(docs, idCol, textCol)
+      .select("doc_id", "mean_inv_p")
+    val bounds = scored.agg(
+      expr("percentile(mean_inv_p, 0.3333333333333333)").as("q33"),
+      expr("percentile(mean_inv_p, 0.6666666666666666)").as("q66"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("mean_inv_p"),
+        when(col("mean_inv_p") <= col("q33"), lit("head"))
+          .when(col("mean_inv_p") <= col("q66"), lit("middle"))
+          .otherwise(lit("tail")).as("ccnet_bucket"))
+  }
+
   def unigramRarity(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {

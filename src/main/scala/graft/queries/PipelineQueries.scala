@@ -101,6 +101,18 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Data-constrained epoch schedule: √-share token targets vs a
+    // 3.5×-inventory budget, repetition capped at 4 epochs — the
+    // "can this mixture be trained at this budget" planning record.
+    "pl25_epoch_schedule" -> ((s, d) =>
+      Pipeline.epochSchedule(
+        Tables.documents(s, d)
+          .select(col("source"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("t")),
+        "source", col("t"),
+        floor(sum(col("n_tokens")).cast("double") * lit(3.5)))
+        .orderBy("source")),
+
     // Domain-mixture sampling: downsample sources to hit target output
     // proportions (binding source kept whole) — portable hash-Bernoulli
     // core, value-checked against SignatureTruth's scalar replication
@@ -383,6 +395,35 @@ object PipelineQueries extends QueryPack {
            CAST(sum(w_nano) AS BIGINT) AS w_nano_sum,
            CAST(sum(w_nano) AS DOUBLE) / 1000000000.0 AS dsir_weight
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // mirrors Pipeline.epochSchedule: whitespace token inventories,
+    // micro-unit sqrt shares, floor targets vs the 3.5x-inventory
+    // budget, 4-epoch cap as exact integer least().
+    "pl25_epoch_schedule" ->
+      """WITH tok AS (SELECT source,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+               AS t
+           FROM documents),
+         c AS (SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens,
+             CAST(floor(sqrt(CAST(sum(t) AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS q_micro
+           FROM tok GROUP BY source),
+         tt AS (SELECT sum(q_micro) AS sq_micro,
+             CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 3.5) AS BIGINT)
+               AS budget
+           FROM c),
+         f AS (SELECT source, n_tokens,
+             CAST(floor(CAST(q_micro AS DOUBLE) / CAST(sq_micro AS DOUBLE) *
+               CAST(budget AS DOUBLE)) AS BIGINT) AS target_tokens,
+             CAST(floor(4.0 * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+               AS cap_tokens
+           FROM c CROSS JOIN tt)
+         SELECT source, n_tokens, target_tokens,
+           least(target_tokens, cap_tokens) AS achieved_tokens,
+           target_tokens - least(target_tokens, cap_tokens)
+             AS deficit_tokens,
+           CAST(least(target_tokens, cap_tokens) AS DOUBLE) /
+             CAST(n_tokens AS DOUBLE) AS epochs
+         FROM f ORDER BY source""",
     // mirrors Pipeline.temperatureMixture: micro-unit sqrt shares,
     // floor target counts, 60-bit hash threshold as 15-hex-digit
     // zero-padded literal, keep-whole when t_s >= n_s.

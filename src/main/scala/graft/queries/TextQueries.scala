@@ -76,6 +76,13 @@ object TextQueries extends QueryPack {
       TextAnalysis.unigramRarity(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet head/middle/tail terciles over the rarity score — boundary
+    // via the exact percentile AGGREGATE (broadcast one row), never a
+    // global ntile window.
+    "ta25_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.rarityBuckets(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "ta23_tokenizer_fertility" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -450,6 +457,31 @@ object TextQueries extends QueryPack {
              AS mean_inv_p
          FROM tk JOIN c USING (token) CROSS JOIN t
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // same rarity pipeline, then quantile_cont terciles (≡ Spark exact
+    // percentile, the pl12/pl20-proven pair) + scan-local CASE.
+    "ta25_ccnet_buckets" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+         t AS (SELECT sum(c) AS n_total FROM c),
+         r AS (SELECT doc_id,
+             CAST(sum(CAST(floor(
+                 CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE) * 1000000.0)
+               AS BIGINT)) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)
+               AS mean_inv_p
+           FROM tk JOIN c USING (token) CROSS JOIN t
+           GROUP BY doc_id),
+         b AS (SELECT
+             quantile_cont(mean_inv_p, 0.3333333333333333) AS q33,
+             quantile_cont(mean_inv_p, 0.6666666666666666) AS q66
+           FROM r)
+         SELECT doc_id, mean_inv_p,
+           CASE WHEN mean_inv_p <= q33 THEN 'head'
+                WHEN mean_inv_p <= q66 THEN 'middle'
+                ELSE 'tail' END AS ccnet_bucket
+         FROM r CROSS JOIN b ORDER BY doc_id""",
 
     "ta23_tokenizer_fertility" ->
       """WITH t AS (SELECT lang, source, n_chars,

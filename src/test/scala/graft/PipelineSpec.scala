@@ -523,6 +523,24 @@ class PipelineSpec extends GraftSuite {
     got.values.foreach { case (_, nano, w) => assert(w === nano / 1e9) }
   }
 
+  test("epochSchedule: exact sqrt-share targets, 4-epoch cap and deficit") {
+    import spark.implicits._
+    // inventories 10000 vs 100 tokens; sqrt shares 10:1; budget
+    // 3.5x inventory = 35350 -> targets 32136 / 3213 (exact floors);
+    // the small source's target implies 32 epochs -> capped at 400
+    val df = Seq(("A", 10000L), ("B", 100L)).toDF("source", "t")
+    val got = Pipeline.epochSchedule(df, "source", col("t"),
+        floor(sum(col("n_tokens")).cast("double") * lit(3.5)))
+      .orderBy("source").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getLong(1) === 10000L && b.getLong(1) === 100L)
+    assert(a.getLong(2) === 32136L, a) // floor(1e8/1.1e8 * 35350)
+    assert(b.getLong(2) === 3213L, b)
+    assert(a.getLong(3) === 32136L && a.getLong(4) === 0L)
+    assert(b.getLong(3) === 400L && b.getLong(4) === 2813L)
+    assert(a.getDouble(5) === 3.2136 && b.getDouble(5) === 4.0)
+  }
+
   test("temperatureMixture: sqrt-share targets, upweights small sources") {
     import spark.implicits._
     // 400 vs 100 rows: alpha=1/2 shares are 2/3 vs 1/3 of the budget

@@ -326,4 +326,21 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got(1).getDouble(3) === 5.0)
     assert(got(1).getDouble(4) === 3.75)
   }
+
+  test("rarityBuckets: ordered terciles, all buckets populated") {
+    val got = TextAnalysis.rarityBuckets(
+        graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+      .collect()
+      .map(r => r.getString(2) -> r.getDouble(1))
+    val by = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(by.keySet === Set("head", "middle", "tail"))
+    // buckets are score-ordered: every head score <= every middle score
+    // <= every tail score (boundaries are <= cuts on the same score)
+    assert(by("head").max <= by("middle").min)
+    assert(by("middle").max <= by("tail").min)
+    // terciles: no bucket is degenerate or dominant
+    val n = got.length
+    by.values.foreach(v =>
+      assert(v.size > n / 6 && v.size < n / 2, by.view.mapValues(_.size)))
+  }
 }
