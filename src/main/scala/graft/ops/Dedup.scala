@@ -780,4 +780,55 @@ object Dedup {
         (-col("_m.neg")).as("matched_id"),
         col("_m.j").as("jaccard"), col("n_matches"))
   }
+
+  /** Bloom-filter EXACT-dup ingest pre-gate: flag incoming docs whose
+    * dedup key (e.g. an md5 of the text, or of a leading-prefix
+    * fingerprint) already occurs in the existing corpus — the cheap front
+    * door that runs BEFORE [[incrementalNearDups]]' near-dup probe in a
+    * continuous-crawl pipeline. Completes the ingest-gate family: st12 is
+    * the exact anti-join over a digest table, dd21/probeBandIndex the
+    * near-dup LSH probe, this is the probabilistic pre-filter that makes
+    * the exact check corpus-shuffle-free.
+    *
+    * Scale shape (the reason this exists next to a plain anti-join):
+    *  1. the Bloom filter is built from corpus digests with a mergeable
+    *     per-partition sketch (`DataFrameStatFunctions.bloomFilter`, a
+    *     treeAggregate) — ~1.2 GB per 10⁹ keys at 1% fpp, a broadcast-able
+    *     snapshot artifact reused across many ingest batches; beyond
+    *     ~10¹⁰ keys, shard it by digest prefix or scope it to the
+    *     recent-crawl window and let st12's anti-join own the long tail;
+    *  2. the probe is a scan-local filter on the incoming batch — ZERO
+    *     shuffle, zero corpus access — passing only true dups plus an
+    *     expected fpp fraction of the batch as candidates (Bloom filters
+    *     have no false negatives, so nothing is missed);
+    *  3. only the candidates are verified exactly: the corpus digest scan
+    *     broadcast-semi-joins the batch-sized candidate set, so the
+    *     corpus is read once and NEVER shuffled (asserted in DedupSpec).
+    * The emitted verdict is therefore EXACT — false positives die in
+    * step 3 — which is what makes the query oracle-checkable even though
+    * the Bloom bits themselves are engine-local.
+    *
+    * Returns one row per incoming doc: (incoming_id, digest, is_dup). */
+  def bloomIngestGate(
+      existing: DataFrame, incoming: DataFrame, id: Column, key: Column,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val ex = existing.select(md5(key).as("digest"))
+    val in = incoming.select(id.as("incoming_id"), md5(key).as("digest"))
+    val bloom = ex.stat.bloomFilter("digest", expectedItems, fpp)
+    val bc = existing.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf((d: String) => d != null && bc.value.mightContainString(d))
+    // step 2: scan-local pre-filter — candidates = dups + ~fpp of the batch
+    val candDigests = in.filter(probe(col("digest")))
+      .select("digest").distinct()
+    // step 3: corpus side scans once, broadcast-semi-joins the tiny
+    // candidate set (no corpus shuffle); distinct AFTER the semi join so
+    // only matched rows (≤ candidate count) ever exchange
+    val dupDigests = ex
+      .join(broadcast(candDigests), Seq("digest"), "left_semi")
+      .distinct()
+    in.join(broadcast(dupDigests.withColumn("is_dup", lit(true))),
+        Seq("digest"), "left")
+      .na.fill(false, Seq("is_dup"))
+      .select("incoming_id", "digest", "is_dup")
+  }
 }

@@ -38,6 +38,23 @@ object DedupQueries extends QueryPack {
           element_at(col("sig"), 2).as("mh_1"))
         .orderBy("doc_id")),
 
+    // Bloom-filter exact-dup ingest pre-gate: same batch/corpus split as
+    // dd21; the dedup key is a leading-64-char prefix fingerprint (the
+    // boilerplate-heavy-page heuristic — full-text md5 is the other
+    // common choice, but the fixtures have no cross-split full-text dups
+    // at sf0.01, which would make the oracle vacuous). The Bloom probe is
+    // scan-local on the batch, exact verification kills its false
+    // positives, so the emitted verdict is exact and SQL-expressible.
+    "dd22_bloom_ingest_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomIngestGate(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), substring(col("text"), 1, 64),
+        expectedItems = 1000L)
+        .orderBy("incoming_id")
+    }),
+
     // Incremental ingestion dedup: docs with doc_id % 5 == 0 play the
     // incoming crawl batch, the rest the existing corpus; the band join
     // is ASYMMETRIC (batch probes corpus), so per-ingest work scales
@@ -267,6 +284,19 @@ object DedupQueries extends QueryPack {
             - len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)"""
 
   val oracle: Map[String, String] = Map(
+    // dd22's verdict is exact (Bloom false positives are killed by the
+    // exact verification), so DuckDB recomputes it outright: same split,
+    // same prefix key, same md5 digest.
+    "dd22_bloom_ingest_gate" ->
+      """SELECT i.doc_id AS incoming_id,
+           md5(substr(i.text, 1, 64)) AS digest,
+           EXISTS (SELECT 1 FROM documents e
+                   WHERE e.doc_id % 5 <> 0
+                     AND substr(e.text, 1, 64) = substr(i.text, 1, 64))
+             AS is_dup
+         FROM documents i
+         WHERE i.doc_id % 5 = 0
+         ORDER BY incoming_id""",
     "dd2_minhash_signature" ->
       s"""SELECT doc_id, mh_0, mh_1
           FROM read_parquet('$truth/docs.parquet/*.parquet')

@@ -487,6 +487,73 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("bloomIngestGate: exact verdict survives a high-fp bloom; corpus never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val existing = Seq(
+      (1L, "shared boilerplate header about terms of service and cookies"),
+      (2L, "an original article describing distributed query execution"),
+      (3L, "another unique page on columnar storage layout internals"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "shared boilerplate header about terms of service and cookies"),
+      (11L, "fresh never-seen content about garlic pasta for dinner"),
+      (12L, "yet more novel text with no counterpart in the corpus"))
+      .toDF("doc_id", "text")
+    // expectedItems=1 deliberately undersizes the bloom (high fp rate):
+    // the exact verification must still produce the brute-force verdict,
+    // because candidates are a SUPERSET of true dups (no false negatives)
+    // and every false positive dies in the semi join.
+    val got = Dedup.bloomIngestGate(existing, incoming,
+        col("doc_id"), col("text"), expectedItems = 1L, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got === Map(10L -> true, 11L -> false, 12L -> false))
+    // Fixture-scale end-to-end: the gate's verdict over the real corpus
+    // split must equal the brute-force EXISTS — false positives from the
+    // (deliberately tiny) bloom all die in the exact verification.
+    val ex = docs.filter(col("doc_id") % 5 =!= 0)
+    val in = docs.filter(col("doc_id") % 5 === 0)
+    val key = substring(col("text"), 1, 64)
+    val gate = Dedup.bloomIngestGate(ex, in, col("doc_id"), key,
+      expectedItems = 10L, fpp = 0.5)
+    val brute = in.select(col("doc_id").as("incoming_id"), key.as("k"))
+      .join(ex.select(key.as("k")).distinct()
+        .withColumn("is_dup", lit(true)), Seq("k"), "left")
+      .na.fill(false, Seq("is_dup"))
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select("incoming_id", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val gateV = verdicts(gate)
+    assert(gateV === verdicts(brute))
+    assert(gateV.valuesIterator.exists(identity),
+      "fixture should contain at least one cross-split prefix dup")
+    // plan shape: every join is broadcast (BuildRight on the batch-sized
+    // candidate/dup-digest side) — the corpus digest scan is read once
+    // and never exchanged for a join; the only shuffles are the
+    // candidate-bounded distincts, which sit structurally above the bloom
+    // probe / semi join. A SortMergeJoin or ShuffledHashJoin anywhere
+    // would mean the corpus side exchanged — the 100 TB failure mode.
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case o => o
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val u = unwrap(p)
+      u +: u.children.flatMap(nodes)
+    }
+    gate.collect() // execute so AQE finalizes the stages
+    val all = nodes(gate.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "expected candidate-side distinct shuffles")
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    assert(!all.exists(p =>
+        p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      s"corpus-side join must be broadcast, got:\n${all.mkString("\n")}")
+  }
+
   test("SignatureTruth matches the operator outputs bit-for-bit") {
     // The dd2/dd4/dd9/ta5/ta22/ss2 oracles compare against
     // SignatureTruth's independent scalar recomputation — pin the two
