@@ -85,6 +85,88 @@ object Similarity {
         col("votes"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training sets: for
+    * each anchor, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — "close in embedding space but semantically wrong", the
+    * negatives that actually move a contrastive loss (easy random
+    * negatives are already far away and contribute ~zero gradient).
+    * Deterministic end to end: exact ordered-fold cosines, total
+    * (cos desc, id asc) tie-break → oracle hash-exact.
+    *
+    * BRUTE-FORCE scoring baseline, same bounded-anchor contract as
+    * [[bruteForceTopK]]; at corpus scale the candidate generator swaps
+    * to [[annTopK]]/[[ivfTopK]] with an over-fetch factor (ANN returns
+    * k·φ neighbors, the label filter then keeps ≥ k with high
+    * probability), and the filter/rank stage below is unchanged. */
+  def hardNegatives(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      anchors: Column, k: Int): DataFrame = {
+    val q = df.filter(anchors).select(
+      col(idCol).as("qid"), col(labelCol).as("anchor_label"),
+      col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm"))
+    val c = df.select(
+      col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+      col(vecCol).as("cvec"), norm(col(vecCol)).as("cnorm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neg_id").asc)
+    q.crossJoin(c)
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .withColumn("cos",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "anchor_label", "rank", "neg_id", "neg_label", "cos")
+  }
+
+  /** Label-conditional embedding outlier audit — the mislabeled/noisy-
+    * sample detector run before a labeled slice seeds [[knnClassify]]
+    * weak labeling or a classifier head: score every vector by its
+    * squared L2 distance to ITS OWN label's centroid and rank the
+    * farthest per label. A clean sample sits near its centroid; a
+    * mislabeled or garbage embedding lands in the tail.
+    *
+    * Exactness: centroids use the per-dim DECIMAL(18,9)-sum mean (the
+    * [[kmeans]] policy — order-independent, so reproducible at any
+    * partitioning), and the distance is a nano-quantized BIGINT sum
+    * (`Σ_i floor((x_i−c_i)²·10⁹)`): every term is composed of exactly-
+    * rounded IEEE ops on identical inputs and integer addition commutes,
+    * so the score is bit-identical on any engine and any merge order —
+    * which is what makes this oracle-checkable (a plain double sum of 64
+    * terms would hash-diverge cross-engine on summation order).
+    *
+    * Scale shape: the posexplode inflation happens scan-local BEFORE the
+    * map-side combine, so the centroid shuffle carries ≤ partitions ×
+    * labels × dims rows (bounded, never data-sized); the centroid table
+    * (labels × 1 array row) broadcasts back; scoring is scan-local; the
+    * only data-sized shuffle is the per-label rank window. */
+  def centroidOutliers(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val corp = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      asDouble(col(vecCol)).as("vec"))
+    val cents = corp
+      .select(col("label"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(graft.queries.OracleSafe.dec(col("v"), 9)).cast("double") /
+        count(lit(1)).cast("double")).as("mu"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mu")))),
+        p => p.getField("mu")).as("cvec"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2_nano").desc, col("vec_id").asc)
+    corp.join(broadcast(cents), "label")
+      .withColumn("dist2_nano",
+        aggregate(
+          zip_with(col("vec"), col("cvec"),
+            (x, c) => floor((x - c) * (x - c) * lit(1e9)).cast("long")),
+          lit(0L), (acc, t) => acc + t))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("is_outlier", col("rank") <= topN)
+      .select("label", "vec_id", "dist2_nano", "rank", "is_outlier")
+  }
+
   /** Exact max-inner-product top-k (MIPS) — the retrieval objective when
     * vectors are NOT unit-normalized (recommender/user–item scores, where
     * magnitude encodes popularity): cosine ranks direction only, MIPS

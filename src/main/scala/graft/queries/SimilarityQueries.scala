@@ -25,6 +25,24 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // Hard-negative mining: top-3 nearest OTHER-label neighbors for the
+    // same bounded anchor slice as ss1 — the contrastive-training
+    // counterpart of knnClassify's vote.
+    "ss16_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        col("vec_id") < 20, 3)
+        .select("qid", "anchor_label", "rank", "neg_id", "neg_label")
+        .orderBy("qid", "rank")),
+
+    // Label-conditional outlier audit: distance to own-label centroid,
+    // top-5 farthest per label flagged — the noisy-sample detector run
+    // before the labeled slice seeds weak labeling.
+    "ss17_centroid_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", topN = 5)
+        .orderBy("label", "rank")),
+
     // Matryoshka-style truncation quality: retained energy + cosine of
     // keeping the first 32 of 64 dims — the store-half-the-dims decision
     // input. Scan-local norm folds via the native VecDot expression.
@@ -348,6 +366,42 @@ object SimilarityQueries extends QueryPack {
           FROM sc)
           SELECT qid, rank, vec_id FROM r WHERE rank <= 5
           ORDER BY qid, rank""",
+    "ss16_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS anchor_label,
+            embedding AS qvec FROM embeddings WHERE vec_id < 20),
+          c AS (SELECT vec_id AS neg_id, label AS neg_label,
+            embedding AS cvec FROM embeddings),
+          sc AS (SELECT qid, anchor_label, neg_id, neg_label,
+            ${cosSql("qvec", "cvec")} AS cos
+          FROM q JOIN c ON anchor_label <> neg_label),
+          r AS (SELECT qid, anchor_label, neg_id, neg_label,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, neg_id ASC) AS INT) AS rank
+          FROM sc)
+          SELECT qid, anchor_label, rank, neg_id, neg_label
+          FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    // ss17: centroids via the same DECIMAL(18,9)-sum per-dim mean as the
+    // Spark side, distance as the nano-quantized BIGINT sum — exact and
+    // order-independent on both engines.
+    "ss17_centroid_outliers" ->
+      """WITH dims AS (SELECT label, i,
+            CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
+              AS DOUBLE) / count(*) AS mu
+          FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+          cents AS (SELECT label, array_agg(mu ORDER BY i) AS cvec
+            FROM dims GROUP BY label),
+          sc AS (SELECT e.label, e.vec_id,
+            list_sum([CAST(floor(
+                (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
+                (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * 1e9)
+              AS BIGINT) for i in range(1, 65)]) AS dist2_nano
+          FROM embeddings e JOIN cents c USING (label)),
+          r AS (SELECT label, vec_id, dist2_nano,
+            CAST(row_number() OVER (PARTITION BY label
+              ORDER BY dist2_nano DESC, vec_id ASC) AS INT) AS rank
+          FROM sc)
+          SELECT label, vec_id, dist2_nano, rank, rank <= 5 AS is_outlier
+          FROM r ORDER BY label, rank""",
     "ss1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
             FROM embeddings WHERE vec_id < 20),

@@ -257,6 +257,52 @@ class SimilaritySpec extends GraftSuite {
     assert(run(5) === Seq((1L, 7, 2L))) // 7 vs 9 tie → smallest label
   }
 
+  test("hard negatives: same-label excluded even when nearest; rank order") {
+    import spark.implicits._
+    // anchor 1 (label 0): vector 2 is its NEAREST neighbor but shares the
+    // label → must be excluded; the mined negatives are the other-label
+    // vectors in cosine order: 3 (closest, label 7), then 4 (label 3),
+    // then 5 (label 9, orthogonal-ish).
+    val docs = Seq(
+      (1L, Array(1.0, 0.0), 0),
+      (2L, Array(0.999, 0.01), 0), // same label: never a negative
+      (3L, Array(0.98, 0.1), 7),
+      (4L, Array(0.9, 0.3), 3),
+      (5L, Array(0.0, 1.0), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        docs, "vec_id", "embedding", "label", col("vec_id") === 1L, 3)
+      .collect().map(r => (r.getInt(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got === Seq((1, 3L), (2, 4L), (3, 5L)))
+  }
+
+  test("centroid outliers: planted far vector ranks first, exact distance") {
+    import spark.implicits._
+    // label 0: three identical vectors at (1,0) plus one at (5,0) —
+    // centroid = (2, 0); label 1: two identical vectors (dist 0, tie by
+    // id). dist2_nano is exact integer arithmetic: for the planted
+    // outlier (5-2)² = 9 → 9e9; for the cluster (1-2)² = 1 → 1e9.
+    val docs = Seq(
+      (1L, Array(1.0, 0.0), 0), (2L, Array(1.0, 0.0), 0),
+      (3L, Array(1.0, 0.0), 0), (4L, Array(5.0, 0.0), 0),
+      (10L, Array(2.0, 2.0), 1), (11L, Array(2.0, 2.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .centroidOutliers(docs, "vec_id", "embedding", "label", topN = 1)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getBoolean(4)))
+      .toSet
+    assert(got === Set(
+      (0, 4L, 9000000000L, 1, true),
+      (0, 1L, 1000000000L, 2, false),
+      (0, 2L, 1000000000L, 3, false),
+      (0, 3L, 1000000000L, 4, false),
+      (1, 10L, 0L, 1, true),
+      (1, 11L, 0L, 2, false)))
+  }
+
   test("mips: norm augmentation reproduces exact inner-product ranking") {
     val q = emb.filter(col("vec_id") < 20)
     def triples(df: org.apache.spark.sql.DataFrame) =
