@@ -811,10 +811,26 @@ object Dedup {
     * Returns one row per incoming doc: (incoming_id, digest, is_dup). */
   def bloomIngestGate(
       existing: DataFrame, incoming: DataFrame, id: Column, key: Column,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    bloomIngestGate(existing, incoming, id, key,
+      buildDigestBloom(existing, key, expectedItems, fpp))
+
+  /** The corpus-snapshot Bloom artifact on its own: built once per
+    * snapshot (a treeAggregate over the digest scan), then reused across
+    * every ingest batch — the streaming form rebuilds it never, only the
+    * per-batch probe+verify runs per micro-batch. */
+  def buildDigestBloom(
+      existing: DataFrame, key: Column, expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    existing.select(md5(key).as("digest"))
+      .stat.bloomFilter("digest", expectedItems, fpp)
+
+  /** [[bloomIngestGate]] against a prebuilt snapshot bloom. */
+  def bloomIngestGate(
+      existing: DataFrame, incoming: DataFrame, id: Column, key: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val ex = existing.select(md5(key).as("digest"))
     val in = incoming.select(id.as("incoming_id"), md5(key).as("digest"))
-    val bloom = ex.stat.bloomFilter("digest", expectedItems, fpp)
     val bc = existing.sparkSession.sparkContext.broadcast(bloom)
     val probe = udf((d: String) => d != null && bc.value.mightContainString(d))
     // step 2: scan-local pre-filter — candidates = dups + ~fpp of the batch

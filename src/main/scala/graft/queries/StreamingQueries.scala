@@ -64,6 +64,24 @@ object StreamingQueries extends QueryPack {
     // Incremental-ingest dedup (batch dual of the stream-static LEFT
     // ANTI join): events whose id is NOT in the simulated historic
     // digest set (id % 3 = 0), counted per type.
+    // Batch dual of the streaming Bloom ingest gate (foreachBatch form,
+    // EventStreams.streamBloomGate): per-source verdict counts over the
+    // same corpus/batch split as dd22. The verdict is exact (bloom false
+    // positives die in the verification), so the dual is plain SQL.
+    "st14_bloom_ingest_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dedup.bloomIngestGate(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), substring(col("text"), 1, 64),
+          expectedItems = 1000L)
+        .join(docs.select(col("doc_id").as("incoming_id"), col("source")),
+          "incoming_id")
+        .groupBy("source", "is_dup")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "is_dup")
+    }),
+
     "st12_ingest_dedup" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val historic = ev.filter(col("event_id") % 3 === 0)
@@ -157,6 +175,15 @@ object StreamingQueries extends QueryPack {
          SELECT min(ts) AS session_start, user_id, count(*) AS n_events
          FROM numbered GROUP BY user_id, session_no
          ORDER BY user_id, session_start""",
+    "st14_bloom_ingest_gate" ->
+      """SELECT i.source,
+           EXISTS (SELECT 1 FROM documents e
+                   WHERE e.doc_id % 5 <> 0
+                     AND substr(e.text, 1, 64) = substr(i.text, 1, 64))
+             AS is_dup,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents i WHERE i.doc_id % 5 = 0
+         GROUP BY 1, 2 ORDER BY source, is_dup""",
     "st12_ingest_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_new_events
          FROM events WHERE event_id % 3 <> 0

@@ -453,4 +453,28 @@ object EventStreams {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
   }
+
+  /** The streaming form of [[graft.ops.Dedup.bloomIngestGate]] — the
+    * continuous-crawl front door the batch operator is named for. The
+    * gate contains a batch-side aggregation (candidate distinct) and a
+    * broadcast of a query-derived frame, neither of which a single
+    * continuous query supports, so it runs under `foreachBatch`: each
+    * micro-batch is a plain batch DataFrame, the per-batch probe+verify
+    * is the UNMODIFIED batch operator, and `sink` receives its exact
+    * verdict frame. The Bloom artifact is built ONCE from the corpus
+    * snapshot and reused across every micro-batch (`bloom` parameter —
+    * rebuild-per-batch would re-scan the corpus each trigger); the
+    * existing-side digest scan in the verify step is the stream-static
+    * contract st12 documents: at 100 TB it is the compact digest table,
+    * consulted per micro-batch, never raw documents. Batch dual = the
+    * identical operator on the whole batch (st14 oracle). */
+  def streamBloomGate(
+      stream: DataFrame, existing: DataFrame,
+      id: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Dedup.bloomIngestGate(existing, batch, id, key, bloom))
+    }.start()
 }

@@ -149,6 +149,40 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming bloom gate: micro-batch verdicts equal the batch dual") {
+    // The incoming crawl batch (doc_id % 5 == 0) staged as 3 parquet
+    // chunks → 3 micro-batches; the Bloom artifact is built ONCE from
+    // the corpus snapshot (doc_id % 5 != 0) and reused per batch. The
+    // union of per-micro-batch verdicts must equal the batch operator's
+    // verdict over the whole incoming set — exactness is per-doc, so the
+    // batching is invisible.
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft-bloomstream-").toString
+    (0 to 2).foreach { c =>
+      incoming.filter(col("doc_id") % 3 === c)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val key = substring(col("text"), 1, 64)
+    val bloom = graft.ops.Dedup.buildDigestBloom(
+      existing, key, expectedItems = 1000L)
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = EventStreams.streamBloomGate(
+        EventStreams.readEventStream(spark, dir), existing,
+        col("doc_id"), key, bloom) { verdicts =>
+      got ++= verdicts.collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    }
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.ops.Dedup.bloomIngestGate(
+        existing, incoming, col("doc_id"), key, bloom)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(got.size === batch.size, "micro-batches must cover every doc once")
+    assert(got.toSet === batch)
+    assert(batch.exists(_._2), "fixture should contain cross-split dups")
+  }
+
   test("streaming dedup drops re-delivered events") {
     // Duplicate every event into a second file set → re-delivery.
     val dir = Files.createTempDirectory("graft-dedup-").toString
