@@ -781,6 +781,66 @@ object Dedup {
         col("_m.j").as("jaccard"), col("n_matches"))
   }
 
+  /** Pairs of ids whose dedup KEY is identical (full text, a prefix
+    * fingerprint, a normalized form, …): the exact-equality signal in a
+    * multi-signal dedup comparison. Self-join on the md5 digest of the
+    * key — shuffle keys stay 32 bytes (the [[exactDedupKeep]] rule), pair
+    * fan-out is per-group², candidate-bounded. */
+  def keyEqualityPairs(docs: DataFrame, id: Column, key: Column): DataFrame = {
+    val t = docs.select(id.as("ke_id"), md5(key).as("digest"))
+    t.alias("a")
+      .join(t.alias("b"),
+        col("a.digest") === col("b.digest") &&
+          col("a.ke_id") < col("b.ke_id"))
+      .select(col("a.ke_id").as("id_a"), col("b.ke_id").as("id_b"))
+  }
+
+  /** Multi-signal dedup AGREEMENT report: given several near/exact-dup
+    * pair sets (each tagged with its signal name, canonical id_a < id_b),
+    * emit per-signal sizes and every signal pair's overlap + Jaccard —
+    * the methodology audit behind choosing a production dedup stack ("do
+    * prefix fingerprints recover what trigram Jaccard finds? is the
+    * containment signal redundant?"). Corpus pipelines tune thresholds
+    * against exactly this table before committing to one signal at scale.
+    *
+    * Scale shape: inputs are candidate-bounded pair sets (never the
+    * corpus); the overlap self-join shuffles on (id_a, id_b) — pair-set-
+    * sized; the signal-name cross join is |signals|² rows, so
+    * zero-overlap signal pairs are preserved (the dd18 sizes trick).
+    * Signals with EMPTY pair sets stay present with n = 0 and a null
+    * Jaccard when both sides are empty. */
+  def signalAgreement(signals: Seq[(String, DataFrame)]): DataFrame = {
+    val spark = signals.head._2.sparkSession
+    import spark.implicits._
+    val tagged = signals.map { case (name, df) =>
+      df.select(lit(name).as("sig"), col("id_a"), col("id_b")).distinct()
+    }.reduce(_.unionByName(_))
+    val sizes = tagged.groupBy("sig").agg(count(lit(1)).as("n"))
+    val names = signals.map(_._1).toDF("sig")
+    val common = tagged.alias("x")
+      .join(tagged.alias("y"),
+        col("x.id_a") === col("y.id_a") && col("x.id_b") === col("y.id_b") &&
+          col("x.sig") < col("y.sig"))
+      .groupBy(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .agg(count(lit(1)).as("n_common"))
+    names.select(col("sig").as("sig_a"))
+      .crossJoin(names.select(col("sig").as("sig_b")))
+      .filter(col("sig_a") < col("sig_b"))
+      .join(common, Seq("sig_a", "sig_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.select(col("sig").as("sig_a"), col("n").as("n_a")),
+        Seq("sig_a"), "left")
+      .join(sizes.select(col("sig").as("sig_b"), col("n").as("n_b")),
+        Seq("sig_b"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_common") === 0,
+          lit(null).cast("double"))
+        .otherwise(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")))
+      .select("sig_a", "sig_b", "n_a", "n_b", "n_common", "jaccard")
+  }
+
   /** Bloom-filter EXACT-dup ingest pre-gate: flag incoming docs whose
     * dedup key (e.g. an md5 of the text, or of a leading-prefix
     * fingerprint) already occurs in the existing corpus — the cheap front

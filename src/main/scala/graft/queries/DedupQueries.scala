@@ -38,6 +38,27 @@ object DedupQueries extends QueryPack {
           element_at(col("sig"), 2).as("mh_1"))
         .orderBy("doc_id")),
 
+    // Multi-signal dedup agreement: do the cheap signals (exact text,
+    // prefix fingerprint) recover what the expensive ones (trigram
+    // Jaccard, containment) find? The methodology table read before
+    // committing to one signal at corpus scale. Signals reuse the exact
+    // dd5/dd15 configurations so their oracles share CTE text.
+    "dd23_signal_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.signalAgreement(Seq(
+        "exact_text" -> Dedup.keyEqualityPairs(
+          docs, col("doc_id"), col("text")),
+        "prefix64" -> Dedup.keyEqualityPairs(
+          docs, col("doc_id"), substring(col("text"), 1, 64)),
+        "trigram_j06" -> Dedup.ngramJaccardPairs(
+          docs, col("doc_id"), col("text"), col("source"),
+          n = 3, threshold = 0.6).select("id_a", "id_b"),
+        "containment_c08" -> Dedup.containmentPairs(
+          docs, col("doc_id"), col("text"), n = 3, threshold = 0.8)
+          .select("id_a", "id_b")))
+        .orderBy("sig_a", "sig_b")
+    }),
+
     // Bloom-filter exact-dup ingest pre-gate: same batch/corpus split as
     // dd21; the dedup key is a leading-64-char prefix fingerprint (the
     // boilerplate-heavy-page heuristic — full-text md5 is the other
@@ -284,6 +305,75 @@ object DedupQueries extends QueryPack {
             - len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)"""
 
   val oracle: Map[String, String] = Map(
+    // dd23: all four pair sets recomputed outright (the trigram and
+    // containment CTEs are the dd5/dd15 duals verbatim), then the same
+    // sizes / overlap / cross-join-preserved zero pairs.
+    "dd23_signal_agreement" ->
+      """WITH ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM documents a JOIN documents b
+             ON a.text = b.text AND a.doc_id < b.doc_id),
+         px AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM documents a JOIN documents b
+             ON substr(a.text, 1, 64) = substr(b.text, 1, 64)
+                AND a.doc_id < b.doc_id),
+         tg0 AS (SELECT doc_id, source,
+             list_distinct([substr(lower(text), i, 3)
+                            for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
+           FROM documents),
+         tg AS (SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 AS jaccard
+             FROM tg0 a JOIN tg0 b
+               ON a.source = b.source AND a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.6),
+         ct0 AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         ctg AS (SELECT doc_id, unnest(list_distinct(
+             [array_to_string(w[i:i+2], ' ')
+              for i in range(1, len(w) - 1)])) AS gram
+           FROM ct0),
+         ctc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ctg
+           GROUP BY doc_id),
+         ctsh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM ctg a JOIN ctg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         ct AS (SELECT id_a, id_b FROM ctsh
+           JOIN ctc ca ON ca.doc_id = ctsh.id_a
+           JOIN ctc cb ON cb.doc_id = ctsh.id_b
+           WHERE CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE)
+             >= 0.8),
+         all_p AS (
+           SELECT 'exact_text' AS sig, id_a, id_b FROM ex
+           UNION ALL SELECT 'prefix64', id_a, id_b FROM px
+           UNION ALL SELECT 'trigram_j06', id_a, id_b FROM tg
+           UNION ALL SELECT 'containment_c08', id_a, id_b FROM ct),
+         sz AS (SELECT sig, CAST(count(*) AS BIGINT) AS n FROM all_p
+           GROUP BY sig),
+         nm(sig) AS (VALUES ('exact_text'), ('prefix64'),
+           ('trigram_j06'), ('containment_c08')),
+         com AS (SELECT x.sig AS sig_a, y.sig AS sig_b,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM all_p x JOIN all_p y
+             ON x.id_a = y.id_a AND x.id_b = y.id_b AND x.sig < y.sig
+           GROUP BY 1, 2),
+         pr AS (SELECT a.sig AS sig_a, b.sig AS sig_b
+           FROM nm a JOIN nm b ON a.sig < b.sig)
+         SELECT pr.sig_a AS sig_a, pr.sig_b AS sig_b,
+           COALESCE(sa.n, 0) AS n_a, COALESCE(sb.n, 0) AS n_b,
+           COALESCE(com.n_common, 0) AS n_common,
+           CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                     - COALESCE(com.n_common, 0) = 0 THEN NULL
+                ELSE CAST(COALESCE(com.n_common, 0) AS DOUBLE) /
+                  (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                   - COALESCE(com.n_common, 0)) END AS jaccard
+         FROM pr LEFT JOIN com
+             ON com.sig_a = pr.sig_a AND com.sig_b = pr.sig_b
+           LEFT JOIN sz sa ON sa.sig = pr.sig_a
+           LEFT JOIN sz sb ON sb.sig = pr.sig_b
+         ORDER BY sig_a, sig_b""",
     // dd22's verdict is exact (Bloom false positives are killed by the
     // exact verification), so DuckDB recomputes it outright: same split,
     // same prefix key, same md5 digest.

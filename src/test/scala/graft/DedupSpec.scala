@@ -487,6 +487,31 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("signalAgreement: hand-computed overlap, empty signal kept at n=0") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val b = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.signalAgreement(Seq(
+        "sa" -> a, "sb" -> b, "sc" -> empty))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toSet
+    // |a|=3, |b|=4, a∩b={（1,2),(4,5)} → J = 2/(3+4-2) = 0.4; the empty
+    // signal stays present with n=0 and J=0 against non-empty sides,
+    // null only when BOTH sides are empty (not the case here).
+    assert(got === Set(
+      ("sa", "sb", 3L, 4L, 2L, Some(0.4)),
+      ("sa", "sc", 3L, 0L, 0L, Some(0.0)),
+      ("sb", "sc", 4L, 0L, 0L, Some(0.0))))
+    // duplicate rows in an input pair set must not inflate its size
+    val dup = Seq((1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val one = Dedup.signalAgreement(Seq("sa" -> dup, "sb" -> a))
+      .collect().head
+    assert(one.getLong(2) === 1L)
+  }
+
   test("bloomIngestGate: exact verdict survives a high-fp bloom; corpus never shuffles") {
     import spark.implicits._
     import org.apache.spark.sql.execution.SparkPlan
