@@ -16,6 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale sentinels from a previous run into the same outDir must not
+    // read as THIS run's failures
+    val staleSentinels = new java.io.File(s"$outDir/_failed")
+    if (staleSentinels.isDirectory) {
+      staleSentinels.listFiles().foreach(_.delete())
+      staleSentinels.delete()
+    }
     // optional trailing args restrict the dump to named queries (dev loop);
     // the driver passes none and gets the full catalog. A name matching
     // nothing is a hard error — a misspelled dev-loop filter would

@@ -196,5 +196,24 @@ object MediaTruth {
       }.toSeq
     mm6.toDF("media_id", "real_decode", "afp")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/mm6.parquet")
+
+    // mm7 scene cuts: per-frame aHash over the same stub frame slicing
+    // as mm3 (fixture payloads are text stand-ins → stub path); the
+    // oracle recomputes the lag/Hamming/threshold machinery ITSELF in
+    // SQL from these per-frame hashes.
+    val mm7 = docs.filter { case (id, _, _) => id % 3 == 2 }
+      .flatMap { case (id, text, nChars) =>
+        val payload = text.getBytes("UTF-8")
+        val dur = (nChars * 10).toInt
+        val n = math.min(math.max(dur / 1000, 1), 8)
+        (0 until n).map { i =>
+          val lo = math.min(i * 16, payload.length)
+          val hi = math.min(lo + 16, payload.length)
+          val frame = java.util.Arrays.copyOfRange(payload, lo, hi)
+          (id, i, hashes(fakeDecode(frame, 256), 16, 16)._1)
+        }
+      }.toSeq
+    mm7.toDF("media_id", "frame_idx", "ahash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/mm7.parquet")
   }
 }

@@ -454,6 +454,60 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Scene-cut detection: per-frame aHash, Hamming distance between
+    * consecutive frames, a cut where the distance clears `cutThreshold`
+    * of 64 bits — the shot-boundary segmentation that decides where a
+    * video corpus gets chunked for captioning/embedding (a training
+    * pipeline samples per SCENE, not per fixed stride, or it drowns in
+    * near-identical frames). Composes [[sampleFrames]] (real GFV0 frames
+    * or the deterministic stub) with the [[perceptualHash]] aHash spec
+    * per frame; the only shuffle is the per-video lag window — keyed on
+    * media_id, state one video's sampled frames, never corpus-global.
+    * Output: one row per frame BOUNDARY (the later frame's index):
+    * (media_id, frame_idx, hamming, is_cut). */
+  def sceneCuts(
+      media: DataFrame, maxFrames: Int = 8,
+      cutThreshold: Int = 10): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("ahash", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val hashed = sampleFrames(media, maxFrames).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        // positional access: rows deserialized from the upstream
+        // mapPartitions encoder carry no schema for name lookup
+        // (sampleFrames output: media_id, frame_idx, frame_bytes, _)
+        val bytes = r.getAs[Array[Byte]](2)
+        val (px, w, h) = decodeImagePixels(bytes)
+          .getOrElse((fakeDecode(bytes, 256), 16, 16))
+        val a = boxGrid(px, w, h, 8, 8)
+        var mean = 0f
+        var i = 0
+        while (i < 64) { mean += a(i); i += 1 }
+        mean /= 64f
+        var ahash = 0L
+        i = 0
+        while (i < 64) {
+          if (a(i) > mean) ahash |= 1L << i
+          i += 1
+        }
+        Row(r.getLong(0), r.getInt(1), ahash)
+      }
+    }(encoder)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    hashed
+      .withColumn("prev_hash", lag(col("ahash"), 1).over(w))
+      .filter(col("prev_hash").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("ahash").bitwiseXOR(col("prev_hash"))).cast("int"))
+      .withColumn("is_cut", col("hamming") >= cutThreshold)
+      .select("media_id", "frame_idx", "hamming", "is_cut")
+  }
+
   /** Frame sampling: video → one row per frame, capped at `maxFrames`.
     * GFV0 payloads yield their REAL encoded frames (`real_decode=true`;
     * each frame is then a plain image for [[perceptualHash]]-style

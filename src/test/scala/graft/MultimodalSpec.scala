@@ -229,6 +229,36 @@ class MultimodalSpec extends GraftSuite {
     assert(vf === imf)
   }
 
+  test("scene cuts: repeated frame is no cut, pattern flip is a cut") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // shot A (two identical frames), then a hard cut to shot B: the
+    // half-split pattern flips every aHash bit that the mean-threshold
+    // sets, so the boundary Hamming is large; the repeat boundary is 0.
+    val dark = png((_, _) => 0x000000)
+    val a = png((_, y) => if (y < 4) 0x000000 else 0xffffff)
+    val b = png((_, y) => if (y < 4) 0xffffff else 0x000000)
+    val vid = Multimodal.packVideo(Seq(a, a, b, dark))
+    val m = Seq((1L, "video", vid, (8, 8, 0, 4000)))
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("m").cast("struct<width:int,height:int,sample_rate:int," +
+          "duration_ms:int>").as("meta"))
+    val got = Multimodal.sceneCuts(m, maxFrames = 8, cutThreshold = 10)
+      .collect()
+      .map(r => r.getInt(1) -> ((r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1) === ((0, false)), "identical frames: Hamming 0, no cut")
+    assert(got(2)._1 >= 10 && got(2)._2, "pattern flip must be a cut")
+    assert(got.size === 3, "one row per frame boundary")
+  }
+
   test("audio fingerprint: gain-invariant envelope signature, near-dup join") {
     import spark.implicits._
     def wav(samples: Seq[Short]): Array[Byte] = {
