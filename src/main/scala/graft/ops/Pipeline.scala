@@ -523,6 +523,34 @@ object Pipeline {
       .drop("_pid")
   }
 
+  /** Token-budget shard planner — the "write the final corpus" step: pack
+    * docs IN ORDER into consecutive shards of ~`targetTokens` tokens each
+    * (WebDataset/Arrow-shard style: a loader streams whole shards, so
+    * shard token counts bound loader memory and shard count sets read
+    * parallelism). A doc opens a new shard when the tokens BEFORE it
+    * reach the next target multiple — greedy sequential packing, so a
+    * shard overshoots by at most its last doc (never splits a doc).
+    * Deterministic: the cut depends only on (order, token counts), via
+    * the [[runningTotal]] two-phase scheme — no SinglePartition window.
+    * Callers choose the order by pre-sorting ids (curriculum order,
+    * source grouping, [[globalPosition]] shuffle order, …); id ASC here.
+    * Emits the per-shard MANIFEST (what an orchestrator actually
+    * consumes): (shard_id, n_docs, n_tokens, first_doc, last_doc). */
+  def shardPlan(
+      df: DataFrame, idCol: Column, tokensCol: Column,
+      targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val measured = df.select(idCol.as("_id"), tokensCol.cast("long").as("_tok"))
+    runningTotal(measured, col("_tok"), "_cum", col("_id").asc)
+      .withColumn("shard_id",
+        floor((col("_cum") - col("_tok")) / targetTokens).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"),
+        min(col("_id")).as("first_doc"),
+        max(col("_id")).as("last_doc"))
+  }
+
   /** Length-sorted training batches: rank rows by (length, id), cut into
     * fixed-size batches, and report per-batch padding waste
     * (`n·max(len) − Σlen` — the tokens a dense [batch, max_len] tensor

@@ -323,6 +323,16 @@ object PipelineQueries extends QueryPack {
         col("n_tokens"), col("doc_id"), batchSize = 32)
         .orderBy("batch_id")),
 
+    // Token-budget shard plan: docs packed in id order into consecutive
+    // ~4000-token shards (greedy, never splits a doc) — the write-the-
+    // final-corpus manifest; cut via the two-phase running total.
+    "pl26_shard_plan" -> ((s, d) =>
+      Pipeline.shardPlan(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), targetTokens = 4000L)
+        .orderBy("shard_id")),
+
     // The WHOLE preprocessing pipeline as one declarative plan: Gopher
     // gates → exact-dup canonical election → eval decontamination →
     // balanced per-lang cap, emitting a per-doc decision record (every
@@ -628,6 +638,21 @@ object PipelineQueries extends QueryPack {
            CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
              AS padding_waste
          FROM b GROUP BY batch_id ORDER BY batch_id""",
+    // shard cut = exclusive running total // target, same floor division
+    "pl26_shard_plan" ->
+      """WITH c AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+              AS tok
+          FROM documents),
+         r AS (SELECT doc_id, tok,
+            sum(tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM c),
+         s AS (SELECT doc_id, tok, (cum - tok) // 4000 AS shard_id FROM r)
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM s GROUP BY shard_id ORDER BY shard_id""",
     "pl12_winsorize" ->
       """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
                       quantile_cont(n_chars, 0.95) AS hi FROM documents)

@@ -412,6 +412,27 @@ class PipelineSpec extends GraftSuite {
     assert(re === got)
   }
 
+  test("shardPlan: greedy cut at target, oversize doc unsplit, layout-stable") {
+    import spark.implicits._
+    // tokens in id order: 3,3,3,3 at target 5 → exclusive cums 0,3,6,9
+    // → shards 0,0,1,1 (a shard overshoots by its last doc, never splits)
+    val even = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "tok")
+    def run(df: org.apache.spark.sql.DataFrame, target: Long) = Pipeline
+      .shardPlan(df, col("doc_id"), col("tok"), target)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(run(even, 5L) === Seq((0L, 2L, 6L, 1L, 2L), (1L, 2L, 6L, 3L, 4L)))
+    // a doc bigger than the target still lands whole; the NEXT doc opens
+    // a fresh shard (cums 0,12 → shards 0,2 — shard ids need not be
+    // consecutive when one doc spans multiple target multiples)
+    val big = Seq((1L, 12L), (2L, 2L)).toDF("doc_id", "tok")
+    assert(run(big, 5L) === Seq((0L, 1L, 12L, 1L, 1L), (2L, 1L, 2L, 2L, 2L)))
+    // deterministic under a different physical layout (two-phase total)
+    assert(run(even.repartition(3), 5L) === run(even, 5L))
+  }
+
   test("lengthBatches: sort order, batch cut, exact padding waste") {
     import spark.implicits._
     // lengths sorted (len, id): (2,1),(5,2),(3,5),(4,5),(1,10)
