@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -700,4 +700,29 @@ object TextAnalysis {
         col("sum_inv_p_micro").cast("double") / lit(1e6) /
           col("n_tokens").cast("double"))
   }
+
+  /** Per-group lexical diversity — the corpus-health audit behind "is
+    * this source templated boilerplate or real language": token count,
+    * vocabulary size (types), type-token ratio, and hapax fraction
+    * (share of the vocabulary occurring exactly once — collapses toward
+    * 0 on templated/duplicated text, sits near ~0.4–0.6 for natural
+    * prose per Zipf). All exact long counts + single closing divisions.
+    * One shuffle on (group, token) with map-side combine — per-partition
+    * state is the distinct (group, token) set, the same cardinality
+    * discipline as the inverted index (ta8); a second tiny agg on group. */
+  def lexicalDiversity(
+      docs: DataFrame, text: Column, groupCol: Column): DataFrame =
+    docs.select(groupCol.as("grp"), explode(tokens(text)).as("token"))
+      .groupBy("grp", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("grp"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_fraction"))
 }

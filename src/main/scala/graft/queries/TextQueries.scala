@@ -76,6 +76,14 @@ object TextQueries extends QueryPack {
       TextAnalysis.unigramRarity(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Per-source lexical diversity: vocabulary size, type-token ratio,
+    // hapax fraction — the templated-boilerplate-vs-real-language audit.
+    "ta26_lexical_diversity" -> ((s, d) =>
+      TextAnalysis.lexicalDiversity(
+        Tables.documents(s, d), col("text"), col("source"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
     // CCNet head/middle/tail terciles over the rarity score — boundary
     // via the exact percentile AGGREGATE (broadcast one row), never a
     // global ntile window.
@@ -439,6 +447,21 @@ object TextQueries extends QueryPack {
     // mirrors unigramRarity term by term: one correctly-rounded division
     // per token, micro-unit quantization, exact BIGINT sum, identical
     // division association for the mean ((sum/1e6)/n).
+    // exact long counts, single closing divisions — hash-exact
+    "ta26_lexical_diversity" ->
+      """WITH tk AS (SELECT source,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY source, token)
+         SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             AS type_token_ratio,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS hapax_fraction
+         FROM c GROUP BY source ORDER BY source""",
     "ta24_unigram_rarity" ->
       """WITH tk AS (SELECT doc_id,
              unnest(regexp_split_to_array(lower(text), '\s+')) AS token

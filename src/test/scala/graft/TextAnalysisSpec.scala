@@ -343,4 +343,24 @@ class TextAnalysisSpec extends GraftSuite {
     by.values.foreach(v =>
       assert(v.size > n / 6 && v.size < n / 2, by.view.mapValues(_.size)))
   }
+
+  test("lexicalDiversity: hand counts, templated source collapses hapax") {
+    import spark.implicits._
+    // source A (natural-ish): "the cat sat" + "the dog ran far" →
+    // 7 tokens, types {the:2, cat, sat, dog, ran, far} = 6, hapax 5
+    // source B (templated): "click here now" × 2 →
+    // 6 tokens, 3 types each seen twice, hapax 0
+    val docs = Seq(
+      (1L, "the cat sat", "A"), (2L, "the dog ran far", "A"),
+      (3L, "click here now", "B"), (4L, "click here now", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis
+      .lexicalDiversity(docs, col("text"), col("source"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("A") === ((7L, 6L, 6.0 / 7.0, 5.0 / 6.0)))
+    assert(got("B") === ((6L, 3L, 0.5, 0.0)))
+  }
 }
