@@ -216,7 +216,12 @@ object Bench {
         "ev16_rolling_wau",
         // the composed flagship (quality+dedup+decontamination+balance
         // in one plan) and the batch sessionizer — both late-round-7
-        "pl21_corpus_pipeline", "ev18_sessions")
+        "pl21_corpus_pipeline", "ev18_sessions",
+        // round-9 additions: the Bloom exact-dup ingest gate, the
+        // multi-signal agreement audit, scene cuts, the shard planner,
+        // and the lexical-diversity audit
+        "dd22_bloom_ingest_gate", "dd23_signal_agreement",
+        "mm7_scene_cuts", "pl26_shard_plan", "ta26_lexical_diversity")
         .map { q =>
           SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
           graft.ops.Pipeline.releaseCaches()

@@ -363,6 +363,23 @@ class PlanSpec extends GraftSuite {
     assert(!pm.contains("SortMergeJoin"), pm)
   }
 
+  test("round-9 ops: keyed windows, broadcast centroids, no single-task stage") {
+    // pl26 shard plan rides the two-phase running total — the cut must
+    // never funnel the corpus through one task
+    val p26 = plan(SparkEntry.queries("pl26_shard_plan")(spark, sf))
+    assert(!p26.contains("SinglePartition"), p26)
+    // mm7 scene cuts: the lag window partitions by media_id
+    val p7 = plan(SparkEntry.queries("mm7_scene_cuts")(spark, sf))
+    assert(!p7.contains("SinglePartition"), p7)
+    // ss17: the labels×1 centroid table joins back via broadcast — the
+    // corpus side never sort-merge-joins for it
+    val o = SparkEntry.queries("ss17_centroid_outliers")(spark, sf)
+    o.collect()
+    val po = o.queryExecution.executedPlan.toString
+    assert(po.contains("BroadcastHashJoin"), po)
+    assert(!po.contains("SortMergeJoin"), po)
+  }
+
   test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
     // AQE only materializes the final physical plan after execution, so
     // run the query first and inspect executedPlan.
