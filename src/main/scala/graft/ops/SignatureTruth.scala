@@ -267,6 +267,36 @@ object SignatureTruth {
 
     val exactTop = qids.map(q => q -> topK(q, corpusIds, 5)).toMap
 
+    // ss18 MMR truth: the greedy maximal-marginal-relevance spec
+    // re-implemented (m=10, k=5, lambda=0.5) — same candidate order,
+    // same `lambda·rel − (1−lambda)·max-sim` evaluation, same total
+    // tie-breaks, so scores compare hash-exact.
+    val mmrRows = qids.flatMap { q =>
+      val cands = topK(q, corpusIds, 10)
+      val rel = cands.toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val remaining =
+        scala.collection.mutable.LinkedHashSet(cands.map(_._1): _*)
+      val rows =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      var step = 1
+      while (step <= 5 && remaining.nonEmpty) {
+        val best = remaining.toSeq.map { c =>
+          val div =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => cos(c, s)).max
+          (c, 0.5 * rel(c) - (1.0 - 0.5) * div)
+        }.minBy { case (c, s) => (-s, c) }
+        rows += ((q, step, best._1, best._2))
+        selected += best._1
+        remaining -= best._1
+        step += 1
+      }
+      rows
+    }
+    mmrRows.toSeq.toDF("qid", "sel_rank", "vec_id", "mmr_score")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/mmr.parquet")
+
     // SRP ANN (tables=16, bits=6): candidates share any (table, sig).
     val sigs6 = emb.map { case (id, v) => id -> srpSigs(v, 16, 6, 64) }.toMap
     val srpBuckets6 = scala.collection.mutable.HashMap

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -165,6 +166,82 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .withColumn("is_outlier", col("rank") <= topN)
       .select("label", "vec_id", "dist2_nano", "rank", "is_outlier")
+  }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily re-rank a top-`m` candidate set so each pick
+    * maximizes `lambda·rel(c) − (1−lambda)·max_{s∈selected} sim(c, s)` —
+    * relevance traded against redundancy. THE diverse-example selector:
+    * plain top-k hands a few-shot prompt (or a retrieval-augmented
+    * context) near-duplicate passages; MMR spends the same k slots on
+    * coverage. First pick = highest relevance (empty-selection diversity
+    * is 0); ties break to the smallest id at every step.
+    *
+    * Scale shape: the candidate generator is any top-m op (brute force
+    * here; [[annTopK]]/[[ivfTopK]] at corpus scale — the re-rank stage is
+    * unchanged); the greedy loop runs per query group over m candidates
+    * via flatMapGroups — per-group state m×dim doubles, bounded, and the
+    * shuffle is (qid → m rows), candidate-sized. The sequential loop is
+    * INHERENT to MMR (each pick conditions on the previous); running it
+    * inside the group is the distributed form, not a compromise.
+    * Deterministic end to end (ordered-fold cosines, total tie-breaks,
+    * fixed `lambda·rel − (1−lambda)·div` evaluation order) → the truth
+    * recompute is hash-exact including scores.
+    * Output: (qid, sel_rank, vec_id, mmr_score). */
+  def mmrTopK(
+      queriesDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, lambda: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val withVec = bruteForceTopK(queriesDf, corpus, idCol, vecCol, m)
+      .join(corpus.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("cvec")), "vec_id")
+      .select("qid", "vec_id", "cos", "cvec")
+    val outSchema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("sel_rank", IntegerType),
+      StructField("vec_id", LongType),
+      StructField("mmr_score", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    withVec.groupByKey(_.getLong(0))
+      .flatMapGroups { (qid: Long, it: Iterator[org.apache.spark.sql.Row]) =>
+        // (vec_id, rel, vec) sorted by (rel desc, id asc) — the same total
+        // order as the generator's rank
+        val cands = it.map { r =>
+          (r.getLong(1), r.getDouble(2), r.getSeq[Double](3).toArray)
+        }.toArray.sortBy { case (id, rel, _) => (-rel, id) }
+        def dotd(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val nrm = cands.map { case (_, _, v) => math.sqrt(dotd(v, v)) }
+        val idx = cands.indices.toArray
+        def sim(i: Int, j: Int): Double =
+          dotd(cands(i)._3, cands(j)._3) / (nrm(i) * nrm(j))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val remaining = scala.collection.mutable.LinkedHashSet(idx: _*)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var step = 1
+        while (step <= k && remaining.nonEmpty) {
+          val best = remaining.toSeq.map { c =>
+            val div =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => sim(c, s)).max
+            (c, lambda * cands(c)._2 - (1.0 - lambda) * div)
+          }.minBy { case (c, s) => (-s, cands(c)._1) }
+          out += org.apache.spark.sql.Row(
+            qid, step, cands(best._1)._1, best._2)
+          selected += best._1
+          remaining -= best._1
+          step += 1
+        }
+        out.iterator
+      }(enc)
   }
 
   /** Exact max-inner-product top-k (MIPS) — the retrieval objective when

@@ -35,6 +35,16 @@ object SimilarityQueries extends QueryPack {
         .select("qid", "anchor_label", "rank", "neg_id", "neg_label")
         .orderBy("qid", "rank")),
 
+    // MMR diversified top-5 from the top-10 candidates (λ=0.5) — the
+    // diverse-example selector; re-rank stage composes with any ANN
+    // candidate generator at corpus scale.
+    "ss18_mmr_topk" -> ((s, d) =>
+      Similarity.mmrTopK(
+        Tables.embeddings(s, d).filter(col("vec_id") < 20),
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 10, k = 5, lambda = 0.5)
+        .orderBy("qid", "sel_rank")),
+
     // Label-conditional outlier audit: distance to own-label centroid,
     // top-5 farthest per label flagged — the noisy-sample detector run
     // before the labeled slice seeds weak labeling.
@@ -366,6 +376,10 @@ object SimilarityQueries extends QueryPack {
           FROM sc)
           SELECT qid, rank, vec_id FROM r WHERE rank <= 5
           ORDER BY qid, rank""",
+    "ss18_mmr_topk" ->
+      s"""SELECT qid, sel_rank, vec_id, mmr_score
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/mmr.parquet/*.parquet')
+          ORDER BY qid, sel_rank""",
     "ss16_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, label AS anchor_label,
             embedding AS qvec FROM embeddings WHERE vec_id < 20),

@@ -277,6 +277,34 @@ class SimilaritySpec extends GraftSuite {
     assert(got === Seq((1, 3L), (2, 4L), (3, 5L)))
   }
 
+  test("mmr: redundant twin demoted below the orthogonal doc, ties by id") {
+    import spark.implicits._
+    // anchor 1 = [1,0]; c2 and c3 are IDENTICAL max-relevance docs
+    // (rel 1, mutual sim 1), c4 is orthogonal (rel 0, sim-to-selected 0).
+    // Plain top-2 returns the twins; MMR at lambda=0.3:
+    //   step 1: c2 (rel tie 1.0 → smallest id)
+    //   step 2: c3 scores 0.3·1 − 0.7·1 = −0.4, c4 scores 0 → c4 wins
+    //   step 3: c3 last
+    val docs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(1.0, 0.0)), (4L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(
+        docs.filter(col("vec_id") === 1L), docs, "vec_id", "embedding",
+        m = 3, k = 3, lambda = 0.3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq ===
+      Seq((1, 2L), (2, 4L), (3, 3L)))
+    assert(got(0)._3 === 0.3 && got(1)._3 === 0.0 &&
+      got(2)._3 === (0.3 * 1.0 - 0.7 * 1.0)) // IEEE: not exactly −0.4
+    // plain top-3 keeps the twins adjacent — the redundancy MMR fixes
+    val plain = Similarity.bruteForceTopK(
+        docs.filter(col("vec_id") === 1L), docs, "vec_id", "embedding", 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(plain === Seq(2L, 3L))
+  }
+
   test("centroid outliers: planted far vector ranks first, exact distance") {
     import spark.implicits._
     // label 0: three identical vectors at (1,0) plus one at (5,0) —
