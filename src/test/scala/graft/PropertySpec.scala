@@ -206,4 +206,58 @@ class PropertySpec extends GraftSuite {
       assert(!got.contains((i.toLong, nChunks)), s"doc $i has extra chunk")
     }
   }
+
+  test("shardPlan conservation laws: totals, contiguity, target bound") {
+    // on any generated (id, tokens) table: shard token counts sum to the
+    // corpus total, doc counts sum to the corpus size, shard id ranges
+    // are disjoint and ordered, and every shard except possibly the one
+    // holding an oversize doc stays under target + its last doc.
+    for ((a, i) <- samples(4).zipWithIndex) {
+      val docs = a.map { case (k, v, _) => (k, math.abs(v).toLong + 1L) }
+        .groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toSeq
+      if (docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "tok")
+        val target = 17L + i
+        val got = graft.ops.Pipeline
+          .shardPlan(df, $"doc_id", $"tok", target)
+          .orderBy("shard_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        assert(got.map(_._3).sum === docs.map(_._2).sum, "token total")
+        assert(got.map(_._2).sum === docs.size.toLong, "doc total")
+        // id ranges are disjoint + ordered shard by shard
+        got.sliding(2).foreach {
+          case Array(p, n) => assert(p._5 < n._4, s"overlap: $p vs $n")
+          case _ =>
+        }
+        // a multi-doc shard never opens at or past the target boundary
+        // having already exceeded it: n_tokens − last-doc tokens < target
+        val toks = docs.toMap
+        got.foreach { case (_, nDocs, nTok, _, last) =>
+          if (nDocs > 1) assert(nTok - toks(last) < target,
+            s"shard overshot before its last doc: $nTok vs $target")
+        }
+      }
+    }
+  }
+
+  test("signalAgreement bounds: jaccard in [0,1], n_common <= min sides") {
+    for (Seq(a, b) <- samples(6).grouped(2)) {
+      val pa = a.map { case (k, v, _) => (k, k + math.abs(v) + 1L) }
+        .distinct.toDF("id_a", "id_b")
+      val pb = b.map { case (k, v, _) => (k, k + math.abs(v) + 1L) }
+        .distinct.toDF("id_a", "id_b")
+      val got = graft.ops.Dedup
+        .signalAgreement(Seq("p" -> pa, "q" -> pb)).collect()
+      assert(got.length === 1)
+      val r = got.head
+      val (na, nb, nc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nc <= math.min(na, nb))
+      if (na + nb > 0) {
+        val j = r.getDouble(5)
+        assert(j >= 0.0 && j <= 1.0)
+        assert(j === nc.toDouble / (na + nb - nc))
+      }
+    }
+  }
 }
