@@ -86,6 +86,40 @@ object Similarity {
         col("votes"))
   }
 
+  /** SEMANTIC eval-set decontamination — the embedding-space complement
+    * of the n-gram overlap gate (dd11/dd17): flag training docs whose
+    * embedding lands within cosine `threshold` of ANY eval doc, catching
+    * paraphrased/translated/reformatted leakage that shares no surface
+    * n-grams. Output mirrors the ingest gate: one row per flagged train
+    * doc with its closest eval match (ties to the smallest eval id via
+    * the struct-max trick) and the match count.
+    *
+    * Scale shape: eval sets are SMALL by nature (thousands of rows), so
+    * the eval side broadcasts and the scoring pass is scan-local over
+    * the training corpus — zero shuffle except the final per-doc argmax
+    * agg, which carries only flagged rows. An eval set too big to
+    * broadcast swaps in the SRP/IVF bucketed join ([[srpNearDupPairs]]'
+    * shape) with this same verify/argmax tail. */
+  def semanticDecontamination(
+      train: DataFrame, evalSet: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val t = train.select(col(idCol).as("train_id"),
+      asDouble(col(vecCol)).as("tvec"), norm(col(vecCol)).as("tnorm"))
+    val e = evalSet.select(col(idCol).as("eval_id"),
+      asDouble(col(vecCol)).as("evec"), norm(col(vecCol)).as("enorm"))
+    t.crossJoin(broadcast(e))
+      .withColumn("cos",
+        dot(col("tvec"), col("evec")) / (col("tnorm") * col("enorm")))
+      .filter(col("cos") >= threshold)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("cos").as("c"), (-col("eval_id")).as("neg")))
+          .as("_m"))
+      .select(col("train_id"), (-col("_m.neg")).as("matched_eval_id"),
+        col("_m.c").as("cos"), col("n_matches"))
+  }
+
   /** Hard-negative mining for contrastive/retrieval training sets: for
     * each anchor, the top-k most-similar corpus vectors with a DIFFERENT
     * label — "close in embedding space but semantically wrong", the

@@ -35,6 +35,19 @@ object SimilarityQueries extends QueryPack {
         .select("qid", "anchor_label", "rank", "neg_id", "neg_label")
         .orderBy("qid", "rank")),
 
+    // Semantic eval-set decontamination: train docs whose embedding
+    // lands within cosine 0.4 of any eval doc (vec_id % 50 == 0 stands
+    // in for the eval set) — catches paraphrase leakage dd11's n-gram
+    // gate misses. Eval side broadcasts; scoring is scan-local.
+    "dd24_semantic_decontamination" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDecontamination(
+        emb.filter(col("vec_id") % 50 =!= 0),
+        emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", threshold = 0.4)
+        .orderBy("train_id")
+    }),
+
     // MMR diversified top-5 from the top-10 candidates (λ=0.5) — the
     // diverse-example selector; re-rank stage composes with any ANN
     // candidate generator at corpus scale.
@@ -380,6 +393,23 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT qid, sel_rank, vec_id, mmr_score
           FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/mmr.parquet/*.parquet')
           ORDER BY qid, sel_rank""",
+    "dd24_semantic_decontamination" ->
+      s"""WITH t AS (SELECT vec_id AS train_id, embedding AS tvec
+            FROM embeddings WHERE vec_id % 50 <> 0),
+          e AS (SELECT vec_id AS eval_id, embedding AS evec
+            FROM embeddings WHERE vec_id % 50 = 0),
+          p AS (SELECT train_id, eval_id,
+            ${cosSql("tvec", "evec")} AS cos
+          FROM t CROSS JOIN e),
+          f AS (SELECT * FROM p WHERE cos >= 0.4),
+          r AS (SELECT train_id, eval_id, cos,
+            CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT)
+              AS n_matches,
+            row_number() OVER (PARTITION BY train_id
+              ORDER BY cos DESC, eval_id ASC) AS rn
+          FROM f)
+          SELECT train_id, eval_id AS matched_eval_id, cos, n_matches
+          FROM r WHERE rn = 1 ORDER BY train_id""",
     "ss16_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, label AS anchor_label,
             embedding AS qvec FROM embeddings WHERE vec_id < 20),

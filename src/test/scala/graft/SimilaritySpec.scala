@@ -277,6 +277,30 @@ class SimilaritySpec extends GraftSuite {
     assert(got === Seq((1, 3L), (2, 4L), (3, 5L)))
   }
 
+  test("semantic decontamination: paraphrase flagged, clean doc passes, eval tie by id") {
+    import spark.implicits._
+    // train 100 sits on eval 1's direction (leaked paraphrase), train
+    // 101 is orthogonal to both evals; evals 1 and 2 are identical so
+    // the best-match tie breaks to the smaller eval id.
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)), // eval twins
+      (100L, Array(0.999, 0.04)),                    // leaked train doc
+      (101L, Array(0.0, 1.0)))                       // clean train doc
+      .toDF("vec_id", "embedding")
+    val evalSet = emb.filter(col("vec_id") < 100L)
+    val train = emb.filter(col("vec_id") >= 100L)
+    val out = Similarity.semanticDecontamination(
+      train, evalSet, "vec_id", "embedding", threshold = 0.9)
+    out.collect() // finalize AQE stages for the plan check
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got === Seq((100L, 1L, 2L)), "leaked doc → both evals, tie to 1")
+    // scale shape: the eval side broadcasts — the training corpus never
+    // sort-merge-joins for the decontamination scan
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("mmr: redundant twin demoted below the orthogonal doc, ties by id") {
     import spark.implicits._
     // anchor 1 = [1,0]; c2 and c3 are IDENTICAL max-relevance docs
