@@ -523,6 +523,28 @@ object Pipeline {
       .drop("_pid")
   }
 
+  /** Deterministic source-interleaved training order: rank docs within
+    * each source (keyed window), then order globally by (within-source
+    * position, source) — a round-robin through the sources, so EVERY
+    * prefix and window of the training order is source-balanced. The
+    * data-ordering fix for loaders that would otherwise see long
+    * single-source runs (concatenated corpora destabilize early
+    * training; a random shuffle balances only in expectation, this
+    * balances by construction and is reproducible). Composes with pl2's
+    * md5 shuffle as the within-source order when randomness-within-
+    * source is wanted. Keyed window + the [[globalPosition]] two-phase
+    * rank — no SinglePartition stage. */
+  def interleaveBySource(
+      df: DataFrame, idCol: Column, srcCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_src")).orderBy(col("_id").asc)
+    val within = df.select(idCol.as("_id"), srcCol.as("_src"))
+      .withColumn("within_pos", row_number().over(w).cast("long"))
+    globalPosition(within, "train_pos",
+      col("within_pos").asc, col("_src").asc)
+      .select(col("_id").as("doc_id"), col("_src").as("source"),
+        col("within_pos"), col("train_pos"))
+  }
+
   /** Token-budget shard planner — the "write the final corpus" step: pack
     * docs IN ORDER into consecutive shards of ~`targetTokens` tokens each
     * (WebDataset/Arrow-shard style: a loader streams whole shards, so

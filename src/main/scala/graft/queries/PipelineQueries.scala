@@ -333,6 +333,14 @@ object PipelineQueries extends QueryPack {
         col("doc_id"), col("n_tokens"), targetTokens = 4000L)
         .orderBy("shard_id")),
 
+    // Source-interleaved training order: round-robin through sources so
+    // every window of the order is source-balanced — deterministic,
+    // reproducible, no single-task stage.
+    "pl27_source_interleave" -> ((s, d) =>
+      Pipeline.interleaveBySource(
+        Tables.documents(s, d), col("doc_id"), col("source"))
+        .orderBy("train_pos")),
+
     // The WHOLE preprocessing pipeline as one declarative plan: Gopher
     // gates → exact-dup canonical election → eval decontamination →
     // balanced per-lang cap, emitting a per-doc decision record (every
@@ -638,6 +646,15 @@ object PipelineQueries extends QueryPack {
            CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
              AS padding_waste
          FROM b GROUP BY batch_id ORDER BY batch_id""",
+    "pl27_source_interleave" ->
+      """WITH w AS (SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS within_pos
+          FROM documents)
+         SELECT doc_id, source, within_pos,
+           CAST(row_number() OVER (ORDER BY within_pos, source)
+             AS BIGINT) AS train_pos
+         FROM w ORDER BY train_pos""",
     // shard cut = exclusive running total // target, same floor division
     "pl26_shard_plan" ->
       """WITH c AS (SELECT doc_id,

@@ -412,6 +412,25 @@ class PipelineSpec extends GraftSuite {
     assert(re === got)
   }
 
+  test("interleaveBySource: round-robin order, no SinglePartition, layout-stable") {
+    import spark.implicits._
+    // A has 3 docs, B has 2 → training order A1 B1 A2 B2 A3
+    val docs = Seq((10L, "A"), (11L, "A"), (12L, "A"), (20L, "B"),
+      (21L, "B")).toDF("doc_id", "source")
+    def run(df: org.apache.spark.sql.DataFrame) = Pipeline
+      .interleaveBySource(df, col("doc_id"), col("source"))
+      .orderBy("train_pos").collect()
+      .map(r => (r.getLong(3), r.getLong(0))).toSeq
+    val got = run(docs)
+    assert(got === Seq((1L, 10L), (2L, 20L), (3L, 11L), (4L, 21L),
+      (5L, 12L)))
+    assert(run(docs.repartition(4)) === got)
+    val p = Pipeline.interleaveBySource(docs, col("doc_id"), col("source"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("shardPlan: greedy cut at target, oversize doc unsplit, layout-stable") {
     import spark.implicits._
     // tokens in id order: 3,3,3,3 at target 5 → exclusive cums 0,3,6,9
