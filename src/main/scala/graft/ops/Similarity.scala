@@ -86,6 +86,58 @@ object Similarity {
         col("votes"))
   }
 
+  /** Rocchio pseudo-relevance feedback (one round): refine each query as
+    * `q' = alpha·q + beta·mean(top-kFb round-1 results)` and re-rank the
+    * corpus against q' — the classic recall amplifier when one example
+    * under-specifies what to retrieve (seed expansion for data curation:
+    * "find more docs like these" from one seed). alpha/beta default ½/½
+    * (dyadic-exact).
+    *
+    * Exactness: the feedback centroid uses the DECIMAL(18,9) per-dim
+    * mean ([[kmeans]]' policy — order-independent), q' is one exact IEEE
+    * expression per dim, and both scoring rounds are ordered-fold
+    * cosines with total tie-breaks → oracle hash-exact.
+    * Scale shape: round 1 is any top-k generator (brute force here, ANN
+    * at corpus scale); the per-dim mean shuffles ≤ queries × dims rows
+    * after a map-side combine; q' re-assembles per query (the ss17
+    * array_sort(struct) trick) and round 2 is the same scan shape as
+    * round 1. Output: (qid, rank, vec_id, cos) against q'. */
+  def rocchioExpand(
+      queriesDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, kFb: Int, k: Int,
+      alpha: Double = 0.5, beta: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val fb = bruteForceTopK(queriesDf, corpus, idCol, vecCol, kFb)
+      .join(corpus.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("fvec")), "vec_id")
+      .select(col("qid"), posexplode(col("fvec")).as(Seq("dim", "v")))
+      .groupBy("qid", "dim")
+      .agg((sum(graft.queries.OracleSafe.dec(col("v"), 9)).cast("double") /
+        count(lit(1)).cast("double")).as("mu"))
+      .groupBy("qid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mu")))),
+        p => p.getField("mu")).as("fbvec"))
+    val refined = queriesDf
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .join(fb, "qid")
+      .select(col("qid"),
+        zip_with(col("qvec"), col("fbvec"),
+          (q, m) => lit(alpha) * q + lit(beta) * m).as("rvec"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("cvec"), norm(col(vecCol)).as("cnorm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(refined.withColumn("rnorm", sqrt(dot(col("rvec"), col("rvec")))))
+      .crossJoin(c)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        dot(col("rvec"), col("cvec")) / (col("rnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
   /** SEMANTIC eval-set decontamination — the embedding-space complement
     * of the n-gram overlap gate (dd11/dd17): flag training docs whose
     * embedding lands within cosine `threshold` of ANY eval doc, catching

@@ -58,6 +58,15 @@ object SimilarityQueries extends QueryPack {
         m = 10, k = 5, lambda = 0.5)
         .orderBy("qid", "sel_rank")),
 
+    // Rocchio pseudo-relevance feedback: q' = ½q + ½·mean(top-5), then
+    // re-rank — seed expansion for "find more docs like these".
+    "ss19_rocchio_expand" -> ((s, d) =>
+      Similarity.rocchioExpand(
+        Tables.embeddings(s, d).filter(col("vec_id") < 20),
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        kFb = 5, k = 5)
+        .orderBy("qid", "rank")),
+
     // Label-conditional outlier audit: distance to own-label centroid,
     // top-5 farthest per label flagged — the noisy-sample detector run
     // before the labeled slice seeds weak labeling.
@@ -393,6 +402,43 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT qid, sel_rank, vec_id, mmr_score
           FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/mmr.parquet/*.parquet')
           ORDER BY qid, sel_rank""",
+    // ss19: both rounds + the decimal-mean feedback centroid + the
+    // ½q+½μ refinement recomputed outright (ss1's fold + ss17's mean,
+    // both proven hash-exact pairs).
+    "ss19_rocchio_expand" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+          c AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+          r1 AS (SELECT qid, vec_id, ${cosSql("qvec", "cvec")} AS cos
+            FROM q JOIN c ON qid <> vec_id),
+          top AS (SELECT qid, vec_id FROM (
+              SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, vec_id ASC) AS rn FROM r1)
+            WHERE rn <= 5),
+          dims AS (SELECT t.qid, i,
+              CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+                AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mu
+            FROM top t JOIN embeddings e ON e.vec_id = t.vec_id,
+              range(1, 65) r(i)
+            GROUP BY t.qid, i),
+          fb AS (SELECT qid, array_agg(mu ORDER BY i) AS fbvec
+            FROM dims GROUP BY qid),
+          rq AS (SELECT q.qid,
+              [0.5 * CAST(q.qvec[i] AS DOUBLE) + 0.5 * fb.fbvec[i]
+               for i in range(1, 65)] AS rvec
+            FROM q JOIN fb USING (qid)),
+          r2 AS (SELECT rq.qid, c.vec_id,
+              list_sum([rvec[i] * CAST(cvec[i] AS DOUBLE)
+                        for i in range(1, 65)]) /
+              (sqrt(list_sum([rvec[i] * rvec[i] for i in range(1, 65)])) *
+               sqrt(list_sum([CAST(cvec[i] AS DOUBLE) *
+                 CAST(cvec[i] AS DOUBLE) for i in range(1, 65)])))
+                AS cos
+            FROM rq JOIN c ON rq.qid <> c.vec_id)
+          SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos FROM (
+            SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, vec_id ASC) AS rn FROM r2)
+          WHERE rn <= 5 ORDER BY qid, rank""",
     "dd24_semantic_decontamination" ->
       s"""WITH t AS (SELECT vec_id AS train_id, embedding AS tvec
             FROM embeddings WHERE vec_id % 50 <> 0),

@@ -301,6 +301,32 @@ class SimilaritySpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("rocchio: beta=0 degenerates to plain top-k; feedback flips ranks") {
+    import spark.implicits._
+    // unit vectors: s/t mirror each other around the query axis (equal
+    // round-1 relevance, tie to s by id), u sits toward s's side.
+    val docs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),                 // query
+      (2L, Array(0.9, 0.43589, 0.0)),            // s: feedback doc
+      (3L, Array(0.9, -0.43589, 0.0)),           // t: mirrored twin
+      (4L, Array(0.6, 0.8, 0.0)))                // u: s-side topic doc
+      .toDF("vec_id", "embedding")
+    val q = docs.filter(col("vec_id") === 1L)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect().map(_.getLong(2)).toSeq
+    // law: alpha=1, beta=0 → q' = q exactly → identical to bruteForceTopK
+    val plain = Similarity.bruteForceTopK(q, docs, "vec_id", "embedding", 3)
+    val degen = Similarity.rocchioExpand(q, docs, "vec_id", "embedding",
+      kFb = 2, k = 3, alpha = 1.0, beta = 0.0)
+    assert(ranks(degen) === ranks(plain))
+    assert(ranks(plain) === Seq(2L, 3L, 4L)) // s, t (tie→s first), u
+    // feedback on s (kFb=1, round-1 winner by tie) pulls the refined
+    // query toward s's side: the topic doc u overtakes the mirror twin t
+    val fed = Similarity.rocchioExpand(q, docs, "vec_id", "embedding",
+      kFb = 1, k = 3, alpha = 0.2, beta = 0.8)
+    assert(ranks(fed) === Seq(2L, 4L, 3L), "u must overtake t")
+  }
+
   test("mmr: redundant twin demoted below the orthogonal doc, ties by id") {
     import spark.implicits._
     // anchor 1 = [1,0]; c2 and c3 are IDENTICAL max-relevance docs
