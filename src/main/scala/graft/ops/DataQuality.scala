@@ -121,4 +121,43 @@ object DataQuality {
           .as("share"),
         expectedCol.as("benford_expected"))
   }
+
+  /** Robust outlier audit per group (Iglewicz–Hoaglin modified z-score):
+    * flag rows where `|0.6745·(x − median)| > z·MAD`, with median and
+    * MAD (median absolute deviation) both EXACT interpolated percentiles
+    * — the telemetry-cleaning gate that, unlike mean/stddev z-scores,
+    * doesn't let the outliers it hunts inflate its own threshold (50%
+    * breakdown point vs 0). A zero MAD (over half the group identical)
+    * flags only values strictly different from the median, matching the
+    * estimator's degenerate limit instead of dividing by zero.
+    *
+    * Exactness: `percentile` is the exact interpolated aggregate (the
+    * quantile_cont-proven pl12/pl20 pair); the deviation and the z test
+    * are fixed double expressions. Scale shape: two grouped percentile
+    * passes (keyed aggs), per-group stats broadcast back over the scan
+    * (bounded by the group count); output one row per group. At 100 TB
+    * swap in approx_percentile, same plan. */
+  def robustOutliers(
+      df: DataFrame, groupCol: Column, valCol: Column,
+      z: Double = 3.5): DataFrame = {
+    val meds = df.groupBy(groupCol.as("_g"))
+      .agg(percentile(valCol, lit(0.5)).as("med"))
+    val withMed = df.select(groupCol.as("_g"), valCol.as("_v"))
+      .join(broadcast(meds), "_g")
+      .withColumn("_dev", abs(col("_v") - col("med")))
+    val mads = withMed.groupBy("_g")
+      .agg(percentile(col("_dev"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mads), "_g")
+      .withColumn("_out",
+        when(col("mad") > 0.0,
+          lit(0.6745) * col("_dev") > lit(z) * col("mad"))
+        .otherwise(col("_dev") > 0.0))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("_g").as("group_key"), col("n_rows"), col("median"),
+        col("mad"), col("n_outliers"))
+  }
 }

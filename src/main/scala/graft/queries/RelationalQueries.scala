@@ -295,6 +295,15 @@ object RelationalQueries extends QueryPack {
     // leading digit (string of a BIGINT — no float formatting, no log10
     // digit math), exact-long shares, Benford expectations as
     // driver-side literals in BOTH plans.
+    // Robust outlier audit per event type: modified z via exact
+    // median/MAD — mean/stddev z lets outliers inflate their own
+    // threshold, median/MAD has a 50% breakdown point. The z test is
+    // the division-free form 0.6745·dev > z·mad, mirrored in the dual.
+    "s17_robust_outliers" -> ((s, d) =>
+      graft.ops.DataQuality.robustOutliers(
+        Tables.events(s, d), col("event_type"), col("value"), z = 3.5)
+        .orderBy("group_key")),
+
     "s14_benford" -> ((s, d) =>
       graft.ops.DataQuality.benford(
         Tables.orders(s, d), col("o_totalprice"))
@@ -550,6 +559,26 @@ object RelationalQueries extends QueryPack {
                  ELSE 'plain' END AS advice
           FROM ($perCol) ORDER BY col_name"""
     },
+    // quantile_cont ≡ Spark's exact percentile (the pl12/pl20-proven
+    // pair); the z test mirrors the division-free multiplication form
+    "s17_robust_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+           FROM events e JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           FROM d GROUP BY event_type),
+         f AS (SELECT d.event_type, d.med, md.mad,
+             CASE WHEN md.mad > 0.0 THEN 0.6745 * d.dev > 3.5 * md.mad
+                  ELSE d.dev > 0.0 END AS is_out
+           FROM d JOIN md USING (event_type))
+         SELECT event_type AS group_key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(med) AS DOUBLE) AS median,
+           CAST(min(mad) AS DOUBLE) AS mad,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM f GROUP BY event_type ORDER BY group_key""",
     // the Benford expectations are interpolated from the SAME
     // math.log10 literals the Spark plan compiles in — shortest
     // round-trip doubles parse back bit-identical

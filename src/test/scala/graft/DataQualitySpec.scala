@@ -335,4 +335,24 @@ class DataQualitySpec extends GraftSuite {
       "union of per-type sketches must equal the single-pass sketch " +
       "(same hash inputs, same lgK)")
   }
+
+  test("robustOutliers: hand median/MAD, zero-MAD degenerate limit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group a: nine identical values + one spike → MAD 0 (degenerate):
+    // only values strictly off the median flag, no divide-by-zero.
+    // group b: 1..9 + 1000 → median 5.5, devs sorted give MAD 2.5;
+    // 0.6745·dev > 3.5·2.5 ⇔ dev > ~12.97 → only the 1000 flags.
+    val rows =
+      (1 to 9).map(i => ("a", 10.0)) ++ Seq(("a", 100.0)) ++
+      (1 to 9).map(i => ("b", i.toDouble)) ++ Seq(("b", 1000.0))
+    val got = graft.ops.DataQuality.robustOutliers(
+        rows.toDF("t", "v"), col("t"), col("v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got("a") === ((10L, 10.0, 0.0, 1L)))
+    assert(got("b") === ((10L, 5.5, 2.5, 1L)))
+  }
 }
