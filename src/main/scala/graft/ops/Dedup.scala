@@ -885,13 +885,32 @@ object Dedup {
     existing.select(md5(key).as("digest"))
       .stat.bloomFilter("digest", expectedItems, fpp)
 
+  // One Spark broadcast per DISTINCT bloom object, not per call: the
+  // streaming gate invokes [[bloomIngestGate]] once per micro-batch with
+  // the SAME snapshot bloom, and a fresh sc.broadcast each trigger would
+  // accumulate broadcast blocks for the life of the stream (the dd21
+  // cache-leak lesson, broadcast flavor). Weak keys: when the caller
+  // drops its bloom, the entry clears and Spark's ContextCleaner
+  // reclaims the broadcast.
+  private val bloomBroadcasts = new java.util.WeakHashMap[
+    org.apache.spark.util.sketch.BloomFilter,
+    org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]]()
+
   /** [[bloomIngestGate]] against a prebuilt snapshot bloom. */
   def bloomIngestGate(
       existing: DataFrame, incoming: DataFrame, id: Column, key: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val ex = existing.select(md5(key).as("digest"))
     val in = incoming.select(id.as("incoming_id"), md5(key).as("digest"))
-    val bc = existing.sparkSession.sparkContext.broadcast(bloom)
+    val bc = bloomBroadcasts.synchronized {
+      var b = bloomBroadcasts.get(bloom)
+      if (b == null) {
+        b = existing.sparkSession.sparkContext.broadcast(bloom)
+        bloomBroadcasts.put(bloom, b)
+      }
+      b
+    }
     val probe = udf((d: String) => d != null && bc.value.mightContainString(d))
     // step 2: scan-local pre-filter — candidates = dups + ~fpp of the batch
     val candDigests = in.filter(probe(col("digest")))
