@@ -20,6 +20,19 @@ object TextQueries extends QueryPack {
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Declared-vs-detected language confusion matrix: how far can the
+    // corpus's own lang metadata be trusted? Off-diagonal mass = docs
+    // whose declared language the detector contradicts — the audit run
+    // before lang metadata gates a mixture or routes a tokenizer. One
+    // keyed count over ta1's scan-local detector.
+    "ta27_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang").as("lang_label"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("agree", col("lang_label") === col("lang_pred"))
+        .orderBy("lang_label", "lang_pred")),
+
     // Quality scoring: length/punctuation/stopword components + composite.
     "ta2_quality_score" -> ((s, d) =>
       Tables.documents(s, d)
@@ -352,6 +365,26 @@ object TextQueries extends QueryPack {
           SELECT doc_id, n_grams, shared_grams,
             CAST(n_grams - shared_grams AS DOUBLE) / n_grams AS novelty
           FROM j ORDER BY doc_id""",
+    // same detector CASE as ta1, one grouped count on top
+    "ta27_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+            regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+          sc AS (SELECT doc_id, lang,
+            len(list_filter(toks, x -> x IN $enList)) AS s_en,
+            len(list_filter(toks, x -> x IN $deList)) AS s_de,
+            len(list_filter(toks, x -> x IN $frList)) AS s_fr,
+            len(list_filter(toks, x -> x IN $esList)) AS s_es
+          FROM t),
+          p AS (SELECT lang AS lang_label,
+            CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr >= s_es THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+          FROM sc)
+          SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+            lang_label = lang_pred AS agree
+          FROM p GROUP BY lang_label, lang_pred
+          ORDER BY lang_label, lang_pred""",
     "ta1_langid" ->
       s"""WITH t AS (SELECT doc_id, lang,
             regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),

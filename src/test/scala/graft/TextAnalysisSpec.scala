@@ -344,6 +344,20 @@ class TextAnalysisSpec extends GraftSuite {
       assert(v.size > n / 6 && v.size < n / 2, by.view.mapValues(_.size)))
   }
 
+  test("lang confusion: disagreement rows carry agree=false, counts sum") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = graft.SparkEntry
+      .queries("ta27_lang_confusion")(spark, sf).collect()
+    assert(got.map(_.getLong(2)).sum === docs.count())
+    got.foreach { r =>
+      assert(r.getBoolean(3) === (r.getString(0) == r.getString(1)))
+    }
+    // the synthetic fixture is English word salad → the detector must
+    // contradict every non-en declared label (off-diagonal mass exists)
+    assert(got.exists(r => !r.getBoolean(3)),
+      "expected declared-vs-detected disagreement in the fixture")
+  }
+
   test("lexicalDiversity: hand counts, templated source collapses hapax") {
     import spark.implicits._
     // source A (natural-ish): "the cat sat" + "the dog ran far" →
