@@ -781,6 +781,44 @@ object Dedup {
         col("_m.j").as("jaccard"), col("n_matches"))
   }
 
+  /** Continuous-crawl ADMISSION pipeline — the ingest-side counterpart
+    * of Pipeline.corpusPipeline's flagship: every gate this file builds,
+    * composed as ONE lazy plan over an incoming batch, emitting a
+    * per-doc DECISION RECORD (each gate's verdict + the final admit), so
+    * "why was this page rejected" is answerable without re-running:
+    *  1. [[bloomIngestGate]] — exact-dup verdict, corpus-shuffle-free;
+    *  2. [[incrementalNearDups]] — asymmetric LSH near-dup probe,
+    *     per-ingest work batch-sized;
+    *  3. Gopher hard filters ([[TextAnalysis.gopherRules]]) — scan-local
+    *     quality gate;
+    *  admitted = not exact-dup AND not near-dup AND quality-pass.
+    * Runs unmodified per micro-batch under foreachBatch (the st14
+    * pattern) — the batch dual is the oracle. Catalyst plans the three
+    * gates off one pass over the batch; the corpus side costs are each
+    * gate's documented shape (bloom broadcast, band index, none). */
+  def ingestPipeline(
+      existing: DataFrame, incoming: DataFrame, id: Column, text: Column,
+      bloomKey: Column, expectedItems: Long,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      nearDupThreshold: Double = 0.5, minWords: Int = 20): DataFrame = {
+    val exact = bloomIngestGate(existing, incoming, id, bloomKey,
+        expectedItems)
+      .select(col("incoming_id"), col("is_dup").as("exact_dup"))
+    val near = incrementalNearDups(existing, incoming, id, text,
+        shingleN, numHashes, bands, nearDupThreshold)
+      .select(col("incoming_id"), lit(true).as("near_dup"))
+    incoming
+      .select(id.as("incoming_id"),
+        TextAnalysis.gopherRules(text, minWords).last.as("gopher_pass"))
+      .join(exact, Seq("incoming_id"))
+      .join(near, Seq("incoming_id"), "left")
+      .na.fill(false, Seq("near_dup"))
+      .withColumn("admitted",
+        !col("exact_dup") && !col("near_dup") && col("gopher_pass"))
+      .select("incoming_id", "exact_dup", "near_dup", "gopher_pass",
+        "admitted")
+  }
+
   /** Pairs of ids whose dedup KEY is identical (full text, a prefix
     * fingerprint, a normalized form, …): the exact-equality signal in a
     * multi-signal dedup comparison. Self-join on the md5 digest of the

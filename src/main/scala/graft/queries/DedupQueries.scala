@@ -38,6 +38,19 @@ object DedupQueries extends QueryPack {
           element_at(col("sig"), 2).as("mh_1"))
         .orderBy("doc_id")),
 
+    // The crawl-admission flagship: every ingest gate composed into one
+    // per-doc decision record over the %5 batch/corpus split — bloom
+    // exact gate (prefix-64 key), LSH near-dup probe, Gopher quality.
+    "dd25_ingest_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ingestPipeline(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"),
+        bloomKey = substring(col("text"), 1, 64), expectedItems = 1000L)
+        .orderBy("incoming_id")
+    }),
+
     // Multi-signal dedup agreement: do the cheap signals (exact text,
     // prefix fingerprint) recover what the expensive ones (trigram
     // Jaccard, containment) find? The methodology table read before
@@ -305,6 +318,53 @@ object DedupQueries extends QueryPack {
             - len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)"""
 
   val oracle: Map[String, String] = Map(
+    // dd25: the three gates' proven duals composed — dd22's EXISTS,
+    // dd21's band-probe CTE over the truth primitives, ta16's rule CASE.
+    "dd25_ingest_pipeline" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$truth/bands.parquet/*.parquet')),
+            d AS (SELECT doc_id, shingles
+                  FROM read_parquet('$truth/docs.parquet/*.parquet')),
+            cand AS (SELECT DISTINCT i.doc_id AS id_a, e.doc_id AS id_b
+                     FROM b i JOIN b e ON i.key = e.key
+                     WHERE i.doc_id % 5 = 0 AND e.doc_id % 5 <> 0),
+            v AS (SELECT id_a, id_b, $jaccardSql AS jaccard
+                  FROM cand JOIN d da ON cand.id_a = da.doc_id
+                            JOIN d db ON cand.id_b = db.doc_id),
+            nd AS (SELECT DISTINCT id_a FROM v WHERE jaccard >= 0.5),
+            t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                  FROM documents WHERE doc_id % 5 = 0),
+            m AS (SELECT doc_id,
+                CAST(len(toks) AS INT) AS n_words,
+                CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+                CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+                CAST(len(list_filter(toks,
+                  x -> regexp_full_match(x, '[a-z]+')))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+                CAST(len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  w -> list_contains(toks, w))) AS INT) AS stopword_hits
+              FROM t),
+            g AS (SELECT doc_id,
+                ((n_words >= 20 AND n_words <= 100000)
+                 AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                 AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)
+                 AND (stopword_hits >= 2)) AS gopher_pass
+              FROM m),
+            ex AS (SELECT i.doc_id,
+                EXISTS (SELECT 1 FROM documents e
+                        WHERE e.doc_id % 5 <> 0
+                          AND substr(e.text, 1, 64) = substr(i.text, 1, 64))
+                  AS exact_dup
+              FROM documents i WHERE i.doc_id % 5 = 0)
+          SELECT g.doc_id AS incoming_id, ex.exact_dup,
+            (nd.id_a IS NOT NULL) AS near_dup, g.gopher_pass,
+            (NOT ex.exact_dup AND nd.id_a IS NULL AND g.gopher_pass)
+              AS admitted
+          FROM g JOIN ex ON ex.doc_id = g.doc_id
+            LEFT JOIN nd ON nd.id_a = g.doc_id
+          ORDER BY incoming_id""",
     // dd23: all four pair sets recomputed outright (the trigram and
     // containment CTEs are the dd5/dd15 duals verbatim), then the same
     // sizes / overlap / cross-join-preserved zero pairs.

@@ -487,6 +487,44 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("ingestPipeline: each gate rejects its doc, the clean doc is admitted") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight with friends " +
+      "that have come along to watch the stars and rivers"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely unrelated corpus text about database query " +
+        "planning and the columnar storage engines that have vectorized " +
+        "execution with many operators and tasks to schedule tonight"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // exact prefix dup of doc 1 → exact gate (also a near dup)
+      (10L, base),
+      // paraphrase of doc 1: different prefix, high shingle overlap
+      (11L, ("xx " + base).replace("tonight", "today")),
+      // clean and high quality → admitted
+      (12L, "a wholly novel page describing the craft of baking bread " +
+        "with flour and water and salt and patience that have been " +
+        "passed down through families to be shared with neighbors"),
+      // novel but garbage: symbol spam fails the gopher gate
+      (13L, "buy now $$$ !!! " * 20))
+      .toDF("doc_id", "text")
+    val got = Dedup.ingestPipeline(existing, incoming,
+        col("doc_id"), col("text"),
+        bloomKey = substring(col("text"), 1, 64), expectedItems = 10L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4))))
+      .toMap
+    assert(got(10L)._1 && !got(10L)._4, "exact dup rejected")
+    assert(!got(11L)._1 && got(11L)._2 && !got(11L)._4,
+      "paraphrase caught by the near-dup gate only")
+    assert(got(12L) === ((false, false, true, true)), "clean doc admitted")
+    assert(!got(13L)._3 && !got(13L)._4, "symbol spam fails quality")
+  }
+
   test("signalAgreement: hand-computed overlap, empty signal kept at n=0") {
     import spark.implicits._
     val a = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
