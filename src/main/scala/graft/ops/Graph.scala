@@ -237,6 +237,46 @@ object Graph {
     ranks
   }
 
+  /** k-core decomposition slice: the maximal subgraph where every node
+    * keeps degree ≥ k — the TEMPLATE-FARM detector on a near-dup graph
+    * (one-off matches and pendant chains peel away; what survives the
+    * 2-core is densely interlinked duplication the pairwise audits
+    * undercount). Classic iterative peel: drop nodes under degree k,
+    * recompute degrees on the survivor subgraph, repeat to fixpoint.
+    *
+    * Scale shape: each round is one keyed degree agg + two semi joins on
+    * node ids — edge-list-sized, no adjacency matrix, no driver graph
+    * state; `localCheckpoint` truncates per-round lineage (the [[pageRank]]
+    * discipline). Rounds needed = the graph's degeneracy ordering depth,
+    * small for near-dup graphs; a graph still peeling at `maxRounds`
+    * FAILS LOUDLY rather than returning a non-fixpoint subgraph (the
+    * [[Dedup.connectedComponents]] rule — silent truncation would
+    * undercount the very clusters this exists to find).
+    * Output: surviving (node, core_degree) — degree WITHIN the core. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var cur = canon(edges).localCheckpoint(true)
+    var prev = -1L
+    var n = cur.count()
+    var rounds = 0
+    while (n != prev && rounds < maxRounds) {
+      val keep = degreesOf(cur).filter(col("degree") >= k).select("node")
+      cur = cur
+        .join(keep.select(col("node").as("id_a")), Seq("id_a"), "left_semi")
+        .join(keep.select(col("node").as("id_b")), Seq("id_b"), "left_semi")
+        .localCheckpoint(true)
+      prev = n
+      n = cur.count()
+      rounds += 1
+    }
+    if (n != prev) throw new IllegalStateException(
+      s"kCore(k=$k) still peeling after $maxRounds rounds " +
+      s"($prev -> $n edges) — raise maxRounds; refusing to return a " +
+      "non-fixpoint subgraph")
+    degreesOf(cur).select(col("node"), col("degree").as("core_degree"))
+  }
+
   /** Link prediction by common-neighbor count: unconnected pairs sharing
     * ≥ `minCommon` neighbors — in a dedup graph these are the pairs the
     * candidate generator probably MISSED (LSH recall < 1), ranked for

@@ -35,6 +35,14 @@ object GraphQueries extends QueryPack {
       Graph.triangleCounts(simEdges(s, d))
         .orderBy("node")),
 
+    // 2-core of the near-dup graph: pendant one-off matches peel away,
+    // what survives is densely interlinked duplication (template farms).
+    // The oracle replays MORE peel rounds than the fixture needs — the
+    // peel is idempotent at fixpoint, so extra rounds are no-ops.
+    "gr11_kcore" -> ((s, d) =>
+      Graph.kCore(simEdges(s, d), k = 2, maxRounds = 6)
+        .orderBy("node")),
+
     // Link prediction: unconnected pairs with ≥ 2 common neighbors —
     // in a dedup graph, the pairs the candidate generator likely missed.
     // Hub capping (maxDegree = 8, the fixture graph's p90 degree) is
@@ -184,7 +192,35 @@ object GraphQueries extends QueryPack {
         $iters"""
   }
 
+  /** Six staged peel rounds: e_k{i} keeps edges whose BOTH endpoints
+    * have degree ≥ k inside e_k{i-1} — idempotent once at fixpoint, so
+    * replaying more rounds than the data needs is exact, never wrong.
+    * Every round is MATERIALIZED: each references its predecessor three
+    * times, and DuckDB's default CTE inlining would otherwise expand the
+    * base pairwise scan ~3^rounds times (measured: fd exhaustion). */
+  private def kcoreRounds(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""kd$i AS MATERIALIZED (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT id_a AS node FROM ek${i - 1}
+              UNION ALL SELECT id_b FROM ek${i - 1})
+            GROUP BY node),
+          kk$i AS MATERIALIZED (SELECT node FROM kd$i WHERE deg >= $k),
+          ek$i AS MATERIALIZED (SELECT e.id_a, e.id_b FROM ek${i - 1} e
+            JOIN kk$i a ON a.node = e.id_a
+            JOIN kk$i b ON b.node = e.id_b)"""
+    }.mkString(",\n")
+    s"ek0 AS MATERIALIZED (SELECT id_a, id_b FROM e),\n$iters"
+  }
+
   val oracle: Map[String, String] = Map(
+    "gr11_kcore" ->
+      s"""WITH $edgeCte,
+          ${kcoreRounds(2, 6)}
+          SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+            SELECT id_a AS node FROM ek6
+            UNION ALL SELECT id_b FROM ek6)
+          GROUP BY node ORDER BY node""",
     "gr1_degree_hist" ->
       s"""WITH $edgeCte
           SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes

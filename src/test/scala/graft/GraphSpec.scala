@@ -229,4 +229,25 @@ class GraphSpec extends GraftSuite {
     // maxBasket=2 drops the size-3 basket BEFORE pair generation
     assert(got(2L, 1L) === Map((1L, 2L) -> 2L))
   }
+
+  test("kCore: two-round peel keeps only the triangle; loud non-convergence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // triangle {1,2,3} with a chain 3-4-5: round 1 peels 5 (degree 1),
+    // which drops 4 to degree 1, so round 2 peels 4 — a single pass
+    // would wrongly keep it. Non-canonical input on purpose.
+    val edges = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // entire graph peels away at k=3 → empty core, no crash
+    assert(graft.ops.Graph.kCore(edges, k = 3).count() === 0)
+    // refusing to return a non-fixpoint subgraph: the two-round graph
+    // must fail loudly when capped at one round
+    val e = intercept[IllegalStateException] {
+      graft.ops.Graph.kCore(edges, k = 2, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("still peeling"))
+  }
 }
