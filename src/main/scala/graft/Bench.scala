@@ -223,7 +223,9 @@ object Bench {
         "dd22_bloom_ingest_gate", "dd23_signal_agreement",
         "mm7_scene_cuts", "pl26_shard_plan", "ta26_lexical_diversity",
         "ss18_mmr_topk", "dd24_semantic_decontamination",
-        "ss19_rocchio_expand", "pl27_source_interleave")
+        "ss19_rocchio_expand", "pl27_source_interleave",
+        // the crawl-admission flagship (all three ingest gates composed)
+        "dd25_ingest_pipeline")
         .map { q =>
           SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
           graft.ops.Pipeline.releaseCaches()
