@@ -779,4 +779,70 @@ object EventAnalytics {
           .as("mean_value"))
       .withColumn("hot", col("lift") >= lit(hotLift))
   }
+
+  /** Kaplan–Meier survival curve for time-to-first-`targetType` per user
+    * (right-censored at the user's LAST event when the target never
+    * fires) — THE estimator behind "how long until a user errors /
+    * converts / churns" when not every subject has reached the event
+    * yet; naive mean-time-to-event over observed users only is biased
+    * exactly because it drops the censored long-lived ones.
+    *
+    * Duration buckets are integer HOURS (exact `div` on µs longs), so
+    * the curve table is bounded by the corpus time span — which is what
+    * makes the final sequential product honest at scale: per-user
+    * reduction and the (duration → d, c) rollup are keyed aggs over the
+    * full data, the ordered Π(1 − dᵢ/nᵢ) fold then runs over the TINY
+    * bucket table inside one flatMap (bounded rows, the ta25 broadcast-
+    * aggregate argument — a product is order-sensitive in IEEE, so it
+    * must be sequential, not a parallel window). n_at_risk is a suffix
+    * integer sum; rows with only censors carry factor 1 (the curve steps
+    * at event times only, per the estimator).
+    * Output: (duration_h, n_at_risk, d_events, c_censored, survival). */
+  def kaplanMeier(
+      events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, targetType: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val us = events.groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("_start"),
+        min(when(col(typeCol) === targetType, unix_micros(col(tsCol))))
+          .as("_tgt"),
+        max(unix_micros(col(tsCol))).as("_last"))
+      .select(
+        expr("(coalesce(_tgt, _last) - _start) div 3600000000")
+          .as("duration_h"),
+        col("_tgt").isNotNull.as("observed"))
+    val buckets = us.groupBy("duration_h").agg(
+      sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("observed"), 1L).otherwise(0L)).as("c"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("duration_h",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_at_risk",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_censored",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("survival",
+        org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    buckets
+      .agg(array_sort(collect_list(
+        struct(col("duration_h"), col("d"), col("c")))).as("rows"))
+      .flatMap { packed =>
+        val rows = packed.getSeq[org.apache.spark.sql.Row](0)
+        val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+        var atRisk = total
+        var s = 1.0
+        rows.map { r =>
+          val (t, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          val n = atRisk
+          s = s * (1.0 - d.toDouble / n.toDouble)
+          atRisk -= d + c
+          org.apache.spark.sql.Row(t, n, d, c, s)
+        }
+      }(enc)
+  }
 }

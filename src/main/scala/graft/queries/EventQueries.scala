@@ -124,6 +124,14 @@ object EventQueries extends QueryPack {
         minGaps = 5L, botCv = 0.3)
         .orderBy("user_id")),
 
+    // Kaplan–Meier survival for time-to-first-error per user (censored
+    // at the user's last event) — the unbiased how-long-until estimator
+    // when not every user has errored yet.
+    "ev24_survival_curve" -> ((s, d) =>
+      EventAnalytics.kaplanMeier(
+        Tables.events(s, d), "user_id", "ts", "event_type", "error")
+        .orderBy("duration_h")),
+
     // Longest consecutive-day streak per user: gaps-and-islands on
     // distinct active days, all windows user-partitioned.
     "ev17_streaks" -> ((s, d) =>
@@ -218,6 +226,45 @@ object EventQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // ev24: identical per-user reduction + integer-hour div; the
+    // survival product is a RECURSIVE CTE so multiplication is
+    // guaranteed sequential ascending (IEEE products are
+    // order-sensitive; a window product's association is unspecified).
+    "ev24_survival_curve" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+             epoch_us(min(ts)) AS s0,
+             epoch_us(min(CASE WHEN event_type = 'error' THEN ts END))
+               AS tgt,
+             epoch_us(max(ts)) AS lastt
+           FROM events GROUP BY user_id),
+         dur AS (SELECT
+             (coalesce(tgt, lastt) - s0) // 3600000000 AS duration_h,
+             tgt IS NOT NULL AS observed
+           FROM u),
+         g AS (SELECT duration_h,
+             CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+               AS c
+           FROM dur GROUP BY duration_h),
+         k AS (SELECT duration_h, d, c,
+             CAST(sum(d + c) OVER (ORDER BY duration_h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY duration_h) AS BIGINT)
+               AS rn
+           FROM g),
+         sv AS (
+           SELECT rn, duration_h, n, d, c,
+             1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS s
+           FROM k WHERE rn = 1
+           UNION ALL
+           SELECT k.rn, k.duration_h, k.n, k.d, k.c,
+             sv.s * (1.0 - CAST(k.d AS DOUBLE) / CAST(k.n AS DOUBLE))
+           FROM k JOIN sv ON k.rn = sv.rn + 1)
+         SELECT duration_h, n AS n_at_risk, d AS d_events,
+           c AS c_censored, s AS survival
+         FROM sv ORDER BY duration_h""",
     // same lag pairing (ts, event_id tie-break), exact integer Σn²,
     // two single divisions.
     "ev23_transition_conc" ->

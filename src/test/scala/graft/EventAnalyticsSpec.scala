@@ -466,4 +466,28 @@ class EventAnalyticsSpec extends GraftSuite {
     // only cells with events appear — no zero-fill rows
     assert(got.size === 4)
   }
+
+  test("kaplanMeier: hand-computed dyadic curve, censoring keeps at-risk honest") {
+    import spark.implicits._
+    def hs(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // u1 errors at +1h; u2 errors at +2h; u3 censored at +1h (never
+    // errors); u4 censored at +3h. Buckets: t=1 (d=1,c=1,n=4 → s=3/4);
+    // t=2 (d=1,c=0,n=2 → s=3/8); t=3 (d=0,c=1,n=1 → s unchanged).
+    // All factors dyadic, so the products are IEEE-exact.
+    val ev = Seq(
+      (1L, hs(0), 1L, "view"), (2L, hs(1), 1L, "error"),
+      (3L, hs(0), 2L, "view"), (4L, hs(2), 2L, "error"),
+      (5L, hs(0), 3L, "view"), (6L, hs(1), 3L, "click"),
+      (7L, hs(0), 4L, "view"), (8L, hs(3), 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.kaplanMeier(ev, "user_id", "ts",
+        "event_type", "error")
+      .orderBy("duration_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (1L, 4L, 1L, 1L, 0.75),
+      (2L, 2L, 1L, 0L, 0.375),
+      (3L, 1L, 0L, 1L, 0.375)))
+  }
 }
