@@ -333,6 +333,25 @@ object PipelineQueries extends QueryPack {
         col("doc_id"), col("n_tokens"), targetTokens = 4000L)
         .orderBy("shard_id")),
 
+    // Leakage-safe dataset split: pl6's portable md5 split keyed on the
+    // near-dup CLUSTER id instead of the doc id, so no cluster straddles
+    // train/validation — hash-splitting by doc id leaks every near-dup
+    // pair that lands on opposite sides of the cut (the eval set then
+    // "contains" paraphrases of training docs). Composes dd10's
+    // connected components with assignSplitPortable unchanged.
+    "pl28_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.ngramJaccardPairs(
+        docs, col("doc_id"), col("text"), col("source"),
+        n = 3, threshold = 0.6)
+      Pipeline.assignSplitPortable(
+          Dedup.connectedComponents(docs, col("doc_id"), edges,
+              "id_a", "id_b")
+            .select(col("cc_id").as("doc_id"), col("cluster_id")),
+          col("cluster_id"), salt = "28:", pl6Splits)
+        .orderBy("doc_id")
+    }),
+
     // Source-interleaved training order: round-robin through sources so
     // every window of the order is source-balanced — deterministic,
     // reproducible, no single-task stage.
@@ -646,6 +665,34 @@ object PipelineQueries extends QueryPack {
            CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
              AS padding_waste
          FROM b GROUP BY batch_id ORDER BY batch_id""",
+    // dd10's recursive-CTE cluster dual + pl6's md5 CASE on cluster_id
+    "pl28_leakage_safe_split" -> {
+      val h = "md5('28:' || CAST(cluster_id AS VARCHAR))"
+      val cases = Pipeline.md5SplitBounds(pl6Splits)
+        .map { case (name, bound) => s"WHEN $h < '$bound' THEN '$name'" }
+        .mkString(" ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+            list_distinct([substr(lower(text), i, 3)
+                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
+          FROM documents),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              AS jaccard
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
+          e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.6),
+          ue AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r),
+          c AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id)
+          SELECT doc_id, cluster_id,
+            CASE $cases ELSE '${pl6Splits.last._1}' END AS split
+          FROM c ORDER BY doc_id"""
+    },
     "pl27_source_interleave" ->
       """WITH w AS (SELECT doc_id, source,
             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)

@@ -412,6 +412,25 @@ class PipelineSpec extends GraftSuite {
     assert(re === got)
   }
 
+  test("leakage-safe split: near-dup cluster members never straddle splits") {
+    import spark.implicits._
+    // the whole point: every near-dup cluster lands in ONE split — a
+    // doc-id-keyed hash split would scatter members across the cut and
+    // leak paraphrases of training docs into the eval set
+    val out = graft.SparkEntry
+      .queries("pl28_leakage_safe_split")(spark, sf)
+    val straddling = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .count()
+    assert(straddling === 0L, "a cluster crossed the split boundary")
+    // multi-member clusters exist in the fixture, so the invariant is
+    // not vacuous, and all three splits are populated
+    val multi = out.groupBy("cluster_id").count().filter(col("count") > 1)
+    assert(multi.count() > 0L)
+    assert(out.select("split").distinct().count() === 3L)
+  }
+
   test("interleaveBySource: round-robin order, no SinglePartition, layout-stable") {
     import spark.implicits._
     // A has 3 docs, B has 2 → training order A1 B1 A2 B2 A3
