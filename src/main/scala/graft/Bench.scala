@@ -134,7 +134,7 @@ object Bench {
     // NonFatal only: an OutOfMemoryError or similar fatal JVM state must
     // kill the process rather than record a healthy-looking headline from
     // an unreliable JVM.
-    def informational(label: String)(body: => Seq[(String, Double)]): Seq[(String, Double)] =
+    def informational[A](label: String)(body: => Seq[A]): Seq[A] =
       try body catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $label sweep failed, omitting: ${e.getMessage}")
@@ -195,9 +195,16 @@ object Bench {
 
     // Informational LLM-pipeline sweep: representative beyond-reference
     // operators (dedup, similarity join, text filters, packing,
-    // behavioral), one warmup + one timed rep each — the throughput
-    // evidence for the non-TPC-H half of the catalog, which the headline
-    // metric never touches. Disable with SPARK_GRAFT_BENCH_LLM=0.
+    // behavioral) — the throughput evidence for the non-TPC-H half of the
+    // catalog, which the headline metric never touches. One warmup pass,
+    // then 3 INTERLEAVED reps per query with the per-query MIN reported
+    // (same discipline as the headline, same reason: r9's single-rep
+    // sweep "showed" dd16 4.7→26 s and ta14 0.13→1.7 s while pl21 —
+    // which composes ta14 — improved 5×; a single rep in a 24-query
+    // sweep attributes environment stalls and cache evictions to
+    // whichever query they land on). Raw reps go to the full artifact
+    // (`llm_reps`) so median-vs-min noise stays diagnosable. Disable
+    // with SPARK_GRAFT_BENCH_LLM=0.
     // dd3 (MinHash-LSH) is the timed similarity join — the scale path.
     // The exactness baselines are deliberately NOT here: dd7's global
     // PPJoin admits huge candidate sets on the shared-token word-salad
@@ -205,9 +212,10 @@ object Bench {
     // blocking brute-forces inside blocks (26 s) — both are documented as
     // oracle baselines whose 100 TB path is dd3/dd12, and a minutes-long
     // informational entry would dominate the whole bench run.
-    val llmSuite: Seq[(String, Double)] = informational("llm") {
+    val llmRepsRaw: Seq[(String, Seq[Double])] = informational("llm") {
       if (sys.env.get("SPARK_GRAFT_BENCH_LLM").contains("0")) Nil
-      else Seq(
+      else {
+        val suite = Seq(
         "dd1_exact_dedup", "dd3_minhash_dup_pairs", "dd12_repeated_chunks",
         "dd16_sorted_neighborhood",
         "ta2_quality_score", "ta16_gopher_rules", "ta14_boilerplate_strip",
@@ -226,15 +234,49 @@ object Bench {
         "ss19_rocchio_expand", "pl27_source_interleave",
         // the crawl-admission flagship (all three ingest gates composed)
         "dd25_ingest_pipeline")
-        .map { q =>
-          SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
-          graft.ops.Pipeline.releaseCaches()
-          val t0 = System.nanoTime()
+        // warmup pass (plan + codegen for every query, so rep 1 of query
+        // 1 doesn't pay a JIT storm its neighbors skip)
+        suite.foreach { q =>
           SparkEntry.queries(q)(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
           graft.ops.Pipeline.releaseCaches()
-          q -> dt
         }
+        val acc = collection.mutable.Map(suite.map(_ -> Vector.empty[Double]): _*)
+        (1 to 3).foreach { _ =>
+          suite.foreach { q =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(q)(spark, sfDir).count()
+            acc(q) :+= (System.nanoTime() - t0) / 1e9
+            graft.ops.Pipeline.releaseCaches()
+          }
+        }
+        suite.map(q => q -> (acc(q): Seq[Double]))
+      }
+    }
+    // Per-query MIN is the reported number (steady-state cost; immune to
+    // the one-sided stalls a 24-query sweep accumulates).
+    val llmSuite: Seq[(String, Double)] = llmRepsRaw.map { case (q, reps) => q -> reps.min }
+
+    // Rep'd TPC-H subset: q4 became the tpch22 heavy tail in r9's
+    // single-rep sweep (3.09 s) while q1's single-rep number (1.72 s)
+    // contradicted its own rep'd headline median (0.37 s) in the same
+    // JVM — classic sweep noise. Give both the interleaved-reps
+    // treatment so the q4 number is adjudicable: median AND min, 5 reps.
+    // Informational; disable with SPARK_GRAFT_BENCH_TPCH22=0.
+    val tpchRepd: Seq[(String, Seq[Double])] = informational("tpch_repd") {
+      if (sys.env.get("SPARK_GRAFT_BENCH_TPCH22").contains("0")) Nil
+      else {
+        val subset = Seq("q1_pricing_summary", "q4_order_priority")
+        subset.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+        val acc = collection.mutable.Map(subset.map(_ -> Vector.empty[Double]): _*)
+        (1 to 5).foreach { _ =>
+          subset.foreach { q =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(q)(spark, sfDir).count()
+            acc(q) :+= (System.nanoTime() - t0) / 1e9
+          }
+        }
+        subset.map(q => q -> (acc(q): Seq[Double]))
+      }
     }
 
     // Bucketed-layout experiment on the two fact-to-fact queries, measured
@@ -501,7 +543,16 @@ object Bench {
       else s""","tpch22_total":${tpch22.map(_._2).sum},"tpch22":${jsonMap(tpch22)}"""
     val llmField =
       if (llmSuite.isEmpty) ""
-      else s""","llm_total":${llmSuite.map(_._2).sum},"llm":${jsonMap(llmSuite)}"""
+      else s""","llm_total":${llmSuite.map(_._2).sum},"llm":${jsonMap(llmSuite)}""" +
+        s""","llm_reps":${jsonRepMap(llmRepsRaw)}"""
+    val tpchRepdField =
+      if (tpchRepd.isEmpty) ""
+      else {
+        val med = tpchRepd.map { case (q, r) => q -> r.sorted.apply(r.size / 2) }
+        val mn = tpchRepd.map { case (q, r) => q -> r.min }
+        s""","tpch_repd":${jsonMap(med)},"tpch_repd_min":${jsonMap(mn)}""" +
+          s""","tpch_repd_reps":${jsonRepMap(tpchRepd)}"""
+      }
     val skewField =
       if (skew.isEmpty) "" else s""","skew":${jsonMap(skew)}"""
     val psmatField =
@@ -517,15 +568,16 @@ object Bench {
     val layoutTag =
       if (tpch22Bucketed) s""","tpch22_layout":"bucketed"""" else ""
     val totalMin = mins.map(_._2).sum
-    val head =
-      s""""metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField"""
-    // stdout carries the SLIM contract line only: r8's full line outgrew
-    // the driver's log-scrape tail window and degraded its record to
-    // `"parsed": null`. Full detail (reps, gc, every informational
-    // section) lives in BENCH_LAST.json.
-    val slim = s"""{$head,"sf":"$sfDir"}"""
+    // stdout carries the STRICT contract line only — exactly the five
+    // documented fields {metric,value,unit,queries,sf}, nothing else:
+    // r8's full line outgrew the driver's log-scrape window and r9's slim
+    // line still carried value_min/queries_min beyond the documented
+    // shape; both rounds recorded `"parsed": null`. Every extra field
+    // (min, reps, gc, informational sections) lives in BENCH_LAST.json.
+    val slim =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
     val full =
-      s"""{$head,"reps":$repsField,"gc_ms":$gcField$tpch22Field$layoutTag$llmField$psmatField$skewField$layoutField$e2eField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$tpchRepdField$layoutTag$llmField$psmatField$skewField$layoutField$e2eField,"sf":"$sfDir"}"""
     println(slim)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     spark.stop()

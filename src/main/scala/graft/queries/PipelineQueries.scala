@@ -702,7 +702,11 @@ object PipelineQueries extends QueryPack {
            CAST(row_number() OVER (ORDER BY within_pos, source)
              AS BIGINT) AS train_pos
          FROM w ORDER BY train_pos""",
-    // shard cut = exclusive running total // target, same floor division
+    // shard cut = exclusive running total // target, same floor division.
+    // shard_id MUST be re-cast: sum(BIGINT) in DuckDB is DECIMAL(38,0), so
+    // `(cum - tok) // 4000` inherits decimal — and the driver's hasher
+    // renders decimals differently from int64 (the round-1 trap; this was
+    // the r9 pl26 hash fail — values identical, types not).
     "pl26_shard_plan" ->
       """WITH c AS (SELECT doc_id,
             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
@@ -712,7 +716,8 @@ object PipelineQueries extends QueryPack {
             sum(tok) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM c),
-         s AS (SELECT doc_id, tok, (cum - tok) // 4000 AS shard_id FROM r)
+         s AS (SELECT doc_id, tok,
+            CAST((cum - tok) // 4000 AS BIGINT) AS shard_id FROM r)
          SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(tok) AS BIGINT) AS n_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc

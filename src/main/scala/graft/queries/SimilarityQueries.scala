@@ -472,7 +472,11 @@ object SimilarityQueries extends QueryPack {
           FROM r WHERE rank <= 3 ORDER BY qid, rank""",
     // ss17: centroids via the same DECIMAL(18,9)-sum per-dim mean as the
     // Spark side, distance as the nano-quantized BIGINT sum — exact and
-    // order-independent on both engines.
+    // order-independent on both engines. dist2_nano MUST be re-cast:
+    // list_sum over a BIGINT list is DECIMAL(38,0) in DuckDB, and the
+    // driver's hasher renders decimals differently from int64 (the
+    // round-1 trap; this was the r9 ss17 hash fail — values identical,
+    // types not).
     "ss17_centroid_outliers" ->
       """WITH dims AS (SELECT label, i,
             CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
@@ -481,10 +485,10 @@ object SimilarityQueries extends QueryPack {
           cents AS (SELECT label, array_agg(mu ORDER BY i) AS cvec
             FROM dims GROUP BY label),
           sc AS (SELECT e.label, e.vec_id,
-            list_sum([CAST(floor(
+            CAST(list_sum([CAST(floor(
                 (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
                 (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * 1e9)
-              AS BIGINT) for i in range(1, 65)]) AS dist2_nano
+              AS BIGINT) for i in range(1, 65)]) AS BIGINT) AS dist2_nano
           FROM embeddings e JOIN cents c USING (label)),
           r AS (SELECT label, vec_id, dist2_nano,
             CAST(row_number() OVER (PARTITION BY label

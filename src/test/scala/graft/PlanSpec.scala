@@ -156,6 +156,37 @@ class PlanSpec extends GraftSuite {
     assert(aggs >= 2, p)
   }
 
+  test("q4 EXISTS plans a semi join that never broadcasts lineitem") {
+    // Q4's EXISTS must become a LEFT SEMI join of orders against
+    // lineitem. The scale constraint is one-directional: lineitem is the
+    // FACT side, so it must be the streamed/probe input — a plan that
+    // builds a broadcast from lineitem ships the biggest table in the
+    // warehouse to every executor and dies at 100 TB. (A shuffled semi
+    // join — SortMergeJoin/ShuffledHashJoin LeftSemi — is the correct
+    // 100× shape; a broadcast of the *orders-window* side would also be
+    // acceptable, but Spark's semi join always builds from the subquery
+    // side, so the only wrong plan is a lineitem broadcast.)
+    val df = SparkEntry.queries("q4_order_priority")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // No BroadcastExchange may sit on the lineitem scan: every broadcast
+    // subtree in the formatted plan must be free of lineitem columns.
+    val broadcastBuild = p.linesIterator
+      .filter(_.contains("BroadcastExchange")).mkString
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val broadcasts = df.queryExecution.executedPlan.collect {
+      case b: BroadcastExchangeLike => b.child.output.map(_.name).toSet
+    }
+    broadcasts.foreach { cols =>
+      assert(!cols.exists(_.startsWith("l_")),
+        s"lineitem columns on a broadcast build side: $cols\n$broadcastBuild")
+    }
+    // The orders date window reaches the parquet scan.
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("no query plans an accidental cartesian product") {
     // Queries that are *intentionally* pairwise (bounded/blocked baselines
     // or explicit cross joins) — everything else must never plan a
