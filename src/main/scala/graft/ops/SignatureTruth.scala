@@ -405,6 +405,74 @@ object SignatureTruth {
     }.toSeq.toDF("qid", "rank", "vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ss10.parquet")
 
+    // ---- IVF-PQ/ADC truth (ss20): coarse = 8 lowest-id vectors (fixed
+    // seeds, no Lloyd), corpus assigned by (squared-L2 asc, cid asc);
+    // shared residual codebooks per subspace seeded from the 16
+    // lowest-id residual slices + ONE decimal-mean Lloyd round;
+    // first-minimum encoding; left-fold ADC over the nprobe=2 probed
+    // cells; top-5 by (d2 asc, id asc), self excluded. Same decimal
+    // rounding / fold orders as the ss10 replication above.
+    {
+      val nCoarse = 8; val nprobe = 2
+      val coarse: Seq[(Long, Array[Double])] =
+        corpusIds.take(nCoarse).map(id => id -> dvecs(id)).toSeq
+      val cById = coarse.toMap
+      def residOf(id: Long, cid: Long): Array[Double] = {
+        val v = dvecs(id); val c = cById(cid)
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+      val assignedCid: Map[Long, Long] = corpusIds.map { id =>
+        id -> coarse.map { case (cid, cv) => (cid, sqd(dvecs(id), cv)) }
+          .minBy { case (cid, d2) => (d2, cid) }._1
+      }.toMap
+      def rslice(id: Long, j: Int): Array[Double] =
+        residOf(id, assignedCid(id)).slice(j * sub, j * sub + sub)
+      val books20: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
+        var cents: Seq[(Long, Array[Double])] =
+          corpusIds.take(cbSize).map(id => id -> rslice(id, j)).toSeq
+        // one Lloyd update: assign by (d2 asc, seed-id asc), decimal mean
+        val byCid = corpusIds.toSeq.groupBy { id =>
+          cents.map { case (cid, cv) => (cid, sqd(rslice(id, j), cv)) }
+            .minBy { case (cid, d2) => (d2, cid) }._1
+        }
+        cents = cents.map { case (cid, old) =>
+          val members = byCid.getOrElse(cid, Seq.empty)
+          if (members.isEmpty) cid -> old
+          else cid -> Array.tabulate(sub) { d =>
+            val s = members.map(id =>
+              JBD.valueOf(rslice(id, j)(d)).setScale(9, RM.HALF_UP))
+              .reduce(_ add _)
+            s.doubleValue() / members.size.toDouble
+          }
+        }
+        cents.sortBy(_._1).map(_._2)
+      }
+      val codes20: Map[Long, Array[Int]] = corpusIds.map { id =>
+        id -> Array.tabulate(m) { j =>
+          val dists = books20(j).map(c => sqd(rslice(id, j), c))
+          dists.indexOf(dists.min)
+        }
+      }.toMap
+      qids.flatMap { q =>
+        val probes = coarse
+          .map { case (cid, cv) => (cid, sqd(dvecs(q), cv)) }
+          .sortBy { case (cid, d2) => (d2, cid) }.take(nprobe).map(_._1)
+        probes.flatMap { cid =>
+          val qres = residOf(q, cid)
+          val luts = (0 until m).map(j =>
+            books20(j).map(c => sqd(qres.slice(j * sub, j * sub + sub), c)))
+          corpusIds.filter(id => assignedCid(id) == cid && id != q)
+            .map { id =>
+              var d2 = 0.0; var j = 0
+              while (j < m) { d2 += luts(j)(codes20(id)(j)); j += 1 }
+              (id, d2)
+            }
+        }.sortBy { case (id, d2) => (d2, id) }.take(5).zipWithIndex
+          .map { case ((id, _), i) => (q, i + 1, id) }
+      }.toSeq.toDF("qid", "rank", "vec_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ss20.parquet")
+    }
+
     // ---- weighted-sample truth (pl10): A-ES (exponential-sort) weighted
     // k-sample with the xxhash64-derived uniform draw — deterministic
     // pure function of (seed, key). StrictMath.pow matches Spark's

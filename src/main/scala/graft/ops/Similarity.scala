@@ -754,6 +754,101 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("approx_d2"))
   }
 
+  /** IVF-PQ / IVFADC (Jégou, Douze & Schmid 2011 §IV — the composition
+    * billion-scale ANN actually deploys): IVF coarse quantization prunes
+    * WHICH lists a query reads, PQ on the RESIDUAL (vec − coarse
+    * centroid) compresses WHAT each list stores, and asymmetric distance
+    * (ADC) scores codes against an exact per-(query, probed-cell) lookup
+    * table. [[ivfTopK]] alone still reads full vectors; [[pqTopK]] alone
+    * still scans every code; composed, a query touches nprobe/numCoarse
+    * of the corpus at m bytes per vector.
+    *
+    * Determinism mirrors the ss10 contract exactly: coarse centroids are
+    * the numCoarse lowest-id corpus vectors (no Lloyd — fixed seeds);
+    * corpus assignment by (squared-L2 asc, cid asc); one shared residual
+    * codebook per subspace seeded from the cbSize lowest-id residuals
+    * and refined by `updates` Lloyd rounds with exact-DECIMAL(18,9)
+    * per-dim means; first-minimum argmin encoding; left-fold ADC; total
+    * (approx_d2 asc, vec_id asc) rank, self excluded. Value-checked
+    * against SignatureTruth's scalar replication (ss20.parquet).
+    *
+    * Scale shape: coarse centroids and codebooks are bounded driver
+    * state (numCoarse×D + m×cbSize×D/m doubles) compiled into scan-local
+    * codegen expressions; encoding never shuffles; the probe side
+    * (queries × nprobe rows, with LUTs of m×cbSize doubles each)
+    * BROADCASTS into an equi join on cid — the corpus is never
+    * replicated, never cross-joined, and at rest the cid key is exactly
+    * [[writeIvfIndex]]'s partition column, so the scan prunes to the
+    * probed cells before a byte is read. Only the per-query top-k window
+    * shuffles. */
+  def ivfPqTopK(
+      queriesDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, topK: Int, dim: Int, numCoarse: Int = 8,
+      nprobe: Int = 2, m: Int = 8, codebookSize: Int = 16,
+      updates: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(dim % m == 0, "dim must be divisible by m")
+    val sub = dim / m
+    val corp = kmeansCorp(corpus, idCol, vecCol)
+    // coarse quantizer: fixed lowest-id seeds (bounded driver state)
+    val coarse: Seq[(Long, Seq[Double])] = corp
+      .orderBy(col("vec_id").asc).limit(numCoarse)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // corpus → (vec_id, cid, vec); residual against the assigned centroid
+    val spark = corp.sparkSession
+    import spark.implicits._
+    val coarseDf = broadcast(coarse.toDF("cid", "cvec"))
+    val residuals = kmeansAssign(corp, coarse)
+      .join(coarseDf, "cid")
+      .withColumn("rvec", zip_with(col("vec"), col("cvec"), (x, c) => x - c))
+      .select("vec_id", "cid", "rvec")
+    // shared per-subspace residual codebooks (kmeans on the slice —
+    // seeds/means/ties identical to the pqTopK trainer)
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val sliced = residuals.select(col("vec_id"),
+        slice(col("rvec"), j * sub + 1, sub).as("v"))
+      kmeansCentroids(sliced, "vec_id", "v", codebookSize, updates)
+        .sortBy(_._1).map(_._2)
+    }
+    def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+    def codeExpr(j: Int): Column = {
+      val dists = array(books(j).map(c =>
+        sqDist(slice(col("rvec"), j * sub + 1, sub), litVec(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val encoded = residuals.select(
+      col("vec_id") +: col("cid") +:
+        (0 until m).map(j => codeExpr(j).as(s"_c$j")): _*)
+    // probe side: nprobe nearest coarse cells per query (same L2/tie
+    // rule as the corpus assignment), then a LUT per (query, cell) over
+    // the QUERY residual against each codebook
+    val probedBase = queriesDf
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .crossJoin(coarseDf)
+      .withColumn("d2c", sqDist(col("qvec"), col("cvec")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("d2c").asc, col("cid").asc)))
+      .filter(col("prn") <= nprobe)
+      .withColumn("qres", zip_with(col("qvec"), col("cvec"), (x, c) => x - c))
+    val probed = probedBase.select(
+      col("qid") +: col("cid") +: (0 until m).map { j =>
+        array(books(j).map(c =>
+          sqDist(slice(col("qres"), j * sub + 1, sub), litVec(c))): _*)
+          .as(s"_lut$j") }: _*)
+    val adc = (0 until m)
+      .map(j => element_at(col(s"_lut$j"), col(s"_c$j") + 1))
+      .reduce(_ + _) // fixed left-to-right fold order
+    encoded.join(broadcast(probed), "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("approx_d2", adc)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("approx_d2").asc, col("vec_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * near-duplicate pruning — cluster the embedding space, then compare
     * pairs ONLY within a cluster and drop every vector that has a

@@ -164,6 +164,22 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ (IVFADC) ANN top-5 — the composed at-scale index: IVF
+    // coarse cells prune WHICH lists a query reads (nprobe=2 of 8), PQ
+    // residual codes compress WHAT they store (8×16, 32×), ADC scores
+    // codes against broadcast per-(query, cell) LUTs. Value-checked
+    // against SignatureTruth's scalar replication of the full
+    // coarse/residual/train/encode/probe/ADC pipeline (ss20.parquet);
+    // SimilaritySpec additionally bounds recall vs the exact top-5.
+    "ss20_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
+        dim = 64, numCoarse = 8, nprobe = 2, m = 8, codebookSize = 16,
+        updates = 1)
+        .orderBy("qid", "rank")
+    }),
+
     // ANN recall audit: recall@5 of the SRP-LSH and IVF indexes against
     // the exact brute-force top-5 on the 20-query sample — the
     // operational gate that tells you whether nprobe/tables·bits clear
@@ -294,6 +310,10 @@ object SimilarityQueries extends QueryPack {
     "ss10_pq_topk" ->
       s"""SELECT qid, rank, vec_id
           FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/ss10.parquet/*.parquet')
+          ORDER BY qid, rank""",
+    "ss20_ivfpq_topk" ->
+      s"""SELECT qid, rank, vec_id
+          FROM read_parquet('${graft.ops.SignatureTruth.defaultDir}/ss20.parquet/*.parquet')
           ORDER BY qid, rank""",
     // mirrors Similarity.clusterCohesion: shared-grid quantization
     // (floor(x·64 + 0.5) — same floor-not-round rule as ss5), exact

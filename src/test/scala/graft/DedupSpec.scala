@@ -648,5 +648,8 @@ class DedupSpec extends GraftSuite {
     assert(rows(SparkEntry.queries("ss2_srp_ann_topk")(spark, sf)) ===
       rows(spark.read.parquet(s"$dir/ss2.parquet").orderBy("qid", "rank")),
       "srp ann top-k drifted")
+    assert(rows(SparkEntry.queries("ss20_ivfpq_topk")(spark, sf)) ===
+      rows(spark.read.parquet(s"$dir/ss20.parquet").orderBy("qid", "rank")),
+      "ivf-pq adc top-k drifted")
   }
 }

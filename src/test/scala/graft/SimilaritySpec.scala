@@ -78,6 +78,50 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("ivf-pq ann joins codes to broadcast LUTs and overlaps exact top-k") {
+    val q = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val res = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+      dim = 64, numCoarse = 8, nprobe = 2, m = 8, codebookSize = 16,
+      updates = 1)
+    val ivfpq = pairs(res)
+    // nprobe/numCoarse = 1/4 of the corpus probed AND distances are
+    // PQ-approximate — on uniform-random fixtures (ANN's hardest case)
+    // recall compounds both effects; 0.1 is the structural floor.
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall@5 = $recall")
+    // ranks are dense 1..k per query, never a self match
+    val rows = res.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+      assert(!rs.exists(_.getLong(2) == qid), s"self match for $qid")
+    }
+    // the ADC scoring join must be corpus-side shuffle-free: codes join
+    // BROADCAST LUTs on cid — a sort-merge/shuffled-hash join here means
+    // the full corpus re-shuffles per query batch (the plan IVF-PQ
+    // exists to avoid)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case qs: QueryStageExec => flatten(qs.plan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(flatten)
+    }
+    res.collect() // finalize adaptive plan
+    val all = flatten(res.queryExecution.executedPlan)
+    assert(!all.exists(p =>
+        p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]),
+      "ivf-pq planned a shuffled join on the corpus side")
+  }
+
   test("native srp_buckets matches the literal-plane reference form") {
     // The native expression derives hyperplanes on the fly; the reference
     // form inlines them as literals. Same splitmix64 stream + same fold
