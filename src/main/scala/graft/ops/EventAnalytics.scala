@@ -720,6 +720,44 @@ object EventAnalytics {
         (max(col("_t")) - min(col("_t"))).as("duration_us"))
   }
 
+  /** Per-user contribution capping — the bounded-sensitivity primitive
+    * of DP-style data prep (and the anti-bot/anti-whale normalizer for
+    * behavioral stats): within each (user, UTC day) keep at most
+    * `maxPerDay` events — the FIRST k by (ts, event_id), so the cap is
+    * deterministic and replayable — and report per-user totals. Capping
+    * each unit's contribution is what turns "one scripted account wrote
+    * 40% of the corpus" into a bounded bias; the per-user record
+    * (n_events, n_kept, n_clipped, n_days) is the audit trail.
+    *
+    * Day is an exact integer-µs floor division (`unix_micros div
+    * 86_400_000_000`), not a DATE cast — the cross-engine-safe time
+    * representation (same rule as the survival/retention family).
+    *
+    * Scale shape: one window keyed on (user, day) — state is a single
+    * day of a single user's events — then one keyed agg on user. A
+    * hot-key user IS the thing being capped: at 100 TB the rank's
+    * count-limit semantics allow a pre-agg short-circuit for
+    * (user, day) groups under the cap, same as [[graft.ops.Pipeline.sourceCaps]]. */
+  def contributionCap(
+      events: DataFrame, userCol: String, tsCol: String,
+      eventIdCol: String, maxPerDay: Int): DataFrame = {
+    require(maxPerDay > 0, s"maxPerDay must be positive, got $maxPerDay")
+    val base = events.select(col(userCol).as("user_id"),
+      col(tsCol).as("ts"), col(eventIdCol).as("event_id"))
+      .withColumn("_day",
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+    val w = Window.partitionBy(col("user_id"), col("_day"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    base
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("_rn") <= maxPerDay, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_rn") > maxPerDay, 1L).otherwise(0L)).as("n_clipped"),
+        countDistinct(col("_day")).as("n_days"))
+  }
+
   def dowSeasonality(
       events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
     val counts = events

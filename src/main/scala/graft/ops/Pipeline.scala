@@ -984,4 +984,32 @@ object Pipeline {
       .filter(col("_t_s") >= col("_n_s") || h < col("_bound"))
       .drop("_t_s", "_n_s", "_bound")
   }
+
+  /** Per-source document cap (domain balancing — the RefinedWeb/C4 move
+    * against crawl head domains): within each source, rank docs by
+    * (quality desc, id asc) and keep only the top `cap`. Unlike the
+    * share-proportional mixtures (pl7/pl15/pl24) this is an absolute
+    * ceiling — the tool for "no single domain may contribute more than
+    * N docs no matter how big it is", which proportional reweighting
+    * cannot express (a 10^9-page domain still dominates any fixed
+    * fraction). Emits the per-doc decision record (doc_id, source,
+    * src_rank, is_kept) so the drop is auditable, joinable, and
+    * reversible — the same contract as dd19/dd25.
+    *
+    * Scale shape: one window keyed on source (the shuffle is by source;
+    * skewed head domains are exactly the rows being capped — at 100 TB
+    * pre-aggregate |source| counts and short-circuit sources under the
+    * cap before the window, or salt the rank's first phase per the
+    * SCALE.md skew rule). No driver state, no collect. */
+  def sourceCaps(
+      df: DataFrame, idCol: Column, sourceCol: Column,
+      qualityCol: Column, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col("_src"))
+      .orderBy(col("_q").desc, col("_id").asc)
+    df.select(idCol.as("_id"), sourceCol.as("_src"), qualityCol.as("_q"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .select(col("_id").as("doc_id"), col("_src").as("source"),
+        col("src_rank"), (col("src_rank") <= cap).as("is_kept"))
+  }
 }

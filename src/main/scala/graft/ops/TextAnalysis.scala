@@ -725,4 +725,48 @@ object TextAnalysis {
           .as("type_token_ratio"),
         (col("n_hapax").cast("double") / col("n_types").cast("double"))
           .as("hapax_fraction"))
+
+  /** Zipf power-law fit — THE one-number corpus-health check: OLS slope
+    * of ln(freq) on ln(rank) over the `topN` most frequent tokens.
+    * Natural language sits near −1 (Zipf's law); templated/duplicated
+    * corpora flatten toward 0 at the head, OCR noise / tokenizer damage
+    * steepen the tail — so a drift in this slope round-over-round is an
+    * ingest regression alarm that costs one scan.
+    *
+    * Exactness: x/y and their products are per-row doubles (identical
+    * in any engine given the same integer rank/freq inputs); the four
+    * OLS sums go through DECIMAL(18,9) quantization so the reduction is
+    * order-independent — the ss17/kmeans discipline, which is what makes
+    * a distributed sum hash-comparable to a sequential oracle.
+    *
+    * Scale shape: one (token)-keyed shuffle with map-side combine, then
+    * a bounded TakeOrderedAndProject for the top-`topN`; the rank window
+    * and OLS run on `topN` rows (bounded — the one intentional
+    * single-partition stage, on ≤ topN rows by construction). */
+  def zipfSlope(docs: DataFrame, text: Column, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2 for a slope, got $topN")
+    import graft.queries.OracleSafe.dec
+    val freqs = docs.select(explode(tokens(text)).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(topN)
+    val ranked = freqs.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
+    val terms = ranked.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"))
+    val s = terms.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(col("x"), 9)).cast("double").as("sx"),
+      sum(dec(col("y"), 9)).cast("double").as("sy"),
+      sum(dec(col("x") * col("y"), 9)).cast("double").as("sxy"),
+      sum(dec(col("x") * col("x"), 9)).cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(
+      col("n").cast("long").as("n_ranked"),
+      slope.as("zipf_slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
 }

@@ -222,7 +222,15 @@ object EventQueries extends QueryPack {
       EventAnalytics.sessionize(
         Tables.events(s, d), "user_id", "ts", "event_id",
         gapUs = 30L * 60 * 1000000)
-        .orderBy("user_id", "session_idx"))
+        .orderBy("user_id", "session_idx")),
+
+    // Per-user contribution cap: at most 3 events per (user, UTC day)
+    // kept — the bounded-sensitivity primitive of DP-style prep and the
+    // whale/bot normalizer; per-user audit record, exact integers.
+    "ev26_contribution_cap" -> ((s, d) =>
+      EventAnalytics.contributionCap(
+        Tables.events(s, d), "user_id", "ts", "event_id", maxPerDay = 3)
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -328,6 +336,24 @@ object EventQueries extends QueryPack {
             CAST(count(*) AS BIGINT) AS n_events,
             CAST(max(t) - min(t) AS BIGINT) AS duration_us
           FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
+    // day = exact integer-µs floor division (never a DATE cast), keyed
+    // rank with (ts, event_id) tie-break, exact BIGINT counts —
+    // hash-exact
+    "ev26_contribution_cap" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+          r AS (SELECT user_id, day,
+            row_number() OVER (PARTITION BY user_id, day
+              ORDER BY ts, event_id) AS rn
+            FROM o)
+          SELECT user_id,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_kept,
+            CAST(sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_clipped,
+            CAST(count(DISTINCT day) AS BIGINT) AS n_days
+          FROM r GROUP BY user_id ORDER BY user_id""",
     // isodow ≡ Spark weekday()+1; the chi-square identity needs only the
     // nonzero cells, so absent weekdays need no zero-fill; peak ties
     // break to the earliest weekday on both engines.

@@ -352,6 +352,15 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Per-source absolute cap (domain balancing): within each source
+    // keep the top-50 docs by (quality desc, id asc) — the ceiling
+    // proportional reweighting can't express; per-doc decision record.
+    "pl29_source_caps" -> ((s, d) =>
+      Pipeline.sourceCaps(
+        Tables.documents(s, d), col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")), cap = 50)
+        .orderBy("doc_id")),
+
     // Source-interleaved training order: round-robin through sources so
     // every window of the order is source-balanced — deterministic,
     // reproducible, no single-task stage.
@@ -693,6 +702,31 @@ object PipelineQueries extends QueryPack {
             CASE $cases ELSE '${pl6Splits.last._1}' END AS split
           FROM c ORDER BY doc_id"""
     },
+    // same quality CTE as pl8 (term-identical doubles), keyed rank,
+    // BIGINT rank cast — integer/boolean output, hash-exact
+    "pl29_source_caps" ->
+      """WITH t AS (SELECT doc_id, source,
+            regexp_split_to_array(lower(text), '\s+') AS toks,
+            text FROM documents),
+         c AS (SELECT doc_id, source,
+            CAST(len(toks) AS INT) AS n_tokens,
+            CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+            CAST(len(list_filter(toks,
+              x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+              / greatest(len(toks), 1) AS stopword_ratio
+           FROM t),
+         q AS (SELECT doc_id, source,
+            least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              + (1.0 - punct_ratio) * 0.3
+              + least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality
+           FROM c),
+         r AS (SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS src_rank
+           FROM q)
+         SELECT doc_id, source, src_rank, src_rank <= 50 AS is_kept
+         FROM r ORDER BY doc_id""",
     "pl27_source_interleave" ->
       """WITH w AS (SELECT doc_id, source,
             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)

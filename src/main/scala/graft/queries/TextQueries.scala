@@ -97,6 +97,14 @@ object TextQueries extends QueryPack {
         .withColumnRenamed("grp", "source")
         .orderBy("source")),
 
+    // Zipf power-law fit over the top-100 token frequencies — the
+    // one-number corpus-health alarm (natural text ≈ −1; templated
+    // corpora flatten, tokenizer damage steepens). OLS sums go through
+    // DECIMAL(18,9) so the distributed reduction hash-matches the
+    // sequential oracle.
+    "ta28_zipf_slope" -> ((s, d) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, d), col("text"), 100)),
+
     // CCNet head/middle/tail terciles over the rarity score — boundary
     // via the exact percentile AGGREGATE (broadcast one row), never a
     // global ntile window.
@@ -480,6 +488,33 @@ object TextQueries extends QueryPack {
     // mirrors unigramRarity term by term: one correctly-rounded division
     // per token, micro-unit quantization, exact BIGINT sum, identical
     // division association for the mean ((sum/1e6)/n).
+    // identical ln inputs (integer rank/freq), per-row double products,
+    // DECIMAL(18,9)-quantized order-independent OLS sums, slope formula
+    // written identically on both sides — hash-exact. BIGINT casts on
+    // the count guard the decimal trap (SCALE.md round-10 rule).
+    "ta28_zipf_slope" ->
+      """WITH tk AS (SELECT
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+         f AS (SELECT token, count(*) AS freq FROM tk
+           WHERE len(token) > 0 GROUP BY token),
+         top AS (SELECT token, freq FROM f
+           ORDER BY freq DESC, token ASC LIMIT 100),
+         r AS (SELECT freq, CAST(row_number() OVER
+             (ORDER BY freq DESC, token ASC) AS BIGINT) AS rank FROM top),
+         t AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                      ln(CAST(freq AS DOUBLE)) AS y FROM r),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * y AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(x * x AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+           FROM t)
+         SELECT CAST(n AS BIGINT) AS n_ranked,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+         FROM s""",
     // exact long counts, single closing divisions — hash-exact
     "ta26_lexical_diversity" ->
       """WITH tk AS (SELECT source,

@@ -490,4 +490,33 @@ class EventAnalyticsSpec extends GraftSuite {
       (2L, 2L, 1L, 0L, 0.375),
       (3L, 1L, 0L, 1L, 0.375)))
   }
+
+  test("contributionCap clips per (user, day), keeps the first k by time") {
+    import spark.implicits._
+    def at(day: Int, min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d 00:$min%02d:00")
+    val events = Seq(
+      // user 1, day 1: five events → 3 kept (earliest), 2 clipped
+      (1L, at(1, 0), 10L), (1L, at(1, 1), 11L), (1L, at(1, 2), 12L),
+      (1L, at(1, 3), 13L), (1L, at(1, 4), 14L),
+      // user 1, day 2: one event → kept (the cap is per day, not global)
+      (1L, at(2, 0), 15L),
+      // user 2: two events, under the cap → nothing clipped
+      (2L, at(1, 0), 20L), (2L, at(1, 1), 21L))
+      .toDF("user_id", "ts", "event_id")
+    val got = EventAnalytics.contributionCap(
+      events, "user_id", "ts", "event_id", maxPerDay = 3)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, 6L, 4L, 2L, 2L),
+      (2L, 2L, 2L, 0L, 1L)))
+    // the kept set is the FIRST k by (ts, event_id): re-running on a
+    // shuffled frame must clip the same events (determinism bar)
+    val again = EventAnalytics.contributionCap(
+      events.repartition(5), "user_id", "ts", "event_id", maxPerDay = 3)
+    assert(again.exceptAll(EventAnalytics.contributionCap(
+      events, "user_id", "ts", "event_id", maxPerDay = 3)).count() === 0)
+  }
 }

@@ -625,4 +625,28 @@ class PipelineSpec extends GraftSuite {
     val other = Pipeline.temperatureMixture(df, "source", col("doc_id"), "u:")
     assert(other.exceptAll(kept).count() > 0)
   }
+
+  test("sourceCaps: absolute per-source ceiling, quality order, stable") {
+    import spark.implicits._
+    // source A: 3 docs, cap 2 → lowest-quality one dropped;
+    // source B: 1 doc → untouched. Quality ties break to the lower id.
+    val df = Seq(
+      (1L, "A", 0.9), (2L, "A", 0.5), (3L, "A", 0.9), (4L, "B", 0.1))
+      .toDF("doc_id", "source", "q")
+    val res = Pipeline.sourceCaps(
+      df, col("doc_id"), col("source"), col("q"), cap = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getBoolean(3)))
+    assert(res === Array(
+      (1L, "A", 1L, true),   // 0.9, tie with doc 3 → lower id ranks first
+      (2L, "A", 3L, false),  // lowest quality in A → over the cap
+      (3L, "A", 2L, true),
+      (4L, "B", 1L, true)))  // a small source is never inflated
+    // deterministic under repartitioning (the 100 TB reproducibility bar)
+    val again = Pipeline.sourceCaps(
+      df.repartition(7), col("doc_id"), col("source"), col("q"), cap = 2)
+    assert(again.exceptAll(Pipeline.sourceCaps(
+      df, col("doc_id"), col("source"), col("q"), cap = 2)).count() === 0)
+  }
 }

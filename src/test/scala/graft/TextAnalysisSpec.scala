@@ -377,4 +377,24 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got("A") === ((7L, 6L, 6.0 / 7.0, 5.0 / 6.0)))
     assert(got("B") === ((6L, 3L, 0.5, 0.0)))
   }
+
+  test("zipfSlope recovers -1 on an exact power law, and n_ranked") {
+    import spark.implicits._
+    // freq = 12 / rank for ranks 1..4: a 12, b 6, c 4, d 3 →
+    // ln(freq) = ln 12 − 1·ln(rank), so the OLS slope is exactly −1 (up
+    // to the DECIMAL(18,9) term quantization, ≤ 4e-9 total).
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSlope(df, col("text"), topN = 4).head()
+    assert(r.getLong(0) === 4L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-6,
+      s"slope = ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-6,
+      s"intercept = ${r.getDouble(2)}")
+    // flat (templated) corpus → slope 0: every token equally frequent
+    val flat = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val f = TextAnalysis.zipfSlope(flat, col("text"), topN = 4).head()
+    assert(math.abs(f.getDouble(1)) < 1e-6, s"flat slope = ${f.getDouble(1)}")
+  }
 }
