@@ -964,4 +964,65 @@ object Dedup {
       .na.fill(false, Seq("is_dup"))
       .select("incoming_id", "digest", "is_dup")
   }
+
+  /** Duplicate-SPAN detection (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): find every
+    * position where a `k`-token gram recurs ANYWHERE in the corpus
+    * (other docs or the same doc) and merge overlapping/adjacent hits
+    * into maximal token spans per doc — the span-level record behind
+    * "cut the duplicated passage out of the document" dedup, which
+    * doc-level (dd1) and chunk-level (dd12) filters cannot express
+    * (they keep or drop whole units; memorization lives in the spans).
+    * Output: (doc_id, span_id, span_start, span_end, span_tokens),
+    * token positions 1-based inclusive.
+    *
+    * The paper builds a corpus suffix array; the distributed analog is
+    * positional k-gram inversion — every (doc, pos, gram) keyed by gram,
+    * recurring grams marked, per-doc interval union of the hits. A hit
+    * at pos covers [pos, pos+k−1]; the gaps-and-islands merge (running
+    * max of span ends, new span when a start clears prevMax+1) yields
+    * exactly the maximal covered runs.
+    *
+    * Scale shape: gram construction is scan-local (one transform over
+    * the token array — positions come from the array index, no window);
+    * the only data-sized shuffle keys on gram (map-side combine for the
+    * recurrence count; at 100 TB slim the key to xxhash64(gram) — kept
+    * as the string here for oracle-portability); the span merge windows
+    * per doc (state = one doc's hit list). Driver state: none. */
+  def duplicateSpans(
+      df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    val grams = df
+      .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(1), greatest(size(col("toks")) - (k - 1), lit(0))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("gram"))
+    // grams that recur anywhere in the corpus (count over ALL positions,
+    // so an intra-doc repeat is a dup too — the paper's semantics)
+    val recurring = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("gram")
+    val hits = grams.join(recurring, "gram")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (k - 1)).cast("long").as("e"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").asc, col("e").asc)
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("_nf",
+        when(prevMax.isNull || col("s") > prevMax + 1L, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("_nf")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg(
+        min(col("s")).as("span_start"),
+        max(col("e")).as("span_end"),
+        (max(col("e")) - min(col("s")) + 1L).as("span_tokens"))
+  }
 }

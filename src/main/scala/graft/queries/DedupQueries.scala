@@ -41,6 +41,15 @@ object DedupQueries extends QueryPack {
     // The crawl-admission flagship: every ingest gate composed into one
     // per-doc decision record over the %5 batch/corpus split — bloom
     // exact gate (prefix-64 key), LSH near-dup probe, Gopher quality.
+    // Duplicate-SPAN records (Lee et al. 2022): every position whose
+    // 5-gram recurs anywhere in the corpus, merged to maximal per-doc
+    // token spans — the cut-the-passage-out granularity doc/chunk
+    // dedup can't express. Exact integers, hash-exact.
+    "dd26_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(
+        Tables.documents(s, d), col("doc_id"), col("text"), k = 5)
+        .orderBy("doc_id", "span_start")),
+
     "dd25_ingest_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.ingestPipeline(
@@ -320,6 +329,34 @@ object DedupQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     // dd25: the three gates' proven duals composed — dd22's EXISTS,
     // dd21's band-probe CTE over the truth primitives, ta16's rule CASE.
+    // same positional 5-gram inversion + interval union; lateral range
+    // bounds mirror sequence(1, greatest(len-4, 0)); BIGINT casts
+    // throughout (sum-window → decimal trap rule)
+    "dd26_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+            regexp_split_to_array(lower(text), '\s+') AS toks
+          FROM documents),
+         p AS (SELECT doc_id, toks,
+            CAST(unnest(range(1, greatest(len(toks) - 3, 1))) AS BIGINT)
+              AS pos
+          FROM t),
+         g AS (SELECT doc_id, pos,
+            array_to_string(toks[pos:pos+4], ' ') AS gram FROM p),
+         d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         m AS (SELECT g.doc_id, g.pos AS s, g.pos + 4 AS e
+          FROM g JOIN d USING (gram)),
+         f AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM m),
+         fl AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax + 1
+            THEN 1 ELSE 0 END AS nf FROM f),
+         sp AS (SELECT *, sum(nf) OVER (PARTITION BY doc_id
+            ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS sid FROM fl)
+         SELECT doc_id, CAST(sid AS BIGINT) AS span_id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+         FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start""",
     "dd25_ingest_pipeline" ->
       s"""WITH b AS (SELECT * FROM read_parquet('$truth/bands.parquet/*.parquet')),
             d AS (SELECT doc_id, shingles

@@ -617,6 +617,35 @@ class DedupSpec extends GraftSuite {
       s"corpus-side join must be broadcast, got:\n${all.mkString("\n")}")
   }
 
+  test("duplicateSpans merges overlapping k-gram hits to maximal spans") {
+    // Docs 1 and 2 share the 4-token passage "p q r s" (with k=3 that's
+    // two overlapping 3-gram hits at positions 3 and 4 → ONE merged span
+    // [3,6]); doc 3 repeats its own 3-gram intra-doc; doc 4 is clean.
+    val docs = Seq(
+      (1L, "a b p q r s x y"),
+      (2L, "c d p q r s z w"),
+      (3L, "m n o t t m n o"), // "m n o" at pos 1 and 6 — intra-doc dup
+      (4L, "unique tokens only here never repeated"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, 1L, 3L, 6L, 4L),   // shared passage, hits at 3 and 4 merged
+      (2L, 1L, 3L, 6L, 4L),
+      (3L, 1L, 1L, 3L, 3L),   // intra-doc repeat: both occurrences
+      (3L, 2L, 6L, 8L, 3L)))  // …as separate (non-adjacent) spans
+    // no false positives: doc 4 emits nothing
+    assert(!got.exists(_._1 == 4L))
+    // deterministic under repartitioning
+    val again = Dedup.duplicateSpans(
+      docs.repartition(5), col("doc_id"), col("text"), k = 3)
+    assert(again.exceptAll(
+      Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 3))
+      .count() === 0)
+  }
+
   test("SignatureTruth matches the operator outputs bit-for-bit") {
     // The dd2/dd4/dd9/ta5/ta22/ss2 oracles compare against
     // SignatureTruth's independent scalar recomputation — pin the two
