@@ -798,10 +798,19 @@ object Similarity {
     val spark = corp.sparkSession
     import spark.implicits._
     val coarseDf = broadcast(coarse.toDF("cid", "cvec"))
+    // Pinned: the residual frame (a window + broadcast join over the
+    // corpus) is re-read by every per-subspace codebook training pass
+    // (m × (1 + updates) scans), the encoder, and the final plan —
+    // uncached that recomputes the assignment m·updates+2 times
+    // (measured 7.7 s → 2.6 s at sf0.1). Registered with the shared
+    // release point (Pipeline.releaseCaches) like every graft-pinned
+    // frame, so harness loops stay cache-clean.
     val residuals = kmeansAssign(corp, coarse)
       .join(coarseDf, "cid")
       .withColumn("rvec", zip_with(col("vec"), col("cvec"), (x, c) => x - c))
       .select("vec_id", "cid", "rvec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pinned.add(residuals)
     // shared per-subspace residual codebooks (kmeans on the slice —
     // seeds/means/ties identical to the pqTopK trainer)
     val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
