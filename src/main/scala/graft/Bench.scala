@@ -233,7 +233,10 @@ object Bench {
         "ss18_mmr_topk", "dd24_semantic_decontamination",
         "ss19_rocchio_expand", "pl27_source_interleave",
         // the crawl-admission flagship (all three ingest gates composed)
-        "dd25_ingest_pipeline")
+        "dd25_ingest_pipeline",
+        // round-10 additions: span-level dedup and the source-cap/
+        // contribution-cap balancers
+        "dd26_dup_spans", "pl29_source_caps", "ev26_contribution_cap")
         // warmup pass (plan + codegen for every query, so rep 1 of query
         // 1 doesn't pay a JIT storm its neighbors skip)
         suite.foreach { q =>

@@ -15,6 +15,24 @@ import graft.sources.Tables
 object StreamingQueries extends QueryPack {
 
   val queries: Map[String, Fn] = Map(
+    // Batch dual of the streaming per-(user, day) contribution cap
+    // (EventStreams.contributionCapStream): per-event admit/reject by
+    // (ts, event_id) day-rank — identical decisions whenever arrival
+    // respects event time (StreamingSpec pins the parity).
+    "st15_contribution_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(unix_micros(col("ts")) / lit(86400000000L))
+            .cast("long").as("day"))
+        .withColumn("day_rank", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("day"), col("event_id"),
+          col("day_rank"), (col("day_rank") <= 3).as("admitted"))
+        .orderBy("user_id", "day", "day_rank")
+    }),
+
     "st1_tumbling_window" -> ((s, d) =>
       EventStreams.tumblingCounts(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
@@ -188,6 +206,19 @@ object StreamingQueries extends QueryPack {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_new_events
          FROM events WHERE event_id % 3 <> 0
          GROUP BY event_type ORDER BY event_type""",
+    // day = exact integer-µs floor division (never a DATE cast); BIGINT
+    // casts on the rank and day
+    "st15_contribution_cap" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+            CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+          FROM events),
+          r AS (SELECT user_id, day, event_id,
+            CAST(row_number() OVER (PARTITION BY user_id, day
+              ORDER BY ts, event_id) AS BIGINT) AS day_rank
+          FROM o)
+          SELECT user_id, day, event_id, day_rank,
+            day_rank <= 3 AS admitted
+          FROM r ORDER BY user_id, day, day_rank""",
     "st4_dedup_events" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_distinct_events
          FROM events GROUP BY event_type ORDER BY event_type""",

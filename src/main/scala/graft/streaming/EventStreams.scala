@@ -454,6 +454,57 @@ object EventStreams {
       .parquet(dir)
   }
 
+  case class CapDecision(user_id: Long, day: Long, event_id: Long,
+    day_rank: Long, admitted: Boolean)
+
+  /** Streaming per-(user, UTC day) contribution cap — the ingest-time
+    * form of [[graft.ops.EventAnalytics.contributionCap]]: admit at most
+    * `maxPerDay` events per user per day AT ARRIVAL, so the bound holds
+    * online (the batch form can only report what should have been
+    * clipped after the fact). Per-event decision record
+    * (user, day, event_id, day_rank, admitted).
+    *
+    * State is ONE counter per active (user, day) key — the minimum any
+    * rate-limit can carry — expired by event-time timeout once the
+    * watermark passes `maxIdle` beyond the day's last event, so state
+    * size tracks the active-user×day working set, never history. Within
+    * a micro-batch, rows fold in (ts, event_id) order; across batches,
+    * rank follows arrival order — identical to the batch dual whenever
+    * arrival respects event time (the parity StreamingSpec pins), and
+    * the honest online semantics when it doesn't (a late event spends
+    * whatever budget is left, which is what an ingest gate must do).
+    * Day = exact floor division of epoch-ms, same day numbering as the
+    * batch operator. */
+  def contributionCapStream(
+      events: Dataset[Ev], maxPerDay: Int,
+      maxIdle: String = "2 days"): Dataset[CapDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Long, Long), rows: Iterator[Ev], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.getOrElse(0L)
+            var maxTs = Long.MinValue
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .map { e =>
+                n += 1
+                if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+                CapDecision(key._1, key._2, e.event_id, n, n <= maxPerDay)
+              }
+            state.update(n)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs + 1), maxIdle)
+            out.iterator
+          }
+        })
+  }
+
   /** The streaming form of [[graft.ops.Dedup.bloomIngestGate]] — the
     * continuous-crawl front door the batch operator is named for. The
     * gate contains a batch-side aggregation (candidate distinct) and a

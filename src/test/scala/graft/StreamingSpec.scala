@@ -390,6 +390,31 @@ class StreamingSpec extends GraftSuite {
     assert(batch.nonEmpty, "fixture should contain at least one spike")
   }
 
+  test("streaming contribution cap matches the batch day-rank dual") {
+    // streamDir's chunks are (ts, event_id)-ordered, so arrival respects
+    // event time and the online rank must equal the batch window rank —
+    // including state carried across micro-batch boundaries (a (user,
+    // day) whose events straddle chunks keeps counting, not restart).
+    import spark.implicits._
+    val ds = EventStreams.readEventStream(spark, streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Ev]
+    val q = EventStreams.contributionCapStream(ds, maxPerDay = 3)
+      .writeStream.format("memory").queryName("t_capstream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "day", "event_id", "day_rank", "admitted")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val streamed = rows(spark.table("t_capstream"))
+    val batch = rows(SparkEntry.queries("st15_contribution_cap")(spark, sf))
+    assert(streamed === batch)
+    assert(batch.exists(!_._5), "fixture should contain clipped events")
+  }
+
   test("sessionize assigns gap-rule session indices per user") {
     import spark.implicits._
     val base = 1700000000000L
