@@ -411,6 +411,30 @@ class PlanSpec extends GraftSuite {
     assert(!po.contains("SortMergeJoin"), po)
   }
 
+  test("round-10 ops: keyed windows and partial aggs, no single-task stage") {
+    // dd26 dup spans: the recurrence count must partial-aggregate before
+    // its gram shuffle, and the span-merge window partitions by doc —
+    // never a global order
+    val d26 = SparkEntry.queries("dd26_dup_spans")(spark, sf)
+    val p26 = plan(d26)
+    assert(!p26.contains("SinglePartition"), p26)
+    assert(p26.linesIterator.count(_.contains("HashAggregate")) >= 2, p26)
+    // pl29 source caps / ev26 + st15 contribution caps: ranks window on
+    // (source) / (user, day) keys
+    Seq("pl29_source_caps", "ev26_contribution_cap",
+        "st15_contribution_cap").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+    // ta28 zipf: the token count partial-aggregates (map-side combine on
+    // the one data-sized shuffle) and the top-100 is a bounded
+    // TakeOrderedAndProject, not a global sort; its 100-row OLS window
+    // is the documented intentional single-partition stage.
+    val pz = plan(SparkEntry.queries("ta28_zipf_slope")(spark, sf))
+    assert(pz.contains("TakeOrderedAndProject"), pz)
+    assert(pz.linesIterator.count(_.contains("HashAggregate")) >= 2, pz)
+  }
+
   test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
     // AQE only materializes the final physical plan after execution, so
     // run the query first and inspect executedPlan.
