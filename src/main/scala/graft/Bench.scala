@@ -234,9 +234,12 @@ object Bench {
         "ss19_rocchio_expand", "pl27_source_interleave",
         // the crawl-admission flagship (all three ingest gates composed)
         "dd25_ingest_pipeline",
-        // round-10 additions: span-level dedup and the source-cap/
-        // contribution-cap balancers
-        "dd26_dup_spans", "pl29_source_caps", "ev26_contribution_cap")
+        // round-10 additions: span-level dedup, the source-cap/
+        // contribution-cap balancers, and the composed IVF-PQ index
+        // (its number includes codebook training — the honest cost of
+        // the deterministic oracle-checkable trainer)
+        "dd26_dup_spans", "pl29_source_caps", "ev26_contribution_cap",
+        "ss20_ivfpq_topk")
         // warmup pass (plan + codegen for every query, so rep 1 of query
         // 1 doesn't pay a JIT storm its neighbors skip)
         suite.foreach { q =>
@@ -420,12 +423,17 @@ object Bench {
       else {
         import graft.queries.TpchQueries
         Tables.registerAll(spark, sfDir)
+        // min-of-2 per query: the r10 full run recorded cte 3.2 s vs
+        // materialized 4.4 s — inverting r9's 7.1 vs 3.0 — purely from
+        // single-rep noise; same discipline as every other section now.
         def timeAll(run: String => org.apache.spark.sql.DataFrame): Double =
           TpchQueries.partsuppRaw.keys.toSeq.sorted.map { q =>
             run(q).count() // warmup/codegen
-            val t0 = System.nanoTime()
-            run(q).count()
-            (System.nanoTime() - t0) / 1e9
+            (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              run(q).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
           }.sum
         // CTE leg: the oracle text re-derives partsupp inside every query
         // (twice for q11's HAVING scalar subquery) — what each execution
