@@ -260,4 +260,62 @@ class PropertySpec extends GraftSuite {
       }
     }
   }
+
+  test("duplicateSpans invariants: disjoint, in-bounds, k-floored spans") {
+    // On generated corpora (short token alphabets force heavy gram
+    // collisions), every emitted span must: start >= 1, fit the doc's
+    // token count, be at least k tokens (a span is a union of k-gram
+    // hits), and spans of one doc must be disjoint AND non-adjacent
+    // (adjacency would mean an unmerged union — the merge is maximal).
+    val textGen = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    val k = 3
+    for (seed <- 1 to 4) {
+      val texts = (0 until 12).map { i =>
+        (i.toLong, textGen.apply(Gen.Parameters.default,
+          rng.Seed(seed * 100L + i)).getOrElse("a b c"))
+      }
+      val docs = texts.toDF("doc_id", "text")
+      val nTokens = texts.map { case (id, t) =>
+        id -> t.split(" ").length.toLong }.toMap
+      val spans = graft.ops.Dedup.duplicateSpans(
+          docs, col("doc_id"), col("text"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      spans.foreach { case (id, s, e) =>
+        assert(s >= 1L && e <= nTokens(id), s"span [$s,$e] outside doc $id")
+        assert(e - s + 1 >= k, s"span [$s,$e] shorter than a $k-gram")
+      }
+      spans.groupBy(_._1).foreach { case (id, ss) =>
+        ss.sortBy(_._2).sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) =>
+            assert(s2 > e1 + 1, s"doc $id spans [$e1] and [$s2] not merged")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("contributionCap conservation: kept + clipped = events, kept <= k*days") {
+    for (a <- samples(4)) {
+      // reuse the generated (k, v, tag) rows as (user, minute-offset)
+      val events = a.zipWithIndex.map { case ((u, v, _), i) =>
+        (u, new java.sql.Timestamp(1700000000000L + v.toLong * 3600000L),
+          i.toLong)
+      }.toDF("user_id", "ts", "event_id")
+      val res = graft.ops.EventAnalytics.contributionCap(
+          events, "user_id", "ts", "event_id", maxPerDay = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val totalIn = events.count()
+      assert(res.map(_._2).sum === totalIn, "every event accounted for")
+      res.foreach { case (u, n, kept, clipped, days) =>
+        assert(kept + clipped === n, s"user $u: kept+clipped != n")
+        assert(kept <= 2L * days, s"user $u: cap exceeded")
+        assert(clipped === 0L || kept === 2L * days ||
+          // clipping on SOME day while another day is under cap is fine;
+          // but a user with clipped > 0 must have at least one full day
+          kept >= 2L, s"user $u: clipped without a full day")
+      }
+    }
+  }
 }
