@@ -720,13 +720,10 @@ object Similarity {
     val sub = dim / m
     val corp = corpus.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("vec"))
-    // per-subspace codebooks; codes are dense 0..k−1 in seed-id order
-    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val sliced = corp.select(col("vec_id"),
-        slice(col("vec"), j * sub + 1, sub).as("v"))
-      kmeansCentroids(sliced, "vec_id", "v", codebookSize, updates)
-        .sortBy(_._1).map(_._2)
-    }
+    // per-subspace codebooks (codes dense 0..k−1 in seed-id order) —
+    // all m trained in one pass per round, [[trainSubspaceBooks]]
+    val books: Seq[Seq[Seq[Double]]] =
+      trainSubspaceBooks(corp, "vec", m, sub, codebookSize, updates)
     def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
     def codeExpr(j: Int): Column = {
       val dists = array(books(j).map(c =>
@@ -781,6 +778,67 @@ object Similarity {
     * [[writeIvfIndex]]'s partition column, so the scan prunes to the
     * probed cells before a byte is read. Only the per-query top-k window
     * shuffles. */
+  /** Train all `m` per-subspace PQ codebooks over `frame`'s `vecCol`
+    * (a full-dim double array; subspace `j` is its slice
+    * `[j·sub, (j+1)·sub)`) with ONE bounded seed collect and ONE pass
+    * over the data per Lloyd round — every subspace's assignment and
+    * per-dim values ride a single exploded plan, and the means collect
+    * is bounded at m×k×sub rows — instead of the m×(1+updates) separate
+    * passes of calling [[kmeansCentroids]] per slice. The math is the
+    * per-subspace trainer contract VERBATIM: lowest-id seeds,
+    * (d2 asc, seed-id asc) assignment via first-minimum argmin over
+    * seed-id-sorted codebooks, exact-DECIMAL(18,9) per-dim means,
+    * empty clusters keep their centroid — so the SignatureTruth pins
+    * (which model sequential per-subspace training) stay bit-exact.
+    * Returns book `j` as `codebookSize` centroids in code order. */
+  private def trainSubspaceBooks(
+      frame: DataFrame, vecCol: String, m: Int, sub: Int,
+      codebookSize: Int, updates: Int): Seq[Seq[Seq[Double]]] = {
+    def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+    def argminCode(j: Int, bk: Seq[Seq[Double]]): Column = {
+      val dists = array(bk.map(c =>
+        sqDist(slice(col(vecCol), j * sub + 1, sub), litVec(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val seedRows: Seq[(Long, Seq[Double])] = frame
+      .orderBy(col("vec_id").asc).limit(codebookSize)
+      .select("vec_id", vecCol).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    var trained: IndexedSeq[IndexedSeq[(Long, Seq[Double])]] =
+      IndexedSeq.tabulate(m) { j =>
+        seedRows.map { case (id, rv) =>
+          (id, rv.slice(j * sub, j * sub + sub)) }
+          .sortBy(_._1).toIndexedSeq
+      }
+    for (_ <- 1 to updates) {
+      val snapshot = trained
+      val assigned = frame.select(
+        (0 until m).map { j =>
+          struct(lit(j).as("j"),
+            argminCode(j, snapshot(j).map(_._2)).as("code"),
+            slice(col(vecCol), j * sub + 1, sub).as("v")).as(s"_s$j")
+        }: _*)
+        .select(explode(array((0 until m).map(j => col(s"_s$j")): _*))
+          .as("s"))
+        .select(col("s.j").as("j"), col("s.code").as("code"),
+          posexplode(col("s.v")).as(Seq("dim", "v")))
+      val means = assigned.groupBy("j", "code", "dim")
+        .agg((sum(graft.queries.OracleSafe.dec(col("v"), 9)).cast("double") /
+          count(lit(1)).cast("double")).as("mu"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      trained = IndexedSeq.tabulate(m) { j =>
+        trained(j).zipWithIndex.map { case ((cid, old), code) =>
+          val dims = (0 until sub).map(dd => means.get((j, code, dd)))
+          if (dims.exists(_.isEmpty)) (cid, old)
+          else (cid, dims.map(_.get))
+        }
+      }
+    }
+    (0 until m).map(j => trained(j).map(_._2))
+  }
+
   def ivfPqTopK(
       queriesDf: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, topK: Int, dim: Int, numCoarse: Int = 8,
@@ -811,60 +869,11 @@ object Similarity {
       .select("vec_id", "cid", "rvec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Pipeline.pinned.add(residuals)
-    // Shared per-subspace residual codebooks — ALL m trained together:
-    // one bounded seed collect, then per Lloyd round ONE pass over the
-    // pinned residuals (every subspace's assignment + per-dim values in
-    // a single exploded plan, means collected bounded at m×k×sub rows)
-    // instead of m×(1+updates) separate corpus passes. The math is the
-    // per-subspace kmeansCentroids contract verbatim — lowest-id seeds,
-    // (d2 asc, seed-id asc) assignment via first-minimum argmin over
-    // seed-id-sorted codebooks, exact-DECIMAL(18,9) per-dim means,
-    // empty clusters keep their centroid — so the SignatureTruth pin
-    // (which models sequential per-subspace training) stays bit-exact.
-    def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
-    def argminCode(j: Int, bk: Seq[Seq[Double]]): Column = {
-      val dists = array(bk.map(c =>
-        sqDist(slice(col("rvec"), j * sub + 1, sub), litVec(c))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    val seedRows: Seq[(Long, Seq[Double])] = residuals
-      .orderBy(col("vec_id").asc).limit(codebookSize)
-      .select("vec_id", "rvec").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    var trained: IndexedSeq[IndexedSeq[(Long, Seq[Double])]] =
-      IndexedSeq.tabulate(m) { j =>
-        seedRows.map { case (id, rv) =>
-          (id, rv.slice(j * sub, j * sub + sub)) }
-          .sortBy(_._1).toIndexedSeq
-      }
-    for (_ <- 1 to updates) {
-      val snapshot = trained
-      val assigned = residuals.select(
-        (0 until m).map { j =>
-          struct(lit(j).as("j"),
-            argminCode(j, snapshot(j).map(_._2)).as("code"),
-            slice(col("rvec"), j * sub + 1, sub).as("v")).as(s"_s$j")
-        }: _*)
-        .select(explode(array((0 until m).map(j => col(s"_s$j")): _*))
-          .as("s"))
-        .select(col("s.j").as("j"), col("s.code").as("code"),
-          posexplode(col("s.v")).as(Seq("dim", "v")))
-      val means = assigned.groupBy("j", "code", "dim")
-        .agg((sum(graft.queries.OracleSafe.dec(col("v"), 9)).cast("double") /
-          count(lit(1)).cast("double")).as("mu"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
-        .toMap
-      trained = IndexedSeq.tabulate(m) { j =>
-        trained(j).zipWithIndex.map { case ((cid, old), code) =>
-          val dims = (0 until sub).map(dd => means.get((j, code, dd)))
-          if (dims.exists(_.isEmpty)) (cid, old)
-          else (cid, dims.map(_.get))
-        }
-      }
-    }
+    // Shared per-subspace residual codebooks — ALL m trained together
+    // in one pass per Lloyd round (see [[trainSubspaceBooks]]).
     val books: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(j => trained(j).map(_._2))
+      trainSubspaceBooks(residuals, "rvec", m, sub, codebookSize, updates)
+    def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
     def codeExpr(j: Int): Column = {
       val dists = array(books(j).map(c =>
         sqDist(slice(col("rvec"), j * sub + 1, sub), litVec(c))): _*)
