@@ -465,16 +465,18 @@ object Multimodal {
     * media_id, state one video's sampled frames, never corpus-global.
     * Output: one row per frame BOUNDARY (the later frame's index):
     * (media_id, frame_idx, hamming, is_cut). */
-  def sceneCuts(
-      media: DataFrame, maxFrames: Int = 8,
-      cutThreshold: Int = 10): DataFrame = {
+  /** Per-frame aHash over [[sampleFrames]] output — the shared decode+
+    * hash pass behind [[sceneCuts]] and [[keyframeNearDups]]:
+    * (media_id, frame_idx, ahash), video media only, scan-local. */
+  private[ops] def frameHashes(
+      media: DataFrame, maxFrames: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("frame_idx", IntegerType),
       StructField("ahash", LongType)))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    val hashed = sampleFrames(media, maxFrames).mapPartitions { rows =>
+    sampleFrames(media, maxFrames).mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         // positional access: rows deserialized from the upstream
@@ -497,6 +499,12 @@ object Multimodal {
         Row(r.getLong(0), r.getInt(1), ahash)
       }
     }(encoder)
+  }
+
+  def sceneCuts(
+      media: DataFrame, maxFrames: Int = 8,
+      cutThreshold: Int = 10): DataFrame = {
+    val hashed = frameHashes(media, maxFrames)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_idx")
     hashed
@@ -506,6 +514,54 @@ object Multimodal {
         bit_count(col("ahash").bitwiseXOR(col("prev_hash"))).cast("int"))
       .withColumn("is_cut", col("hamming") >= cutThreshold)
       .select("media_id", "frame_idx", "hamming", "is_cut")
+  }
+
+  /** Cross-video near-duplicate detection by KEYFRAME fingerprints —
+    * the video-dedup composition of [[sceneCuts]] and the
+    * [[nearDupByHash]] chunk-bucket join: a video's keyframes are its
+    * first frame plus every scene-cut frame (aHash Hamming ≥
+    * `cutThreshold` vs the previous frame — the representative frame of
+    * each shot), and two DIFFERENT videos are near-dups when any of
+    * their keyframes match within `maxHamming` bits. Keyframes are the
+    * right unit: re-encodes/watermarks perturb few aHash bits (caught by
+    * the Hamming tolerance), while comparing ALL frames would both blow
+    * up the pair space and false-match unrelated videos on common black/
+    * title frames NOT at shot boundaries. Output: one row per video
+    * pair — (id_a, id_b, n_shared_keyframes, min_hamming).
+    *
+    * Scale shape: decode+hash scan-local ([[frameHashes]]); keyframe
+    * selection is a per-video lag window (state = one video's ≤
+    * maxFrames hashes); the pair search shuffles on 16-bit hash chunks
+    * (exact for maxHamming ≤ 3 by pigeonhole over 4 chunks), never the
+    * video×video space; one keyed agg closes. */
+  def keyframeNearDups(
+      media: DataFrame, maxFrames: Int = 8, cutThreshold: Int = 10,
+      maxHamming: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val keyframes = frameHashes(media, maxFrames)
+      .withColumn("prev_hash", lag(col("ahash"), 1).over(w))
+      .filter(col("prev_hash").isNull ||
+        bit_count(col("ahash").bitwiseXOR(col("prev_hash")))
+          .cast("int") >= cutThreshold)
+      .select("media_id", "frame_idx", "ahash")
+    val chunks = array((0 until 4).map(c =>
+      shiftright(col("ahash"), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val buckets = keyframes.select(col("media_id"), col("frame_idx"),
+      col("ahash"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.frame_idx").as("frame_a"), col("b.frame_idx").as("frame_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_keyframes"),
+        min(col("hamming")).cast("long").as("min_hamming"))
   }
 
   /** Frame sampling: video → one row per frame, capped at `maxFrames`.

@@ -55,6 +55,18 @@ object MultimodalQueries extends QueryPack {
         maxFrames = 8, cutThreshold = 10)
         .orderBy("media_id", "frame_idx")),
 
+    // Cross-video near-dup by keyframe fingerprints: first frame + every
+    // scene-cut frame per video, chunk-bucket Hamming join across
+    // videos, one row per near-dup video pair. Oracle recomputes
+    // keyframe selection + pairwise Hamming from MediaTruth's per-frame
+    // hashes (pairwise is exact at truth scale; the engine's chunk join
+    // is the 100 TB path and provably finds the same ≤3-bit pairs).
+    "mm8_keyframe_neardup" -> ((s, d) =>
+      Multimodal.keyframeNearDups(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+        maxFrames = 8, cutThreshold = 10, maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     // Perceptual image hashes (aHash/dHash — the image SimHash). Fixture
     // payloads are text stand-ins, so the deterministic stub decode
     // feeds the hash; MultimodalSpec drives real PNGs through it.
@@ -135,6 +147,22 @@ object MultimodalQueries extends QueryPack {
             bit_count(xor(ahash, prev)) >= 10 AS is_cut
           FROM l WHERE prev IS NOT NULL
           ORDER BY media_id, frame_idx""",
+    "mm8_keyframe_neardup" ->
+      s"""WITH f AS (SELECT media_id, frame_idx, ahash
+            FROM read_parquet('$truth/mm7.parquet/*.parquet')),
+          l AS (SELECT media_id, frame_idx, ahash,
+            lag(ahash) OVER (PARTITION BY media_id ORDER BY frame_idx)
+              AS prev FROM f),
+          kf AS (SELECT media_id, frame_idx, ahash FROM l
+            WHERE prev IS NULL OR bit_count(xor(ahash, prev)) >= 10),
+          p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+            CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+           FROM kf a JOIN kf b ON a.media_id < b.media_id)
+          SELECT id_a, id_b,
+            CAST(count(*) AS BIGINT) AS n_shared_keyframes,
+            CAST(min(hamming) AS BIGINT) AS min_hamming
+          FROM p WHERE hamming <= 3
+          GROUP BY id_a, id_b ORDER BY id_a, id_b""",
     "mm5_image_neardup" ->
       s"""WITH t AS (SELECT media_id, ahash
                      FROM read_parquet('$truth/mm4.parquet/*.parquet'))

@@ -259,6 +259,39 @@ class MultimodalSpec extends GraftSuite {
     assert(got.size === 3, "one row per frame boundary")
   }
 
+  test("keyframe near-dup pairs videos sharing a shot, not strangers") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val a = png((_, y) => if (y < 4) 0x000000 else 0xffffff)   // shot A
+    val b = png((_, y) => if (y < 4) 0xffffff else 0x000000)   // shot B
+    val c = png((x, _) => if (x < 4) 0x000000 else 0xffffff)   // shot C
+    val dark = png((_, _) => 0x000000)
+    // v1 ends in shot B, v2 starts in shot B (a re-cut sharing footage),
+    // v3 shares nothing — and its repeated frame must yield ONE keyframe
+    val m = Seq(
+      (1L, "video", Multimodal.packVideo(Seq(a, b)), (8, 8, 0, 2000)),
+      (2L, "video", Multimodal.packVideo(Seq(b, dark)), (8, 8, 0, 2000)),
+      (3L, "video", Multimodal.packVideo(Seq(c, c)), (8, 8, 0, 2000)))
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("m").cast("struct<width:int,height:int,sample_rate:int," +
+          "duration_ms:int>").as("meta"))
+    val got = Multimodal.keyframeNearDups(
+        m, maxFrames = 8, cutThreshold = 10, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map((1L, 2L) -> ((1L, 0L))),
+      s"expected exactly the shared-shot pair, got $got")
+  }
+
   test("audio fingerprint: gain-invariant envelope signature, near-dup join") {
     import spark.implicits._
     def wav(samples: Seq[Short]): Array[Byte] = {
