@@ -372,6 +372,51 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n_transitions"), col("p"))
   }
 
+  /** Sequence-anomaly score under the corpus Markov model — the
+    * principled bot/scripted-traffic detector behind "this user's event
+    * ORDER is improbable, whatever its volume": score each user by the
+    * mean negative log-likelihood of their transitions under
+    * [[transitionMatrix]]'s corpus P(next|prev). Organic users follow
+    * common paths (low NLL); scripted loops and fuzzers take transitions
+    * the corpus rarely does (high NLL). Volume detectors (ev16/ev26)
+    * miss exactly these; order detectors miss whales — they compose.
+    * Output: (user_id, n_transitions, mean_nll), higher = more anomalous.
+    *
+    * Exactness: P is a ratio of exact counts, −ln(P) a per-row double
+    * (identical cross-engine on identical ratios — the pl23/ta28 ln
+    * discipline), and the per-user mean goes through DECIMAL(18,9)
+    * quantization so the reduction is order-independent.
+    *
+    * Scale shape: transitions from the per-user lag window (state = one
+    * user's events); the transition-probability table is types² rows —
+    * bounded, broadcast back onto the pair stream; one keyed agg on
+    * user closes. No driver state. */
+  def sequenceAnomaly(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val seq0 = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val steps = events
+      .select(col(userCol).as("user_id"), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(seq0))
+      .where(col("to_type").isNotNull)
+      .select("user_id", "from_type", "to_type")
+    val probs = steps.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_pair"))
+      .withColumn("n_from",
+        sum(col("n_pair")).over(Window.partitionBy(col("from_type"))))
+    steps.join(broadcast(probs), Seq("from_type", "to_type"))
+      .withColumn("nll",
+        -log(col("n_pair").cast("double") / col("n_from").cast("double")))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        (sum(graft.queries.OracleSafe.dec(col("nll"), 9)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_nll"))
+  }
+
   /** Conversion attribution: for every `conversionType` event, credit the
     * user's FIRST and LAST preceding non-conversion touch (first-touch /
     * last-touch models), rolled up to `(model, channel, conversions)`.

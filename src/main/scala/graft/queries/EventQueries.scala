@@ -49,6 +49,14 @@ object EventQueries extends QueryPack {
         Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Markov sequence-anomaly score: per-user mean −ln P(next|prev)
+    // under the corpus transition matrix — the ORDER-based bot detector
+    // that composes with the volume caps (ev16/ev26).
+    "ev27_sequence_anomaly" -> ((s, d) =>
+      EventAnalytics.sequenceAnomaly(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id")),
+
     // First-touch / last-touch conversion attribution: each purchase
     // credits the user's first and last preceding non-purchase event;
     // no preceding touch → "(direct)".
@@ -525,6 +533,35 @@ object EventQueries extends QueryPack {
              CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p
          FROM counts
          ORDER BY from_type, to_type""",
+    // identical pair construction and count ratios as ev5; −ln of the
+    // exact ratio per row, DECIMAL(18,9)-quantized order-independent
+    // mean (the ta28 OLS discipline), BIGINT count casts
+    "ev27_sequence_anomaly" ->
+      """WITH steps AS (
+           SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         s2 AS (SELECT user_id, from_type, to_type FROM steps
+           WHERE to_type IS NOT NULL),
+         counts AS (
+           SELECT from_type, to_type,
+             CAST(count(*) AS BIGINT) AS n_pair
+           FROM s2 GROUP BY from_type, to_type),
+         probs AS (
+           SELECT from_type, to_type, n_pair,
+             CAST(sum(n_pair) OVER (PARTITION BY from_type) AS BIGINT)
+               AS n_from
+           FROM counts),
+         scored AS (
+           SELECT s2.user_id,
+             -ln(CAST(p.n_pair AS DOUBLE) / CAST(p.n_from AS DOUBLE))
+               AS nll
+           FROM s2 JOIN probs p USING (from_type, to_type))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CAST(nll AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+             AS mean_nll
+         FROM scored GROUP BY user_id ORDER BY user_id""",
     // strict-preceding IGNORE NULLS first/last per user, (ts,id)-ordered
     "ev6_attribution" ->
       """WITH touched AS (

@@ -491,6 +491,32 @@ class EventAnalyticsSpec extends GraftSuite {
       (3L, 1L, 0L, 1L, 0.375)))
   }
 
+  test("sequenceAnomaly scores rare transitions above common ones") {
+    import spark.implicits._
+    // four users, one transition each: A→B three times (P = 3/4),
+    // A→C once (P = 1/4) — the A→C user must score ln(4), the others
+    // ln(4/3), exactly.
+    val events = Seq(
+      (1L, ts(0), 10L, "A"), (1L, ts(1), 11L, "B"),
+      (2L, ts(0), 20L, "A"), (2L, ts(1), 21L, "B"),
+      (3L, ts(0), 30L, "A"), (3L, ts(1), 31L, "B"),
+      (4L, ts(0), 40L, "A"), (4L, ts(1), 41L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.sequenceAnomaly(
+        events, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got.forall(_._2 === 1L))
+    val common = math.log(4.0 / 3.0)
+    val rare = math.log(4.0)
+    got.take(3).foreach { case (_, _, nll) =>
+      assert(math.abs(nll - common) < 1e-8, s"common-path nll $nll")
+    }
+    assert(math.abs(got(3)._3 - rare) < 1e-8, s"rare-path nll ${got(3)._3}")
+    assert(got(3)._3 > got.head._3, "rare transition must score higher")
+  }
+
   test("contributionCap clips per (user, day), keeps the first k by time") {
     import spark.implicits._
     def at(day: Int, min: Int) = java.sql.Timestamp.valueOf(
