@@ -985,10 +985,14 @@ object Dedup {
     *
     * Scale shape: gram construction is scan-local (one transform over
     * the token array — positions come from the array index, no window);
-    * the only data-sized shuffle keys on gram (map-side combine for the
-    * recurrence count; at 100 TB slim the key to xxhash64(gram) — kept
-    * as the string here for oracle-portability); the span merge windows
-    * per doc (state = one doc's hit list). Driver state: none. */
+    * the recurrence mark is ONE gram-keyed shuffle (count over the gram
+    * partition — the groupBy-then-join-back alternative shuffles the
+    * positional frame twice for the same answer; a hot boilerplate gram
+    * routes to one task under either plan, and WindowExec spills, so the
+    * window costs nothing extra under skew. At 100 TB slim the key to
+    * xxhash64(gram) — kept as the string here for oracle-portability);
+    * the span merge windows per doc (state = one doc's hit list).
+    * Driver state: none. */
   def duplicateSpans(
       df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2, got $k")
@@ -1002,12 +1006,11 @@ object Dedup {
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("gram"))
     // grams that recur anywhere in the corpus (count over ALL positions,
-    // so an intra-doc repeat is a dup too — the paper's semantics)
-    val recurring = grams.groupBy("gram")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .select("gram")
-    val hits = grams.join(recurring, "gram")
+    // so an intra-doc repeat is a dup too — the paper's semantics);
+    // whole-partition window frame = the corpus-wide occurrence count
+    val hits = grams
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("_n") > 1L)
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + (k - 1)).cast("long").as("e"))
     val w = Window.partitionBy(col("doc_id"))
