@@ -446,16 +446,20 @@ object Dedup {
     * boilerplate-heavy documents, or join back to the chunk level to
     * excise just the repeated spans.
     *
-    * Scale shape: chunking is scan-local; the only shuffles key on the
-    * 32-byte chunk hash and on doc_id — never raw text, never pairs. A
-    * true suffix-automaton substring dedup is sequential; chunk hashing is
-    * the standard distributed approximation (window boundaries quantize
-    * match positions; overlapping strides trade cost for recall). */
+    * Scale shape: chunking is scan-local and runs ONCE — the corpus-wide
+    * occurrence count is a whole-partition window over the 32-byte chunk
+    * hash (the groupBy-then-join-back alternative re-tokenizes and
+    * re-hashes the corpus for the join's second scan), then one doc_id
+    * rollup; never raw text, never pairs. A true suffix-automaton
+    * substring dedup is sequential; chunk hashing is the standard
+    * distributed approximation (window boundaries quantize match
+    * positions; overlapping strides trade cost for recall). */
   def repeatedChunkStats(
       docs: DataFrame, id: Column, text: Column, chunkSize: Int): DataFrame = {
     val chunks = Pipeline.chunkByTokens(docs, id, text, chunkSize, chunkSize)
-    val occ = chunks.groupBy("chunk_md5").agg(count(lit(1)).as("n_occ"))
-    chunks.join(occ, "chunk_md5")
+    chunks
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("chunk_md5"))))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),

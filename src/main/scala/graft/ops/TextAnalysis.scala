@@ -490,11 +490,16 @@ object TextAnalysis {
     * occurrence, reassemble in original order. Returns (doc_id,
     * n_sentences, n_kept, clean_text).
     *
-    * Scale shape: one explode, one window keyed on (doc, sentence) —
-    * state is a single document's sentences, never corpus-global (the
-    * CROSS-doc form is `Dedup.repeatedChunkStats`) — and one keyed
-    * re-aggregation whose `array_sort(struct(idx, …))` makes the
-    * reassembly order deterministic under any shuffle. */
+    * Scale shape: one explode, then a single two-level keyed rollup —
+    * (doc, sentence) partial-aggregates map-side into first-index +
+    * occurrence count, and the doc-level pass derives n_sentences
+    * (Σ counts), n_kept, and the reassembly in the same aggregate, so
+    * nothing re-reads the exploded frame (the earlier window + stats
+    * branch + join shuffled it three times for the same answer); state
+    * is a single document's sentences, never corpus-global (the
+    * CROSS-doc form is `Dedup.repeatedChunkStats`), and
+    * `array_sort(struct(idx, …))` makes the reassembly order
+    * deterministic under any shuffle. */
   def dedupSentences(
       docs: org.apache.spark.sql.DataFrame, id: Column, text: Column)
       : org.apache.spark.sql.DataFrame = {
@@ -503,20 +508,18 @@ object TextAnalysis {
         posexplode(split(text, "[.!?]+\\s*")).as(Seq("idx", "sent")))
       .withColumn("sent", trim(col("sent")))
       .filter(length(col("sent")) > 0)
-    val stats = sents.groupBy(col("d_id"))
-      .agg(count(lit(1)).as("n_sentences"))
-    val w = Window.partitionBy(col("d_id"), col("sent"))
-      .orderBy(col("idx").asc)
-    val ded = sents
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    sents
+      .groupBy(col("d_id"), col("sent"))
+      .agg(min(col("idx")).as("idx"), count(lit(1)).as("cnt"))
       .groupBy(col("d_id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(sum(col("cnt")).as("n_sentences"),
+        count(lit(1)).as("n_kept"),
         array_join(
           transform(
             array_sort(collect_list(struct(col("idx"), col("sent")))),
             x => x.getField("sent")),
           ". ").as("clean_text"))
-    stats.join(ded, "d_id").withColumnRenamed("d_id", "doc_id")
+      .withColumnRenamed("d_id", "doc_id")
   }
 
   /** Per-document character-repertoire diversity — the gibberish /
