@@ -435,6 +435,37 @@ class PlanSpec extends GraftSuite {
     assert(pz.linesIterator.count(_.contains("HashAggregate")) >= 2, pz)
   }
 
+  test("single-scan rollups read the corpus once with bounded exchanges") {
+    // dd12 / ta18 / dd26 were rewritten from groupBy-then-join-back to
+    // one-pass window/partial-aggregate shapes; these counts pin that a
+    // future edit can't silently reintroduce the second corpus scan or
+    // the extra data-sized shuffle. Formatted explain prints each
+    // physical node once as a `(n) Name` detail line — count those.
+    def nodes(p: String, name: String): Int =
+      p.linesIterator.count(_.matches(s"\\(\\d+\\) $name(\\s.*)?"))
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val shapes = Seq(
+      // chunk_md5 window + doc_id rollup
+      ("dd12", graft.ops.Dedup.repeatedChunkStats(
+        docs, col("doc_id"), col("text"), 50), 2),
+      // (doc, sent) partial agg + doc rollup
+      ("ta18", graft.ops.TextAnalysis.dedupSentences(
+        docs, col("doc_id"), col("text")), 2),
+      // gram window + doc window; the span rollup groups on
+      // (doc_id, span_id) — a superset of the window's doc_id hash
+      // partitioning, so it reuses that exchange
+      ("dd26", graft.ops.Dedup.duplicateSpans(
+        docs, col("doc_id"), col("text"), 5), 2))
+    for ((tag, df, maxExchanges) <- shapes) {
+      val p = plan(df)
+      assert(nodes(p, "Scan parquet") == 1,
+        s"$tag should scan documents exactly once:\n$p")
+      assert(nodes(p, "Exchange") <= maxExchanges,
+        s"$tag should shuffle at most $maxExchanges times:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q6 scan-filter-agg pipeline") {
     // AQE only materializes the final physical plan after execution, so
     // run the query first and inspect executedPlan.
