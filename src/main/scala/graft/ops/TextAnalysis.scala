@@ -361,12 +361,16 @@ object TextAnalysis {
     *
     * Output: `(doc_id, clean_text, n_chunks, n_kept)`.
     *
-    * Scale shape: chunking is scan-local; doc-frequency keys on the
-    * 32-byte chunk md5 (count DISTINCT doc per hash — a key-level
-    * aggregation, never pairwise); the rebuild keys on doc_id with an
-    * order-stable array_sort re-join, not a window. Raw chunk text rides
-    * along only between the chunk and rebuild stages of the SAME doc —
-    * the cross-doc shuffle carries hashes. */
+    * Scale shape: chunking is scan-local and runs ONCE; doc-frequency
+    * keys on the 32-byte chunk md5 as two window passes over one
+    * hash-keyed exchange — a row_number first-occurrence marker per
+    * (hash, doc) summed over the hash partition IS the distinct-doc
+    * count, with counter-only window state (a collect_set window would
+    * buffer every doc id of a universal boilerplate chunk on one row;
+    * the doc-frequency-table-joined-back alternative re-chunks the
+    * corpus for the join's second scan) — never pairwise; the rebuild
+    * keys on doc_id with an order-stable array_sort re-join, not a
+    * window. */
   def stripBoilerplateChunks(
       docs: org.apache.spark.sql.DataFrame,
       id: Column, text: Column,
@@ -383,9 +387,13 @@ object TextAnalysis {
           slice(col("toks"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)))
           .as("chunk_text"))
       .withColumn("chunk_md5", md5(col("chunk_text")))
-    val docFreq = chunks.groupBy("chunk_md5")
-      .agg(count_distinct(col("doc_id")).as("chunk_df"))
-    val rebuilt = chunks.join(docFreq, "chunk_md5")
+    val wDocMark = Window.partitionBy(col("chunk_md5"), col("doc_id"))
+      .orderBy(col("chunk_idx").asc)
+    val wChunk = Window.partitionBy(col("chunk_md5"))
+    val rebuilt = chunks
+      .withColumn("_first",
+        when(row_number().over(wDocMark) === 1, 1L).otherwise(0L))
+      .withColumn("chunk_df", sum(col("_first")).over(wChunk))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -575,10 +583,12 @@ object TextAnalysis {
     * `novelty ≈ 0` filter is the cheap pre-pass that drops mirror/
     * template sludge before any pairwise machinery runs.
     *
-    * Scale shape: the corpus-global structure is a gram
-    * document-frequency table (distinct (doc, gram) → count per gram) —
-    * an inverted-index aggregation keyed on the gram, the same shape as
-    * [[Dedup.decontaminate]]; the doc join back is keyed on (doc, gram).
+    * Scale shape: grams are per-doc DISTINCT (array_distinct before the
+    * explode), so the corpus-wide document frequency of a gram is a
+    * whole-partition count window over the gram — ONE gram-keyed
+    * shuffle of a frame built in ONE corpus scan (the
+    * document-frequency-table-joined-back alternative re-tokenizes the
+    * corpus for the join's second scan), then a doc-keyed rollup.
     * Never pairwise, never a global window. All-integer counts → one
     * division → oracle hash-exact. Docs shorter than n words have no
     * grams and are absent (nothing to judge). */
@@ -587,8 +597,9 @@ object TextAnalysis {
       n: Int): org.apache.spark.sql.DataFrame = {
     val grams = docs.select(id.as("doc_id"),
       explode(array_distinct(wordNgrams(split(text, " "), n))).as("gram"))
-    val df = grams.groupBy("gram").agg(count(lit(1)).as("_df"))
-    grams.join(df, "gram")
+    grams
+      .withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_df") > 1L, 1L).otherwise(0L)).as("shared_grams"))

@@ -456,7 +456,10 @@ class PlanSpec extends GraftSuite {
       // (doc_id, span_id) — a superset of the window's doc_id hash
       // partitioning, so it reuses that exchange
       ("dd26", graft.ops.Dedup.duplicateSpans(
-        docs, col("doc_id"), col("text"), 5), 2))
+        docs, col("doc_id"), col("text"), 5), 2),
+      // gram-df window + doc rollup
+      ("ta20", graft.ops.TextAnalysis.ngramNovelty(
+        docs, col("doc_id"), col("text"), 3), 2))
     for ((tag, df, maxExchanges) <- shapes) {
       val p = plan(df)
       assert(nodes(p, "Scan parquet") == 1,
