@@ -337,7 +337,10 @@ object Dedup {
     * shouldn't kill a document). Same scale shape as dd11: distinct-gram
     * inverted-index equi join keyed on the gram — never pairwise; docs
     * shorter than n grams produce no grams and are absent (nothing to
-    * leak). */
+    * leak). The eval side is gram-DISTINCT, so the left join is 1:1 and
+    * one doc-keyed rollup counts total and matched grams together —
+    * the train corpus is tokenized once (a separate totals aggregate
+    * would re-derive every train gram for its own pass). */
   def contaminationReport(
       train: DataFrame, eval_ : DataFrame, id: Column, text: Column,
       n: Int = 8, threshold: Double = 0.1): DataFrame = {
@@ -345,18 +348,16 @@ object Dedup {
       explode(array_distinct(graft.ops.TextAnalysis.wordNgrams(
         split(text, " "), n))).as("gram"): _*)
     val evalGrams = grams(eval_).distinct()
-    val docGrams = grams(train, id.as("doc_id"))
-    val totals = docGrams.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"))
-    val overlaps = docGrams.join(evalGrams, "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("overlap_ngrams"))
-    val frac = coalesce(col("overlap_ngrams"), lit(0L)).cast("double") /
+    val counted = grams(train, id.as("doc_id"))
+      .join(evalGrams.withColumn("_hit", lit(1L)), Seq("gram"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("overlap_ngrams"))
+    val frac = col("overlap_ngrams").cast("double") /
       col("n_grams").cast("double")
-    totals.join(overlaps, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
-        frac.as("contamination"),
-        (frac >= threshold).as("flagged"))
+    counted.select(col("doc_id"), col("n_grams"), col("overlap_ngrams"),
+      frac.as("contamination"),
+      (frac >= threshold).as("flagged"))
   }
 
   /** N-gram Jaccard near-dup pairs inside blocking buckets (same `block`
