@@ -632,21 +632,22 @@ object Dedup {
     * and the losers' `rep_id` column IS the redirect map a downstream
     * join uses to repoint references at the surviving copy.
     *
-    * Scale shape: one window ranked WITHIN each cluster (keyed partition,
-    * never SinglePartition) and one broadcast-size join of reps back to
-    * members. Deterministic total order (quality desc, id asc) →
-    * oracle hash-exact. */
+    * Scale shape: ONE window within each cluster (keyed partition, never
+    * SinglePartition): the representative is `first` over the full
+    * cluster frame under the deterministic total order (quality desc,
+    * id asc) — the rank-then-join-the-winners-back alternative
+    * recomputes the members lineage (here: the whole connected-
+    * components iteration) for the join's second scan. Oracle
+    * hash-exact. */
   def electRepresentatives(
       members: DataFrame, idCol: String, clusterCol: String,
       quality: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = members.withColumn("_q", quality)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(clusterCol))
-          .orderBy(col("_q").desc, col(idCol).asc)))
-    val reps = ranked.filter(col("_rn") === 1)
-      .select(col(clusterCol), col(idCol).as("rep_id"))
-    ranked.join(reps, clusterCol)
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(quality.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    members
+      .withColumn("rep_id", first(col(idCol)).over(w))
       .select(col(idCol).as("doc_id"), col(clusterCol).as("cluster_id"),
         col("rep_id"), (col(idCol) === col("rep_id")).as("kept"))
   }

@@ -79,9 +79,12 @@ object EventAnalytics {
     * engine-specific week-start/ISO rules can leak into the compared
     * output. Output: (cohort_week INT, week_offset INT, users BIGINT).
     *
-    * Scale shape: min-date is a one-row broadcast; first-event per user
-    * and the activity distinct both shuffle on user_id; the final rollup
-    * keys on the (cohort, offset) pair — cardinality weeks². */
+    * Scale shape: min-date is a one-row broadcast; the activity distinct
+    * shuffles on (user, week) and the per-user cohort week is a
+    * whole-partition min window riding the same user-clustered exchange
+    * (the groupBy-then-join-back alternative re-derived the weekly
+    * frame and shuffled it twice more); the final rollup keys on the
+    * (cohort, offset) pair — cardinality weeks². */
   def retentionCohorts(
       events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val day = datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
@@ -90,8 +93,9 @@ object EventAnalytics {
     val weekly = base.crossJoin(broadcast(minDay))
       .select(col("u"), floor((col("d") - col("d0")) / 7).cast("int").as("w"))
       .distinct() // one row per (user, active week)
-    val cohort = weekly.groupBy("u").agg(min(col("w")).as("cohort_week"))
-    weekly.join(cohort, "u")
+    weekly
+      .withColumn("cohort_week",
+        min(col("w")).over(Window.partitionBy(col("u"))))
       .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
