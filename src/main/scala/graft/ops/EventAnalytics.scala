@@ -204,7 +204,10 @@ object EventAnalytics {
     * pairs (the only corpus-sized pass), each fanned to the N probe days
     * it keeps the user "active" for, re-distinct-ed, and counted per
     * probe day — all shuffles keyed on (user, day)-sized keys, state
-    * linear in users × N, no window over a global order anywhere. The
+    * linear in users × N, no window over a global order anywhere. A
+    * fanned row marks whether it IS its own probe day, so "days with
+    * activity" falls out of the same rollup (a separate present-days
+    * frame would rescan the events for a second distinct + join). The
     * approximate companion at much larger N is an HLL sketch per day +
     * window union (agg_hll_sketch shows the merge). */
   def rollingActiveUsers(
@@ -213,14 +216,14 @@ object EventAnalytics {
     require(windowDays >= 1, "windowDays must be >= 1")
     val day = datediff(to_date(col(tsCol)), lit("1970-01-01"))
     val ud = events.select(col(userCol).as("u"), day.as("day")).distinct()
-    val probes = ud
-      .withColumn("probe_day", explode(array(
-        (0 until windowDays).map(k => col("day") + lit(k)): _*)))
-      .select(col("u"), col("probe_day"))
-      .distinct()
-    val presentDays = ud.select(col("day").as("probe_day")).distinct()
-    probes.join(presentDays, "probe_day")
-      .groupBy("probe_day").agg(count(lit(1)).as("wau"))
+    ud
+      .withColumn("k", explode(array((0 until windowDays).map(lit): _*)))
+      .select(col("u"), (col("day") + col("k")).as("probe_day"),
+        (col("k") === 0).cast("int").as("self"))
+      .groupBy("u", "probe_day").agg(max(col("self")).as("self"))
+      .groupBy("probe_day")
+      .agg(count(lit(1)).as("wau"), max(col("self")).as("present"))
+      .filter(col("present") === 1)
       .select(col("probe_day").as("day"), col("wau"))
   }
 
