@@ -34,9 +34,12 @@ object PipelineQueries extends QueryPack {
       val cc = Dedup.connectedComponents(docs, col("doc_id"), edges,
           "id_a", "id_b")
         .select(col("cc_id").as("doc_id"), col("cluster_id"))
-      val sizes = cc.groupBy("cluster_id")
-        .agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, "cluster_id")
+      // cluster size as a whole-partition window — the groupBy-join-back
+      // form re-derives the (checkpointed but still rescanned) component
+      // labels for the join's second input
+      cc.withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
         .orderBy("doc_id")
