@@ -192,10 +192,15 @@ object Graph {
     val edges = canon(rawEdges)
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val outgoing = adj.join(deg, "src")
+    // out-degree as a whole-partition window — the groupBy-join-back
+    // form re-derived the adjacency union (and its edge canonicalization)
+    // for the join's second input; nodes then read from the PERSISTED
+    // frame instead of a third derivation
+    val outgoing = adj
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("src").as("node"))
+    val nodes = outgoing.select(col("src").as("node")).distinct()
     // bounded driver scalars: the restart-population size (one long)
     val n = seedPred match {
       case None => nodes.count()
