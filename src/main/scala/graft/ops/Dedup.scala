@@ -647,6 +647,11 @@ object Dedup {
       .orderBy(quality.desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     members
+      // a null cluster id means "in no cluster" — excluded explicitly
+      // (the join-back form dropped those rows because null never
+      // equi-matches; a bare window would elect a phantom representative
+      // for the null partition)
+      .filter(col(clusterCol).isNotNull)
       .withColumn("rep_id", first(col(idCol)).over(w))
       .select(col(idCol).as("doc_id"), col(clusterCol).as("cluster_id"),
         col("rep_id"), (col(idCol) === col("rep_id")).as("kept"))

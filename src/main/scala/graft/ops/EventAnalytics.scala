@@ -80,15 +80,18 @@ object EventAnalytics {
     * output. Output: (cohort_week INT, week_offset INT, users BIGINT).
     *
     * Scale shape: min-date is a one-row broadcast; the activity distinct
-    * shuffles on (user, week) and the per-user cohort week is a
-    * whole-partition min window riding the same user-clustered exchange
-    * (the groupBy-then-join-back alternative re-derived the weekly
-    * frame and shuffled it twice more); the final rollup keys on the
-    * (cohort, offset) pair — cardinality weeks². */
+    * shuffles on (user, week), then the per-user cohort week is ONE
+    * whole-partition min window (the groupBy-then-join-back alternative
+    * re-derived the weekly frame and shuffled it twice more); the final
+    * rollup keys on the (cohort, offset) pair — cardinality weeks².
+    * Null user ids are excluded explicitly — the join-back form dropped
+    * them as a side effect of null never equi-matching, and a window
+    * would silently resurrect them as a phantom cohort. */
   def retentionCohorts(
       events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val day = datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
-    val base = events.select(col(userCol).as("u"), day.as("d"))
+    val base = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), day.as("d"))
     val minDay = base.agg(min(col("d")).as("d0"))
     val weekly = base.crossJoin(broadcast(minDay))
       .select(col("u"), floor((col("d") - col("d0")) / 7).cast("int").as("w"))

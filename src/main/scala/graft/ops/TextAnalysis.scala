@@ -391,8 +391,11 @@ object TextAnalysis {
       .orderBy(col("chunk_idx").asc)
     val wChunk = Window.partitionBy(col("chunk_md5"))
     val rebuilt = chunks
+      // the marker mirrors count_distinct's null handling: a null doc id
+      // must not count as a distinct document toward chunk_df
       .withColumn("_first",
-        when(row_number().over(wDocMark) === 1, 1L).otherwise(0L))
+        when(row_number().over(wDocMark) === 1 &&
+          col("doc_id").isNotNull, 1L).otherwise(0L))
       .withColumn("chunk_df", sum(col("_first")).over(wChunk))
       .groupBy("doc_id")
       .agg(
@@ -517,6 +520,10 @@ object TextAnalysis {
       .withColumn("sent", trim(col("sent")))
       .filter(length(col("sent")) > 0)
     sents
+      // null doc ids are excluded explicitly (the join-back form dropped
+      // them because null never equi-matches; a bare rollup would emit a
+      // phantom null-doc row)
+      .filter(col("d_id").isNotNull)
       .groupBy(col("d_id"), col("sent"))
       .agg(min(col("idx")).as("idx"), count(lit(1)).as("cnt"))
       .groupBy(col("d_id"))

@@ -379,6 +379,18 @@ class DedupSpec extends GraftSuite {
       6L -> ((6L, true))))
   }
 
+  test("electRepresentatives drops null cluster ids like the old equi-join did") {
+    import spark.implicits._
+    val members = Seq(
+      (1L, Option(1L), 5.0), (2L, Option(1L), 7.0),
+      (3L, Option.empty[Long], 9.0)) // unclustered: must not elect itself
+      .toDF("doc_id", "cluster_id", "q")
+    val got = Dedup
+      .electRepresentatives(members, "doc_id", "cluster_id", col("q"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
   test("incrementalNearDups: batch probes corpus, argmax match, clean doc absent") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then " +

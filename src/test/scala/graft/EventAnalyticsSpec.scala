@@ -59,6 +59,20 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(got.toSeq === Seq((0, 0, 1L), (0, 1, 1L), (1, 0, 1L)))
   }
 
+  test("retention cohorts exclude null user ids") {
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${1 + n}%02d 12:00:00")
+    val events = Seq(
+      (Option(1L), day(0)),
+      (Option.empty[Long], day(0)), (Option.empty[Long], day(7)))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // the null user must not form a phantom cohort or inflate counts
+    assert(got.toSeq === Seq((0, 0, 1L)))
+  }
+
   test("trailingSpikes: cold start is null/false, spike needs > k x mean") {
     import spark.implicits._
     val events = Seq(

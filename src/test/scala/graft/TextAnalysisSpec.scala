@@ -220,6 +220,26 @@ class TextAnalysisSpec extends GraftSuite {
       (2L, 2L, 2L, "All unique here. Nothing repeats")))
   }
 
+  test("sentence dedup and boilerplate df ignore null doc ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (Option(1L), "Keep me. Keep me."),
+      (Option.empty[Long], "Keep me. Phantom row."))
+      .toDF("doc_id", "text")
+    // null-doc rows must not surface as a phantom output row…
+    val ded = TextAnalysis.dedupSentences(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ded.toSeq === Seq((1L, 1L)))
+    // …and a null doc id must not count toward a chunk's document
+    // frequency (count_distinct semantics): "Keep me" appears in doc 1
+    // and the null doc — chunk_df must stay 1, under maxDocFreq=1
+    val strip = TextAnalysis.stripBoilerplateChunks(
+      docs, col("doc_id"), col("text"), chunkSize = 2, maxDocFreq = 1)
+      .filter(col("doc_id") === 1L).collect()
+    assert(strip.head.getAs[Long]("n_kept") >= 1L,
+      s"null doc id inflated chunk_df: ${strip.mkString}")
+  }
+
   test("readability: exact counts and Flesch formula, sentence floor") {
     import spark.implicits._
     val docs = Seq(
