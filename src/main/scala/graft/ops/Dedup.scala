@@ -1009,9 +1009,13 @@ object Dedup {
     require(k >= 2, s"span gram size must be >= 2, got $k")
     val grams = df
       .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("toks"))
+      // a doc below k tokens has no k-gram at all; without this guard
+      // sequence(1, size-(k-1)) would be sequence(1, 0) = [1, 0]
+      // (descending) and slice(toks, 0, k) throws at position 0
+      .filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(
         transform(
-          sequence(lit(1), greatest(size(col("toks")) - (k - 1), lit(0))),
+          sequence(lit(1), size(col("toks")) - (k - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
         .as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),

@@ -466,7 +466,7 @@ object EventQueries extends QueryPack {
     "ev2_retention" ->
       """WITH base AS (SELECT user_id AS u,
              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
-           FROM events),
+           FROM events WHERE user_id IS NOT NULL),
          m AS (SELECT min(d) AS d0 FROM base),
          weekly AS (SELECT DISTINCT u,
              CAST(floor((d - d0) / 7) AS INT) AS w

@@ -637,7 +637,9 @@ class DedupSpec extends GraftSuite {
       (1L, "a b p q r s x y"),
       (2L, "c d p q r s z w"),
       (3L, "m n o t t m n o"), // "m n o" at pos 1 and 6 — intra-doc dup
-      (4L, "unique tokens only here never repeated"))
+      (4L, "unique tokens only here never repeated"),
+      (5L, "p q"),             // sub-k doc: no 3-gram exists — must not
+      (6L, ""))                // crash (sequence(1,0) trap) nor emit
       .toDF("doc_id", "text")
     val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 3)
       .orderBy("doc_id", "span_start")
@@ -648,8 +650,9 @@ class DedupSpec extends GraftSuite {
       (2L, 1L, 3L, 6L, 4L),
       (3L, 1L, 1L, 3L, 3L),   // intra-doc repeat: both occurrences
       (3L, 2L, 6L, 8L, 3L)))  // …as separate (non-adjacent) spans
-    // no false positives: doc 4 emits nothing
-    assert(!got.exists(_._1 == 4L))
+    // no false positives: doc 4 emits nothing; sub-k docs 5/6 emit
+    // nothing (and the query did not throw on them)
+    assert(!got.exists(r => r._1 >= 4L))
     // deterministic under repartitioning
     val again = Dedup.duplicateSpans(
       docs.repartition(5), col("doc_id"), col("text"), k = 3)

@@ -64,12 +64,15 @@ class EventAnalyticsSpec extends GraftSuite {
     def day(n: Int) = java.sql.Timestamp.valueOf(
       f"2024-01-${1 + n}%02d 12:00:00")
     val events = Seq(
-      (Option(1L), day(0)),
+      (Option(1L), day(14)),
+      // the null user's event is strictly EARLIEST: if null rows leaked
+      // into the min-day, user 1's cohort would shift to week 2
       (Option.empty[Long], day(0)), (Option.empty[Long], day(7)))
       .toDF("user_id", "ts")
     val got = EventAnalytics.retentionCohorts(events, "user_id", "ts")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    // the null user must not form a phantom cohort or inflate counts
+    // the null user must not form a phantom cohort, inflate counts, or
+    // shift the corpus min-day the cohort weeks are anchored to
     assert(got.toSeq === Seq((0, 0, 1L)))
   }
 

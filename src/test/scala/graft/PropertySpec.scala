@@ -267,7 +267,10 @@ class PropertySpec extends GraftSuite {
     // token count, be at least k tokens (a span is a union of k-gram
     // hits), and spans of one doc must be disjoint AND non-adjacent
     // (adjacency would mean an unmerged union — the merge is maximal).
-    val textGen = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d"))
+    // lengths span 0..30 so sub-k docs (the sequence(1,0) crash class)
+    // are always in the corpus
+    val textGen = Gen.choose(0, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
       .map(_.mkString(" "))
     val k = 3
     for (seed <- 1 to 4) {
