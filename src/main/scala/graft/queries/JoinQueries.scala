@@ -218,6 +218,28 @@ object JoinQueries extends QueryPack {
         .orderBy("user_id", "day")
     }),
 
+    // FORWARD as-of join with tolerance (Joins.asOfForward — the native
+    // backward operator over a negated time axis): for each purchase, the
+    // NEXT view at ts >= purchase ts; matches further than 1 hour are
+    // nulled out (row survives, pandas merge_asof(tolerance) semantics).
+    // Ties on v_ts pick the greatest v_id — the operator's contract.
+    "j17_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+      Joins.asOfForward(purchases, views,
+          keys = Seq("user_id" -> "v_user"),
+          leftTime = "p_ts", rightTime = "v_ts",
+          rightTieBreak = Seq("v_id"),
+          toleranceMicros = Some(3600L * 1000000L))
+        .select("p_id", "user_id", "p_ts", "v_id", "v_ts")
+        .orderBy("p_id")
+    }),
+
     // THETA — non-equi conjunct in the join condition (the reference could
     // only leave these as residual filters, SURVEY §2c): nation pairs in
     // the same region, ordered pair.
@@ -343,6 +365,23 @@ object JoinQueries extends QueryPack {
              AND e.ts <= make_timestamp(
                CAST(p.day + 1 AS BIGINT) * 86400000000 - 1))
          SELECT user_id, day, state, state_since FROM c WHERE rn = 1
-         ORDER BY user_id, day"""
+         ORDER BY user_id, day""",
+    // forward row_number over ts >= probe, tolerance nulled out at the
+    // final SELECT (v columns only — the probe row survives)
+    "j17_asof_forward" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT user_id AS v_user, event_id AS v_id, ts AS v_ts
+                  FROM events WHERE event_type = 'view'),
+            c AS (SELECT p.p_id, p.user_id, p.p_ts, v.v_id, v.v_ts,
+                    row_number() OVER (PARTITION BY p.p_id
+                      ORDER BY v.v_ts ASC, v.v_id DESC) AS rn
+                  FROM p LEFT JOIN v
+                    ON p.user_id = v.v_user AND v.v_ts >= p.p_ts)
+         SELECT p_id, user_id, p_ts,
+           CASE WHEN v_ts <= p_ts + INTERVAL 1 HOUR THEN v_id END AS v_id,
+           CASE WHEN v_ts <= p_ts + INTERVAL 1 HOUR THEN v_ts END AS v_ts
+         FROM c WHERE rn = 1
+         ORDER BY p_id"""
   )
 }
