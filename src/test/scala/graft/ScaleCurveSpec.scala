@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fidelity invariants for the ScaleCurve replica generator: the measured
+  * scaling curve (SCALECURVE.json) is only evidence if the synthetic ×F
+  * data actually preserves the base distribution's join fan-out, per-key
+  * density, and duplicate structure. Pins each documented property of
+  * [[ScaleCurve.generate]] on a factor-2 replica of sf0.001.
+  */
+class ScaleCurveSpec extends GraftSuite {
+
+  private lazy val outDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-scale-spec-").toString
+    ScaleCurve.generate(spark, sf, d, 2)
+    d
+  }
+  private def base(t: String) = spark.read.parquet(s"$sf/$t.parquet")
+  private def rep(t: String) = spark.read.parquet(s"$outDir/$t.parquet")
+
+  test("row counts scale by exactly F; dims stay fixed") {
+    Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings").foreach { t =>
+      assert(rep(t).count() === 2 * base(t).count(), s"table $t")
+    }
+    Seq("region", "nation").foreach { t =>
+      assert(rep(t).count() === base(t).count(), s"dim $t")
+    }
+  }
+
+  test("shifted keys are disjoint across copies (no surrogate collisions)") {
+    Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "part" -> "p_partkey", "documents" -> "doc_id",
+      "embeddings" -> "vec_id").foreach { case (t, k) =>
+      val b = base(t).select(countDistinct(col(k))).head().getLong(0)
+      val r = rep(t).select(countDistinct(col(k))).head().getLong(0)
+      assert(r === 2 * b, s"$t.$k distinct count")
+    }
+  }
+
+  test("join fan-out and per-key density are preserved") {
+    // The lineitem⋈orders match count must scale exactly ×F: every FK was
+    // shifted by its referenced table's offset, so each copy joins only
+    // within itself and per-key fan-out is untouched.
+    def joined(li: org.apache.spark.sql.DataFrame, ord: org.apache.spark.sql.DataFrame) =
+      li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined(rep("lineitem"), rep("orders"))
+      === 2 * joined(base("lineitem"), base("orders")))
+    // max lines-per-order (per-key density) identical, not doubled
+    def maxGroup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_orderkey").count().agg(max("count")).head().getLong(0)
+    assert(maxGroup(rep("lineitem")) === maxGroup(base("lineitem")))
+  }
+
+  test("copy 0 is the base corpus verbatim; copy 1 text is perturbed") {
+    val off = base("documents").agg(max(col("doc_id"))).head().getLong(0) + 1
+    val copy0 = rep("documents").where(col("doc_id") < off)
+    // copy 0 docs byte-identical to base (anti-join on (doc_id, text) empty)
+    val drifted = copy0.select("doc_id", "text")
+      .exceptAll(base("documents").select("doc_id", "text")).count()
+    assert(drifted === 0L)
+    // copy 1: every doc with >= 1 token differs from its source text, and
+    // n_chars was recomputed to match the perturbed text
+    val copy1 = rep("documents").where(col("doc_id") >= off)
+      .withColumn("src_id", col("doc_id") - off)
+    val unperturbed = copy1.alias("r")
+      .join(base("documents").alias("b"), col("src_id") === col("b.doc_id"))
+      .where(col("r.text") === col("b.text") && length(col("b.text")) > 0)
+      .count()
+    assert(unperturbed === 0L)
+    val badLen = rep("documents")
+      .where(col("n_chars") =!= length(col("text"))).count()
+    assert(badLen === 0L)
+  }
+
+  test("perturbation keeps duplicate density constant: cross-copy signature matches collapse") {
+    // Verbatim replication would make EVERY copy-1 doc a full minhash
+    // match of its copy-0 source (signatures are deterministic in the
+    // text), inflating LSH candidate pairs ×F² by construction. The
+    // perturbation can't drive per-doc matches to exactly zero — on a
+    // short doc the ~1/7 mutated tokens may not be the argmin of any of
+    // the 16 hash families — so the pinned invariant is the aggregate
+    // one the curve depends on: the cross-copy full-signature match rate
+    // stays a few-percent residue, not the 100% of verbatim copies.
+    graft.functions.Signatures.register(spark)
+    val off = base("documents").agg(max(col("doc_id"))).head().getLong(0) + 1
+    val total = base("documents").count()
+    val sigs = rep("documents")
+      .selectExpr("doc_id", "min_hash(split(lower(text), '\\\\s+'), 16) AS mh")
+    val joinedSigs = sigs.where(col("doc_id") >= off)
+      .withColumn("src_id", col("doc_id") - off).alias("r")
+      .join(sigs.where(col("doc_id") < off).alias("b"),
+        col("src_id") === col("b.doc_id"))
+      .where(col("r.mh") === col("b.mh"))
+      .count()
+    assert(joinedSigs.toDouble / total < 0.05,
+      s"$joinedSigs of $total copy-1 docs kept their source's full minhash signature")
+  }
+
+  test("embedding dimension count unchanged; copy-1 vectors differ from source") {
+    val off = base("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dims = rep("embeddings").select(size(col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val baseDims = base("embeddings").select(size(col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(dims === baseDims)
+    val identical = rep("embeddings").where(col("vec_id") >= off)
+      .withColumn("src_id", col("vec_id") - off).alias("r")
+      .join(base("embeddings").alias("b"), col("src_id") === col("b.vec_id"))
+      .where(col("r.embedding") === col("b.embedding")).count()
+    assert(identical === 0L)
+  }
+}
