@@ -106,17 +106,18 @@ object Bench {
     val repCount = 5
     val repsByQuery = collection.mutable.Map(
       headline.map(_ -> Vector.empty[Double]): _*)
-    val gcByQuery = collection.mutable.Map(headline.map(_ -> 0L): _*)
+    val gcByQuery = collection.mutable.Map(
+      headline.map(_ -> Vector.empty[Long]): _*)
     (1 to repCount).foreach { _ =>
       headline.foreach { q =>
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir).count()
         repsByQuery(q) :+= (System.nanoTime() - t0) / 1e9
-        gcByQuery(q) += gcMillis() - gc0
+        gcByQuery(q) :+= gcMillis() - gc0
       }
     }
-    val timed = headline.map(q => (q, repsByQuery(q): Seq[Double], gcByQuery(q)))
+    val timed = headline.map(q => (q, repsByQuery(q): Seq[Double], gcByQuery(q): Seq[Long]))
     val results = timed.map { case (q, reps, _) =>
       q -> reps.sorted.apply(repCount / 2)
     }
@@ -559,7 +560,10 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val repsField = jsonRepMap(timed.map { case (q, reps, _) => (q, reps) })
-    val gcField = jsonMap(timed.map { case (q, _, gcMs) => (q, gcMs.toDouble) })
+    // artifact-schema continuity: headline gc_ms stays the per-query SUM
+    // across reps (as in every prior round); the per-rep values feed the
+    // stall sentinel below.
+    val gcField = jsonMap(timed.map { case (q, _, gcMs) => (q, gcMs.sum.toDouble) })
     val minField = jsonMap(mins)
     def jsonGcMap(kvs: Seq[(String, Seq[Long])]): String =
       kvs.map { case (k, vs) =>
@@ -595,6 +599,46 @@ object Bench {
            s""","bucketed_write_sec":$bucketedWriteSec""" else "")
     val layoutTag =
       if (tpch22Bucketed) s""","tpch22_layout":"bucketed"""" else ""
+    // Stall sentinel (r12 lesson): the r12 driver run recorded ss20 reps
+    // of 8.8/8.1/12.9 s with 599–798 ms GC per rep and q21 reps
+    // [1.57, 3.25, 5.40] on code commit-identical to a round that
+    // measured 2.84 s / [1.2, 1.1, 0.98] — a background-load signature
+    // that was only diagnosable by hand-reading rep arrays. Flag, in the
+    // artifact itself, every rep whose stop-the-world GC exceeds
+    // 150 ms (clean runs top out well under 100 ms per rep) or whose
+    // wall time exceeds 2.5× that query's own min (a one-sided
+    // environment stall; a real plan regression moves ALL reps). A run
+    // with a non-trivial stall_flag_count is machine-detectably
+    // contaminated and must not become the artifact of record without
+    // adjudication. Sub-50 ms query mins are exempt from the ratio rule
+    // (scheduler jitter alone can triple them).
+    val stallGcMs = 150L
+    val stallRatio = 2.5
+    def stallFlags(section: String,
+        rows: Seq[(String, Seq[Double], Seq[Long])]): Seq[String] =
+      rows.flatMap { case (q, reps, gcs) =>
+        val mn = if (reps.nonEmpty) reps.min else 0.0
+        reps.zipWithIndex.flatMap { case (v, i) =>
+          val gc = if (i < gcs.size) gcs(i) else 0L
+          val slow = mn > 0.05 && v > stallRatio * mn
+          if (slow || gc > stallGcMs)
+            Some(s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
+              f""""sec":$v%.4f,"min":$mn%.4f,"gc_ms":$gc}""")
+          else None
+        }
+      }
+    val allFlags =
+      stallFlags("headline", timed) ++
+      stallFlags("tpch22", tpch22Raw) ++
+      stallFlags("llm", llmRepsFull)
+    val stallField =
+      s""","stall_flag_count":${allFlags.size}""" +
+        s""","stall_flags":${allFlags.mkString("[", ",", "]")}"""
+    // sf is the NUMERIC scale factor (matching the driver's BENCH_r{N}
+    // encoding — the r12 advice flagged the path-vs-number mismatch);
+    // the directory travels separately as sf_dir.
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1))
+    val sfField = sfNum.getOrElse("\"" + sfDir + "\"")
     val totalMin = mins.map(_._2).sum
     // stdout carries the STRICT contract line only — exactly the five
     // documented fields {metric,value,unit,queries,sf}, nothing else:
@@ -603,9 +647,9 @@ object Bench {
     // shape; both rounds recorded `"parsed": null`. Every extra field
     // (min, reps, gc, informational sections) lives in BENCH_LAST.json.
     val slim =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":$sfField}"""
     val full =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$layoutTag$llmField$psmatField$skewField$layoutField$e2eField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$layoutTag$llmField$psmatField$skewField$layoutField$e2eField$stallField,"sf":$sfField,"sf_dir":"$sfDir"}"""
     println(slim)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     spark.stop()

@@ -122,6 +122,26 @@ object Repl {
       } else runStatement(spark, stmt)
     }
 
+  /** The read-eval-print loop itself, factored from [[main]] so the test
+    * suite can drive the EXACT production loop end-to-end (prompt, line
+    * dispatch, pipe-printing, error recovery, exit handling) with a
+    * scripted stdin/stdout instead of the process streams — `main` only
+    * binds it to StdIn/println and owns the session lifecycle. Mirrors
+    * the reference's `while(true) { println("$>"); readLine → eval →
+    * print }` (Microbase.scala:948-1099). */
+  def loop(spark: SparkSession, readLine: () => String,
+      emit: String => Unit): Unit = {
+    var line: String = null
+    while ({
+      emit("$>")
+      line = readLine()
+      line != null && line.trim != "exit" && line.trim != "quit"
+    }) {
+      try runLine(spark, line).foreach(emit)
+      catch { case e: Exception => System.err.println(e.getMessage) }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -133,15 +153,7 @@ object Repl {
       .appName("graft-repl")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var line: String = null
-    while ({
-      println("$>")
-      line = scala.io.StdIn.readLine()
-      line != null && line.trim != "exit" && line.trim != "quit"
-    }) {
-      try runLine(spark, line).foreach(println)
-      catch { case e: Exception => System.err.println(e.getMessage) }
-    }
+    loop(spark, () => scala.io.StdIn.readLine(), println)
     spark.stop()
   }
 }

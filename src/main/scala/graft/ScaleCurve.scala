@@ -113,9 +113,14 @@ object ScaleCurve {
     dirs.foreach { case (f, dir) =>
       System.err.println(s"[scale] === factor $f ($dir) ===")
       Tables.tpch.foreach { t => Tables.load(spark, dir, t).cache().count() }
-      Seq("lineitem", "orders", "documents", "embeddings", "events").foreach { t =>
+      Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
         tableRows((f, t)) = Tables.load(spark, dir, t).count()
       }
+      // events goes through the schema-adaptive loader (raw parquet fixtures
+      // carry TIMESTAMP(NANOS) timestamps Spark's vectorized reader rejects;
+      // Tables.events normalizes them — a bare Tables.load here threw on
+      // such fixtures even with replicas already generated).
+      tableRows((f, "events")) = Tables.events(spark, dir).count()
       suite.foreach { q =>
         SparkEntry.queries(q)(spark, dir).count() // warmup: plan + codegen
         graft.ops.Pipeline.releaseCaches()
@@ -173,6 +178,20 @@ object ScaleCurve {
     spark.stop()
   }
 
+  /** Copy-tag every 7th token of `text` for copies > 0 (the near-dup
+    * density control documented on [[generate]]). Copy 0 AND zero-length
+    * texts pass through verbatim: `split("", " ")` yields one empty token,
+    * so an ungated transform would turn an empty doc into a non-empty
+    * "x<copy>" — a fidelity break (replica empty-doc counts and length
+    * distributions would diverge from the base corpus). */
+  private[graft] def perturbedText(
+      text: org.apache.spark.sql.Column,
+      copy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(copy === 0 || length(text) === 0, text).otherwise(
+      array_join(transform(split(text, " "), (t, i) =>
+        when(i % 7 === 0, concat(t, lit("x"), copy.cast("string")))
+          .otherwise(t)), " "))
+
   /** Write a factor-F key-shifted replica of `baseDir` into `outDir`. */
   def generate(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     val copies = broadcast(
@@ -213,10 +232,7 @@ object ScaleCurve {
 
     val docs = Tables.load(spark, baseDir, "documents")
     val docsScaled = shifted(docs, Seq("doc_id" -> keyOffset(docs, "doc_id")))
-      .withColumn("text", when(col("copy") === 0, col("text")).otherwise(
-        array_join(transform(split(col("text"), " "), (t, i) =>
-          when(i % 7 === 0, concat(t, lit("x"), col("copy").cast("string")))
-            .otherwise(t)), " ")))
+      .withColumn("text", perturbedText(col("text"), col("copy")))
       .withColumn("n_chars", length(col("text")).cast("long"))
     write(docsScaled, "documents")
 

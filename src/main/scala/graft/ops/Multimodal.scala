@@ -542,8 +542,10 @@ object Multimodal {
     // persist: both sides of the chunk-bucket self-join derive from this
     // frame — without the pin the mapPartitions decode+aHash pass (and
     // the lag window) would execute twice, a double full decode of the
-    // video corpus. Pinned via Pipeline.pinned so the harness's
-    // releaseCaches() frees it after the consuming action.
+    // video corpus. Pinned via Pipeline.pinned; the caller (harness OR
+    // direct library user) must invoke Pipeline.releaseCaches() after
+    // the action consuming the result, else the persisted keyframe frame
+    // leaks for the session (see the releaseCaches caller contract).
     val keyframes = frameHashes(media, maxFrames)
       .withColumn("prev_hash", lag(col("ahash"), 1).over(w))
       .filter(col("prev_hash").isNull ||

@@ -10,20 +10,32 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Frames pinned by the two-phase prefix sum, released by
-    * [[releaseCaches]]. Package-private so sibling two-phase operators
-    * (e.g. [[Relational.skyline2D]]) share the one release point. */
-  private[ops] val pinned =
+  /** Frames persisted mid-operator and released by [[releaseCaches]] —
+    * the shared release point for every graft operator that must pin an
+    * intermediate: the two-phase prefix sums here, sibling two-phase
+    * operators (e.g. [[Relational.skyline2D]]), and
+    * [[Multimodal.keyframeNearDups]]'s decoded-keyframe frame (both
+    * sides of its chunk-bucket self-join derive from it). Package-private
+    * to `graft` so those operators enqueue into the one queue. */
+  private[graft] val pinned =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Unpersist every frame pinned by [[packByTokenBudget]] /
-    * [[globalPosition]]. Call AFTER the action(s) consuming their results
-    * — a further action on an already-returned frame would re-run the
-    * range sampler, and the recomputed partition boundaries are not
-    * guaranteed to match the broadcast offsets (that re-computation
-    * hazard is exactly why the frame is pinned in the first place).
-    * Harness loops (graft.Verify) call this between queries so a
-    * 140-query session ends with zero graft-pinned cache entries. */
+  /** Unpersist every frame pinned through [[pinned]] (the prefix-sum
+    * operators, skyline, multimodal keyframes). Call AFTER the action(s)
+    * consuming their results — a further action on an already-returned
+    * frame would re-run the pinned stage, and e.g. recomputed prefix-sum
+    * partition boundaries are not guaranteed to match the broadcast
+    * offsets (that re-computation hazard is exactly why the frame is
+    * pinned in the first place).
+    *
+    * CALLER CONTRACT for direct library use: a session that invokes a
+    * pinning operator and never calls this leaks one persisted frame per
+    * call (Spark's LRU bounds the memory, but disk blocks and
+    * cache-manager entries persist for the session). The harness loops
+    * (graft.Verify, graft.Bench, graft.ScaleCurve) call it between
+    * queries so a full-catalog session ends with zero graft-pinned cache
+    * entries; long-lived library callers should do the same after each
+    * consuming action. */
   def releaseCaches(): Unit = {
     var df = pinned.poll()
     while (df != null) {

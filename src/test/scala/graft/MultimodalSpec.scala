@@ -290,6 +290,15 @@ class MultimodalSpec extends GraftSuite {
         ((r.getLong(2), r.getLong(3)))).toMap
     assert(got === Map((1L, 2L) -> ((1L, 0L))),
       s"expected exactly the shared-shot pair, got $got")
+    // caller contract (releaseCaches scaladoc): the operator pins its
+    // decoded-keyframe frame; the caller releases it after the consuming
+    // action, and the release drains the graft pin queue — a direct
+    // library caller that skips this leaks one persisted frame per call.
+    assert(!graft.ops.Pipeline.pinned.isEmpty,
+      "keyframeNearDups should have pinned its keyframe frame")
+    graft.ops.Pipeline.releaseCaches()
+    assert(graft.ops.Pipeline.pinned.isEmpty,
+      "releaseCaches must drain every graft-pinned frame")
   }
 
   test("audio fingerprint: gain-invariant envelope signature, near-dup join") {

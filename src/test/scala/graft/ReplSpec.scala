@@ -86,6 +86,32 @@ class ReplSpec extends GraftSuite {
     spark.catalog.uncacheTable("idx_repl")
   }
 
+  test("main-equivalent loop runs the reference smoke session end-to-end") {
+    // The production read-eval-print loop (Repl.loop — exactly what
+    // Repl.main binds to StdIn/println) driven with the reference's own
+    // commented-in smoke session (M:943-946): CREATE R/S/T over
+    // pipe-delimited CSVs, then the projected/ordered/limited SELECT —
+    // plus a failing statement mid-session to pin error recovery, and
+    // `exit` to terminate. Asserts the full emission stream: a "$>"
+    // prompt before every read and the pipe-formatted rows in order.
+    val session = Iterator(
+      s"""CREATE TABLE r_loop (bar int, baz int) USING csv
+          OPTIONS(path '$dataDir/R.data', delimiter '|');""",
+      s"""CREATE TABLE s_loop (c int, b string, a date) USING csv
+          OPTIONS(path '$dataDir/S.data', delimiter '|');""",
+      s"""CREATE TABLE t_loop (c int, d int) USING csv
+          OPTIONS(path '$dataDir/T.data', delimiter '|');""",
+      "SELECT broken FROM nowhere", // must not kill the loop (M: try/eval)
+      "SELECT bar, bar * 15 as biz, baz FROM r_loop Order by bar asc,baz asc limit 10;",
+      "exit")
+    val emitted = Seq.newBuilder[String]
+    Repl.loop(spark, () => session.next(), emitted += _)
+    assert(emitted.result() === Seq(
+      "$>", "$>", "$>", "$>", "$>",
+      "1|15|10", "2|30|20", "2|30|25", "3|45|30",
+      "$>"))
+  }
+
   test("join across the repl-created tables works") {
     run(s"""CREATE TABLE IF NOT EXISTS r_repl (bar int, baz int) USING csv
         OPTIONS(path '$dataDir/R.data', delimiter '|');""")

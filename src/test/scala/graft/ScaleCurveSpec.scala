@@ -59,18 +59,41 @@ class ScaleCurveSpec extends GraftSuite {
     val drifted = copy0.select("doc_id", "text")
       .exceptAll(base("documents").select("doc_id", "text")).count()
     assert(drifted === 0L)
-    // copy 1: every doc with >= 1 token differs from its source text, and
-    // n_chars was recomputed to match the perturbed text
+    // copy 1: every doc differs from its source text except zero-length
+    // ones (which the perturbation passes through verbatim — none in this
+    // fixture, so the unperturbed count is exactly the empty-doc count),
+    // and n_chars was recomputed to match the perturbed text
     val copy1 = rep("documents").where(col("doc_id") >= off)
       .withColumn("src_id", col("doc_id") - off)
     val unperturbed = copy1.alias("r")
       .join(base("documents").alias("b"), col("src_id") === col("b.doc_id"))
-      .where(col("r.text") === col("b.text") && length(col("b.text")) > 0)
+      .where(col("r.text") === col("b.text"))
       .count()
-    assert(unperturbed === 0L)
+    val emptyDocs = base("documents").where(length(col("text")) === 0).count()
+    assert(unperturbed === emptyDocs)
     val badLen = rep("documents")
       .where(col("n_chars") =!= length(col("text"))).count()
     assert(badLen === 0L)
+  }
+
+  test("text perturbation gates on emptiness: empty docs stay empty, tokens get copy-tagged") {
+    // The fixtures carry no zero-length docs, so the generate-level check
+    // above can't exercise the gate; drive the perturbation column
+    // directly. An ungated transform turns "" into "x1" (split("", " ")
+    // yields one empty token that the i%7==0 branch tags).
+    import spark.implicits._
+    val got = Seq(
+      ("", 1L), ("", 0L), ("one two three four five six seven eight", 1L),
+      ("solo", 2L), ("solo", 0L))
+      .toDF("text", "copy")
+      .select(ScaleCurve.perturbedText(col("text"), col("copy")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "",     // empty stays empty even on copy 1 (the gate under test)
+      "",     // copy 0 verbatim
+      "onex1 two three four five six seven eightx1", // tokens 0 and 7 tagged
+      "solox2",
+      "solo"))
   }
 
   test("perturbation keeps duplicate density constant: cross-copy signature matches collapse") {
