@@ -326,6 +326,80 @@ object DedupQueries extends QueryPack {
        CAST(len(da.shingles) + len(db.shingles)
             - len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)"""
 
+  /** Trigram-Jaccard duplicate-pair CTE chain (`tj(id_a, id_b, jaccard)`),
+    * shared by the dd7/dd10/dd19/dd23/pl22/pl28 duals.
+    *
+    * Exploded-gram equi-join form: distinct per-doc trigrams are unnested
+    * and pairs meet on a gram equi-join, so shared counts come from one
+    * hash join + group-by (the dd18 dual's shape, and the engine's own) —
+    * NOT the all-pairs `list_intersect` the r10 sweep used, which is
+    * quadratic in docs-per-block and was why these six duals hit the
+    * sf0.1 150 s DuckDB cap while every equi-join dual passed.
+    * Equivalent output: a pair with zero shared grams has no `tj` row,
+    * and no such pair can reach any positive Jaccard threshold; the
+    * Jaccard itself is the same exact-integer division
+    * shared/(|A|+|B|-shared) in DOUBLE.
+    * `perSource` restricts pairs to equal `source` (the dd10-family
+    * blocking); `MATERIALIZED` keeps DuckDB from inlining the gram
+    * explosion into both join sides. */
+  private[queries] def trigramJaccardCtes(perSource: Boolean): String = {
+    val srcCol = if (perSource) ", source" else ""
+    val srcPred = if (perSource) "a.source = b.source AND " else ""
+    s"""tj_t AS MATERIALIZED (SELECT doc_id$srcCol,
+          list_distinct([substr(lower(text), i, 3)
+                         for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
+        FROM documents),
+        tj_sz AS MATERIALIZED (SELECT doc_id,
+          CAST(len(grams) AS BIGINT) AS n FROM tj_t),
+        tj_g AS MATERIALIZED (SELECT doc_id$srcCol, unnest(grams) AS gram
+          FROM tj_t),
+        tj_sh AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS shared
+          FROM tj_g a JOIN tj_g b
+            ON ${srcPred}a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        tj AS MATERIALIZED (SELECT id_a, id_b,
+            CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+          FROM tj_sh
+          JOIN tj_sz sa ON sa.doc_id = tj_sh.id_a
+          JOIN tj_sz sb ON sb.doc_id = tj_sh.id_b)"""
+  }
+
+  /** Connected components over an `(id_a, id_b)` edge CTE as BOUNDED
+    * min-label rounds with pointer-jumping, yielding
+    * `cl(doc_id, cluster_id)` where cluster_id = min doc_id of the
+    * component (every document, singletons included).
+    *
+    * Replaces the recursive `reach` transitive-closure CTE of the r10
+    * duals: that closure materializes one row per (node, reachable node)
+    * — Σ cluster_size² state — and was one of the two reasons the
+    * dd10-family duals hit the sf0.1 DuckDB cost cap (gr11's unrolled
+    * MATERIALIZED-rounds pattern). Each round propagates labels one hop
+    * (min over self ∪ neighbors) then shortcuts every label through its
+    * own current label, so covered distance better-than-doubles per
+    * round: `rounds`=5 converges for any component diameter ≤ ~31 —
+    * far past any near-dup cluster in the corpus, and a non-converged
+    * round count cannot pass silently (the strict hash gate compares
+    * every cluster_id against the engine's true fixpoint CC). */
+  private[queries] def minLabelClusterCtes(edges: String, rounds: Int = 5): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""cc_p$i AS MATERIALIZED (
+            SELECT id, min(lbl) AS lbl FROM (
+              SELECT id, lbl FROM cc_l${i - 1}
+              UNION ALL
+              SELECT ue.b AS id, l.lbl FROM cc_l${i - 1} l JOIN ue ON ue.a = l.id)
+            GROUP BY id),
+          cc_l$i AS MATERIALIZED (
+            SELECT x.id, y.lbl AS lbl FROM cc_p$i x JOIN cc_p$i y ON y.id = x.lbl)"""
+    }.mkString(",\n")
+    s"""ue AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM $edges
+          UNION ALL SELECT id_b, id_a FROM $edges),
+        cc_l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+        $iters,
+        cl AS MATERIALIZED (SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster_id
+          FROM cc_l$rounds)"""
+  }
+
   val oracle: Map[String, String] = Map(
     // dd25: the three gates' proven duals composed — dd22's EXISTS,
     // dd21's band-probe CTE over the truth primitives, ta16's rule CASE.
@@ -402,29 +476,20 @@ object DedupQueries extends QueryPack {
           FROM g JOIN ex ON ex.doc_id = g.doc_id
             LEFT JOIN nd ON nd.id_a = g.doc_id
           ORDER BY incoming_id""",
-    // dd23: all four pair sets recomputed outright (the trigram and
-    // containment CTEs are the dd5/dd15 duals verbatim), then the same
-    // sizes / overlap / cross-join-preserved zero pairs.
+    // dd23: all four pair sets recomputed outright (the trigram chain is
+    // the shared dd5-configuration CTE, the containment CTEs the dd15
+    // dual verbatim), then the same sizes / overlap /
+    // cross-join-preserved zero pairs.
     "dd23_signal_agreement" ->
-      """WITH ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      s"""WITH ${trigramJaccardCtes(perSource = true)},
+         ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM documents a JOIN documents b
              ON a.text = b.text AND a.doc_id < b.doc_id),
          px AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM documents a JOIN documents b
              ON substr(a.text, 1, 64) = substr(b.text, 1, 64)
                 AND a.doc_id < b.doc_id),
-         tg0 AS (SELECT doc_id, source,
-             list_distinct([substr(lower(text), i, 3)
-                            for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
-           FROM documents),
-         tg AS (SELECT id_a, id_b FROM (
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-                 AS jaccard
-             FROM tg0 a JOIN tg0 b
-               ON a.source = b.source AND a.doc_id < b.doc_id)
-           WHERE jaccard >= 0.6),
+         tg AS (SELECT id_a, id_b FROM tj WHERE jaccard >= 0.6),
          ct0 AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents),
          ctg AS (SELECT doc_id, unnest(list_distinct(
@@ -617,29 +682,15 @@ object DedupQueries extends QueryPack {
           FROM sz x JOIN sz y ON x.src < y.src
           LEFT JOIN it ON it.src_a = x.src AND it.src_b = y.src
           ORDER BY src_a, src_b""",
-    // dd10's recursive-CC CTE, then per-cluster argmax on
-    // (n_chars DESC, doc_id ASC) elects the representative.
+    // dd10's cluster construction (shared trigram-pair + min-label-CC
+    // CTEs), then per-cluster argmax on (n_chars DESC, doc_id ASC)
+    // elects the representative.
     "dd19_cluster_reps" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, source,
-            list_distinct([substr(lower(text), i, 3)
-                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
-          FROM documents),
-          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-              AS jaccard
-          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
-          e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.6),
-          ue AS (SELECT id_a AS a, id_b AS b FROM e
-                 UNION ALL SELECT id_b, id_a FROM e),
-          reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r),
-          m AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY id),
-          q AS (SELECT m.doc_id, m.cluster_id, d.n_chars
-            FROM m JOIN documents d USING (doc_id)),
+      s"""WITH ${trigramJaccardCtes(perSource = true)},
+          e AS MATERIALIZED (SELECT id_a, id_b FROM tj WHERE jaccard >= 0.6),
+          ${minLabelClusterCtes("e")},
+          q AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+            FROM cl JOIN documents d USING (doc_id)),
           rk AS (SELECT doc_id, cluster_id, row_number() OVER (
               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC)
               AS rn
@@ -649,36 +700,15 @@ object DedupQueries extends QueryPack {
             q.doc_id = rep.rep_id AS kept
           FROM q JOIN rep USING (cluster_id) ORDER BY q.doc_id""",
     "dd10_dup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, source,
-            list_distinct([substr(lower(text), i, 3)
-                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
-          FROM documents),
-          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-              AS jaccard
-          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
-          e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.6),
-          ue AS (SELECT id_a AS a, id_b AS b FROM e
-                 UNION ALL SELECT id_b, id_a FROM e),
-          reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r)
-          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
-            CAST(id = min(r) AS INT) AS kept
-          FROM reach GROUP BY id ORDER BY doc_id""",
+      s"""WITH ${trigramJaccardCtes(perSource = true)},
+          e AS MATERIALIZED (SELECT id_a, id_b FROM tj WHERE jaccard >= 0.6),
+          ${minLabelClusterCtes("e")}
+          SELECT doc_id, cluster_id,
+            CAST(doc_id = cluster_id AS INT) AS kept
+          FROM cl ORDER BY doc_id""",
     "dd7_jaccard_simjoin" ->
-      """WITH t AS (SELECT doc_id,
-            list_distinct([substr(lower(text), i, 3)
-                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
-          FROM documents),
-          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-              AS jaccard
-          FROM t a JOIN t b ON a.doc_id < b.doc_id)
-          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+      s"""WITH ${trigramJaccardCtes(perSource = false)}
+          SELECT id_a, id_b, jaccard FROM tj WHERE jaccard >= 0.6
           ORDER BY id_a, id_b""",
     "dd6_embedding_neardup" ->
       s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -529,27 +529,13 @@ object PipelineQueries extends QueryPack {
             CASE $cases ELSE '${pl6Splits.last._1}' END AS split
           FROM documents ORDER BY doc_id"""
     },
-    // the dd10 recursive-CTE cluster construction + a size rollup; the
-    // weight is one double division of exact longs on both engines
+    // the dd10 cluster construction (DedupQueries' shared trigram-pair +
+    // min-label-CC CTEs) + a size rollup; the weight is one double
+    // division of exact longs on both engines
     "pl22_cluster_weights" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, source,
-            list_distinct([substr(lower(text), i, 3)
-                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
-          FROM documents),
-          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-              AS jaccard
-          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
-          e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.6),
-          ue AS (SELECT id_a AS a, id_b AS b FROM e
-                 UNION ALL SELECT id_b, id_a FROM e),
-          reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r),
-          cl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY id),
+      s"""WITH ${DedupQueries.trigramJaccardCtes(perSource = true)},
+          e AS MATERIALIZED (SELECT id_a, id_b FROM tj WHERE jaccard >= 0.6),
+          ${DedupQueries.minLabelClusterCtes("e")},
           sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
             FROM cl GROUP BY cluster_id)
           SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
@@ -677,33 +663,19 @@ object PipelineQueries extends QueryPack {
            CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
              AS padding_waste
          FROM b GROUP BY batch_id ORDER BY batch_id""",
-    // dd10's recursive-CTE cluster dual + pl6's md5 CASE on cluster_id
+    // dd10's cluster dual (shared trigram-pair + min-label-CC CTEs)
+    // + pl6's md5 CASE on cluster_id
     "pl28_leakage_safe_split" -> {
       val h = "md5('28:' || CAST(cluster_id AS VARCHAR))"
       val cases = Pipeline.md5SplitBounds(pl6Splits)
         .map { case (name, bound) => s"WHEN $h < '$bound' THEN '$name'" }
         .mkString(" ")
-      s"""WITH RECURSIVE t AS (SELECT doc_id, source,
-            list_distinct([substr(lower(text), i, 3)
-                           for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS grams
-          FROM documents),
-          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-              AS jaccard
-          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
-          e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.6),
-          ue AS (SELECT id_a AS a, id_b AS b FROM e
-                 UNION ALL SELECT id_b, id_a FROM e),
-          reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r),
-          c AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY id)
+      s"""WITH ${DedupQueries.trigramJaccardCtes(perSource = true)},
+          e AS MATERIALIZED (SELECT id_a, id_b FROM tj WHERE jaccard >= 0.6),
+          ${DedupQueries.minLabelClusterCtes("e")}
           SELECT doc_id, cluster_id,
             CASE $cases ELSE '${pl6Splits.last._1}' END AS split
-          FROM c ORDER BY doc_id"""
+          FROM cl ORDER BY doc_id"""
     },
     // same quality CTE as pl8 (term-identical doubles), keyed rank,
     // BIGINT rank cast — integer/boolean output, hash-exact

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Doc-vs-artifact sync gate: the numbers SCALE.md and COVERAGE.md quote
+must appear verbatim in the committed artifacts of the same HEAD.
+
+Why this exists: three consecutive round verdicts (r10/r11/r12) led with
+the same defect — SCALE.md's "Measured" paragraph and COVERAGE.md's
+header quoting a PRIOR round's bench/correctness numbers that
+contradicted the committed BENCH_LAST.json / CORRECTNESS_r{N}.json.
+Prose drifts silently; this gate makes the drift a red exit code.
+
+Checks
+  1. SCALE.md "Current (round-N ...)" paragraph: headline median/min,
+     tpch22_total, llm_total — each must equal the BENCH_LAST.json value
+     rounded to the quoted precision (2 decimals).
+  2. Both docs' catalog triple "catalog Q/O/R" (total queries /
+     oracle-eligible hash-exact / rows-only) must match the newest
+     CORRECTNESS_r*.json.
+  3. Both docs' "S/S specs": if target/test-reports/*.xml exists (a
+     fresh `sbt test`), S must equal the summed test count; otherwise
+     the spec count is reported but not enforced (stale target/ would
+     false-alarm).
+
+Usage: python3 tools/doc_sync_check.py   (from the repo root)
+Exit 0 = in sync; 1 = drift (each mismatch printed).
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+fails = []
+
+
+def fail(msg):
+    fails.append(msg)
+    print(f"[DRIFT] {msg}")
+
+
+def ok(msg):
+    print(f"[ok   ] {msg}")
+
+
+def read(path):
+    with open(os.path.join(ROOT, path)) as f:
+        return f.read()
+
+
+# ---- artifacts ----------------------------------------------------------
+bench = json.load(open(os.path.join(ROOT, "BENCH_LAST.json")))
+corr_files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+if not corr_files:
+    print("no CORRECTNESS_r*.json found")
+    sys.exit(1)
+corr = json.load(open(corr_files[-1]))
+corr_name = os.path.basename(corr_files[-1])
+n_total = len(corr)
+n_exact = sum(1 for v in corr.values() if v.get("hash_match") is True)
+n_rows_only = sum(1 for v in corr.values() if v.get("err") == "no_oracle")
+n_bad = n_total - n_exact - n_rows_only
+if n_bad:
+    fail(f"{corr_name} has {n_bad} non-exact oracle rows — fix those first")
+
+spec_total = None
+reports = glob.glob(os.path.join(ROOT, "target/test-reports/*.xml"))
+if reports:
+    spec_total = 0
+    for r in reports:
+        m = re.search(r'tests="(\d+)"', open(r).read())
+        if m:
+            spec_total += int(m.group(1))
+
+scale = read("SCALE.md")
+coverage = read("COVERAGE.md")
+
+# ---- 1. SCALE.md measured paragraph vs BENCH_LAST.json ------------------
+cur = re.search(r"\*\*Current \(round-\d+[^*]*\*\*", scale, re.S)
+if not cur:
+    fail('SCALE.md has no "**Current (round-N ...)**" measured paragraph')
+else:
+    para = cur.group(0)
+    for label, pattern, key in [
+        ("headline median", r"headline ([\d.]+)\s*s median", "value"),
+        ("headline min", r"median / ([\d.]+)\s*s min", "value_min"),
+        ("tpch22_total", r"tpch22_total ([\d.]+)\s*s", "tpch22_total"),
+        ("llm_total", r"llm_total ([\d.]+)\s*s", "llm_total"),
+    ]:
+        m = re.search(pattern, para)
+        if not m:
+            fail(f"SCALE.md Current paragraph does not quote {label}")
+            continue
+        quoted = m.group(1)
+        actual = round(bench[key], len(quoted.split(".")[1]) if "." in quoted else 0)
+        if float(quoted) != actual:
+            fail(f"SCALE.md quotes {label} {quoted} s but BENCH_LAST.json"
+                 f" {key} = {bench[key]:.4f} (rounds to {actual})")
+        else:
+            ok(f"SCALE.md {label} {quoted} s == BENCH_LAST.json {key}")
+
+# ---- 2. catalog triple in both docs vs CORRECTNESS ----------------------
+expected_triple = f"{n_total}/{n_exact}/{n_rows_only}"
+for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
+    triples = re.findall(r"catalog (\d+/\d+/\d+)", text)
+    if not triples:
+        fail(f'{doc_name} has no "catalog Q/O/R" triple')
+    for t in triples:
+        if t != expected_triple:
+            fail(f"{doc_name} quotes catalog {t} but {corr_name}"
+                 f" says {expected_triple}")
+        else:
+            ok(f"{doc_name} catalog {t} == {corr_name}")
+
+# ---- 3. spec counts ------------------------------------------------------
+for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
+    counts = re.findall(r"(\d+)/(\d+) specs", text)
+    current = [c for c in counts if c[0] == c[1]]
+    if not current:
+        fail(f'{doc_name} has no "S/S specs" count')
+        continue
+    quoted = int(current[-1][0])
+    if spec_total is None:
+        print(f"[warn ] {doc_name} quotes {quoted} specs — no fresh"
+              f" target/test-reports to verify against")
+    elif quoted != spec_total:
+        fail(f"{doc_name} quotes {quoted} specs but target/test-reports"
+             f" sums to {spec_total}")
+    else:
+        ok(f"{doc_name} specs {quoted} == test-reports sum")
+
+print(f"\n{'DRIFT: ' + str(len(fails)) + ' mismatch(es)' if fails else 'in sync'}")
+sys.exit(1 if fails else 0)
