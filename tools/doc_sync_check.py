@@ -81,10 +81,10 @@ if not cur:
 else:
     para = cur.group(0)
     for label, pattern, key in [
-        ("headline median", r"headline ([\d.]+)\s*s median", "value"),
-        ("headline min", r"median / ([\d.]+)\s*s min", "value_min"),
-        ("tpch22_total", r"tpch22_total ([\d.]+)\s*s", "tpch22_total"),
-        ("llm_total", r"llm_total ([\d.]+)\s*s", "llm_total"),
+        ("headline median", r"headline\s+([\d.]+)\s*s\s+median", "value"),
+        ("headline min", r"median\s*/\s*([\d.]+)\s*s\s+min", "value_min"),
+        ("tpch22_total", r"tpch22_total\s+([\d.]+)\s*s", "tpch22_total"),
+        ("llm_total", r"llm_total\s+([\d.]+)\s*s", "llm_total"),
     ]:
         m = re.search(pattern, para)
         if not m:
@@ -101,7 +101,7 @@ else:
 # ---- 2. catalog triple in both docs vs CORRECTNESS ----------------------
 expected_triple = f"{n_total}/{n_exact}/{n_rows_only}"
 for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
-    triples = re.findall(r"catalog (\d+/\d+/\d+)", text)
+    triples = re.findall(r"catalog (\d+/\d+/\d+)", text, re.I)
     if not triples:
         fail(f'{doc_name} has no "catalog Q/O/R" triple')
     for t in triples:
@@ -113,7 +113,7 @@ for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
 
 # ---- 3. spec counts ------------------------------------------------------
 for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
-    counts = re.findall(r"(\d+)/(\d+) specs", text)
+    counts = re.findall(r"(\d+)/(\d+)\s+specs", text)
     current = [c for c in counts if c[0] == c[1]]
     if not current:
         fail(f'{doc_name} has no "S/S specs" count')
