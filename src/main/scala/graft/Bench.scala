@@ -31,6 +31,35 @@ object Bench {
     "q6_forecast_revenue", "q10_returned_items", "q12_priority_shipping",
     "q14_promo_effect", "q19_disjunctive_filter")
 
+  /** Stall sentinel (r12 lesson): the r12 driver run recorded ss20 reps
+    * of 8.8/8.1/12.9 s with 599–798 ms GC per rep and q21 reps
+    * [1.57, 3.25, 5.40] on code commit-identical to a round that
+    * measured 2.84 s / [1.2, 1.1, 0.98] — a background-load signature
+    * that was only diagnosable by hand-reading rep arrays. Flag, in the
+    * artifact itself, every rep whose stop-the-world GC exceeds
+    * `gcThresholdMs` (clean runs top out well under 100 ms per rep;
+    * contaminated reps measured 468–798 ms) or whose wall time exceeds
+    * `ratio`× that query's own min (a one-sided environment stall; a
+    * real plan regression moves ALL reps). A run with a non-trivial
+    * stall_flag_count is machine-detectably contaminated and must not
+    * become the artifact of record without adjudication. Sub-50 ms
+    * query mins are exempt from the ratio rule (scheduler jitter alone
+    * can triple them). Returns one JSON object string per flagged rep. */
+  private[graft] def stallFlags(section: String,
+      rows: Seq[(String, Seq[Double], Seq[Long])],
+      gcThresholdMs: Long = 150L, ratio: Double = 2.5): Seq[String] =
+    rows.flatMap { case (q, reps, gcs) =>
+      val mn = if (reps.nonEmpty) reps.min else 0.0
+      reps.zipWithIndex.flatMap { case (v, i) =>
+        val gc = if (i < gcs.size) gcs(i) else 0L
+        val slow = mn > 0.05 && v > ratio * mn
+        if (slow || gc > gcThresholdMs)
+          Some(s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
+            f""""sec":$v%.4f,"min":$mn%.4f,"gc_ms":$gc}""")
+        else None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -599,34 +628,8 @@ object Bench {
            s""","bucketed_write_sec":$bucketedWriteSec""" else "")
     val layoutTag =
       if (tpch22Bucketed) s""","tpch22_layout":"bucketed"""" else ""
-    // Stall sentinel (r12 lesson): the r12 driver run recorded ss20 reps
-    // of 8.8/8.1/12.9 s with 599–798 ms GC per rep and q21 reps
-    // [1.57, 3.25, 5.40] on code commit-identical to a round that
-    // measured 2.84 s / [1.2, 1.1, 0.98] — a background-load signature
-    // that was only diagnosable by hand-reading rep arrays. Flag, in the
-    // artifact itself, every rep whose stop-the-world GC exceeds
-    // 150 ms (clean runs top out well under 100 ms per rep) or whose
-    // wall time exceeds 2.5× that query's own min (a one-sided
-    // environment stall; a real plan regression moves ALL reps). A run
-    // with a non-trivial stall_flag_count is machine-detectably
-    // contaminated and must not become the artifact of record without
-    // adjudication. Sub-50 ms query mins are exempt from the ratio rule
-    // (scheduler jitter alone can triple them).
-    val stallGcMs = 150L
-    val stallRatio = 2.5
-    def stallFlags(section: String,
-        rows: Seq[(String, Seq[Double], Seq[Long])]): Seq[String] =
-      rows.flatMap { case (q, reps, gcs) =>
-        val mn = if (reps.nonEmpty) reps.min else 0.0
-        reps.zipWithIndex.flatMap { case (v, i) =>
-          val gc = if (i < gcs.size) gcs(i) else 0L
-          val slow = mn > 0.05 && v > stallRatio * mn
-          if (slow || gc > stallGcMs)
-            Some(s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
-              f""""sec":$v%.4f,"min":$mn%.4f,"gc_ms":$gc}""")
-          else None
-        }
-      }
+    // Stall sentinel over every rep'd section (thresholds + rationale on
+    // the stallFlags method, which BenchSentinelSpec pins).
     val allFlags =
       stallFlags("headline", timed) ++
       stallFlags("tpch22", tpch22Raw) ++
