@@ -187,6 +187,54 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("q21 scans lineitem once; fused window reuses the join's fact partitioning") {
+    // The q21 rewrite exists to kill the decorrelated EXISTS/NOT-EXISTS
+    // plan's THREE lineitem legs (main + semi + anti — three fact scans
+    // and two extra fact-fact shuffles at 100 TB). Pin the two structural
+    // wins under the at-scale shape (broadcast off, so the fact join is
+    // a shuffled join like it must be at 100 TB):
+    //  1. lineitem appears in exactly ONE scan;
+    //  2. both per-order supplier statistics evaluate in ONE Window node
+    //     whose required l_orderkey partitioning is satisfied by the
+    //     join's own exchanges — exactly 2 hashpartitioning(l_orderkey)
+    //     exchanges in the whole plan (the two join inputs), a third
+    //     would mean the window re-shuffled the fact.
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q21_suppliers_waiting")(spark, sf)
+      df.collect() // finalize the adaptive plan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.window.WindowExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => q +: allNodes(q.plan)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val windows = nodes.collect { case w: WindowExec => w }
+      assert(windows.size === 1,
+        s"expected one fused Window node, got ${windows.size}")
+      assert(windows.head.windowExpression.size === 2,
+        "both supplier statistics must evaluate in the single Window node")
+      val liScans = nodes.count(n => n.nodeName.contains("Scan") &&
+        n.output.map(_.name).contains("l_suppkey"))
+      assert(liScans === 1, s"lineitem scanned $liScans times, expected 1")
+      val orderkeyExchanges = nodes.collect {
+        case e: ShuffleExchangeLike if e.outputPartitioning.toString
+          .contains("l_orderkey") || e.outputPartitioning.toString
+          .contains("o_orderkey") => e
+      }
+      assert(orderkeyExchanges.size <= 2,
+        s"window added a fact re-shuffle: ${orderkeyExchanges.size} orderkey exchanges")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("no query plans an accidental cartesian product") {
     // Queries that are *intentionally* pairwise (bounded/blocked baselines
     // or explicit cross joins) — everything else must never plan a
