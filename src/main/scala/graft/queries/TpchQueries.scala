@@ -488,9 +488,34 @@ object TpchQueries extends QueryPack {
 
     // Q17-shape — small-quantity-order revenue: correlated avg subquery
     // (quantity below 20% of the part's own average).
+    // Q17 — correlated avg: quantity below 20% of the part's own average.
+    // The oracle keeps the literal correlated-subquery text (q17Sql);
+    // Spark's decorrelation of that text aggregates the FULL lineitem by
+    // l_partkey (a second complete fact scan + a full-grain shuffle —
+    // the part filter does not push into the decorrelated agg). The
+    // Spark path instead computes the per-part average as a window over
+    // the part-filtered join itself: the join preserves every lineitem
+    // row of each surviving partkey, so the window partition holds
+    // exactly the subquery's correlation group. One fact scan; under
+    // the at-scale shuffled join the window reuses the join's
+    // l_partkey partitioning (same shape PlanSpec pins for q21).
+    // Arithmetic mirrors the SQL term-for-term (exact DECIMAL sum,
+    // then one double division) so the result stays hash-exact.
     "q17_small_quantity" -> ((s, d) => {
-      Tables.registerAll(s, d)
-      s.sql(q17Sql)
+      import org.apache.spark.sql.expressions.Window
+      val part = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#11" && col("p_size") < 25)
+        .select("p_partkey")
+      val w = Window.partitionBy("l_partkey")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(part, col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
+        .withColumn("qty_threshold",
+          lit(0.2) * (sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+            .cast("double") / count(lit(1)).over(w)))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / lit(7.0)).as("avg_yearly"))
     }),
 
     // Q20 — nested IN chains over partsupp: availability above half the

@@ -187,7 +187,7 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
-  test("q21 scans lineitem once; fused window reuses the join's fact partitioning") {
+  test("q21/q17 scan lineitem once; fused windows reuse the join's fact partitioning") {
     // The q21 rewrite exists to kill the decorrelated EXISTS/NOT-EXISTS
     // plan's THREE lineitem legs (main + semi + anti — three fact scans
     // and two extra fact-fact shuffles at 100 TB). Pin the two structural
@@ -229,6 +229,23 @@ class PlanSpec extends GraftSuite {
       }
       assert(orderkeyExchanges.size <= 2,
         s"window added a fact re-shuffle: ${orderkeyExchanges.size} orderkey exchanges")
+
+      // q17 carries the same rewrite (correlated per-part avg → window
+      // over the part-filtered join): one lineitem scan — the
+      // decorrelated subquery text would scan and full-grain-aggregate
+      // the fact a second time — and no third partkey exchange.
+      val df17 = SparkEntry.queries("q17_small_quantity")(spark, sf)
+      df17.collect()
+      val n17 = allNodes(df17.queryExecution.executedPlan)
+      val li17 = n17.count(n => n.nodeName.contains("Scan") &&
+        n.output.map(_.name).contains("l_quantity"))
+      assert(li17 === 1, s"q17 scanned lineitem $li17 times, expected 1")
+      val partkeyExchanges = n17.collect {
+        case e: ShuffleExchangeLike if e.outputPartitioning.toString
+          .contains("partkey") => e
+      }
+      assert(partkeyExchanges.size <= 2,
+        s"q17 window added a fact re-shuffle: ${partkeyExchanges.size} partkey exchanges")
     } finally saved match {
       case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
