@@ -80,21 +80,36 @@ if not cur:
     fail('SCALE.md has no "**Current (round-N ...)**" measured paragraph')
 else:
     para = cur.group(0)
+    def artifact(key):
+        """Top-level key, or section.query path."""
+        cur = bench
+        for part in key.split("."):
+            cur = cur[part]
+        return cur
+
     for label, pattern, key in [
         ("headline median", r"headline\s+([\d.]+)\s*s\s+median", "value"),
         ("headline min", r"median\s*/\s*([\d.]+)\s*s\s+min", "value_min"),
         ("tpch22_total", r"tpch22_total\s+([\d.]+)\s*s", "tpch22_total"),
         ("llm_total", r"llm_total\s+([\d.]+)\s*s", "llm_total"),
+        # per-query quotes in the Current paragraph (reported per-query
+        # MINs; "~"-prefixed approximations are deliberately not quoted
+        # to artifact precision and carry no pattern here)
+        ("q21", r"q21\s+([\d.]+)\s*s", "tpch22.q21_suppliers_waiting"),
+        ("q17", r"q17\s+([\d.]+)\s*s", "tpch22.q17_small_quantity"),
+        ("q22", r"q22\s+([\d.]+)\s*s", "tpch22.q22_global_sales"),
+        ("ss20", r"codebook training\s+([\d.]+)\s*s", "llm.ss20_ivfpq_topk"),
     ]:
         m = re.search(pattern, para)
         if not m:
             fail(f"SCALE.md Current paragraph does not quote {label}")
             continue
         quoted = m.group(1)
-        actual = round(bench[key], len(quoted.split(".")[1]) if "." in quoted else 0)
+        val = artifact(key)
+        actual = round(val, len(quoted.split(".")[1]) if "." in quoted else 0)
         if float(quoted) != actual:
             fail(f"SCALE.md quotes {label} {quoted} s but BENCH_LAST.json"
-                 f" {key} = {bench[key]:.4f} (rounds to {actual})")
+                 f" {key} = {val:.4f} (rounds to {actual})")
         else:
             ok(f"SCALE.md {label} {quoted} s == BENCH_LAST.json {key}")
 
