@@ -252,6 +252,38 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("q18/q2 scan their fact side once (agg-first / window rewrites)") {
+    // q18's IN-subquery text plans lineitem twice (outer join-agg + the
+    // left-semi HAVING leg); the agg-first rewrite must keep it at ONE
+    // scan, with the >150 filter applied post-agg before any join.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val df18 = SparkEntry.queries("q18_large_volume")(spark, sf)
+    df18.collect()
+    val n18 = allNodes(df18.queryExecution.executedPlan)
+    val li18 = n18.count(n => n.nodeName.contains("Scan") &&
+      n.output.map(_.name).contains("l_quantity"))
+    assert(li18 === 1, s"q18 scanned lineitem $li18 times, expected 1")
+
+    // q2's correlated-min text plans the ASIA offer join twice (outer +
+    // aggregated-subquery legs): the cached partsupp AND supplier would
+    // each appear in two scans. The window rewrite keeps both at ONE.
+    val df2 = SparkEntry.queries("q2_min_cost_supplier")(spark, sf)
+    df2.collect()
+    val n2 = allNodes(df2.queryExecution.executedPlan)
+    val ps2 = n2.count(n => n.nodeName.contains("Scan") &&
+      n.output.map(_.name).contains("ps_supplycost"))
+    assert(ps2 === 1, s"q2 scanned partsupp $ps2 times, expected 1")
+    val supp2 = n2.count(n => n.nodeName.contains("Scan") &&
+      n.output.map(_.name).contains("s_acctbal"))
+    assert(supp2 === 1, s"q2 scanned supplier $supp2 times, expected 1")
+  }
+
   test("no query plans an accidental cartesian product") {
     // Queries that are *intentionally* pairwise (bounded/blocked baselines
     // or explicit cross joins) — everything else must never plan a
