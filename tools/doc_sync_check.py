@@ -97,6 +97,7 @@ else:
         # to artifact precision and carry no pattern here)
         ("q21", r"q21\s+([\d.]+)\s*s", "tpch22.q21_suppliers_waiting"),
         ("q17", r"q17\s+([\d.]+)\s*s", "tpch22.q17_small_quantity"),
+        ("q18", r"q18\s+([\d.]+)\s*s", "tpch22.q18_large_volume"),
         ("q22", r"q22\s+([\d.]+)\s*s", "tpch22.q22_global_sales"),
         ("ss20", r"codebook training\s+([\d.]+)\s*s", "llm.ss20_ivfpq_topk"),
     ]:
