@@ -446,6 +446,11 @@ object TpchQueries extends QueryPack {
 
     // Q22-shape — global sales opportunity: customers above the positive-
     // balance average (exact decimal avg) with no orders, by country code.
+    // Same adjudication as q11: the scalar-subquery threshold is a
+    // GLOBAL reduction over customer, so any formulation pays a second
+    // pass over the dim; the decorrelated plan's duplicated leg is a
+    // two-column customer scan, and the anti-join leg scans orders
+    // once. Not a q2/q18-style rewrite candidate.
     "q22_global_sales" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql("""SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
