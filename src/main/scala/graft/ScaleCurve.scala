@@ -43,7 +43,12 @@ import graft.sources.Tables
   * Run: `sbt "runMain graft.ScaleCurve"` (~15 min). Env knobs:
   * SPARK_GRAFT_SCALE_FACTORS (default "3,10"), SPARK_GRAFT_SCALE_WORK
   * (default /tmp/graft_scale), SPARK_GRAFT_SCALE_REGEN=1 to rebuild the
-  * synthetic dirs, SPARK_GRAFT_SCALE_REPS (default 3).
+  * synthetic dirs, SPARK_GRAFT_SCALE_REPS (default 3),
+  * SPARK_GRAFT_SCALE_QUERIES (comma list of catalog query names to
+  * curve instead of the default suite — any `SparkEntry.queries` key),
+  * SPARK_GRAFT_SCALE_OUT (artifact path, default SCALECURVE.json — a
+  * focused query subset must NOT overwrite the full-suite artifact of
+  * record).
   */
 object ScaleCurve {
 
@@ -107,7 +112,14 @@ object ScaleCurve {
     // ---- timed passes ------------------------------------------------
     // (factor, query) -> (reps, gcPerRep); Bench discipline per scale
     // point: cache tpch tables, warmup pass, interleaved reps, min.
-    val suite = tpchSuite ++ llmSuite
+    val suite = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
+      case Some(qs) =>
+        val names = qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown catalog queries: $unknown")
+        names
+      case None => tpchSuite ++ llmSuite
+    }
     val rows = collection.mutable.Map.empty[(Int, String), (Seq[Double], Seq[Long])]
     val tableRows = collection.mutable.Map.empty[(Int, String), Long]
     dirs.foreach { case (f, dir) =>
@@ -168,7 +180,8 @@ object ScaleCurve {
         s""""reps":$reps,"span":"x$fLo->x$fHi","table_rows":$rowsJson,""" +
         s""""queries":$perQuery}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALECURVE.json"), json + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_SCALE_OUT", "SCALECURVE.json")), json + "\n")
     // Human-readable summary on stderr (stdout stays clean for harnesses).
     System.err.println(f"${"query"}%-28s ${allF.map(f => f"x$f%-8d").mkString} alpha")
     suite.foreach { q =>
