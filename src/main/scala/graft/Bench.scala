@@ -60,6 +60,65 @@ object Bench {
       }
     }
 
+  /** Bounded auto-retry of stall-flagged reps (r13 verdict item 3): the
+    * sentinel DETECTS daytime-tenancy contamination; this lets a capture
+    * CONVERGE to the quiet-box band without a human re-running the job.
+    * For each query whose rep array carries a flag (the same rules as
+    * [[stallFlags]]), re-run the query — `pause` runs first, spacing the
+    * attempt so a transient host stall can clear — and replace the WORST
+    * flagged rep iff the retry beat it ("keep the best"; a retry that is
+    * itself slow is recorded but changes nothing). At most `maxRetries`
+    * re-runs per query, so a genuinely loaded host bounds the extra work
+    * instead of spinning. The caller computes the artifact's stall_flags
+    * on the POST-retry reps — a converged run reads clean — and every
+    * attempt lands in `stall_retries` provenance (original rep value and
+    * GC, retry value and GC, whether it replaced), so the
+    * contamination-and-recovery history stays readable from the JSON
+    * alone. */
+  private[graft] def retryFlagged(
+      section: String,
+      rows: Seq[(String, Seq[Double], Seq[Long])],
+      rerun: String => (Double, Long),
+      maxRetries: Int = 2,
+      pause: () => Unit = () => Thread.sleep(3000),
+      gcThresholdMs: Long = 150L, ratio: Double = 2.5)
+      : (Seq[(String, Seq[Double], Seq[Long])], Seq[String]) = {
+    val prov = Seq.newBuilder[String]
+    val out = rows.map { case (q, reps0, gcs0) =>
+      var reps = reps0.toVector
+      var gcs = gcs0.toVector
+      var budget = math.max(0, maxRetries)
+      // worst flagged rep index under the current array, if any
+      def worstFlagged: Option[Int] = {
+        val mn = if (reps.nonEmpty) reps.min else 0.0
+        val idxs = reps.indices.filter { i =>
+          val gc = if (i < gcs.size) gcs(i) else 0L
+          (mn > 0.05 && reps(i) > ratio * mn) || gc > gcThresholdMs
+        }
+        if (idxs.isEmpty) None else Some(idxs.maxBy(reps))
+      }
+      var worst = worstFlagged
+      while (worst.isDefined && budget > 0) {
+        pause()
+        val i = worst.get
+        val origGc = if (i < gcs.size) gcs(i) else 0L
+        val (sec, gc) = rerun(q)
+        budget -= 1
+        val replaced = sec < reps(i)
+        prov += (s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
+          f""""orig_sec":${reps(i)}%.4f,"orig_gc_ms":$origGc,""" +
+          f""""retry_sec":$sec%.4f,"retry_gc_ms":$gc,"replaced":$replaced}""")
+        if (replaced) {
+          reps = reps.updated(i, sec)
+          if (i < gcs.size) gcs = gcs.updated(i, gc)
+        }
+        worst = worstFlagged
+      }
+      (q, reps: Seq[Double], gcs: Seq[Long])
+    }
+    (out, prov.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -137,16 +196,36 @@ object Bench {
       headline.map(_ -> Vector.empty[Double]): _*)
     val gcByQuery = collection.mutable.Map(
       headline.map(_ -> Vector.empty[Long]): _*)
+    // One timed end-to-end execution of `q` — the same measurement the
+    // rep loops take, shared with the stall-retry path so a retried rep
+    // is measured identically to the rep it may replace.
+    def timedRun(q: String): (Double, Long) = {
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
+    }
+    // Stall-retry budget (see retryFlagged): per-query bound on re-runs
+    // of flagged reps. SPARK_GRAFT_BENCH_RETRIES=0 disables (a pure
+    // "record the contamination" capture); default 2.
+    val retryBudget =
+      sys.env.get("SPARK_GRAFT_BENCH_RETRIES").map(_.toInt).getOrElse(2)
+    val retryProv = Seq.newBuilder[String]
     (1 to repCount).foreach { _ =>
       headline.foreach { q =>
-        val gc0 = gcMillis()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, sfDir).count()
-        repsByQuery(q) :+= (System.nanoTime() - t0) / 1e9
-        gcByQuery(q) :+= gcMillis() - gc0
+        val (sec, gc) = timedRun(q)
+        repsByQuery(q) :+= sec
+        gcByQuery(q) :+= gc
       }
     }
-    val timed = headline.map(q => (q, repsByQuery(q): Seq[Double], gcByQuery(q): Seq[Long]))
+    val timed = {
+      val rows0 = headline.map(q =>
+        (q, repsByQuery(q): Seq[Double], gcByQuery(q): Seq[Long]))
+      val (rows, prov) =
+        retryFlagged("headline", rows0, timedRun, retryBudget)
+      retryProv ++= prov
+      rows
+    }
     val results = timed.map { case (q, reps, _) =>
       q -> reps.sorted.apply(repCount / 2)
     }
@@ -228,14 +307,18 @@ object Bench {
           val gcAcc = collection.mutable.Map(qs.map(_ -> Vector.empty[Long]): _*)
           (1 to 3).foreach { _ =>
             qs.foreach { q =>
-              val gc0 = gcMillis()
-              val t0 = System.nanoTime()
-              SparkEntry.queries(q)(spark, sfDir).count()
-              acc(q) :+= (System.nanoTime() - t0) / 1e9
-              gcAcc(q) :+= gcMillis() - gc0
+              val (sec, gc) = timedRun(q)
+              acc(q) :+= sec
+              gcAcc(q) :+= gc
             }
           }
-          qs.map(q => (q, acc(q): Seq[Double], gcAcc(q): Seq[Long]))
+          // retry INSIDE the try: the bucketed-mode table overrides must
+          // still be live when a flagged rep re-runs
+          val (rows, prov) = retryFlagged("tpch22",
+            qs.map(q => (q, acc(q): Seq[Double], gcAcc(q): Seq[Long])),
+            timedRun, retryBudget)
+          retryProv ++= prov
+          rows
         } finally {
           Tables.overrides.remove("lineitem"); Tables.overrides.remove("orders")
         }
@@ -304,17 +387,25 @@ object Bench {
         }
         val acc = collection.mutable.Map(suite.map(_ -> Vector.empty[Double]): _*)
         val gcAcc = collection.mutable.Map(suite.map(_ -> Vector.empty[Long]): _*)
+        // same measurement as the rep loop: caches released AFTER the
+        // timed window, exactly like the in-loop reps
+        def llmRun(q: String): (Double, Long) = {
+          val r = timedRun(q)
+          graft.ops.Pipeline.releaseCaches()
+          r
+        }
         (1 to 3).foreach { _ =>
           suite.foreach { q =>
-            val gc0 = gcMillis()
-            val t0 = System.nanoTime()
-            SparkEntry.queries(q)(spark, sfDir).count()
-            acc(q) :+= (System.nanoTime() - t0) / 1e9
-            gcAcc(q) :+= gcMillis() - gc0
-            graft.ops.Pipeline.releaseCaches()
+            val (sec, gc) = llmRun(q)
+            acc(q) :+= sec
+            gcAcc(q) :+= gc
           }
         }
-        suite.map(q => (q, acc(q): Seq[Double], gcAcc(q): Seq[Long]))
+        val (rows, prov) = retryFlagged("llm",
+          suite.map(q => (q, acc(q): Seq[Double], gcAcc(q): Seq[Long])),
+          llmRun, retryBudget)
+        retryProv ++= prov
+        rows
       }
     }
     val llmRepsRaw: Seq[(String, Seq[Double])] =
@@ -629,14 +720,20 @@ object Bench {
     val layoutTag =
       if (tpch22Bucketed) s""","tpch22_layout":"bucketed"""" else ""
     // Stall sentinel over every rep'd section (thresholds + rationale on
-    // the stallFlags method, which BenchSentinelSpec pins).
+    // the stallFlags method, which BenchSentinelSpec pins). Flags are
+    // computed on the POST-retry reps — a capture that converged via
+    // retryFlagged reads clean here, and the contamination-and-recovery
+    // history lives in stall_retries.
     val allFlags =
       stallFlags("headline", timed) ++
       stallFlags("tpch22", tpch22Raw) ++
       stallFlags("llm", llmRepsFull)
+    val retries = retryProv.result()
     val stallField =
       s""","stall_flag_count":${allFlags.size}""" +
-        s""","stall_flags":${allFlags.mkString("[", ",", "]")}"""
+        s""","stall_flags":${allFlags.mkString("[", ",", "]")}""" +
+        s""","stall_retry_count":${retries.size}""" +
+        s""","stall_retries":${retries.mkString("[", ",", "]")}"""
     // sf is the NUMERIC scale factor (matching the driver's BENCH_r{N}
     // encoding — the r12 advice flagged the path-vs-number mismatch);
     // the directory travels separately as sf_dir.

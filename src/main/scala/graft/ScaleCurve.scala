@@ -48,7 +48,8 @@ import graft.sources.Tables
   * curve instead of the default suite — any `SparkEntry.queries` key),
   * SPARK_GRAFT_SCALE_OUT (artifact path, default SCALECURVE.json — a
   * focused query subset must NOT overwrite the full-suite artifact of
-  * record).
+  * record, so it is REQUIRED, not defaulted, whenever
+  * SPARK_GRAFT_SCALE_QUERIES is set).
   */
 object ScaleCurve {
 
@@ -114,6 +115,15 @@ object ScaleCurve {
     // point: cache tpch tables, warmup pass, interleaved reps, min.
     val suite = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
       case Some(qs) =>
+        // A focused subset must NOT overwrite the full-suite artifact of
+        // record — enforce it (r13 advice): a subset run requires an
+        // explicit SPARK_GRAFT_SCALE_OUT, so forgetting the knob fails
+        // fast instead of silently clobbering SCALECURVE.json with a
+        // partial curve.
+        require(sys.env.contains("SPARK_GRAFT_SCALE_OUT"),
+          "SPARK_GRAFT_SCALE_QUERIES selects a subset: set " +
+            "SPARK_GRAFT_SCALE_OUT explicitly (e.g. SCALECURVE_SUBSET" +
+            ".json) so the run cannot overwrite SCALECURVE.json")
         val names = qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val unknown = names.filterNot(SparkEntry.queries.contains)
         require(unknown.isEmpty, s"unknown catalog queries: $unknown")

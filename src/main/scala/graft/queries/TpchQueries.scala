@@ -427,6 +427,14 @@ object TpchQueries extends QueryPack {
     // orders join reuses the aggregation's l_orderkey partitioning.
     // l_quantity is integral (TPC-H 1–50), so the regrouped double sum
     // is bit-exact against the subquery text.
+    // Precondition (r13 advice): collapsing the outer GROUP BY to the
+    // per-orderkey sum also assumes c_custkey and o_orderkey are UNIQUE
+    // in their tables — a duplicate customer/orders row doubles
+    // sum(l_quantity) in the literal text (the join fans out the fact
+    // rows BEFORE its group-by) but not here (we aggregate first, so a
+    // dup would instead duplicate the output row). Holds for TPC-H
+    // PK-clean data; a non-PK fixture would diverge from the oracle
+    // text by design, not by bug.
     "q18_large_volume" -> ((s, d) => {
       val qty = Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity")
@@ -582,9 +590,53 @@ object TpchQueries extends QueryPack {
     // Q20 — nested IN chains over partsupp: availability above half the
     // date-windowed shipped quantity (correlated scalar agg), part
     // pattern IN, nation IN region set.
+    // The oracle keeps the literal nested-IN text (q20Sql); Spark's
+    // decorrelation of that text aggregates the FULL date-windowed
+    // lineitem at (l_partkey, l_suppkey) grain — the `p_name LIKE
+    // 'small%'` predicate does not push below the decorrelated agg, the
+    // q17 disease at one grain finer. The Spark path semi-joins the
+    // small-part keys into the date-filtered fact FIRST, so only the
+    // qualifying parts' lines are ever aggregated (a left-semi, so a
+    // hypothetical duplicate p_partkey row cannot fan the fact out —
+    // no key-uniqueness precondition on part), then joins the
+    // (partkey, suppkey)-grain shipped totals to partsupp, which is
+    // already restricted to small parts through that inner join. The
+    // inner join drops pairs with NO date-windowed lines — exactly the
+    // rows the literal text drops via `availqty > NULL` (sum over an
+    // empty correlation group). Arithmetic mirrors the subquery
+    // term-for-term (DECIMAL(18,2) sum → double → ×0.5) so the strict
+    // `>` cuts at the identical bit. At scale the agg's
+    // (partkey, suppkey) shuffle doubles as the partsupp-join exchange,
+    // and the final supplier membership is a semi join (dup-safe).
     "q20_part_promotion" -> ((s, d) => {
-      Tables.registerAll(s, d)
-      s.sql(q20Raw)
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(smallParts, col("l_partkey") === col("p_partkey"),
+          "leftsemi") // SF-scaled part: AQE decides build side
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((lit(0.5) *
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+          .as("half_shipped"))
+      val qualifying = Tables.partsupp(s, d)
+        .join(shipped,
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey")) // pair grain: reuses the agg's shuffle
+        .filter(col("ps_availqty") > col("half_shipped"))
+        .select("ps_suppkey")
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_regionkey").isin(0, 1, 2))
+            .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"), "leftsemi")
+        .join(qualifying, col("s_suppkey") === col("ps_suppkey"),
+          "leftsemi") // SF-scaled: AQE decides
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
     }),
 
     // Q21-shape — suppliers who kept orders waiting: EXISTS + NOT EXISTS

@@ -56,4 +56,76 @@ class BenchSentinelSpec extends AnyFunSuite {
       """{"section":"tpch22","query":"q21_suppliers_waiting","rep":3,""" +
         """"sec":5.4000,"min":1.5700,"gc_ms":468}""")
   }
+
+  // --- retryFlagged: the r13-verdict "quiet-box discipline, self-serve"
+  // bounded auto-retry. The sentinel detects contamination; these pin
+  // that a flagged rep is re-run, converges when the host quiets, stays
+  // bounded when it doesn't, and leaves full provenance either way.
+
+  private def retry(rows: Seq[(String, Seq[Double], Seq[Long])],
+      rerun: String => (Double, Long), budget: Int = 2) =
+    Bench.retryFlagged("headline", rows, rerun, budget, pause = () => ())
+
+  test("a planted slow rep is retried, replaced, and the artifact provenance records it") {
+    var runs = 0
+    val (rows, prov) = retry(Seq(("q3", Seq(1.0, 1.1, 2.9), Seq(0L, 0L, 0L))),
+      q => { runs += 1; (1.05, 10L) })
+    // the 2.9 s rep (2.9x min) was re-run once, beat, and replaced —
+    // the post-retry array is flag-free so the converged capture reads
+    // clean, while stall_retries carries the contamination history
+    assert(runs === 1)
+    assert(rows.head._2 === Seq(1.0, 1.1, 1.05))
+    assert(Bench.stallFlags("headline", rows).isEmpty)
+    assert(prov === Seq(
+      """{"section":"headline","query":"q3","rep":3,"orig_sec":2.9000,""" +
+        """"orig_gc_ms":0,"retry_sec":1.0500,"retry_gc_ms":10,"replaced":true}"""))
+  }
+
+  test("a still-loaded host is bounded: budget retries, rep kept, flag survives") {
+    var runs = 0
+    val (rows, prov) = retry(Seq(("q3", Seq(1.0, 1.1, 2.9), Seq(0L, 0L, 0L))),
+      q => { runs += 1; (9.9, 700L) })
+    // both budgeted retries ran, neither beat the flagged rep, nothing
+    // was replaced — the flag stands and the artifact shows both attempts
+    assert(runs === 2)
+    assert(rows.head._2 === Seq(1.0, 1.1, 2.9))
+    assert(Bench.stallFlags("headline", rows).size === 1)
+    assert(prov.size === 2)
+    assert(prov.forall(_.contains(""""replaced":false""")))
+  }
+
+  test("clean reps never trigger a retry run") {
+    var runs = 0
+    val (rows, _) = retry(Seq(("q1", Seq(0.43, 0.45, 0.44), Seq(5L, 0L, 12L))),
+      q => { runs += 1; (0.43, 0L) })
+    assert(runs === 0)
+    assert(rows.head._2 === Seq(0.43, 0.45, 0.44))
+  }
+
+  test("a fat-GC min rep (the ss20 shape) is retried and its GC provenance kept") {
+    // the committed-r13 single flag: the query's MIN rep itself carried
+    // 152 ms GC — the ratio rule can never flag a min, but the GC rule
+    // can, and the retry must target exactly that rep
+    var runs = 0
+    val (rows, prov) = retry(Seq(("ss20", Seq(4.0, 4.2, 4.3), Seq(152L, 40L, 35L))),
+      q => { runs += 1; (3.9, 20L) })
+    assert(runs === 1)
+    assert(rows.head._2 === Seq(3.9, 4.2, 4.3))
+    assert(rows.head._3 === Seq(20L, 40L, 35L))
+    assert(Bench.stallFlags("headline", rows).isEmpty)
+    assert(prov.head.contains(""""orig_gc_ms":152""") &&
+      prov.head.contains(""""replaced":true"""))
+  }
+
+  test("one retry can clear multiple flags when the min rep was the contaminated one") {
+    // reps [0.1, 0.3, 0.28]: with min 0.1 the ratio rule flags BOTH
+    // later reps; a successful retry replaces the WORST first and
+    // re-evaluates, so convergence is iterative, worst-first
+    var runs = 0
+    val (rows, _) = retry(Seq(("q6", Seq(0.1, 0.3, 0.28), Seq(0L, 0L, 0L))),
+      q => { runs += 1; (0.11, 0L) })
+    assert(runs === 2)
+    assert(rows.head._2 === Seq(0.1, 0.11, 0.11))
+    assert(Bench.stallFlags("headline", rows).isEmpty)
+  }
 }

@@ -284,6 +284,44 @@ class PlanSpec extends GraftSuite {
     assert(supp2 === 1, s"q2 scanned supplier $supp2 times, expected 1")
   }
 
+  test("q20 scans lineitem once, with the small-part semi join BELOW the agg") {
+    // The decorrelated nested-IN text aggregates the FULL date-windowed
+    // lineitem at (partkey, suppkey) grain — `p_name LIKE 'small%'`
+    // never pushes below that agg. The rewrite's win is structural:
+    // the part semi join must sit UNDER the pair-grain aggregate, so
+    // only qualifying parts' lines are aggregated; and lineitem (the
+    // 100 TB table) must appear in exactly one parquet scan — the
+    // partsupp side rides the cached derivation (InMemoryTableScan).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val df = SparkEntry.queries("q20_part_promotion")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val liScans = nodes.count(n => n.nodeName.contains("Scan parquet") &&
+      n.output.map(_.name).contains("l_quantity"))
+    assert(liScans === 1, s"q20 scanned lineitem $liScans times, expected 1")
+    val pairAggs = nodes.collect {
+      case a: BaseAggregateExec
+        if a.groupingExpressions.map(_.name).toSet ==
+          Set("l_partkey", "l_suppkey") => a
+    }
+    assert(pairAggs.nonEmpty, "q20 lost its (partkey, suppkey)-grain agg")
+    val semiBelowAgg = pairAggs.exists(a => allNodes(a).exists {
+      case j: BaseJoinExec => j.joinType == LeftSemi
+      case _ => false
+    })
+    assert(semiBelowAgg,
+      "the small-part semi join must sit below the shipped-quantity agg")
+  }
+
   test("no query plans an accidental cartesian product") {
     // Queries that are *intentionally* pairwise (bounded/blocked baselines
     // or explicit cross joins) — everything else must never plan a

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.queries.TpchQueries
 import graft.sources.Tables
 
-/** Equivalence of the round-13 single-scan rewrites (q2 window-min,
-  * q18 agg-first) against the LITERAL correlated/IN-subquery SQL they
-  * replace, on engineered boundary fixtures the driver data cannot
-  * guarantee to contain:
+/** Equivalence of the single-scan rewrites (q2 window-min, q18
+  * agg-first, and — round 14 — q17/q21's windows and q20's
+  * semi-join-first aggregation) against the LITERAL
+  * correlated/IN-subquery SQL they replace, on engineered boundary
+  * fixtures the driver data cannot guarantee to contain:
   *
   *  - q2: two ASIA suppliers TIED at a part's min supplycost (both rows
   *    must survive the `ps_supplycost = (SELECT min ...)` equality); a
@@ -50,22 +51,34 @@ class TpchRewriteSpec extends GraftSuite
       .toDF("r_regionkey", "r_name")
       .write.mode("overwrite").parquet(s"$d/region.parquet")
 
-    Seq((0, "N_ASIA", 0), (1, "N_OTHER", 1))
+    // Nation 2 sits in region 3 — OUTSIDE q20's n_regionkey IN (0,1,2)
+    // set (and has no region row, so q2's region join drops it too).
+    Seq((0, "N_ASIA", 0), (1, "N_OTHER", 1), (2, "N_FAR", 3))
       .toDF("n_nationkey", "n_name", "n_regionkey")
       .write.mode("overwrite").parquet(s"$d/nation.parquet")
 
     // s1/s2/s4 ASIA, s3 non-ASIA. s1 and s2 share s_acctbal so the q2
-    // ORDER BY falls through to the later tie-break keys.
+    // ORDER BY falls through to the later tie-break keys. s5 lives in
+    // the out-of-set region 3 (q20's nation-IN-region exclusion).
     Seq((1L, "S#1", 0, 50.0), (2L, "S#2", 0, 50.0),
-        (3L, "S#3", 1, 99.0), (4L, "S#4", 0, 10.0))
+        (3L, "S#3", 1, 99.0), (4L, "S#4", 0, 10.0),
+        (5L, "S#5", 2, 77.0))
       .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       .write.mode("overwrite").parquet(s"$d/supplier.parquet")
 
     // p1 in-range tie case; p2 ASIA-less; p3 size out of range;
     // p4/p5 at the inclusive BETWEEN bounds 10 and 20.
+    // p6/p7 match q20's `LIKE 'small%'` (size 5 keeps them out of q2's
+    // 10–20 window); p8 is the q17 Brand#11 part (size 24 < 25 for q17,
+    // > 20 so q2 ignores its offers); p9 carries the q21 lines (size 99,
+    // non-small, non-Brand#11 — invisible to q2/q17/q20).
     Seq((1L, "p1", "B#1", "T", 15, 1.0), (2L, "p2", "B#2", "T", 15, 1.0),
         (3L, "p3", "B#3", "T", 99, 1.0), (4L, "p4", "B#4", "T", 10, 1.0),
-        (5L, "p5", "B#5", "T", 20, 1.0))
+        (5L, "p5", "B#5", "T", 20, 1.0),
+        (6L, "small anodized brass", "B#6", "T", 5, 1.0),
+        (7L, "small burnished tin", "B#7", "T", 5, 1.0),
+        (8L, "p8", "Brand#11", "T", 24, 1.0),
+        (9L, "p9", "B#9", "T", 99, 1.0))
       .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
         "p_retailprice")
       .write.mode("overwrite").parquet(s"$d/part.parquet")
@@ -76,11 +89,15 @@ class TpchRewriteSpec extends GraftSuite
       .write.mode("overwrite").parquet(s"$d/customer.parquet")
 
     // Order 104's o_custkey=99 has no customer row; lineitem order 103
-    // has no orders row.
+    // has no orders row. Orders 105–107 are the q21 waiting-supplier
+    // cases (their quantity sums stay ≤ 150, invisible to q18).
     Seq((100L, 10L, "F", 1000.0, "1996-01-01 00:00:00", "1-URGENT"),
         (101L, 10L, "F", 2000.0, "1996-01-02 00:00:00", "1-URGENT"),
         (102L, 11L, "F", 3000.0, "1996-01-03 00:00:00", "1-URGENT"),
-        (104L, 99L, "F", 4000.0, "1996-01-04 00:00:00", "1-URGENT"))
+        (104L, 99L, "F", 4000.0, "1996-01-04 00:00:00", "1-URGENT"),
+        (105L, 10L, "F", 500.0, "1996-01-05 00:00:00", "1-URGENT"),
+        (106L, 11L, "F", 600.0, "1996-01-05 00:00:00", "1-URGENT"),
+        (107L, 10L, "F", 700.0, "1996-01-05 00:00:00", "1-URGENT"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate_s", "o_orderpriority")
       .withColumn("o_orderdate", to_timestamp(col("o_orderdate_s")))
@@ -96,22 +113,64 @@ class TpchRewriteSpec extends GraftSuite
     //    101 → 150.5 (in); 102 → 200 across 4 lines (in);
     //    103 → 400 but no orders row (out); 104 → 300 with an orders
     //    row but no customer row (out).
+    // Rows 2xx have NO orders row: inner joins drop them from q18/q21,
+    // so they exist purely for the q17/q20 per-pair semantics.
+    //  - q20 (derived ps_availqty = sum of ALL qty per pair; window is
+    //    shipdate ∈ [1997-01-01, 1999-01-01)):
+    //      (p6,s1) windowed 5+5=10, availqty 10 > 5   → s1 QUALIFIES;
+    //      (p6,s2) one windowed qty-0 line → availqty 0, threshold 0,
+    //              strict > at the EXACT boundary      → excluded;
+    //      (p7,s4) only an out-of-window line → correlated sum NULL
+    //              (availqty > NULL is false)          → excluded;
+    //      (p7,s5) windowed 20, availqty 20 > 10 — qualifies on
+    //              quantity but s5's nation sits in region 3, outside
+    //              the IN (0,1,2) set                  → excluded.
+    //  - q17 (part 8, Brand#11): quantities 0.5/1/8.5/10 → exact
+    //    DECIMAL sum 20.00, avg 5, threshold 0.2×5 = 1.0 (an EXACT
+    //    double); the qty-1.0 line sits AT the boundary (strict <,
+    //    out), only the qty-0.5 line survives → avg_yearly = 7.0/7.
+    //  - q21 (part 9): order 105 — s1 late TWICE + s2 on time → s1
+    //    counts BOTH late lines (the l3 leg only excludes OTHER late
+    //    suppliers); order 106 — two DIFFERENT late suppliers → both
+    //    excluded; order 107 — single-supplier order → EXISTS l2 fails.
     val li = Seq(
-      (100L, 1L, 1L, 1, 50.0, 10.0), (100L, 1L, 1L, 2, 50.0, 12.0),
-      (100L, 1L, 2L, 3, 50.0, 10.0),
-      (101L, 1L, 3L, 1, 75.0, 5.0), (101L, 2L, 3L, 2, 75.5, 7.0),
-      (102L, 3L, 1L, 1, 50.0, 8.0), (102L, 4L, 4L, 2, 50.0, 9.0),
-      (102L, 5L, 4L, 3, 50.0, 9.5), (102L, 5L, 4L, 4, 50.0, 11.0),
-      (103L, 4L, 4L, 1, 400.0, 9.0),
-      (104L, 4L, 4L, 1, 300.0, 9.0))
+      (100L, 1L, 1L, 1, 50.0, 10.0, "1996-02-01 00:00:00"),
+      (100L, 1L, 1L, 2, 50.0, 12.0, "1996-02-01 00:00:00"),
+      (100L, 1L, 2L, 3, 50.0, 10.0, "1996-02-01 00:00:00"),
+      (101L, 1L, 3L, 1, 75.0, 5.0, "1996-02-01 00:00:00"),
+      (101L, 2L, 3L, 2, 75.5, 7.0, "1996-02-01 00:00:00"),
+      (102L, 3L, 1L, 1, 50.0, 8.0, "1996-02-01 00:00:00"),
+      (102L, 4L, 4L, 2, 50.0, 9.0, "1996-02-01 00:00:00"),
+      (102L, 5L, 4L, 3, 50.0, 9.5, "1996-02-01 00:00:00"),
+      (102L, 5L, 4L, 4, 50.0, 11.0, "1996-02-01 00:00:00"),
+      (103L, 4L, 4L, 1, 400.0, 9.0, "1996-02-01 00:00:00"),
+      (104L, 4L, 4L, 1, 300.0, 9.0, "1996-02-01 00:00:00"),
+      // q20
+      (200L, 6L, 1L, 1, 5.0, 2.0, "1997-06-01 00:00:00"),
+      (200L, 6L, 1L, 2, 5.0, 3.0, "1997-06-01 00:00:00"),
+      (201L, 6L, 2L, 1, 0.0, 2.5, "1997-06-01 00:00:00"),
+      (202L, 7L, 4L, 1, 12.0, 2.0, "1996-06-01 00:00:00"),
+      (203L, 7L, 5L, 1, 20.0, 2.2, "1997-06-01 00:00:00"),
+      // q17
+      (210L, 8L, 3L, 1, 0.5, 7.0, "1996-02-01 00:00:00"),
+      (211L, 8L, 3L, 1, 1.0, 100.0, "1996-02-01 00:00:00"),
+      (212L, 8L, 3L, 1, 8.5, 100.0, "1996-02-01 00:00:00"),
+      (213L, 8L, 3L, 1, 10.0, 100.0, "1996-02-01 00:00:00"),
+      // q21 (order dates 1996-01-05 → late means shipped after 03-05)
+      (105L, 9L, 1L, 1, 1.0, 1.0, "1996-06-01 00:00:00"),
+      (105L, 9L, 1L, 2, 1.0, 1.0, "1996-07-01 00:00:00"),
+      (105L, 9L, 2L, 3, 1.0, 1.0, "1996-01-10 00:00:00"),
+      (106L, 9L, 2L, 1, 1.0, 1.0, "1996-06-01 00:00:00"),
+      (106L, 9L, 4L, 2, 1.0, 1.0, "1996-06-01 00:00:00"),
+      (107L, 9L, 4L, 1, 1.0, 1.0, "1996-06-01 00:00:00"))
     li.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice")
+        "l_quantity", "l_extendedprice", "l_shipdate_s")
       .withColumn("l_discount", lit(0.0))
       .withColumn("l_tax", lit(0.0))
       .withColumn("l_returnflag", lit("N"))
       .withColumn("l_linestatus", lit("O"))
-      .withColumn("l_shipdate",
-        to_timestamp(lit("1996-02-01 00:00:00")))
+      .withColumn("l_shipdate", to_timestamp(col("l_shipdate_s")))
+      .drop("l_shipdate_s")
       .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
     d
   }
@@ -162,5 +221,49 @@ class TpchRewriteSpec extends GraftSuite
     // 100 (exactly 150) excluded by strict >; 103 (no orders row) and
     // 104 (no customer row) dropped by the inner joins in both forms.
     assert(keys.toSet === Set((101L, 150.5), (102L, 200.0)))
+  }
+
+  test("q17 window rewrite == correlated-avg SQL at the 0.2×avg boundary") {
+    val rewrite = rowsOf(TpchQueries.queries("q17_small_quantity")(s2, dir))
+    val literal = rowsOf(literalSql("q17_small_quantity"))
+    assert(rewrite === literal)
+    // Part 8's quantities 0.5/1/8.5/10 average to exactly 5, so the
+    // threshold 0.2×5 is the EXACT double 1.0: the qty-1.0 line sits AT
+    // the boundary and the strict < drops it in both forms; only the
+    // qty-0.5 line (extprice 7.0) survives → avg_yearly = 7.0/7 = 1.0.
+    assert(rewrite.size === 1)
+    assert(rewrite.head.getAs[Double]("avg_yearly") === 1.0)
+  }
+
+  test("q20 semi-join-first rewrite == nested-IN SQL at the 0.5× boundary") {
+    val rewrite = rowsOf(TpchQueries.queries("q20_part_promotion")(s2, dir))
+    val literal = rowsOf(literalSql("q20_part_promotion"))
+    assert(rewrite === literal)
+    // Engineered exclusions, asserted directly: (p6,s2)'s windowed sum
+    // is 0 and its derived availqty is 0 — strict > at the EXACT 0.5×
+    // threshold excludes s2; (p7,s4) has shipped lines only OUTSIDE the
+    // date window — the correlated sum is NULL (`availqty > NULL` is
+    // false) and the rewrite's inner join drops the pair the same way;
+    // (p7,s5) passes the quantity test but s5's nation is in region 3,
+    // outside the IN (0,1,2) set. Only s1 (p6 windowed 10, availqty
+    // 10 > 5) qualifies.
+    assert(rewrite.map(r => (r.getAs[Long]("s_suppkey"),
+      r.getAs[String]("s_name"))) === Seq((1L, "S#1")))
+  }
+
+  test("q21 window rewrite == EXISTS/NOT-EXISTS SQL on late-supplier shapes") {
+    val rewrite = rowsOf(TpchQueries.queries("q21_suppliers_waiting")(s2, dir))
+    val literal = rowsOf(literalSql("q21_suppliers_waiting"))
+    assert(rewrite === literal)
+    // Order 105: s1 is late on TWO lines and is the ONLY late supplier
+    // (s2 shipped on time, satisfying EXISTS l2) — the NOT-EXISTS leg
+    // excludes only OTHER late suppliers, so BOTH of s1's late lines
+    // count (numwait 2, not 1). Order 106 has two DIFFERENT late
+    // suppliers (each sees the other → NOT EXISTS fails for both);
+    // order 107 is single-supplier (EXISTS l2 fails). Earlier orders
+    // ship before their +60-day cutoffs and the 2xx lines have no
+    // orders row.
+    assert(rewrite.map(r => (r.getAs[String]("s_name"),
+      r.getAs[Long]("numwait"))) === Seq(("S#1", 2L)))
   }
 }
