@@ -590,53 +590,28 @@ object TpchQueries extends QueryPack {
     // Q20 — nested IN chains over partsupp: availability above half the
     // date-windowed shipped quantity (correlated scalar agg), part
     // pattern IN, nation IN region set.
-    // The oracle keeps the literal nested-IN text (q20Sql); Spark's
-    // decorrelation of that text aggregates the FULL date-windowed
-    // lineitem at (l_partkey, l_suppkey) grain — the `p_name LIKE
-    // 'small%'` predicate does not push below the decorrelated agg, the
-    // q17 disease at one grain finer. The Spark path semi-joins the
-    // small-part keys into the date-filtered fact FIRST, so only the
-    // qualifying parts' lines are ever aggregated (a left-semi, so a
-    // hypothetical duplicate p_partkey row cannot fan the fact out —
-    // no key-uniqueness precondition on part), then joins the
-    // (partkey, suppkey)-grain shipped totals to partsupp, which is
-    // already restricted to small parts through that inner join. The
-    // inner join drops pairs with NO date-windowed lines — exactly the
-    // rows the literal text drops via `availqty > NULL` (sum over an
-    // empty correlation group). Arithmetic mirrors the subquery
-    // term-for-term (DECIMAL(18,2) sum → double → ×0.5) so the strict
-    // `>` cuts at the identical bit. At scale the agg's
-    // (partkey, suppkey) shuffle doubles as the partsupp-join exchange,
-    // and the final supplier membership is a semi join (dup-safe).
+    // Probed for a q17-class rewrite in round 14 and KEPT deliberately
+    // (the q11/q22 adjudication class). Unlike q17/q18/q21, Spark's
+    // decorrelation of this text has NO duplicated fact leg to kill:
+    // the executed plan scans lineitem ONCE (the correlated sum becomes
+    // the pair-grain agg that feeds the join directly — PlanSpec pins
+    // it) and already semi-prunes partsupp by the part pattern BEFORE
+    // the pair-grain join. The only remaining candidate win — semi-
+    // joining the small-part keys into the date-filtered fact BELOW
+    // the agg so only ~4% of the windowed rows aggregate — trades that
+    // smaller agg for an extra full-fact probe + two more exchanges,
+    // and MEASURED A LOSS at every scale point (literal vs rewrite
+    // min-of-3, same session, cached tables: 0.39 vs 0.65 s at sf0.1,
+    // 1.38 vs 1.64 s at ×10, 1.77 vs 2.19 s at ×30). The pair grain is
+    // nearly row grain in the window (174k distinct pairs of 175k
+    // windowed rows at sf0.1), so the decorrelated agg's map-side
+    // combine loses nothing the semi join would save. Boundary
+    // semantics (availqty exactly at the 0.5× threshold, empty
+    // correlation group → NULL, nation outside the region set) are
+    // pinned by TpchRewriteSpec on engineered fixtures.
     "q20_part_promotion" -> ((s, d) => {
-      val smallParts = Tables.part(s, d)
-        .filter(col("p_name").like("small%"))
-        .select("p_partkey")
-      val shipped = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
-        .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(smallParts, col("l_partkey") === col("p_partkey"),
-          "leftsemi") // SF-scaled part: AQE decides build side
-        .groupBy("l_partkey", "l_suppkey")
-        .agg((lit(0.5) *
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
-          .as("half_shipped"))
-      val qualifying = Tables.partsupp(s, d)
-        .join(shipped,
-          col("ps_partkey") === col("l_partkey") &&
-            col("ps_suppkey") === col("l_suppkey")) // pair grain: reuses the agg's shuffle
-        .filter(col("ps_availqty") > col("half_shipped"))
-        .select("ps_suppkey")
-      Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d)
-            .filter(col("n_regionkey").isin(0, 1, 2))
-            .select("n_nationkey")),
-          col("s_nationkey") === col("n_nationkey"), "leftsemi")
-        .join(qualifying, col("s_suppkey") === col("ps_suppkey"),
-          "leftsemi") // SF-scaled: AQE decides
-        .select("s_suppkey", "s_name", "s_acctbal")
-        .orderBy("s_suppkey")
+      Tables.registerAll(s, d)
+      s.sql(q20Raw)
     }),
 
     // Q21-shape — suppliers who kept orders waiting: EXISTS + NOT EXISTS

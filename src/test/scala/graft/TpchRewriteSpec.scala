@@ -6,10 +6,10 @@ import graft.queries.TpchQueries
 import graft.sources.Tables
 
 /** Equivalence of the single-scan rewrites (q2 window-min, q18
-  * agg-first, and — round 14 — q17/q21's windows and q20's
-  * semi-join-first aggregation) against the LITERAL
-  * correlated/IN-subquery SQL they replace, on engineered boundary
-  * fixtures the driver data cannot guarantee to contain:
+  * agg-first, and — round 14 — q17/q21's windows) against the LITERAL
+  * correlated/IN-subquery SQL they replace, plus a boundary-semantics
+  * pin of the probed-and-KEPT q20 text, on engineered fixtures the
+  * driver data cannot guarantee to contain:
   *
   *  - q2: two ASIA suppliers TIED at a part's min supplycost (both rows
   *    must survive the `ps_supplycost = (SELECT min ...)` equality); a
@@ -235,19 +235,24 @@ class TpchRewriteSpec extends GraftSuite
     assert(rewrite.head.getAs[Double]("avg_yearly") === 1.0)
   }
 
-  test("q20 semi-join-first rewrite == nested-IN SQL at the 0.5× boundary") {
-    val rewrite = rowsOf(TpchQueries.queries("q20_part_promotion")(s2, dir))
-    val literal = rowsOf(literalSql("q20_part_promotion"))
-    assert(rewrite === literal)
-    // Engineered exclusions, asserted directly: (p6,s2)'s windowed sum
-    // is 0 and its derived availqty is 0 — strict > at the EXACT 0.5×
-    // threshold excludes s2; (p7,s4) has shipped lines only OUTSIDE the
-    // date window — the correlated sum is NULL (`availqty > NULL` is
-    // false) and the rewrite's inner join drops the pair the same way;
-    // (p7,s5) passes the quantity test but s5's nation is in region 3,
-    // outside the IN (0,1,2) set. Only s1 (p6 windowed 10, availqty
-    // 10 > 5) qualifies.
-    assert(rewrite.map(r => (r.getAs[Long]("s_suppkey"),
+  test("q20 kept text holds its boundary semantics at the 0.5× threshold") {
+    // q20 is a probed-and-KEPT SQL text (TpchQueries keep-note; the
+    // candidate rewrite measured a loss at every scale point), so there
+    // is no rewrite to prove equal — but the driver's oracle only sees
+    // generated data, and these engineered boundaries pin the kept
+    // text's semantics: (p6,s2)'s windowed sum is 0 and its derived
+    // availqty is 0 — strict > at the EXACT 0.5× threshold excludes
+    // s2; (p7,s4) has shipped lines only OUTSIDE the date window — the
+    // correlated sum is NULL and `availqty > NULL` is false; (p7,s5)
+    // passes the quantity test but s5's nation is in region 3, outside
+    // the IN (0,1,2) set. Only s1 (p6 windowed 10, availqty 10 > 5)
+    // qualifies. (Evaluated through the oracle text with its partsupp
+    // CTE — the catalog entry is the same text over the CACHED partsupp
+    // derivation, whose decimal sum/min is bit-identical, but its
+    // registerAll needs the events/documents tables this mini fixture
+    // deliberately omits.)
+    val rows = rowsOf(literalSql("q20_part_promotion"))
+    assert(rows.map(r => (r.getAs[Long]("s_suppkey"),
       r.getAs[String]("s_name"))) === Seq((1L, "S#1")))
   }
 

@@ -15,7 +15,13 @@ Checks
   2. Both docs' catalog triple "catalog Q/O/R" (total queries /
      oracle-eligible hash-exact / rows-only) must match the newest
      CORRECTNESS_r*.json.
-  3. Both docs' "S/S specs": if target/test-reports/*.xml exists (a
+  3. SCALE.md "Subquery-shape slice" paragraph: every quoted "qNN α X"
+     must equal the SCALECURVE_SUBQ.json exponent at the quoted
+     precision (an "α ≤ X" group is checked as an upper bound), and
+     every "×F point (N M lineitem rows" claim must match
+     table_rows.xF.lineitem (the r13 advice caught a 10x overstatement
+     there).
+  4. Both docs' "S/S specs": if target/test-reports/*.xml exists (a
      fresh `sbt test`), S must equal the summed test count; otherwise
      the spec count is reported but not enforced (stale target/ would
      false-alarm).
@@ -127,7 +133,58 @@ for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
         else:
             ok(f"{doc_name} catalog {t} == {corr_name}")
 
-# ---- 3. spec counts ------------------------------------------------------
+# ---- 3. subquery-slice paragraph vs SCALECURVE_SUBQ.json -----------------
+subq_path = os.path.join(ROOT, "SCALECURVE_SUBQ.json")
+if os.path.exists(subq_path):
+    subq = json.load(open(subq_path))
+    para_m = re.search(r"Subquery-shape slice.*?\n\n", scale, re.S)
+    if not para_m:
+        fail('SCALE.md has no "Subquery-shape slice" paragraph')
+    else:
+        para = para_m.group(0)
+        # short name (q18) -> exponent, from the artifact
+        alphas = {q.split("_")[0]: v["exponent"]
+                  for q, v in subq["queries"].items()}
+        quotes = re.findall(r"((?:q\d+/)*q\d+) α (≤ )?([\d.]+)", para)
+        if not quotes:
+            fail("SCALE.md subquery-slice paragraph quotes no α values")
+        for names, bound, alpha in quotes:
+            prec = len(alpha.split(".")[1]) if "." in alpha else 0
+            for nm in names.split("/"):
+                if nm not in alphas:
+                    fail(f"SCALE.md subquery slice quotes {nm} α but"
+                         f" SCALECURVE_SUBQ.json has no {nm}_* query")
+                    continue
+                actual = round(alphas[nm], prec)
+                if bound:
+                    if actual > float(alpha):
+                        fail(f"SCALE.md bounds {nm} α ≤ {alpha} but"
+                             f" SCALECURVE_SUBQ.json exponent ="
+                             f" {alphas[nm]:.4f}")
+                    else:
+                        ok(f"SCALE.md {nm} α ≤ {alpha} holds"
+                           f" (artifact {alphas[nm]:.4f})")
+                elif actual != float(alpha):
+                    fail(f"SCALE.md quotes {nm} α {alpha} but"
+                         f" SCALECURVE_SUBQ.json exponent = {alphas[nm]:.4f}"
+                         f" (rounds to {actual})")
+                else:
+                    ok(f"SCALE.md {nm} α {alpha} == SCALECURVE_SUBQ.json")
+        # the "×F point (N M lineitem rows" claims (the r13 advice found a
+        # 10x overstatement here)
+        for fac, mrows in re.findall(
+                r"×(\d+)[^(]*\(([\d.]+)\s*M lineitem", para):
+            key = f"x{fac}"
+            actual = subq["table_rows"][key]["lineitem"] / 1e6
+            if float(mrows) != actual:
+                fail(f"SCALE.md says ×{fac} has {mrows} M lineitem rows but"
+                     f" SCALECURVE_SUBQ.json table_rows.{key}.lineitem ="
+                     f" {actual} M")
+            else:
+                ok(f"SCALE.md ×{fac} {mrows} M lineitem rows =="
+                   f" SCALECURVE_SUBQ.json")
+
+# ---- 4. spec counts ------------------------------------------------------
 for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
     counts = re.findall(r"(\d+)/(\d+)\s+specs", text)
     current = [c for c in counts if c[0] == c[1]]
