@@ -21,6 +21,17 @@ import graft.sources.Tables
   * log-scrape json parse). A `bucketed` field re-times the two
   * shuffle-dominated queries over pre-bucketed lineitem/orders — the
   * measured version of the co-located-join story in SCALE.md.
+  *
+  * `BENCH_LAST.json` is the MOST RECENT capture, overwritten by every
+  * run (including the driver's end-of-round run). The capture OF RECORD
+  * — the one SCALE.md quotes and `tools/doc_sync_check.py` gates — is
+  * `BENCH_RECORD.json`, promoted by an explicit
+  * `cp BENCH_LAST.json BENCH_RECORD.json` + commit after adjudicating
+  * the capture (keep-best across spaced runs; stall_flags/stall_retries
+  * carry the noise provenance). This split exists because the r12 and
+  * r13 end-of-round driver runs both overwrote the then-gated
+  * BENCH_LAST.json with tenancy-contaminated captures, and each
+  * following round had to spend its opening re-adjudicating the docs.
   */
 object Bench {
 
