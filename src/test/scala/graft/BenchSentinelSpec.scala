@@ -102,6 +102,16 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(rows.head._2 === Seq(0.43, 0.45, 0.44))
   }
 
+  test("SPARK_GRAFT_BENCH_RETRIES=0 disables retries: flagged rows pass through untouched") {
+    var runs = 0
+    val (rows, prov) = retry(Seq(("q3", Seq(1.0, 1.1, 2.9), Seq(0L, 0L, 700L))),
+      q => { runs += 1; (0.5, 0L) }, budget = 0)
+    assert(runs === 0 && prov.isEmpty)
+    assert(rows.head._2 === Seq(1.0, 1.1, 2.9))
+    // the pure "record the contamination" capture keeps its flags
+    assert(Bench.stallFlags("headline", rows).nonEmpty)
+  }
+
   test("a fat-GC min rep (the ss20 shape) is retried and its GC provenance kept") {
     // the committed-r13 single flag: the query's MIN rep itself carried
     // 152 ms GC — the ratio rule can never flag a min, but the GC rule
