@@ -56,6 +56,15 @@ object Bench {
     * become the artifact of record without adjudication. Sub-50 ms
     * query mins are exempt from the ratio rule (scheduler jitter alone
     * can triple them). Returns one JSON object string per flagged rep. */
+  /** The sentinel's per-rep decision rule, shared by [[stallFlags]]
+    * (which reports) and [[retryFlagged]] (which re-runs) so the two can
+    * never diverge: fat stop-the-world GC, or wall time beyond `ratio`×
+    * the query's own min — with sub-50 ms mins exempt from the ratio
+    * rule (scheduler jitter alone can triple them). */
+  private[graft] def repFlagged(sec: Double, gcMs: Long, minSec: Double,
+      gcThresholdMs: Long, ratio: Double): Boolean =
+    (minSec > 0.05 && sec > ratio * minSec) || gcMs > gcThresholdMs
+
   private[graft] def stallFlags(section: String,
       rows: Seq[(String, Seq[Double], Seq[Long])],
       gcThresholdMs: Long = 150L, ratio: Double = 2.5): Seq[String] =
@@ -63,8 +72,7 @@ object Bench {
       val mn = if (reps.nonEmpty) reps.min else 0.0
       reps.zipWithIndex.flatMap { case (v, i) =>
         val gc = if (i < gcs.size) gcs(i) else 0L
-        val slow = mn > 0.05 && v > ratio * mn
-        if (slow || gc > gcThresholdMs)
+        if (repFlagged(v, gc, mn, gcThresholdMs, ratio))
           Some(s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
             f""""sec":$v%.4f,"min":$mn%.4f,"gc_ms":$gc}""")
         else None
@@ -104,7 +112,7 @@ object Bench {
         val mn = if (reps.nonEmpty) reps.min else 0.0
         val idxs = reps.indices.filter { i =>
           val gc = if (i < gcs.size) gcs(i) else 0L
-          (mn > 0.05 && reps(i) > ratio * mn) || gc > gcThresholdMs
+          repFlagged(reps(i), gc, mn, gcThresholdMs, ratio)
         }
         if (idxs.isEmpty) None else Some(idxs.maxBy(reps))
       }
@@ -113,17 +121,31 @@ object Bench {
         pause()
         val i = worst.get
         val origGc = if (i < gcs.size) gcs(i) else 0L
-        val (sec, gc) = rerun(q)
-        budget -= 1
-        val replaced = sec < reps(i)
-        prov += (s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
-          f""""orig_sec":${reps(i)}%.4f,"orig_gc_ms":$origGc,""" +
-          f""""retry_sec":$sec%.4f,"retry_gc_ms":$gc,"replaced":$replaced}""")
-        if (replaced) {
-          reps = reps.updated(i, sec)
-          if (i < gcs.size) gcs = gcs.updated(i, gc)
+        // a retry failure must not discard the section's already-measured
+        // rows (the headline/tpch22/llm reps are complete by now): record
+        // the error in provenance, stop retrying this query, keep the
+        // original rep and its flag
+        scala.util.Try(rerun(q)) match {
+          case scala.util.Success((sec, gc)) =>
+            budget -= 1
+            val replaced = sec < reps(i)
+            prov += (s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
+              f""""orig_sec":${reps(i)}%.4f,"orig_gc_ms":$origGc,""" +
+              f""""retry_sec":$sec%.4f,"retry_gc_ms":$gc,"replaced":$replaced}""")
+            if (replaced) {
+              reps = reps.updated(i, sec)
+              if (i < gcs.size) gcs = gcs.updated(i, gc)
+            }
+            worst = worstFlagged
+          case scala.util.Failure(e) =>
+            budget = 0
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("""[\\"\n\r\t]""", " ").take(160)
+            prov += (s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
+              f""""orig_sec":${reps(i)}%.4f,"orig_gc_ms":$origGc,""" +
+              s""""retry_error":"$msg","replaced":false}""")
+            worst = None
         }
-        worst = worstFlagged
       }
       (q, reps: Seq[Double], gcs: Seq[Long])
     }

@@ -67,6 +67,18 @@ object ScaleCurve {
     "pl3_context_packing", "ev18_sessions", "pl21_corpus_pipeline")
 
   def main(args: Array[String]): Unit = {
+    // A focused subset must NOT overwrite the full-suite artifact of
+    // record — enforce it (r13 advice) BEFORE the session starts and the
+    // replica generation runs (the x30 replica alone is minutes of CPU
+    // and gigabytes of disk; failing after it would waste all of that):
+    // a subset run requires an explicit SPARK_GRAFT_SCALE_OUT, so
+    // forgetting the knob fails fast instead of silently clobbering
+    // SCALECURVE.json with a partial curve.
+    require(!sys.env.contains("SPARK_GRAFT_SCALE_QUERIES") ||
+        sys.env.contains("SPARK_GRAFT_SCALE_OUT"),
+      "SPARK_GRAFT_SCALE_QUERIES selects a subset: set " +
+        "SPARK_GRAFT_SCALE_OUT explicitly (e.g. SCALECURVE_SUBSET" +
+        ".json) so the run cannot overwrite SCALECURVE.json")
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "/tmp/graft_scale")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "3,10")
@@ -115,15 +127,8 @@ object ScaleCurve {
     // point: cache tpch tables, warmup pass, interleaved reps, min.
     val suite = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
       case Some(qs) =>
-        // A focused subset must NOT overwrite the full-suite artifact of
-        // record — enforce it (r13 advice): a subset run requires an
-        // explicit SPARK_GRAFT_SCALE_OUT, so forgetting the knob fails
-        // fast instead of silently clobbering SCALECURVE.json with a
-        // partial curve.
-        require(sys.env.contains("SPARK_GRAFT_SCALE_OUT"),
-          "SPARK_GRAFT_SCALE_QUERIES selects a subset: set " +
-            "SPARK_GRAFT_SCALE_OUT explicitly (e.g. SCALECURVE_SUBSET" +
-            ".json) so the run cannot overwrite SCALECURVE.json")
+        // (the SPARK_GRAFT_SCALE_OUT requirement for subset runs is
+        // enforced at the very top of main, before generation costs)
         val names = qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val unknown = names.filterNot(SparkEntry.queries.contains)
         require(unknown.isEmpty, s"unknown catalog queries: $unknown")

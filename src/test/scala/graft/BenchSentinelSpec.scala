@@ -102,7 +102,7 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(rows.head._2 === Seq(0.43, 0.45, 0.44))
   }
 
-  test("SPARK_GRAFT_BENCH_RETRIES=0 disables retries: flagged rows pass through untouched") {
+  test("maxRetries=0 (what Bench.main passes for SPARK_GRAFT_BENCH_RETRIES=0) passes flagged rows through untouched") {
     var runs = 0
     val (rows, prov) = retry(Seq(("q3", Seq(1.0, 1.1, 2.9), Seq(0L, 0L, 700L))),
       q => { runs += 1; (0.5, 0L) }, budget = 0)
@@ -110,6 +110,22 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(rows.head._2 === Seq(1.0, 1.1, 2.9))
     // the pure "record the contamination" capture keeps its flags
     assert(Bench.stallFlags("headline", rows).nonEmpty)
+  }
+
+  test("a retry that throws keeps the measured rows, records the error, stops retrying") {
+    // a transient rerun failure must not discard a fully-measured
+    // section (the llm sweep is 28 queries x 3 reps by the time a retry
+    // runs): the flagged rep and its flag survive, the error lands in
+    // provenance, and no further retries burn on that query
+    var runs = 0
+    val (rows, prov) = retry(Seq(("q3", Seq(1.0, 1.1, 2.9), Seq(0L, 0L, 0L))),
+      q => { runs += 1; sys.error("executor lost") })
+    assert(runs === 1)
+    assert(rows.head._2 === Seq(1.0, 1.1, 2.9))
+    assert(Bench.stallFlags("headline", rows).size === 1)
+    assert(prov.size === 1)
+    assert(prov.head.contains(""""retry_error":"executor lost"""") &&
+      prov.head.contains(""""replaced":false"""))
   }
 
   test("a fat-GC min rep (the ss20 shape) is retried and its GC provenance kept") {

@@ -188,8 +188,15 @@ if os.path.exists(subq_path):
         for fac, mrows in re.findall(
                 r"×(\d+)[^(]*\(([\d.]+)\s*M lineitem", para):
             key = f"x{fac}"
+            if key not in subq.get("table_rows", {}):
+                fail(f"SCALE.md quotes ×{fac} lineitem rows but"
+                     f" SCALECURVE_SUBQ.json table_rows has no {key}")
+                continue
             actual = subq["table_rows"][key]["lineitem"] / 1e6
-            if float(mrows) != actual:
+            # compare at the quoted precision (same rule as the α check:
+            # a fixture with 6,001,215 rows must be quotable as "6 M")
+            prec = len(mrows.split(".")[1]) if "." in mrows else 0
+            if float(mrows) != round(actual, prec):
                 fail(f"SCALE.md says ×{fac} has {mrows} M lineitem rows but"
                      f" SCALECURVE_SUBQ.json table_rows.{key}.lineitem ="
                      f" {actual} M")
