@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (was 8g through round 13): the single-JVM local[32]
+  // driver hosts ALL executor storage+execution memory, and at 8g the
+  // 22-query tpch22 / 28-query llm sweeps evicted each other's cached
+  // tables and churned GC (ss20's recurring 150ms+ rep flags). Measured
+  // same-day A/B at sf0.1 (round 14): headline 4.81s median/4.34 min at
+  // 8g -> 4.09/3.83 at 32g, llm_total 18.7 -> 17.2, ss20 3.45 -> 2.87,
+  // zero stall flags. The box has 128 GiB; -Xmx is a cap, so tests and
+  // small runs are unaffected. At cluster scale this is the ordinary
+  // "size executor memory so the working set fits" rule (SCALE.md).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
