@@ -601,8 +601,11 @@ object TpchQueries extends QueryPack {
     // the agg so only ~4% of the windowed rows aggregate — trades that
     // smaller agg for an extra full-fact probe + two more exchanges,
     // and MEASURED A LOSS at every scale point (literal vs rewrite
-    // min-of-3, same session, cached tables: 0.39 vs 0.65 s at sf0.1,
-    // 1.38 vs 1.64 s at ×10, 1.77 vs 2.19 s at ×30). The pair grain is
+    // min-of-3, same session, cached tables, at the 32g config of
+    // record: 0.52 vs 0.82 s at sf0.1, 1.08 vs 1.45 s at ×10, and a
+    // near-tie 2.12 vs 2.21 s at ×30 — the smaller-agg advantage grows
+    // with the fact but never catches the extra probe; the original 8g
+    // A/B showed the same ordering). The pair grain is
     // nearly row grain in the window (174k distinct pairs of 175k
     // windowed rows at sf0.1), so the decorrelated agg's map-side
     // combine loses nothing the semi join would save. Boundary
