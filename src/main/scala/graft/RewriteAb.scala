@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Rewrite-vs-literal A/B harness — the measured backing for SCALE.md's
+  * subquery-rewrite claims, promoted from round-14's throwaway probes so
+  * the quoted numbers live in a committed artifact (`ABRW.json`) that
+  * `tools/doc_sync_check.py` gates, instead of drifting as prose.
+  *
+  * For each scale dir and each adjudicated shape it times, in ONE
+  * session over cached tables (warmup + 3 interleaved reps, min
+  * reported — the Bench discipline):
+  *   - q2  window rewrite        vs the literal correlated-min text
+  *   - q18 agg-first rewrite     vs the literal IN-subquery text
+  *   - q20 kept literal text     vs the round-14 rewrite probe (the
+  *     counter-example: here the LITERAL is the catalog entry and the
+  *     probe exists only in this harness, so the keep-decision stays
+  *     re-measurable after Spark upgrades)
+  * Literal texts run over the same cached-partsupp views the catalog
+  * uses (`Tables.registerAll`), so the A/B isolates plan shape, not
+  * caching.
+  *
+  * Run: `sbt "runMain graft.RewriteAb <dir1> <dir2> ..."` (defaults:
+  * sf0.1 ×1 plus the ScaleCurve work dirs x10/x30). Output:
+  * SPARK_GRAFT_ABRW_OUT (default ABRW.json), one object per
+  * (factor, query): {"rewrite": minSec, "literal": minSec, reps...}.
+  */
+object RewriteAb {
+
+  /** The round-14 q20 rewrite probe (semi-join-first aggregation) — see
+    * the keep-note on TpchQueries "q20_part_promotion" for why this is
+    * NOT the catalog entry. */
+  private def q20Probe(s: SparkSession, d: String): DataFrame = {
+    val smallParts = Tables.part(s, d)
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "leftsemi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg((lit(0.5) *
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .as("half_shipped"))
+    val qualifying = Tables.partsupp(s, d)
+      .join(smallParts, col("ps_partkey") === col("p_partkey"), "leftsemi")
+      .join(shipped,
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > col("half_shipped"))
+      .select("ps_suppkey")
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_regionkey").isin(0, 1, 2)).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"), "leftsemi")
+      .join(qualifying, col("s_suppkey") === col("ps_suppkey"), "leftsemi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "/tmp/graft_scale")
+    val dirs: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", s"$work/x10", s"$work/x30")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-rewrite-ab")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val out = new StringBuilder
+    val dirResults = dirs.map { dir =>
+      Tables.tpch.foreach(t => Tables.load(spark, dir, t).cache().count())
+      Tables.registerAll(spark, dir)
+      val factor = "x(\\d+)$".r.findFirstMatchIn(dir)
+        .map(m => s"x${m.group(1)}").getOrElse("x1")
+      val liRows = Tables.load(spark, dir, "lineitem").count()
+      // (name, rewrite plan, literal plan) — counts force full execution
+      val cases: Seq[(String, () => Unit, () => Unit)] = Seq(
+        ("q2",
+          () => { SparkEntry.queries("q2_min_cost_supplier")(spark, dir).count(); () },
+          () => { spark.sql(graft.queries.TpchQueries.q2Raw).count(); () }),
+        ("q18",
+          () => { SparkEntry.queries("q18_large_volume")(spark, dir).count(); () },
+          () => { spark.sql(SparkEntry.oracleSql("q18_large_volume")).count(); () }),
+        ("q20",
+          () => { q20Probe(spark, dir).count(); () },
+          () => { spark.sql(graft.queries.TpchQueries.q20Raw).count(); () }))
+      cases.foreach { case (_, rw, lt) => rw(); lt() } // warmup (plan+codegen)
+      val acc = cases.map { case (name, _, _) =>
+        name -> (Vector.empty[Double], Vector.empty[Double])
+      }.to(collection.mutable.LinkedHashMap)
+      (1 to 3).foreach { _ =>
+        cases.foreach { case (name, rw, lt) =>
+          val (a, b) = acc(name)
+          acc(name) = (a :+ time(rw()), b :+ time(lt()))
+        }
+      }
+      val fields = acc.map { case (name, (rw, lt)) =>
+        f""""$name":{"rewrite":${rw.min}%.4f,"literal":${lt.min}%.4f,""" +
+          s""""rewrite_reps":${rw.map(v => f"$v%.4f").mkString("[", ",", "]")},""" +
+          s""""literal_reps":${lt.map(v => f"$v%.4f").mkString("[", ",", "]")}}"""
+      }.mkString(",")
+      spark.catalog.clearCache()
+      s""""$factor":{"dir":"$dir","lineitem_rows":$liRows,$fields}"""
+    }
+    out ++= dirResults.mkString("{", ",", "}")
+    val path = sys.env.getOrElse("SPARK_GRAFT_ABRW_OUT", "ABRW.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      out.toString + "\n")
+    System.err.println(s"[abrw] wrote $path")
+    spark.stop()
+  }
+}

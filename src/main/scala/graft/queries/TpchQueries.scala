@@ -600,12 +600,13 @@ object TpchQueries extends QueryPack {
     // joining the small-part keys into the date-filtered fact BELOW
     // the agg so only ~4% of the windowed rows aggregate — trades that
     // smaller agg for an extra full-fact probe + two more exchanges,
-    // and MEASURED A LOSS at every scale point (literal vs rewrite
-    // min-of-3, same session, cached tables, at the 32g config of
-    // record: 0.52 vs 0.82 s at sf0.1, 1.08 vs 1.45 s at ×10, and a
-    // near-tie 2.12 vs 2.21 s at ×30 — the smaller-agg advantage grows
-    // with the fact but never catches the extra probe; the original 8g
-    // A/B showed the same ordering). The pair grain is
+    // and MEASURED A LOSS at every scale point — the committed
+    // ABRW.json (written by graft.RewriteAb, which keeps the probe
+    // re-runnable and whose numbers SCALE.md quotes under the doc-sync
+    // gate) has the literal at 0.81/1.89/2.50 s vs the probe's
+    // 1.18/2.29/2.81 s at ×1/×10/×30; the smaller-agg advantage grows
+    // with the fact but never catches the extra probe, and the original
+    // 8g A/B showed the same ordering. The pair grain is
     // nearly row grain in the window (174k distinct pairs of 175k
     // windowed rows at sf0.1), so the decorrelated agg's map-side
     // combine loses nothing the semi join would save. Boundary

@@ -24,7 +24,9 @@ Checks
      every "×F point (N M lineitem rows" claim must match
      table_rows.xF.lineitem (the r13 advice caught a 10x overstatement
      there).
-  4. Both docs' "S/S specs": if target/test-reports/*.xml exists (a
+  4. Rewrite A/B quotes "qN A vs B s (xF)" in the same paragraph must
+     match ABRW.json's rewrite/literal mins at the quoted precision.
+  5. Both docs' "S/S specs": if target/test-reports/*.xml exists (a
      fresh `sbt test`), S must equal the summed test count; otherwise
      the spec count is reported but not enforced (stale target/ would
      false-alarm).
@@ -203,6 +205,35 @@ if os.path.exists(subq_path):
             else:
                 ok(f"SCALE.md ×{fac} {mrows} M lineitem rows =="
                    f" SCALECURVE_SUBQ.json")
+
+# ---- 3b. rewrite A/B quotes vs ABRW.json ---------------------------------
+abrw_path = os.path.join(ROOT, "ABRW.json")
+if os.path.exists(abrw_path):
+    abrw = json.load(open(abrw_path))
+    para_m = re.search(r"Subquery-shape slice.*?\n\n", scale, re.S)
+    para = para_m.group(0) if para_m else ""
+    pairs = re.findall(
+        r"(q\d+) ([\d.]+)\s*vs\s*([\d.]+)\s*s \(×(\d+)\)", para)
+    if not pairs:
+        fail("SCALE.md quotes no 'qN A vs B s (×F)' A/B pairs but"
+             " ABRW.json exists")
+    for q, rw, lt, fac in pairs:
+        key = f"x{fac}"
+        if key not in abrw or q not in abrw[key]:
+            fail(f"SCALE.md quotes {q} A/B at ×{fac} but ABRW.json has"
+                 f" no {key}/{q} entry")
+            continue
+        ent = abrw[key][q]
+        okrow = True
+        for label, quoted, actual in [("rewrite", rw, ent["rewrite"]),
+                                      ("literal", lt, ent["literal"])]:
+            prec = len(quoted.split(".")[1]) if "." in quoted else 0
+            if float(quoted) != round(actual, prec):
+                fail(f"SCALE.md quotes {q} {label} {quoted} s at ×{fac}"
+                     f" but ABRW.json says {actual:.4f}")
+                okrow = False
+        if okrow:
+            ok(f"SCALE.md {q} {rw} vs {lt} s (×{fac}) == ABRW.json")
 
 # ---- 4. spec counts ------------------------------------------------------
 for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
