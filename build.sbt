@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // small runs are unaffected. At cluster scale this is the ordinary
   // "size executor memory so the working set fits" rule (SCALE.md).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Pin the JVM locale like the TZ: Bench/RewriteAb/ScaleCurve write JSON
+  // artifacts via f"...%.4f", which formats with the DEFAULT locale — on a
+  // comma-decimal host that emits "1,4032" and breaks every JSON consumer.
+  "-Duser.language=en", "-Duser.country=US",
 )

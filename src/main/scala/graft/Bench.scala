@@ -128,7 +128,17 @@ object Bench {
         scala.util.Try(rerun(q)) match {
           case scala.util.Success((sec, gc)) =>
             budget -= 1
-            val replaced = sec < reps(i)
+            // Accept a retry that strictly beats the flagged rep — or, when
+            // the rep was flagged ONLY by the GC rule (the min-rep shape:
+            // ratio can't flag the min), a clean-GC retry that is itself
+            // ratio-clean even if a few ms slower. Without this, a retry
+            // that PROVED the stall transient is discarded and the budget
+            // burns re-retrying the same rep.
+            val mn = reps.min
+            val gcOnlyFlag = !(mn > 0.05 && reps(i) > ratio * mn)
+            val retryClean = gc <= gcThresholdMs &&
+              !(mn > 0.05 && sec > ratio * mn)
+            val replaced = sec < reps(i) || (gcOnlyFlag && retryClean)
             prov += (s"""{"section":"$section","query":"$q","rep":${i + 1},""" +
               f""""orig_sec":${reps(i)}%.4f,"orig_gc_ms":$origGc,""" +
               f""""retry_sec":$sec%.4f,"retry_gc_ms":$gc,"replaced":$replaced}""")

@@ -83,8 +83,14 @@ object RewriteAb {
     val dirResults = dirs.map { dir =>
       Tables.tpch.foreach(t => Tables.load(spark, dir, t).cache().count())
       Tables.registerAll(spark, dir)
+      // Key by trailing xN when present, else the dir basename: two dirs
+      // without an xN suffix must not both collapse to "x1" (json.load
+      // keeps only the last duplicate key — a scale point would silently
+      // vanish from the gated artifact).
       val factor = "x(\\d+)$".r.findFirstMatchIn(dir)
-        .map(m => s"x${m.group(1)}").getOrElse("x1")
+        .map(m => s"x${m.group(1)}")
+        .getOrElse(if (dir == "/root/testdata/sf0.1") "x1"
+          else new java.io.File(dir).getName)
       val liRows = Tables.load(spark, dir, "lineitem").count()
       // (name, rewrite plan, literal plan) — counts force full execution
       val cases: Seq[(String, () => Unit, () => Unit)] = Seq(
@@ -115,6 +121,10 @@ object RewriteAb {
       spark.catalog.clearCache()
       s""""$factor":{"dir":"$dir","lineitem_rows":$liRows,$fields}"""
     }
+    val keys = dirResults.map(_.takeWhile(_ != ':'))
+    require(keys.distinct.size == keys.size,
+      s"duplicate factor keys across dirs: ${keys.mkString(", ")} — " +
+        "each dir must resolve to a distinct JSON key")
     out ++= dirResults.mkString("{", ",", "}")
     val path = sys.env.getOrElse("SPARK_GRAFT_ABRW_OUT", "ABRW.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),

@@ -143,6 +143,33 @@ class BenchSentinelSpec extends AnyFunSuite {
       prov.head.contains(""""replaced":true"""))
   }
 
+  test("a GC-only-flagged rep accepts a clean-GC retry even a few ms slower") {
+    // r14-ADVICE shape: the min rep is flagged ONLY by the GC rule; a
+    // retry with clean GC that is a few ms SLOWER proved the stall
+    // transient — discarding it would leave the flag standing and burn
+    // the remaining budget re-retrying the same rep
+    var runs = 0
+    val (rows, prov) = retry(Seq(("ss20", Seq(4.0, 4.2, 4.3), Seq(152L, 40L, 35L))),
+      q => { runs += 1; (4.05, 20L) })
+    assert(runs === 1)
+    assert(rows.head._2 === Seq(4.05, 4.2, 4.3))
+    assert(rows.head._3 === Seq(20L, 40L, 35L))
+    assert(Bench.stallFlags("headline", rows).isEmpty)
+    assert(prov.head.contains(""""replaced":true"""))
+  }
+
+  test("a ratio-flagged rep still requires the retry to strictly beat it") {
+    // the GC-only acceptance must NOT leak into ratio flags: a 2.9x rep
+    // with a clean-GC retry at 3.0x stays flagged (the retry neither beat
+    // it nor disproved the ratio contamination)
+    var runs = 0
+    val (rows, _) = retry(Seq(("q3", Seq(1.0, 1.1, 2.9), Seq(0L, 0L, 0L))),
+      q => { runs += 1; (3.0, 0L) })
+    assert(runs === 2) // both budgeted retries, neither accepted
+    assert(rows.head._2 === Seq(1.0, 1.1, 2.9))
+    assert(Bench.stallFlags("headline", rows).size === 1)
+  }
+
   test("one retry can clear multiple flags when the min rep was the contaminated one") {
     // reps [0.1, 0.3, 0.28]: with min 0.1 the ratio rule flags BOTH
     // later reps; a successful retry replaces the WORST first and

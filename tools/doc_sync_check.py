@@ -210,10 +210,11 @@ if os.path.exists(subq_path):
 abrw_path = os.path.join(ROOT, "ABRW.json")
 if os.path.exists(abrw_path):
     abrw = json.load(open(abrw_path))
-    para_m = re.search(r"Subquery-shape slice.*?\n\n", scale, re.S)
-    para = para_m.group(0) if para_m else ""
+    # Scan the WHOLE of SCALE.md, not just the subquery paragraph: an A/B
+    # quote added anywhere else would otherwise escape the gate (the
+    # pattern is specific enough that false positives are implausible).
     pairs = re.findall(
-        r"(q\d+) ([\d.]+)\s*vs\s*([\d.]+)\s*s \(×(\d+)\)", para)
+        r"(q\d+) ([\d.]+)\s*vs\s*([\d.]+)\s*s \(×(\d+)\)", scale)
     if not pairs:
         fail("SCALE.md quotes no 'qN A vs B s (×F)' A/B pairs but"
              " ABRW.json exists")
