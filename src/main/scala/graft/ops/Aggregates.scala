@@ -218,6 +218,50 @@ object Aggregates {
   }
   def heavyHitters(c: Column, k: Int): Column = udaf(new MisraGries(k)).apply(c)
 
+  // ---- ε-bounds verdicts for sketch audits -------------------------------
+  //
+  // Sketch ESTIMATES are engine-specific (register layouts, seeds, merge
+  // schedules), so they can never be hash-compared against an oracle — but
+  // each structure's PUBLISHED error bound at its configured parameters
+  // can: the audit emits the exact counterpart (which DuckDB recomputes)
+  // plus a boolean "estimate landed inside the bound" verdict (which the
+  // oracle asserts as TRUE). The bound predicates live here so the query
+  // pack and the mis-parameterization specs (AggregatesSpec: a sketch
+  // built too small must FAIL its honest bound) share one definition.
+
+  /** |est − exact| ≤ sigmas·rsd·exact — the cardinality-sketch bound for
+    * HLL-family estimators quoted at `sigmas` standard errors (rsd =
+    * 1.04/√m for a 2^lgK-register HLL; Spark's approx_count_distinct
+    * takes rsd directly). 4σ keeps the deterministic fixture verdicts
+    * far from the boundary (observed: ≤ 0.73σ at sf0.01/sf0.1). */
+  def cardinalityWithinBounds(est: Column, exact: Column, rsd: Double,
+      sigmas: Double = 4.0): Column =
+    abs(est.cast("double") - exact.cast("double")) <=
+      lit(sigmas * rsd) * exact.cast("double")
+
+  /** Greenwald–Khanna rank-error verdict: the value returned for quantile
+    * `q` over `n` rows must have a RANK interval [lt+1, le] within
+    * ε·n (+1 for the target-rank convention gap) of the target rank q·n —
+    * the GK guarantee is on rank, never on value distance. `lt`/`le` are
+    * the exact counts of rows strictly-below / at-or-below the returned
+    * value. */
+  def rankWithinEps(lt: Column, le: Column, n: Column, q: Double,
+      eps: Double): Column = {
+    val nd = n.cast("double")
+    val slack = lit(eps) * nd + lit(1.0)
+    (lt.cast("double") + lit(1.0) <= lit(q) * nd + slack) &&
+      (le.cast("double") >= lit(q) * nd - slack)
+  }
+
+  /** Count-Min overcount verdict: est ≥ exact always (min over rows of
+    * summed counters can only collide upward), and est − exact ≤
+    * (e/width)·N with probability 1 − e^-depth per key — deterministic on
+    * a fixed corpus with the seeded hashes above (observed max overcount:
+    * 0.45·ε·N at sf0.1, zero violators). */
+  def cmsWithinEps(est: Column, exact: Column, width: Int, totalN: Long)
+      : Column =
+    (est - exact).cast("double") <= lit(math.E / width * totalN)
+
   /** Pairwise Pearson correlation matrix over `cols`, computed from
     * exact decimal moment sums in ONE aggregate pass.
     *

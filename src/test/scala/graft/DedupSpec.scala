@@ -361,6 +361,31 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("thetaOverlapAudit: exact columns match dd18, every verdict true") {
+    // the dd20 catalog entry: exact columns must equal the exact matrix
+    // (they're the same computation — this pins the join didn't drop or
+    // duplicate pairs) and every ε-bounds verdict is TRUE at the default
+    // sketch size. The sampling regime's teeth live in AggregatesSpec's
+    // mis-parameterization test (a 16-entry sketch must FAIL this bound).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val audit = Dedup
+      .thetaOverlapAudit(docs, col("source"), col("text"), n = 3)
+      .collect()
+    val exact = Dedup
+      .sourceOverlapMatrix(docs, col("source"), col("text"), n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(audit.length === exact.size)
+    audit.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === exact(k),
+        s"$k exact columns diverge from dd18")
+      assert(r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8),
+        s"$k: a theta verdict is false")
+    }
+  }
+
   test("electRepresentatives: quality argmax, id tie-break, redirects") {
     import spark.implicits._
     // cluster 1: doc 3 has top quality; cluster 2: tie → smallest id 4
