@@ -18,6 +18,8 @@ import graft.sources.Tables
   *     counter-example: here the LITERAL is the catalog entry and the
   *     probe exists only in this harness, so the keep-decision stays
   *     re-measurable after Spark upgrades)
+  *   - q17 agg-first rewrite     vs the literal correlated-avg text
+  *   - q21 window rewrite        vs the literal EXISTS/NOT-EXISTS text
   * Literal texts run over the same cached-partsupp views the catalog
   * uses (`Tables.registerAll`), so the A/B isolates plan shape, not
   * caching.
@@ -102,7 +104,13 @@ object RewriteAb {
           () => { spark.sql(SparkEntry.oracleSql("q18_large_volume")).count(); () }),
         ("q20",
           () => { q20Probe(spark, dir).count(); () },
-          () => { spark.sql(graft.queries.TpchQueries.q20Raw).count(); () }))
+          () => { spark.sql(graft.queries.TpchQueries.q20Raw).count(); () }),
+        ("q17",
+          () => { SparkEntry.queries("q17_small_quantity")(spark, dir).count(); () },
+          () => { spark.sql(graft.queries.TpchQueries.q17Sql).count(); () }),
+        ("q21",
+          () => { SparkEntry.queries("q21_suppliers_waiting")(spark, dir).count(); () },
+          () => { spark.sql(graft.queries.TpchQueries.q21Sql).count(); () }))
       cases.foreach { case (_, rw, lt) => rw(); lt() } // warmup (plan+codegen)
       val acc = cases.map { case (name, _, _) =>
         name -> (Vector.empty[Double], Vector.empty[Double])

@@ -236,6 +236,29 @@ if os.path.exists(abrw_path):
         if okrow:
             ok(f"SCALE.md {q} {rw} vs {lt} s (×{fac}) == ABRW.json")
 
+# ---- 3c. retry-pressure high-water vs BENCH_RECORD ------------------------
+# The drift-watch quotes the worst observed retry pressure (bounded
+# retries / residual flags / median of that capture). The numbers are
+# pinned in the gated BENCH_RECORD.json (the source capture lives in
+# driver-overwritable BENCH_LAST, which must never be a gate target).
+hw = bench.get("retry_pressure_high_water") if isinstance(bench, dict) else None
+if hw:
+    m = re.search(r"retry high-water (\d+)\s+bounded retries with (\d+)\s+"
+                  r"residual flags at a ([\d.]+)\s*s median", scale)
+    if not m:
+        fail("SCALE.md has no 'retry high-water N bounded retries with"
+             " M residual flags at a X s median' sentence but BENCH_RECORD"
+             " pins retry_pressure_high_water")
+    else:
+        quoted = (int(m.group(1)), int(m.group(2)), float(m.group(3)))
+        actual = (hw["stall_retry_count"], hw["residual_flag_count"],
+                  hw["median_sec"])
+        if quoted != actual:
+            fail(f"SCALE.md retry high-water quotes {quoted} but"
+                 f" BENCH_RECORD.retry_pressure_high_water = {actual}")
+        else:
+            ok(f"SCALE.md retry high-water {quoted} == BENCH_RECORD")
+
 # ---- 4. spec counts ------------------------------------------------------
 for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
     counts = re.findall(r"(\d+)/(\d+)\s+specs", text)
