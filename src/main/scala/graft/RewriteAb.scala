@@ -94,8 +94,12 @@ object RewriteAb {
         .getOrElse(if (dir == "/root/testdata/sf0.1") "x1"
           else new java.io.File(dir).getName)
       val liRows = Tables.load(spark, dir, "lineitem").count()
+      lazy val docs = { val d = Tables.load(spark, dir, "documents")
+        .cache(); d.count(); d }
+      val snKey = substring(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 12)
       // (name, rewrite plan, literal plan) — counts force full execution
-      val cases: Seq[(String, () => Unit, () => Unit)] = Seq(
+      val tpchCases: Seq[(String, () => Unit, () => Unit)] = Seq(
         ("q2",
           () => { SparkEntry.queries("q2_min_cost_supplier")(spark, dir).count(); () },
           () => { spark.sql(graft.queries.TpchQueries.q2Raw).count(); () }),
@@ -111,17 +115,42 @@ object RewriteAb {
         ("q21",
           () => { SparkEntry.queries("q21_suppliers_waiting")(spark, dir).count(); () },
           () => { spark.sql(graft.queries.TpchQueries.q21Sql).count(); () }))
-      cases.foreach { case (_, rw, lt) => rw(); lt() } // warmup (plan+codegen)
-      val acc = cases.map { case (name, _, _) =>
-        name -> (Vector.empty[Double], Vector.empty[Double])
-      }.to(collection.mutable.LinkedHashMap)
-      (1 to 3).foreach { _ =>
-        cases.foreach { case (name, rw, lt) =>
-          val (a, b) = acc(name)
-          acc(name) = (a :+ time(rw()), b :+ time(lt()))
+      // dd16 probe (round 15): single-sort ranged variant vs the
+      // two-phase globalPosition catalog implementation. "rewrite" =
+      // the probe, "literal" = the catalog entry (the q20 convention).
+      // Runs as its OWN section after the tpch group: its per-rep
+      // pinned gram/range caches (GBs at ×30) evicted the interleaved
+      // tpch reps' cached tables when it shared the loop — the first
+      // combined capture showed q20's literal reps inflating 3× at ×10
+      // on zero code change.
+      val dd16Cases: Seq[(String, () => Unit, () => Unit)] = Seq(
+        ("dd16",
+          () => {
+            graft.ops.Dedup.sortedNeighborhoodPairsRanged(docs,
+              col("doc_id"), col("text"), snKey, 5, 3, 0.5).count()
+            graft.ops.Pipeline.releaseCaches()
+          },
+          () => {
+            graft.ops.Dedup.sortedNeighborhoodPairs(docs,
+              col("doc_id"), col("text"), snKey, 5, 3, 0.5).count()
+            graft.ops.Pipeline.releaseCaches()
+          }))
+      def runGroup(cases: Seq[(String, () => Unit, () => Unit)])
+          : Seq[(String, Vector[Double], Vector[Double])] = {
+        cases.foreach { case (_, rw, lt) => rw(); lt() } // warmup
+        val acc = cases.map { case (name, _, _) =>
+          name -> (Vector.empty[Double], Vector.empty[Double])
+        }.to(collection.mutable.LinkedHashMap)
+        (1 to 3).foreach { _ =>
+          cases.foreach { case (name, rw, lt) =>
+            val (a, b) = acc(name)
+            acc(name) = (a :+ time(rw()), b :+ time(lt()))
+          }
         }
+        acc.map { case (n, (a, b)) => (n, a, b) }.toSeq
       }
-      val fields = acc.map { case (name, (rw, lt)) =>
+      val measured = runGroup(tpchCases) ++ runGroup(dd16Cases)
+      val fields = measured.map { case (name, rw, lt) =>
         f""""$name":{"rewrite":${rw.min}%.4f,"literal":${lt.min}%.4f,""" +
           s""""rewrite_reps":${rw.map(v => f"$v%.4f").mkString("[", ",", "]")},""" +
           s""""literal_reps":${lt.map(v => f"$v%.4f").mkString("[", ",", "]")}}"""

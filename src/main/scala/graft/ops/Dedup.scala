@@ -415,6 +415,16 @@ object Dedup {
       .join(pos.select(col("sn_id").as("id_r"), col("sn_pos").as("r_pos")),
         col("_tgt") === col("r_pos"))
       .select(col("id_l"), col("id_r"))
+    verifySortedNeighborhoodCand(docs, id, text, n, threshold, cand)
+  }
+
+  /** Shared verification leg for the sorted-neighborhood variants: join
+    * the candidate ID pairs back to per-doc sorted char-n-gram sets and
+    * keep pairs at/above the Jaccard threshold. Grams shuffle exactly
+    * once per side, by id. */
+  private def verifySortedNeighborhoodCand(
+      docs: DataFrame, id: Column, text: Column, n: Int, threshold: Double,
+      cand: DataFrame): DataFrame = {
     val grams = docs.select(id.as("g_id"),
         charNgramsSorted(text, n).as("g"))
       .withColumn("gsz", size(col("g")))
@@ -431,6 +441,109 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("jaccard"))
+  }
+
+  /** Single-sort sorted-neighborhood variant (round-15 probe of the
+    * suite's steepest curve, α 0.91): ONE `repartitionByRange` +
+    * `sortWithinPartitions` on (key, id) replaces [[Pipeline
+    * .globalPosition]]'s range sort PLUS its `_pid`-keyed window
+    * re-exchange PLUS the position self-equi-join — each physical
+    * partition already holds a contiguous slice of the global sort
+    * order, so a per-partition sliding buffer (`mapPartitions`: the
+    * genuine per-partition-imperative case) emits every within-slice
+    * neighbor pair directly, and the only cross-slice pairs possible
+    * are (tail of p) × (head of p+1) with rank distance < window —
+    * recovered by an equi-join of two (window−1)·P-row boundary strips
+    * on the partition id. Same candidate set, same verification leg,
+    * one wide exchange instead of three.
+    *
+    * Precondition (checked, loud): every range slice holds ≥ window−1
+    * rows — otherwise a neighborhood could span three slices. Holds
+    * whenever n ≫ window·partitions (the operating regime of a
+    * neighborhood method); the check is a bounded per-partition count
+    * (≤ P rows collected, the [[Pipeline]] offsets precedent).
+    * Restricted to LONG ids (the corpus contract).
+    *
+    * KEEP-NOTE (round 15, measured in ABRW.json via graft.RewriteAb,
+    * sectioned capture): candidate sets are bit-identical to
+    * [[sortedNeighborhoodPairs]] (DedupSpec + the sf0.001/0.01/0.1
+    * equivalence probe), but the end-to-end A/B is a wash — 2.67 vs
+    * 2.81 s (×1), 21.16 vs 23.07 (×10), 63.66 vs 64.13 (×30), same
+    * α ≈ 0.92 — because the steep dd16 curve is the O(n·w)
+    * sorted-merge gram VERIFICATION both variants share, not the
+    * candidate-stage sorts this rewrite eliminates. The two-phase
+    * original stays the catalog entry (pure-DataFrame plan, no
+    * minimum-slice precondition); this variant stays as the measured
+    * library alternative. */
+  def sortedNeighborhoodPairsRanged(
+      docs: DataFrame, id: Column, text: Column, sortKey: Column,
+      window: Int = 5, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = docs.select(id.cast("long").as("sn_id"),
+        sortKey.cast("string").as("sn_key"))
+      .repartitionByRange(nPart, col("sn_key"), col("sn_id"))
+      .sortWithinPartitions(col("sn_key"), col("sn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pinned.add(ranged)
+    // loud precondition, not a silent wrong answer: a slice thinner than
+    // window−1 (or an interior EMPTY slice — the boundary join keys on
+    // pid adjacency) would let a neighborhood span non-adjacent slices
+    val sizes = ranged.groupBy(spark_partition_id().as("_pid"))
+      .count().collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val pids = sizes.map(_._1)
+    val contiguous = pids.isEmpty || (pids.last - pids.head + 1 == pids.length)
+    require(sizes.length <= 1 ||
+        (contiguous && sizes.forall(_._2 >= window - 1)),
+      s"sortedNeighborhoodPairsRanged needs contiguous range slices of >= " +
+        s"${window - 1} rows (got ${sizes.map(_._2).min} min over " +
+        s"${sizes.length} slices, contiguous=$contiguous); use " +
+        "sortedNeighborhoodPairs for corpora this small or skewed")
+    val w = window // avoid capturing `this` in the task closure
+    // (kind, a, b, pid): P = candidate pair (a=id_l, b=id_r);
+    // T = tail-strip row (a=id, b=rows-from-slice-end, 0-based);
+    // H = head-strip row (a=id, b=1-based rank from slice start).
+    // The slice id MUST be the RDD partition index
+    // (rdd.mapPartitionsWithIndex), never TaskContext.getPartitionId()
+    // or spark_partition_id(): those are STAGE-relative — when the
+    // boundary join's probe leg later runs inside a union stage its
+    // task ids shift by the other child's partition count, the strip
+    // pids stop matching, and every boundary pair silently vanishes
+    // (caught by the equivalence probe, round 15).
+    val emitted = ranged.as[(Long, String)].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val buf = new scala.collection.mutable.ArrayDeque[Long](w - 1)
+        val head = Vector.newBuilder[(String, Long, Long, Int)]
+        var seen = 0L
+        val pairs = it.flatMap { case (docId, _) =>
+          seen += 1
+          if (seen < w) head += (("H", docId, seen, pid))
+          val out = buf.iterator.map(prev => ("P", prev, docId, pid)).toVector
+          buf.append(docId)
+          if (buf.size >= w) buf.removeHead()
+          out
+        }
+        // tail strip reads the ring AFTER the pairs iterator drains (the
+        // ++ operands are by-name, so evaluation order is guaranteed)
+        def tail = buf.iterator.toVector.reverseIterator.zipWithIndex
+          .map { case (docId, back) => ("T", docId, back.toLong, pid) }
+        pairs ++ head.result().iterator ++ tail
+      }
+    val out = spark.createDataset(emitted).toDF("kind", "a", "b", "pid")
+    val localPairs = out.filter(col("kind") === "P")
+      .select(col("a").as("id_l"), col("b").as("id_r"))
+    val tailStrip = out.filter(col("kind") === "T")
+      .select(col("pid"), col("a").as("id_l"), col("b").as("back"))
+    val headStrip = out.filter(col("kind") === "H")
+      .select((col("pid") - 1).as("pid"), col("a").as("id_r"),
+        col("b").as("fwd"))
+    val boundary = tailStrip.join(headStrip, "pid")
+      .filter(col("back") + col("fwd") < w)
+      .select(col("id_l"), col("id_r"))
+    verifySortedNeighborhoodCand(docs, id, text, n, threshold,
+      localPairs.unionByName(boundary))
   }
 
   /** Repeated-passage detection — the chunk-level form of exact-substring

@@ -361,6 +361,41 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("sortedNeighborhoodPairsRanged: pair set identical to the two-phase original") {
+    // the round-15 single-sort probe must be a pure plan change: same
+    // candidate semantics (within-slice sliding window + boundary
+    // strips), so the verified pair set — ids AND jaccards — is
+    // bit-identical to sortedNeighborhoodPairs on the same corpus
+    // (also asserted at sf0.01/sf0.1 by the round-15 equivalence probe)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val key = substring(
+      regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 12)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val orig = collect(Dedup.sortedNeighborhoodPairs(
+      docs, col("doc_id"), col("text"), key, window = 5, n = 3,
+      threshold = 0.5))
+    val ranged = collect(Dedup.sortedNeighborhoodPairsRanged(
+      docs, col("doc_id"), col("text"), key, window = 5, n = 3,
+      threshold = 0.5))
+    assert(orig.nonEmpty && ranged === orig)
+    graft.ops.Pipeline.releaseCaches()
+  }
+
+  test("sortedNeighborhoodPairsRanged refuses slices thinner than the window") {
+    // a range slice with < window-1 rows would let a neighborhood span
+    // non-adjacent slices — the precondition must fail LOUDLY, never
+    // return a silently incomplete pair set
+    import spark.implicits._
+    val tiny = (1L to 6L).map(i => (i, s"doc text $i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairsRanged(
+        tiny, col("doc_id"), col("text"), col("text"), window = 5)
+    }
+    assert(e.getMessage.contains("sortedNeighborhoodPairs"))
+  }
+
   test("thetaOverlapAudit: exact columns match dd18, every verdict true") {
     // the dd20 catalog entry: exact columns must equal the exact matrix
     // (they're the same computation — this pins the join didn't drop or
