@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Pipeline, Similarity}
+
+/** ss20 operating-point sweep — the measured backing for the round-15
+  * adopt-or-keep decision on `ss20_ivfpq_topk`, the heaviest gated llm
+  * row (2.87 s at the 32g config of record). Round 10 adjudicated the
+  * cost as compile-dominated (SCALE.md "ss10/ss20 cost adjudication"):
+  * the literal-codebook argmin/ADC expression trees, not data movement.
+  * This harness turns that adjudication's remaining question — is the
+  * CONFIGURED point (nprobe=2, m=8, cb=16) the recall-optimal spend, or
+  * does a smaller tree buy the same recall cheaper? — into an artifact.
+  *
+  * For each operating point it measures, in ONE session over the sf0.1
+  * embeddings (Bench discipline: warmup, 3 INTERLEAVED reps, min
+  * reported, pinned caches released after every rep exactly like the
+  * llm sweep's `llmRun`):
+  *   - wall seconds of the full ss20-shaped run (train + encode + probe
+  *     + top-5), end to end — the same thing the bench times;
+  *   - macro recall@5 vs the exact cosine brute-force top-5 on the same
+  *     20-query sample (the ss14 audit's definition: Σhits / Σexact);
+  *   - a HIGH-RESOLUTION recall leg: recall@20 vs the exact L2 top-20
+  *     (the metric ivfPqTopK actually approximates) over a 100-query
+  *     sample — 2,000 possible hits instead of 100, so a few-hit noise
+  *     swing cannot rank the points. The catalog-shaped 20-query@5
+  *     number would call 7 vs 9 hits a ranking; this leg exists so the
+  *     adopt-or-keep decision rests on a signal, not on noise.
+  *
+  * Points: nprobe ∈ {1,2,4} at the configured (m=8, cb=16) tree, and
+  * the smaller trees (m=4, cb=16), (m=8, cb=8), (m=4, cb=8) at the
+  * configured nprobe=2 — the two dials the r14 verdict named, swept
+  * one at a time around the shipped point. numCoarse=8, updates=1
+  * throughout (the catalog configuration).
+  *
+  * Run: `sbt "runMain graft.IvfPqSweep [sfDir]"` (default sf0.1).
+  * Output: SPARK_GRAFT_IVFPQ_OUT (default IVFPQAB.json), one object per
+  * point: {"sec": minSec, "reps": [...], "recall": macroRecall}.
+  * `tools/doc_sync_check.py` gates SCALE.md's quoted numbers against it.
+  */
+object IvfPqSweep {
+
+  /** (label, nprobe, m, codebookSize) — label doubles as the JSON key. */
+  val points: Seq[(String, Int, Int, Int)] = Seq(
+    ("np1_m8_cb16", 1, 8, 16),
+    ("np2_m8_cb16", 2, 8, 16), // the shipped ss20 configuration
+    ("np4_m8_cb16", 4, 8, 16),
+    ("np2_m4_cb16", 2, 4, 16),
+    ("np2_m8_cb8", 2, 8, 8),
+    ("np2_m4_cb8", 2, 4, 8))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ivfpq-sweep")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    emb.count()
+    val q = emb.filter(col("vec_id") < 20)
+    val qWide = emb.filter(col("vec_id") < 100)
+    // exact cosine top-5 (the ss14 audit's ground truth), one collect of
+    // 100 pairs — sample-sized, not corpus-sized
+    val exact: Set[(Long, Long)] =
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact L2 top-20 over the wide sample: ivfPqTopK ranks by
+    // (approximate) squared L2, so THIS is the ground truth its recall
+    // should be read against; 100 queries × 20 = 2,000 possible hits
+    val exactL2: Set[(Long, Long)] = {
+      val qq = qWide.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+      val cc = emb.select(col("vec_id"), col("embedding")
+        .cast("array<double>").as("cvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      qq.crossJoin(cc).filter(col("qid") =!= col("vec_id"))
+        .withColumn("d2", aggregate(
+          zip_with(col("qvec"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    def run(np: Int, m: Int, cb: Int,
+        qs: org.apache.spark.sql.DataFrame = q, k: Int = 5)
+        : org.apache.spark.sql.DataFrame =
+      Similarity.ivfPqTopK(qs, emb, "vec_id", "embedding", k,
+        dim = 64, numCoarse = 8, nprobe = np, m = m, codebookSize = cb,
+        updates = 1)
+    def timedRun(np: Int, m: Int, cb: Int): Double = {
+      val t0 = System.nanoTime()
+      run(np, m, cb).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Pipeline.releaseCaches()
+      sec
+    }
+
+    // recall first (also the warmup/codegen pass for each point)
+    val recall: Map[String, Double] = points.map { case (lbl, np, m, cb) =>
+      val approx = run(np, m, cb).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Pipeline.releaseCaches()
+      lbl -> (exact.intersect(approx).size.toDouble / exact.size)
+    }.toMap
+    val recallL2: Map[String, Double] = points.map { case (lbl, np, m, cb) =>
+      val approx = run(np, m, cb, qWide, 20).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Pipeline.releaseCaches()
+      lbl -> (exactL2.intersect(approx).size.toDouble / exactL2.size)
+    }.toMap
+
+    val acc = points.map { case (lbl, _, _, _) =>
+      lbl -> Vector.empty[Double]
+    }.to(collection.mutable.LinkedHashMap)
+    (1 to 3).foreach { _ =>
+      points.foreach { case (lbl, np, m, cb) =>
+        acc(lbl) :+= timedRun(np, m, cb)
+      }
+    }
+
+    def jnum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    val fields = points.map { case (lbl, _, _, _) =>
+      val reps = acc(lbl)
+      s""""$lbl":{"sec":${jnum(reps.min)},""" +
+        s""""reps":${reps.map(jnum).mkString("[", ",", "]")},""" +
+        s""""recall":${jnum(recall(lbl))},""" +
+        s""""recall_l2_at20":${jnum(recallL2(lbl))}}"""
+    }.mkString(",")
+    val json = s"""{"sf_dir":"$sfDir","k":5,"num_coarse":8,"queries":20,""" +
+      s""""recall_l2_queries":100,$fields}"""
+    val path = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_OUT", "IVFPQAB.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
+    points.foreach { case (lbl, _, _, _) =>
+      System.err.println(
+        f"[ivfpq] $lbl%-12s min ${acc(lbl).min}%.3f s  recall@5 " +
+          f"${recall(lbl)}%.3f  recall_l2@20 ${recallL2(lbl)}%.3f")
+    }
+    System.err.println(s"[ivfpq] wrote $path")
+    spark.stop()
+  }
+}

@@ -236,6 +236,36 @@ if os.path.exists(abrw_path):
         if okrow:
             ok(f"SCALE.md {q} {rw} vs {lt} s (×{fac}) == ABRW.json")
 
+# ---- 3b2. ss20 operating-point quotes vs IVFPQAB.json ---------------------
+# The round-15 adopt-or-keep note quotes sweep points as
+# "npN_mM_cbC X s / R" (min seconds / recall_l2@20). Scan the WHOLE of
+# SCALE.md (same rationale as 3b): a point quoted anywhere must match
+# the committed artifact at the quoted precision.
+ivfpq_path = os.path.join(ROOT, "IVFPQAB.json")
+if os.path.exists(ivfpq_path):
+    ivfpq = json.load(open(ivfpq_path))
+    pts = re.findall(r"(np\d+_m\d+_cb\d+) ([\d.]+)\s*s / ([\d.]+)", scale)
+    if not pts:
+        fail("SCALE.md quotes no 'npN_mM_cbC X s / R' sweep points but"
+             " IVFPQAB.json exists")
+    for lbl, sec, rec in pts:
+        if lbl not in ivfpq:
+            fail(f"SCALE.md quotes ss20 sweep point {lbl} but IVFPQAB.json"
+                 f" has no such key")
+            continue
+        ent = ivfpq[lbl]
+        okrow = True
+        for label, quoted, actual in [("sec", sec, ent["sec"]),
+                                      ("recall_l2@20", rec,
+                                       ent["recall_l2_at20"])]:
+            prec = len(quoted.split(".")[1]) if "." in quoted else 0
+            if float(quoted) != round(actual, prec):
+                fail(f"SCALE.md quotes {lbl} {label} {quoted} but"
+                     f" IVFPQAB.json says {actual:.4f}")
+                okrow = False
+        if okrow:
+            ok(f"SCALE.md ss20 point {lbl} {sec} s / {rec} == IVFPQAB.json")
+
 # ---- 3c. retry-pressure high-water vs BENCH_RECORD ------------------------
 # The drift-watch quotes the worst observed retry pressure (bounded
 # retries / residual flags / median of that capture). The numbers are
