@@ -236,6 +236,47 @@ if os.path.exists(abrw_path):
         if okrow:
             ok(f"SCALE.md {q} {rw} vs {lt} s (×{fac}) == ABRW.json")
 
+# ---- 3a2. ×100 scan-shape slice vs SCALECURVE_X100.json -------------------
+# The round-15 stretch point: q1/q6 (the flattest scan shapes) measured a
+# decade past the ×30 ceiling. Same α/row-count checks as the subquery
+# slice, against the focused artifact the run was required to name.
+x100_path = os.path.join(ROOT, "SCALECURVE_X100.json")
+if os.path.exists(x100_path):
+    x100 = json.load(open(x100_path))
+    para_m = re.search(r"×100 scan-shape slice.*?\n\n", scale, re.S)
+    if not para_m:
+        fail('SCALE.md has no "×100 scan-shape slice" paragraph but'
+             ' SCALECURVE_X100.json exists')
+    else:
+        para = para_m.group(0)
+        alphas = {q.split("_")[0]: v["exponent"]
+                  for q, v in x100["queries"].items()}
+        quotes = re.findall(r"(q\d+) α ([\d.]+)", para)
+        if not quotes:
+            fail("SCALE.md ×100 paragraph quotes no α values")
+        for nm, alpha in quotes:
+            if nm not in alphas:
+                fail(f"SCALE.md ×100 slice quotes {nm} α but"
+                     f" SCALECURVE_X100.json has no {nm}_* query")
+                continue
+            prec = len(alpha.split(".")[1]) if "." in alpha else 0
+            if float(alpha) != round(alphas[nm], prec):
+                fail(f"SCALE.md ×100 quotes {nm} α {alpha} but artifact"
+                     f" exponent = {alphas[nm]:.4f}")
+            else:
+                ok(f"SCALE.md ×100 {nm} α {alpha} == SCALECURVE_X100.json")
+        m = re.search(r"\(([\d.]+)\s*M\s+lineitem", para)
+        if m:
+            actual = x100["table_rows"]["x100"]["lineitem"] / 1e6
+            prec = len(m.group(1).split(".")[1]) if "." in m.group(1) else 0
+            if float(m.group(1)) != round(actual, prec):
+                fail(f"SCALE.md ×100 says {m.group(1)} M lineitem rows but"
+                     f" artifact = {actual} M")
+            else:
+                ok(f"SCALE.md ×100 {m.group(1)} M lineitem rows == artifact")
+        else:
+            fail("SCALE.md ×100 paragraph quotes no lineitem row count")
+
 # ---- 3b2. ss20 operating-point quotes vs IVFPQAB.json ---------------------
 # The round-15 adopt-or-keep note quotes sweep points as
 # "npN_mM_cbC X s / R" (min seconds / recall_l2@20). Scan the WHOLE of
