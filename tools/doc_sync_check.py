@@ -136,17 +136,59 @@ else:
             ok(f"SCALE.md {label} {quoted} s == {bench_name} {key}")
 
 # ---- 2. catalog triple in both docs vs CORRECTNESS ----------------------
+# A triple may carry a round tag — "catalog Q/O/R (rNN gate)" — which
+# pins it to CORRECTNESS_rNN.json specifically. This exists for triple
+# TRANSITIONS (round 15 upgrades the 6 sketch queries from rows-only to
+# ε-bounds, flipping 291/285/6 → 291/291/0): the docs can state both the
+# committed round's triple and the expected next-round one, each checked
+# against its own artifact; a forward tag whose artifact the driver has
+# not yet written is reported but not failed. Untagged triples must
+# match the NEWEST artifact (the original rule), and at least one triple
+# (tagged or not) must match the newest artifact so the current state is
+# always quoted somewhere.
+
+
+def triple_of(path):
+    c = json.load(open(path))
+    t = len(c)
+    e = sum(1 for v in c.values() if v.get("hash_match") is True)
+    r = sum(1 for v in c.values() if v.get("err") == "no_oracle")
+    return f"{t}/{e}/{r}"
+
+
 expected_triple = f"{n_total}/{n_exact}/{n_rows_only}"
+newest_matched = False
 for doc_name, text in [("SCALE.md", scale), ("COVERAGE.md", coverage)]:
-    triples = re.findall(r"catalog (\d+/\d+/\d+)", text, re.I)
+    triples = re.findall(r"catalog (\d+/\d+/\d+)(?:\s*\(r(\d+) gate\))?",
+                         text, re.I)
     if not triples:
         fail(f'{doc_name} has no "catalog Q/O/R" triple')
-    for t in triples:
-        if t != expected_triple:
+    for t, tag in triples:
+        if tag:
+            tagged_path = os.path.join(ROOT, f"CORRECTNESS_r{tag}.json")
+            if not os.path.exists(tagged_path):
+                print(f"[warn ] {doc_name} catalog {t} (r{tag} gate) —"
+                      f" CORRECTNESS_r{tag}.json not written yet, deferred")
+                continue
+            actual = triple_of(tagged_path)
+            if t != actual:
+                fail(f"{doc_name} quotes catalog {t} (r{tag} gate) but"
+                     f" CORRECTNESS_r{tag}.json says {actual}")
+            else:
+                ok(f"{doc_name} catalog {t} == CORRECTNESS_r{tag}.json")
+                if actual == expected_triple:
+                    newest_matched = True
+        elif t != expected_triple:
             fail(f"{doc_name} quotes catalog {t} but {corr_name}"
                  f" says {expected_triple}")
         else:
             ok(f"{doc_name} catalog {t} == {corr_name}")
+            newest_matched = True
+if not newest_matched and not any(f.startswith(("SCALE.md quotes catalog",
+                                                "COVERAGE.md quotes catalog"))
+                                  for f in fails):
+    fail(f"no doc triple matches the newest artifact {corr_name}"
+         f" ({expected_triple}) — the current state must be quoted")
 
 # ---- 3. subquery-slice paragraph vs SCALECURVE_SUBQ.json -----------------
 subq_path = os.path.join(ROOT, "SCALECURVE_SUBQ.json")
