@@ -131,12 +131,16 @@ object Bench {
             // Accept a retry that strictly beats the flagged rep — or, when
             // the rep was flagged ONLY by the GC rule (the min-rep shape:
             // ratio can't flag the min), a clean-GC retry that is itself
-            // ratio-clean even if a few ms slower. Without this, a retry
-            // that PROVED the stall transient is discarded and the budget
-            // burns re-retrying the same rep.
+            // ratio-clean AND within 5% of the rep it replaces. Without
+            // the acceptance, a retry that PROVED the stall transient is
+            // discarded and the budget burns re-retrying the same rep;
+            // without the 5% bound (round-15 review), the window was
+            // ratio×min — wide enough for a clean-GC retry up to 2.5× the
+            // min (unbounded when min ≤ 50 ms) to REPLACE a faster
+            // measurement, inflating the reported min/median.
             val mn = reps.min
             val gcOnlyFlag = !(mn > 0.05 && reps(i) > ratio * mn)
-            val retryClean = gc <= gcThresholdMs &&
+            val retryClean = gc <= gcThresholdMs && sec <= reps(i) * 1.05 &&
               !(mn > 0.05 && sec > ratio * mn)
             val replaced = sec < reps(i) || (gcOnlyFlag && retryClean)
             prov += (s"""{"section":"$section","query":"$q","rep":${i + 1},""" +

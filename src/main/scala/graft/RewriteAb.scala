@@ -81,18 +81,29 @@ object RewriteAb {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Key by trailing xN when present, else the dir basename: two dirs
+    // without an xN suffix must not both collapse to "x1" (json.load
+    // keeps only the last duplicate key — a scale point would silently
+    // vanish from the gated artifact). Dirs are canonicalized FIRST so a
+    // trailing slash / relative path / symlink spelling of the base
+    // fixture still keys as x1, and key distinctness is required BEFORE
+    // the first measurement — a duplicate must abort in milliseconds,
+    // not after a tens-of-minutes ×30 sweep (round-15 review finding).
+    def factorKey(dir: String): String = {
+      val canon = new java.io.File(dir).getCanonicalFile
+      "x(\\d+)$".r.findFirstMatchIn(canon.getPath)
+        .map(m => s"x${m.group(1)}")
+        .getOrElse(if (canon.getPath == "/root/testdata/sf0.1") "x1"
+          else canon.getName)
+    }
+    val keys = dirs.map(factorKey)
+    require(keys.distinct.size == keys.size,
+      s"duplicate factor keys across dirs: ${keys.mkString(", ")} — " +
+        "each dir must resolve to a distinct JSON key")
     val out = new StringBuilder
-    val dirResults = dirs.map { dir =>
+    val dirResults = dirs.zip(keys).map { case (dir, factor) =>
       Tables.tpch.foreach(t => Tables.load(spark, dir, t).cache().count())
       Tables.registerAll(spark, dir)
-      // Key by trailing xN when present, else the dir basename: two dirs
-      // without an xN suffix must not both collapse to "x1" (json.load
-      // keeps only the last duplicate key — a scale point would silently
-      // vanish from the gated artifact).
-      val factor = "x(\\d+)$".r.findFirstMatchIn(dir)
-        .map(m => s"x${m.group(1)}")
-        .getOrElse(if (dir == "/root/testdata/sf0.1") "x1"
-          else new java.io.File(dir).getName)
       val liRows = Tables.load(spark, dir, "lineitem").count()
       lazy val docs = { val d = Tables.load(spark, dir, "documents")
         .cache(); d.count(); d }
@@ -158,10 +169,6 @@ object RewriteAb {
       spark.catalog.clearCache()
       s""""$factor":{"dir":"$dir","lineitem_rows":$liRows,$fields}"""
     }
-    val keys = dirResults.map(_.takeWhile(_ != ':'))
-    require(keys.distinct.size == keys.size,
-      s"duplicate factor keys across dirs: ${keys.mkString(", ")} — " +
-        "each dir must resolve to a distinct JSON key")
     out ++= dirResults.mkString("{", ",", "}")
     val path = sys.env.getOrElse("SPARK_GRAFT_ABRW_OUT", "ABRW.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),

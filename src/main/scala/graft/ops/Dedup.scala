@@ -462,7 +462,9 @@ object Dedup {
     * whenever n ≫ window·partitions (the operating regime of a
     * neighborhood method); the check is a bounded per-partition count
     * (≤ P rows collected, the [[Pipeline]] offsets precedent).
-    * Restricted to LONG ids (the corpus contract).
+    * Restricted to LONG ids (the corpus contract) and STRING sort keys
+    * (checked loud — a cast would silently sort non-string keys by
+    * their string form and diverge from the two-phase variant).
     *
     * KEEP-NOTE (round 15, measured in ABRW.json via graft.RewriteAb,
     * sectioned capture): candidate sets are bit-identical to
@@ -482,25 +484,41 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val ranged = docs.select(id.cast("long").as("sn_id"),
-        sortKey.cast("string").as("sn_key"))
+    val keyed = docs.select(id.cast("long").as("sn_id"),
+      sortKey.as("sn_key"))
+    // Loud type precondition, not a silent cast: the slice buffers read
+    // the key as String, and casting a non-string key here would SORT by
+    // its string form ("10" < "2") — a silently different neighborhood
+    // than the two-phase variant's native-order sort, breaking the
+    // bit-identical-candidates contract the keep-note and DedupSpec pin.
+    require(keyed.schema("sn_key").dataType ==
+        org.apache.spark.sql.types.StringType,
+      "sortedNeighborhoodPairsRanged requires a string sort key (a cast " +
+        "would change the sort order vs sortedNeighborhoodPairs, which " +
+        "sorts any key type natively — use that variant instead)")
+    val ranged = keyed
       .repartitionByRange(nPart, col("sn_key"), col("sn_id"))
       .sortWithinPartitions(col("sn_key"), col("sn_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pipeline.pinned.add(ranged)
     // loud precondition, not a silent wrong answer: a slice thinner than
     // window−1 (or an interior EMPTY slice — the boundary join keys on
-    // pid adjacency) would let a neighborhood span non-adjacent slices
+    // pid adjacency) would let a neighborhood span non-adjacent slices.
+    // The pin happens only AFTER the check passes — a refused call must
+    // not leave a materialized cache parked until someone else's
+    // releaseCaches() (it is unpersisted before the throw).
     val sizes = ranged.groupBy(spark_partition_id().as("_pid"))
       .count().collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val pids = sizes.map(_._1)
     val contiguous = pids.isEmpty || (pids.last - pids.head + 1 == pids.length)
-    require(sizes.length <= 1 ||
-        (contiguous && sizes.forall(_._2 >= window - 1)),
+    val slicesOk = sizes.length <= 1 ||
+      (contiguous && sizes.forall(_._2 >= window - 1))
+    if (!slicesOk) ranged.unpersist()
+    require(slicesOk,
       s"sortedNeighborhoodPairsRanged needs contiguous range slices of >= " +
         s"${window - 1} rows (got ${sizes.map(_._2).min} min over " +
         s"${sizes.length} slices, contiguous=$contiguous); use " +
         "sortedNeighborhoodPairs for corpora this small or skewed")
+    Pipeline.pinned.add(ranged)
     val w = window // avoid capturing `this` in the task closure
     // (kind, a, b, pid): P = candidate pair (a=id_l, b=id_r);
     // T = tail-strip row (a=id, b=rows-from-slice-end, 0-based);

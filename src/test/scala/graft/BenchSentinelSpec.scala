@@ -158,6 +158,34 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(prov.head.contains(""""replaced":true"""))
   }
 
+  test("the GC-only acceptance window is tied to the replaced rep, not ratio x min") {
+    // round-15 review shape: the min rep is GC-flagged and a clean-GC
+    // retry lands FAR slower (9.9 s vs the 4.0 s rep — inside the old
+    // ratio*min window of 2.5*4.0). Accepting it would replace the
+    // genuine fastest measurement and inflate the reported min; it must
+    // be rejected, the rep kept, the flag surviving after the budget.
+    var runs = 0
+    val (rows, prov) = retry(Seq(("ss20", Seq(4.0, 4.2, 4.3), Seq(152L, 40L, 35L))),
+      q => { runs += 1; (9.9, 20L) })
+    assert(runs === 2) // both budgeted retries, neither accepted
+    assert(rows.head._2 === Seq(4.0, 4.2, 4.3))
+    assert(rows.head._3 === Seq(152L, 40L, 35L))
+    assert(Bench.stallFlags("headline", rows).size === 1)
+    assert(prov.forall(_.contains(""""replaced":false""")))
+  }
+
+  test("sub-50ms GC-flagged reps get no unbounded acceptance window") {
+    // with min <= 0.05 the ratio rule is exempt, so the old ratio-clean
+    // clause was vacuous: ANY clean-GC wall time was accepted. The 5%
+    // bound must hold here too — a 5.0 s clean-GC retry for a 0.03 s
+    // flagged rep is rejected.
+    var runs = 0
+    val (rows, _) = retry(Seq(("q", Seq(0.03, 0.06, 0.06), Seq(200L, 0L, 0L))),
+      q => { runs += 1; (5.0, 0L) })
+    assert(runs === 2)
+    assert(rows.head._2 === Seq(0.03, 0.06, 0.06))
+  }
+
   test("a ratio-flagged rep still requires the retry to strictly beat it") {
     // the GC-only acceptance must NOT leak into ratio flags: a 2.9x rep
     // with a clean-GC retry at 3.0x stays flagged (the retry neither beat

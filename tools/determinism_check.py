@@ -3,16 +3,20 @@
 
 Compares two graft.Verify dumps of the SAME code and fixtures produced
 under DIFFERENT parallelism (e.g. SPARK_GRAFT_CPUS=16 vs 7 — different
-partition counts, different merge orders). Every oracle-eligible query
-must be cell-identical in order: reproducibility under repartitioning is
-a correctness property at 100 TB (a plan whose answer depends on
+partition counts, different merge orders). Every query must be
+cell-identical in order: reproducibility under repartitioning is a
+correctness property at 100 TB (a plan whose answer depends on
 partition count gives a different answer every time the cluster scales).
 
-The known rows-only sketch queries (HLL / CMS / GK-percentile / theta /
-Misra-Gries) are EXPECTED to differ — their state is merge-order
-dependent by construction (SCALE.md "rows-only set is CLOSED at 6").
-The audit fails if any other query differs, or if a sketch query's
-difference would have been hidden by a hash oracle.
+Through round 14 the 6 sketch queries (HLL / CMS / GK-percentile /
+theta / Misra-Gries) were exempt — their DUMPED state was merge-order
+dependent by construction. Round 15's ε-bounds upgrade removed the raw
+estimates from every output column (the queries now surface exact
+counterparts plus boolean bound verdicts, both partition-independent by
+design), so the exemption is GONE: all 291 queries must be identical,
+and a reappearing sketch diff is a regression this audit must catch,
+not wave through (round-15 review finding). The sketch_diff_ok field
+stays in the output line for artifact-format continuity; it must be [].
 
 Usage: python3 tools/determinism_check.py <dumpA> <dumpB>
 """
@@ -20,10 +24,7 @@ import sys, glob, os
 import duckdb
 
 a, b = sys.argv[1], sys.argv[2]
-ALLOWED_DIFF = {
-    "agg_approx_distinct", "agg_approx_percentile", "agg_cms_freq",
-    "agg_hll_sketch", "dd20_theta_overlap", "ta6_heavy_hitters",
-}
+ALLOWED_DIFF = set()  # empty since the round-15 ε-bounds upgrade
 con = duckdb.connect()
 names = sorted(os.path.basename(d.rstrip("/"))
                for d in glob.glob(f"{a}/*/"))

@@ -363,12 +363,19 @@ if hw:
              " M residual flags at a X s median' sentence but BENCH_RECORD"
              " pins retry_pressure_high_water")
     else:
-        quoted = (int(m.group(1)), int(m.group(2)), float(m.group(3)))
+        # median compares at the QUOTED precision (the file's standard
+        # rule) — exact float equality would false-alarm the first time a
+        # high-water is pinned with a full-precision median while the doc
+        # quotes two decimals (round-15 review finding)
+        med_q = m.group(3)
+        med_prec = len(med_q.split(".")[1]) if "." in med_q else 0
+        quoted = (int(m.group(1)), int(m.group(2)), float(med_q))
         actual = (hw["stall_retry_count"], hw["residual_flag_count"],
-                  hw["median_sec"])
+                  round(hw["median_sec"], med_prec))
         if quoted != actual:
             fail(f"SCALE.md retry high-water quotes {quoted} but"
-                 f" BENCH_RECORD.retry_pressure_high_water = {actual}")
+                 f" BENCH_RECORD.retry_pressure_high_water = {actual}"
+                 f" (median {hw['median_sec']} at quoted precision)")
         else:
             ok(f"SCALE.md retry high-water {quoted} == BENCH_RECORD")
 
