@@ -87,11 +87,31 @@ object Ngrams {
     }
   }
 
-  /** Sorted-distinct character n-grams in one loop — equivalent to
-    * `array_sort(array_distinct(charNgrams(...)))` (string sort is total,
-    * so sort-then-dedup equals distinct-then-sort), without two further
-    * interpreted collection passes and their allocations. UTF8String's
-    * compareTo is the same binary ordering array_sort uses. */
+  /** Shared tail of the two sorted-distinct variants: in-place binary
+    * sort + adjacent dedup — equivalent to `array_sort(array_distinct(
+    * ...))` (string sort is total, so sort-then-dedup equals
+    * distinct-then-sort) without two further interpreted collection
+    * passes and their allocations. UTF8String's compareTo is the same
+    * binary ordering array_sort uses. One definition, so a comparator
+    * fix can never reach one variant and miss the other (round-15
+    * review deduplication). MUTATES its argument. */
+  private def sortedDistinct(items: Array[UTF8String]): ArrayData = {
+    java.util.Arrays.sort(items, null) // natural (binary) UTF8String order
+    val out = new Array[Any](items.length)
+    var m = 0
+    var i = 0
+    while (i < items.length) {
+      if (m == 0 || items(i).compareTo(out(m - 1).asInstanceOf[UTF8String]) != 0) {
+        out(m) = items(i)
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == out.length) out else out.take(m))
+  }
+
+  /** Sorted-distinct character n-grams in one loop — see
+    * [[sortedDistinct]] for the fused sort+dedup rationale. */
   def charNgramsSorted(s: UTF8String, n: Int): ArrayData = {
     val count = math.max(s.numChars() - (n - 1), 1)
     val grams = new Array[UTF8String](count)
@@ -100,18 +120,7 @@ object Ngrams {
       grams(i) = s.substringSQL(i + 1, n)
       i += 1
     }
-    java.util.Arrays.sort(grams, null) // natural (binary) UTF8String order
-    val out = new Array[Any](count)
-    var m = 0
-    i = 0
-    while (i < count) {
-      if (m == 0 || grams(i).compareTo(out(m - 1).asInstanceOf[UTF8String]) != 0) {
-        out(m) = grams(i)
-        m += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(if (m == out.length) out else out.take(m))
+    sortedDistinct(grams)
   }
 
   def char_ngrams(c: Column, n: Int): Column =
@@ -119,7 +128,7 @@ object Ngrams {
   def char_ngrams_sorted(c: Column, n: Int): Column =
     GraftBridge.column(CharNgramsSorted(GraftBridge.expression(c), n))
   /** Sorted-distinct word shingles — `array_sort(array_distinct(
-    * wordShingles(...)))` fused into one loop (see charNgramsSorted). */
+    * wordShingles(...)))` fused into one loop (see [[sortedDistinct]]). */
   def wordShinglesSorted(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
     val count = math.max(len - (n - 1), 1)
@@ -129,18 +138,7 @@ object Ngrams {
       sh(i) = joinSlice(arr, i, math.min(i + n, len))
       i += 1
     }
-    java.util.Arrays.sort(sh, null)
-    val out = new Array[Any](count)
-    var m = 0
-    i = 0
-    while (i < count) {
-      if (m == 0 || sh(i).compareTo(out(m - 1).asInstanceOf[UTF8String]) != 0) {
-        out(m) = sh(i)
-        m += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(if (m == out.length) out else out.take(m))
+    sortedDistinct(sh)
   }
 
   def word_shingles(c: Column, n: Int): Column =

@@ -27,7 +27,16 @@ case class RollingMinHash(child: Expression, window: Int)
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (child.dataType == StringType)
+    // window is validated at ANALYSIS time, not left to blow up (or
+    // silently fingerprint everything to 0) inside codegen: the SQL
+    // registration makes `rolling_min_hash(text, -2)` user-reachable,
+    // where a negative window read bytes(-2) and window=0 hashed every
+    // document to 0L — collapsing a dedup keyed on the fingerprint into
+    // one giant duplicate group (round-15 review).
+    if (window <= 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_min_hash needs window > 0, got $window")
+    else if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

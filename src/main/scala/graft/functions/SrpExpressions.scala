@@ -36,10 +36,36 @@ object Srp {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  /** Deterministic pseudo-random hyperplane component in [-1, 1).
+    *
+    * Seed = t·262147 + b·4099 + j is injective ONLY inside the envelope
+    * `dim ≤ 4099 && (bits−1)·4099 + dim ≤ 262147` — beyond it (t,b,j)
+    * triples collide and signature bits silently correlate, degrading
+    * bucket quality with no error. [[SrpBuckets.checkInputDataTypes]]
+    * refuses parameters outside the envelope (round-15 review); the
+    * formula itself stays untouched because the declarative
+    * `Similarity` stream and the SignatureTruth scalar replication pin
+    * these exact values. */
   @inline def plane(table: Int, bit: Int, j: Int): Double =
     splitmix64(table.toLong * 262147 + bit.toLong * 4099 + j).toDouble /
       Long.MaxValue.toDouble
+
+  /** The plane matrix for a (tables, bits, dim) config, computed ONCE
+    * per executor JVM: the values are a pure function of the indices, but
+    * recomputing them per ROW cost tables·bits·dim splitmix64 evaluations
+    * on every corpus row — ~4–5× the FLOPs of the projections themselves
+    * at the dd9 defaults (8,192 components), on the hot LSH path
+    * (round-15 review). Keyed cache, a few KB per config. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def planesOf(tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((tables, bits, dim), _ =>
+      Array.tabulate(tables * bits) { tb =>
+        val t = tb / bits
+        val b = tb % bits
+        Array.tabulate(dim)(j => plane(t, b, j))
+      })
 
   /** All `tables` signatures of `arr` as (t, sig) rows. Fold order and
     * float→double widening match `Vectors.dot` over the cast array, so
@@ -48,17 +74,19 @@ object Srp {
       arr: ArrayData, tables: Int, bits: Int, dim: Int,
       isFloat: Boolean): ArrayData = {
     val n = math.min(arr.numElements(), dim)
+    val pl = planesOf(tables, bits, dim)
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {
       var sig = 0
       var b = 0
       while (b < bits) {
+        val p = pl(t * bits + b)
         var acc = 0.0
         var j = 0
         while (j < n) {
           val v = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
-          acc += v * plane(t, b, j)
+          acc += v * p(j)
           j += 1
         }
         if (acc > 0) sig |= (1 << b)
@@ -92,7 +120,19 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    elemType(child.dataType) match {
+    if (tables <= 0 || bits <= 0 || bits > 31 || dim <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs tables > 0, 0 < bits <= 31, dim > 0" +
+          s" (got tables=$tables, bits=$bits, dim=$dim)")
+    else if (dim > 4099 || (bits - 1).toLong * 4099 + dim > 262147)
+      // outside this envelope the seed formula t*262147 + b*4099 + j
+      // collides across (bit, j) — see [[Srp.plane]]; refuse loudly
+      // instead of silently correlating signature bits
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName seed envelope exceeded: need dim <= 4099 and" +
+          s" (bits-1)*4099 + dim <= 262147 (got bits=$bits, dim=$dim)" +
+          " — beyond it hyperplane components collide and LSH bits correlate")
+    else elemType(child.dataType) match {
       case Some(_) => TypeCheckResult.TypeCheckSuccess
       case None => TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs array<float> or array<double>, got ${child.dataType}")

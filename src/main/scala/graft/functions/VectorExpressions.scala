@@ -16,11 +16,25 @@ import org.apache.spark.sql.types._
   * three interpreted higher-order-function evaluations per pair with one
   * tight JVM loop inside whole-stage codegen (~60× on the pairwise
   * near-dup scan at sf0.1).
+  *
+  * The bit-compat claim is scoped to EQUAL-LENGTH arrays of non-null
+  * elements — the embedding-column contract every caller feeds it.
+  * Outside it the declarative form yields NULL (zip_with pads the short
+  * side with nulls; null·x poisons the sum); a silent NULL or a silent
+  * truncated partial product would both corrupt downstream ranks, so a
+  * LENGTH MISMATCH THROWS instead (loud data-corruption signal, one
+  * comparison on the hot path — round-15 review). Null ELEMENTS are not
+  * per-element checked (a bitmap load+branch per element on the hottest
+  * loop in the library): they read as 0.0, the documented divergence.
   */
 object Vectors {
 
   def dot(arrA: ArrayData, arrB: ArrayData, isFloat: Boolean): Double = {
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    val n = arrA.numElements()
+    if (arrB.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: length mismatch ($n vs ${arrB.numElements()}) — ragged " +
+          "vectors are data corruption, not a dot-product input")
     var acc = 0.0
     var i = 0
     if (isFloat) {

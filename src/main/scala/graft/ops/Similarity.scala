@@ -429,7 +429,11 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  /** Deterministic pseudo-random hyperplane component in [-1, 1).
+    * Seed-injective only for dim ≤ 4099 and (bits−1)·4099 + dim ≤ 262147
+    * — the native expression ([[graft.functions.SrpBuckets]]) enforces
+    * that envelope at analysis time; this reference form exists only for
+    * the bit-identity cross-check at fixture parameters. */
   private def plane(table: Int, bit: Int, dim: Int): Double =
     (splitmix64(table.toLong * 262147 + bit.toLong * 4099 + dim).toDouble /
       Long.MaxValue.toDouble)

@@ -310,8 +310,9 @@ object StreamingQueries extends QueryPack {
            FROM cells c JOIN dows o USING (dow))
          SELECT wc.window_start, wc.event_type, wc.n_events, e.expected,
            CAST(wc.n_events AS DOUBLE) / e.expected AS observed_lift,
-           (CAST(wc.n_events AS DOUBLE) / e.expected) >= 2.0 AS alert
-         FROM wc JOIN e ON e.event_type = wc.event_type
+           COALESCE((CAST(wc.n_events AS DOUBLE) / e.expected) >= 2.0,
+             TRUE) AS alert
+         FROM wc LEFT JOIN e ON e.event_type = wc.event_type
            AND e.dow = isodow(CAST(wc.window_start AS DATE))
            AND e.hour = EXTRACT(hour FROM wc.window_start)
          ORDER BY wc.window_start, wc.event_type""",

@@ -12,9 +12,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is exactly Structured Streaming's contract.
   *
   * Scale notes: watermarks bound state; windowed aggregates shuffle on
-  * (window, key); dropDuplicates state is pruned by the watermark. The
-  * stateful session operator uses flatMapGroupsWithState with event-time
-  * timeout — state per active user only.
+  * (window, key); dedup state is pruned via dropDuplicatesWithinWatermark
+  * (plain dropDuplicates would only prune if the event-time column were a
+  * dedup key). The stateful session operator uses flatMapGroupsWithState
+  * with event-time timeout — state per active user only.
   */
 object EventStreams {
 
@@ -133,10 +134,26 @@ object EventStreams {
         col("v_ts"))
   }
 
-  /** Exactly-once-ish dedup on event_id within the watermark horizon. */
-  def dedupEvents(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+  /** Exactly-once-ish dedup on event_id within the watermark horizon.
+    *
+    * `dropDuplicatesWithinWatermark`, not `dropDuplicates`: with the
+    * plain variant the watermark only evicts dedup state when the
+    * EVENT-TIME column is part of the dedup key, so keying on event_id
+    * alone would grow state forever on a unique-id stream (every id ever
+    * seen retained — the exact leak the watermark exists to prevent;
+    * round-15 review). The within-watermark variant evicts each key once
+    * the watermark passes its first-seen event time + delay, which is
+    * precisely the "re-delivery happens within the horizon" contract
+    * this operator documents. Spark rejects the within-watermark variant
+    * on BATCH frames outright, so the st4 oracle dual branches to the
+    * plain dropDuplicates — which in batch is exactly the semantics the
+    * streaming side guarantees for re-deliveries inside the horizon
+    * (global dedup on event_id; a batch job has no late data). */
+  def dedupEvents(events: DataFrame): DataFrame = {
+    val wm = events.withWatermark("ts", "10 minutes")
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark("event_id")
+    else wm.dropDuplicates("event_id")
+  }
 
   /** Incremental-ingest dedup: keep only stream rows whose key is NOT in
     * the static historic set — a stream-static LEFT ANTI join, the shape
@@ -238,7 +255,12 @@ object EventStreams {
     * the timeout anchors to `max(last event, watermark)`. Within a
     * micro-batch, rows are folded in (ts, event_id) order so replayed
     * batches make identical decisions — flags depend on fold order, and
-    * iterator order inside a batch is not otherwise guaranteed. */
+    * iterator order inside a batch is not otherwise guaranteed. The sort
+    * key is the FULL-precision instant (epoch second, nano), not
+    * Timestamp.getTime: getTime truncates to milliseconds, so two events
+    * in the same millisecond would fold in event_id order while the
+    * batch dual orders by the microsecond ts — a parity break on
+    * sub-millisecond fixtures (round-15 review). */
   def anomalyFlags(
       events: Dataset[Ev], k: Double = 3.0, minPrev: Long = 3,
       maxIdle: String = "30 days"): Dataset[Anomaly] = {
@@ -256,7 +278,8 @@ object EventStreams {
             var agg = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
             var maxTs = Long.MinValue
             val out = Vector.newBuilder[Anomaly]
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            rows.toSeq.sortBy(e => (e.ts.toInstant.getEpochSecond,
+                e.ts.toInstant.getNano, e.event_id)).foreach { e =>
               if (agg.n_events >= minPrev) {
                 val mean = agg.total_value / agg.n_events
                 if (e.value > k * mean)
@@ -428,19 +451,29 @@ object EventStreams {
     * broadcast expectation table on its (type, weekday, hour) cell, and
     * observed/expected ≥ k raises the alert. The static side re-broadcasts
     * per micro-batch (≤ types·168 rows — constant at any corpus size);
-    * the same code runs in batch and is oracle-checked as st13. */
+    * the same code runs in batch and is oracle-checked as st13.
+    *
+    * LEFT join, not inner (round-15 review): in deployment the
+    * expectation table comes from a HISTORICAL corpus, so a brand-new
+    * event type (or a never-seen (type, dow, hour) cell) has no baseline
+    * row — an inner join would silently drop exactly the
+    * highest-lift anomaly the detector exists for. A cell with traffic
+    * but no baseline alerts unconditionally (null expected/lift, alert
+    * true). On the st13 fixture both tables derive from the same corpus,
+    * so every cell matches and the dual is unchanged. */
   def seasonalAlerts(
       windowCounts: DataFrame, expectation: DataFrame,
       k: Double = 2.0): DataFrame =
     windowCounts
       .withColumn("dow", weekday(to_date(col("window_start"))) + 1)
       .withColumn("hour", hour(col("window_start")))
-      .join(broadcast(expectation), Seq("event_type", "dow", "hour"))
+      .join(broadcast(expectation), Seq("event_type", "dow", "hour"), "left")
       .select(col("window_start"), col("event_type"), col("n_events"),
         col("expected"),
         (col("n_events").cast("double") / col("expected"))
           .as("observed_lift"))
-      .withColumn("alert", col("observed_lift") >= lit(k))
+      .withColumn("alert",
+        coalesce(col("observed_lift") >= lit(k), lit(true)))
 
   /** File-source streaming read from a directory of (µs-timestamp) parquet
     * files, one file per micro-batch — the standard way to drive a
@@ -491,7 +524,10 @@ object EventStreams {
           } else {
             var n = state.getOption.getOrElse(0L)
             var maxTs = Long.MinValue
-            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // full-precision instant, not ms-truncated getTime — same
+            // batch-parity rationale as the anomalyFlags fold order
+            val out = rows.toSeq.sortBy(e => (e.ts.toInstant.getEpochSecond,
+                e.ts.toInstant.getNano, e.event_id))
               .map { e =>
                 n += 1
                 if (e.ts.getTime > maxTs) maxTs = e.ts.getTime

@@ -50,6 +50,20 @@ class DedupSpec extends GraftSuite {
     assert(twice === 0)
   }
 
+  test("rolling_min_hash refuses window <= 0 at analysis time") {
+    // SQL-reachable: a negative window read bytes(-2) (crash) and
+    // window=0 fingerprinted EVERY document to 0L — silently collapsing
+    // a fingerprint-keyed dedup into one duplicate group (round-15
+    // review). Both now refuse before execution.
+    RollingMinHash.register(spark)
+    Seq(0, -2).foreach { w =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        docs.limit(1).selectExpr(s"rolling_min_hash(text, $w)").collect()
+      }
+      assert(e.getMessage.contains("window > 0"))
+    }
+  }
+
   test("minhash signature is identical for identical texts") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),

@@ -140,6 +140,38 @@ class SimilaritySpec extends GraftSuite {
     assert(mismatches === 0)
   }
 
+  test("srp_buckets refuses parameters outside the seed-injectivity envelope") {
+    // beyond dim <= 4099 / (bits-1)*4099 + dim <= 262147 the plane seed
+    // formula collides across (bit, j) and signature bits silently
+    // correlate — the expression must refuse at analysis time, not
+    // degrade bucket quality (round-15 review)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(Similarity.srpBuckets(
+        col("embedding"), tables = 2, bits = 3, dim = 5000)).collect()
+    }
+    assert(e.getMessage.contains("seed envelope"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(Similarity.srpBuckets(
+        col("embedding"), tables = 2, bits = 0, dim = 64)).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("bits"))
+  }
+
+  test("vec_dot throws loudly on ragged vectors instead of truncating") {
+    import spark.implicits._
+    // the declarative dual yields NULL here (zip_with null-pads); a
+    // silent partial product OR a silent null would corrupt downstream
+    // ranks — ragged embeddings are data corruption, surface them
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.Vectors.vec_dot(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("length mismatch"))))
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(10)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

@@ -78,6 +78,30 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.count() >= batch.count() - 5)
   }
 
+  test("seasonal alerts: a cell with no historical baseline still alerts") {
+    // Deployment shape: the expectation table comes from a HISTORICAL
+    // corpus, so a brand-new event type has no baseline row. An inner
+    // join silently dropped exactly that highest-lift anomaly (round-15
+    // review); the left join must surface it with null expected and
+    // alert=true, while baselined cells keep their computed lift.
+    val batchEvents = Tables.events(spark, sf)
+    val knownTypes = EventStreams.seasonalExpectation(batchEvents)
+      .select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    val expectation = EventStreams.seasonalExpectation(batchEvents)
+    val withNovel = EventStreams.tumblingCounts(batchEvents)
+      .unionByName(EventStreams.tumblingCounts(
+        batchEvents.withColumn("event_type", lit("never_seen_probe"))))
+    val alerts = EventStreams.seasonalAlerts(withNovel, expectation)
+    val novel = alerts.filter(col("event_type") === "never_seen_probe")
+    assert(novel.count() > 0, "unbaselined cells must not be dropped")
+    assert(novel.filter(!col("alert") || col("expected").isNotNull)
+      .count() === 0, "unbaselined cells alert with null expected")
+    // baselined rows unchanged by the join-type change
+    assert(alerts.filter(col("event_type").isin(knownTypes.toSeq: _*) &&
+      col("expected").isNull).count() === 0)
+  }
+
   test("sliding window: streaming rows are a watermark-closed subset of batch") {
     val streamed = runStream("t_sliding", EventStreams.slidingCounts, "append")
     val batch = EventStreams.slidingCounts(Tables.events(spark, sf))
