@@ -89,12 +89,18 @@ object RewriteAb {
     // fixture still keys as x1, and key distinctness is required BEFORE
     // the first measurement — a duplicate must abort in milliseconds,
     // not after a tens-of-minutes ×30 sweep (round-15 review finding).
+    // Canonicalize BOTH sides of the base-fixture comparison: if any
+    // component of /root/testdata is a symlink, getCanonicalFile resolves
+    // it on the argument side, so comparing against the hardcoded literal
+    // string would silently key the base fixture as "sf0.1" instead of
+    // "x1" and break the ABRW doc-sync expectations (round-16 advice).
+    lazy val baseFixture =
+      new java.io.File("/root/testdata/sf0.1").getCanonicalFile
     def factorKey(dir: String): String = {
       val canon = new java.io.File(dir).getCanonicalFile
       "x(\\d+)$".r.findFirstMatchIn(canon.getPath)
         .map(m => s"x${m.group(1)}")
-        .getOrElse(if (canon.getPath == "/root/testdata/sf0.1") "x1"
-          else canon.getName)
+        .getOrElse(if (canon == baseFixture) "x1" else canon.getName)
     }
     val keys = dirs.map(factorKey)
     require(keys.distinct.size == keys.size,

@@ -50,31 +50,41 @@ object Srp {
     splitmix64(table.toLong * 262147 + bit.toLong * 4099 + j).toDouble /
       Long.MaxValue.toDouble
 
-  /** The plane matrix for a (tables, bits, dim) config, computed ONCE
-    * per executor JVM: the values are a pure function of the indices, but
-    * recomputing them per ROW cost tables·bits·dim splitmix64 evaluations
-    * on every corpus row — ~4–5× the FLOPs of the projections themselves
-    * at the dd9 defaults (8,192 components), on the hot LSH path
-    * (round-15 review). Keyed cache, a few KB per config. */
-  private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+  /** The plane matrix for a (tables, bits, dim) config. Pure function of
+    * the indices, but recomputing it per ROW cost tables·bits·dim
+    * splitmix64 evaluations on every corpus row — ~4–5× the FLOPs of the
+    * projections themselves at the dd9 defaults (round-15 review). It is
+    * resolved ONCE per [[SrpBuckets]] instance (a `@transient lazy val`
+    * shipped into codegen as a reference object), not through a per-row
+    * keyed-cache lookup: the round-15 ConcurrentHashMap boxed a fresh
+    * Tuple3 key on every row of the hot LSH path and grew unboundedly per
+    * distinct config for the executor-JVM lifetime (round-16 advice). */
+  def planesOf(tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(tables * bits) { tb =>
+      val t = tb / bits
+      val b = tb % bits
+      Array.tabulate(dim)(j => plane(t, b, j))
+    }
 
-  private def planesOf(tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent((tables, bits, dim), _ =>
-      Array.tabulate(tables * bits) { tb =>
-        val t = tb / bits
-        val b = tb % bits
-        Array.tabulate(dim)(j => plane(t, b, j))
-      })
-
-  /** All `tables` signatures of `arr` as (t, sig) rows. Fold order and
-    * float→double widening match `Vectors.dot` over the cast array, so
-    * results are bit-identical to the literal-plane form. */
+  /** All signatures of `arr` as (t, sig) rows, one per hash table
+    * (`pl.length / bits` of them). Fold order and float→double widening
+    * match `Vectors.dot` over the cast array, so results are bit-identical
+    * to the literal-plane form — which also fixes the ragged-input policy:
+    * the reference form feeds `vec_dot` a dim-length literal plane, so a
+    * vector whose length differs from `dim` THROWS there; silently
+    * truncating here instead would break the documented bit-identity
+    * cross-check at non-fixture dims (round-16 advice). Both forms now
+    * refuse ragged input loudly. */
   def buckets(
-      arr: ArrayData, tables: Int, bits: Int, dim: Int,
+      arr: ArrayData, pl: Array[Array[Double]], bits: Int, dim: Int,
       isFloat: Boolean): ArrayData = {
-    val n = math.min(arr.numElements(), dim)
-    val pl = planesOf(tables, bits, dim)
+    val n = arr.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"srp_buckets: vector length $n != dim $dim — ragged embeddings " +
+          "are data corruption, not an LSH input (the literal-plane " +
+          "reference form throws here too)")
+    val tables = pl.length / bits
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {
@@ -141,12 +151,20 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
   private lazy val isFloat: Boolean =
     elemType(child.dataType).contains(FloatType)
 
-  override def nullSafeEval(input: Any): Any =
-    Srp.buckets(input.asInstanceOf[ArrayData], tables, bits, dim, isFloat)
+  /** Plane matrix resolved once per expression instance (per executor,
+    * after deserialization) — a few KB, microseconds — instead of a
+    * per-row keyed-cache lookup. */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Srp.planesOf(tables, bits, dim)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(input: Any): Any =
+    Srp.buckets(input.asInstanceOf[ArrayData], planes, bits, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Srp.buckets($c, $tables, $bits, $dim, $isFloat)")
+      c => s"graft.functions.Srp.buckets($c, $planesRef, $bits, $dim, $isFloat)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -199,10 +199,24 @@ object Dedup {
     * This is the no-blocking, no-false-negative scale path for exact
     * thresholds (MinHash-LSH trades a little recall for even less work).
     * Shuffles: gram df-count, per-doc re-sort, prefix-token join — all on
-    * keys, never n². */
+    * keys, never n².
+    *
+    * SCALE-GUARDED: refuses inputs above `maxRows` (one bounded count).
+    * Prefix filtering is lossless but admits huge candidate sets on
+    * shared-token corpora (measured 107 s at sf0.1 vs 3 s at sf0.01 —
+    * the steepest curve in the catalog), so this stays a labeled oracle
+    * baseline: the default admits every fixture with a 10× margin, and
+    * the 100 TB near-dup path is minhashNearDupPairs / dd12. Raise
+    * maxRows explicitly for a larger exact-threshold run. */
   def jaccardSimilarityJoin(
       docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6,
+      maxRows: Long = 50000L): DataFrame = {
+    val nRows = docs.count()
+    require(nRows <= maxRows,
+      s"jaccardSimilarityJoin is a labeled oracle baseline: got $nRows " +
+        s"rows > maxRows=$maxRows. Use minhashNearDupPairs at scale, or " +
+        "raise maxRows explicitly.")
     val base = docs.select(id.as("sj_id"), charNgrams(text, n).as("grams0"))
       .withColumn("grams", array_sort(col("grams0")))
       .withColumn("sz", size(col("grams")))
@@ -362,10 +376,21 @@ object Dedup {
 
   /** N-gram Jaccard near-dup pairs inside blocking buckets (same `block`
     * value), exact pairwise within a bucket. Demonstration-scale blocking;
-    * the 100 TB path is minhashNearDupPairs. */
+    * the 100 TB path is minhashNearDupPairs.
+    *
+    * SCALE-GUARDED: refuses inputs above `maxRows` (one bounded count) —
+    * within-block work is |block|², so a fat block at corpus scale
+    * brute-forces by accident; the default admits every fixture with a
+    * 10× margin, raise it explicitly for a larger labeled oracle run. */
   def ngramJaccardPairs(
       docs: DataFrame, id: Column, text: Column, block: Column,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6,
+      maxRows: Long = 50000L): DataFrame = {
+    val nRows = docs.count()
+    require(nRows <= maxRows,
+      s"ngramJaccardPairs is a blocked BRUTE-FORCE oracle baseline: got " +
+        s"$nRows rows > maxRows=$maxRows. Use minhashNearDupPairs at " +
+        "scale, or raise maxRows explicitly.")
     val t = docs.select(id.as("ng_id"), block.as("blk"),
       charNgramsSorted(text, n).as("grams"))
       .withColumn("gsz", size(col("grams")))

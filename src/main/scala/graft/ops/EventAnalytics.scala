@@ -62,7 +62,18 @@ object EventAnalytics {
                   maxGapUs)
             bounded.select(col("u"), col("t"))
           }
-        acc :+ reached.groupBy("u").agg(min(col("t")).as("t"))
+        // persist each stage's (distinct-user-sized) completion frame:
+        // stage i+1 joins on it AND the final union counts it, and the
+        // union's branches do NOT share the chained subplans (plan-
+        // verified: 1 of 22 exchanges reused — AQE re-plans each branch)
+        // — so without the pin stage i's filter+agg re-ran once per later
+        // stage, O(k²) scans of the event log for a k-step funnel
+        // (round-16 review). Pinned via Pipeline.pinned; released by the
+        // harness (or the library caller) after the consuming action.
+        val completed = reached.groupBy("u").agg(min(col("t")).as("t"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Pipeline.pinned.add(completed)
+        acc :+ completed
       }
     val counts = completions.zipWithIndex.map { case (df, i) =>
       df.agg(count(lit(1)).as("users"))
@@ -593,8 +604,16 @@ object EventAnalytics {
     * even with a billion users; the grand total is a 1-row broadcast. */
   def lorenzCurve(
       events: DataFrame, userCol: String): DataFrame = {
+    // persist the user-grain rollup: it feeds globalPosition AND
+    // runningTotal (whose offset jobs run as SEPARATE actions — no
+    // exchange reuse across job boundaries) AND the grand-total branch,
+    // so without the pin the event corpus was scanned and user-shuffled
+    // three times (round-16 review). Pinned via Pipeline.pinned, the
+    // same release contract as the prefix sums it feeds.
     val per = events.groupBy(col(userCol))
       .agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pinned.add(per)
     val order = Seq(col("n_events").desc, col(userCol).asc)
     val ranked = Pipeline.globalPosition(per, "rank", order: _*)
       .select(col(userCol), col("rank"))

@@ -63,8 +63,16 @@ object Graph {
     * triangle is generated exactly once, at its lowest-(degree, id)
     * vertex, so no post-dedup of 3! permutations is needed. Three joins,
     * all keyed on node ids. */
-  def triangles(rawEdges: DataFrame): DataFrame = {
-    val edges = canon(rawEdges)
+  def triangles(rawEdges: DataFrame): DataFrame =
+    trianglesOf(canon(rawEdges))
+
+  /** Triangle enumeration over edges already in canonical shape —
+    * internal fast path: [[clusteringCoefficients]] and
+    * [[triangleCounts]] canonicalize once themselves, and routing them
+    * through the public [[triangles]] re-ran the canonical `distinct`
+    * (a second full shuffle of the edge list) for nothing (round-16
+    * review). */
+  private def trianglesOf(edges: DataFrame): DataFrame = {
     val deg = degreesOf(edges)
     val withDeg = edges
       .join(deg.select(col("node").as("id_a"), col("degree").as("deg_a")), "id_a")
@@ -96,7 +104,7 @@ object Graph {
 
   /** Per-node triangle participation count (nodes in ≥ 1 triangle). */
   def triangleCounts(edges: DataFrame): DataFrame =
-    triangles(edges)
+    trianglesOf(canon(edges))
       .select(explode(array(col("node_a"), col("node_b"), col("node_c")))
         .as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
@@ -116,7 +124,7 @@ object Graph {
     val edges = canon(rawEdges)
     val eligible = degreesOf(edges).filter(col("degree") >= 2)
     eligible
-      .join(triangles(edges)
+      .join(trianglesOf(edges)
           .select(explode(array(col("node_a"), col("node_b"), col("node_c")))
             .as("node"))
           .groupBy("node").agg(count(lit(1)).as("n_triangles")),
@@ -435,8 +443,20 @@ object Graph {
   def kHopCounts(rawEdges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val edges = canon(rawEdges)
+    // persist the adjacency: every expansion round joins against it and
+    // the final rollup reads `reach` (a union whose leaves include it),
+    // so without the pin the canonical `distinct` shuffle re-ran k+1
+    // times over the full edge list (round-16 review — pageRank and
+    // labelPropagation already persisted theirs). Pinned via
+    // Pipeline.pinned because the returned frame still reads it at the
+    // CALLER's action time (the pageRank-style unpersist-after-loop only
+    // works when the result was eagerly checkpointed); the harness —
+    // and, per the documented contract, library callers — release via
+    // Pipeline.releaseCaches() after the consuming action.
     val adj = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
       .unionAll(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pinned.add(adj)
     var reach = adj
     var frontier = adj
     (2 to k).foreach { _ =>

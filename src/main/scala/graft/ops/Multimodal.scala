@@ -113,7 +113,12 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val id = tag(pos)
       val sz = bb.getInt(pos + 4)
-      if (sz < 0 || pos + 8 + sz > payload.length) return None
+      // LONG arithmetic: a corrupt/hostile sz near Int.MaxValue overflows
+      // `pos + 8 + sz` in ints, slips past this guard as negative, walks
+      // `pos` negative and throws inside the task — violating the
+      // fall-back-to-stub contract for undecodable payloads (round-16
+      // review). All terms are < 2^31, so the long sum is exact.
+      if (sz < 0 || pos.toLong + 8L + sz > payload.length) return None
       if (id == "fmt " && sz >= 16) {
         isPcm = bb.getShort(pos + 8) == 1
         channels = bb.getShort(pos + 10)
@@ -594,7 +599,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getAs[Long]("media_id")
-          val payload = r.getAs[Array[Byte]]("payload")
+          // payload is nullable in the media schema: every sibling decode
+          // path (extractFeatures, perceptualHash, audioFingerprint)
+          // null-falls-back via fakeDecode, but the stub branch below
+          // reads payload.length — an NPE inside the task on a null video
+          // payload (round-16 review). Normalize to empty bytes.
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
           unpackVideo(payload) match {
             case Some(frames) =>
               frames.take(maxFrames).zipWithIndex.map { case (f, i) =>

@@ -119,10 +119,25 @@ object Pipeline {
     * (`Window.orderBy(key)` with no partitionBy) funnels the whole dataset
     * through ONE task — correct on fixtures, dead at 100 TB. Instead:
     * range-partition by the order key, run one tiny per-partition
-    * aggregate (phase 1), turn its result into broadcast exclusive
-    * offsets, and combine them with a partition-local running sum
+    * aggregate (phase 1), turn its result into exclusive per-partition
+    * offsets, and combine them with a partition-LOCAL running sum
     * (phase 2). Every stage is balanced across executors; the only
     * driver-side data is one row per partition.
+    *
+    * Phase 2 deliberately avoids `Window.partitionBy(_pid)`: the cached
+    * frame is RANGE-partitioned by the order keys, which does not satisfy
+    * a window's hash-clustering requirement on `_pid`, so Spark inserted a
+    * SECOND full-data Exchange — the corpus shuffled twice per prefix
+    * sum, and hashing ~numShufflePartitions distinct pid values skews
+    * (round-16 review, plan-verified). Instead the running sum is a
+    * partition-local sort plus one sequential pass per partition
+    * (`mapPartitions`): each cached partition holds exactly one `_pid`
+    * by construction (spark_partition_id() was materialized INTO the
+    * cached rows — the offsets key and the row's partition can never
+    * disagree, and nothing re-reads a stage-relative id at map time, per
+    * the union-stage hazard rule), so the pass seeds its accumulator from
+    * the first row's stored pid and adds `perRow` (nulls count 0) in
+    * order. One Exchange total; PipelineSpec pins the plan shape.
     *
     * The range-partitioned frame is persisted before the offsets action so
     * the main job reuses the SAME partitioning instead of re-running the
@@ -136,27 +151,43 @@ object Pipeline {
     * call (LRU bounds the memory, but the disk blocks and cache-manager
     * entries persist for the session).
     *
-    * Returns the range-partitioned frame (with a `_pid` column the caller
-    * must drop) and the per-row global offset column. */
-  private def rangedWithOffsets(
-      df: DataFrame, perRow: Column, orderCols: Seq[Column]): (DataFrame, Column) = {
+    * Returns `df` plus `name`: the INCLUSIVE global running sum of
+    * `perRow` (cast to long) under the total order `orderCols`. */
+  private def globalRunningSum(
+      df: DataFrame, perRow: Column, name: String,
+      orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .withColumn("_prs", perRow.cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pinned.add(ranged)
     var acc = 0L
     val offsets: Map[Int, Long] = ranged
       .groupBy(col("_pid"))
-      .agg(coalesce(sum(perRow), lit(0L)).as("_subtotal"))
+      .agg(coalesce(sum(col("_prs")), lit(0L)).as("_subtotal"))
       .collect()
       .sortBy(_.getInt(0))
       .map { r => val e = r.getInt(0) -> acc; acc += r.getLong(1); e }
       .toMap
-    val off =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L))
-    (ranged, off)
+    val sorted = ranged.sortWithinPartitions(orderCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(name, LongType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val pidIdx = sorted.schema.fieldIndex("_pid")
+    val prsIdx = sorted.schema.fieldIndex("_prs")
+    sorted.mapPartitions { it =>
+      var run = 0L
+      var seeded = false
+      it.map { r =>
+        if (!seeded) { run = offsets.getOrElse(r.getInt(pidIdx), 0L); seeded = true }
+        if (!r.isNullAt(prsIdx)) run += r.getLong(prsIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }(enc).drop("_pid", "_prs")
   }
 
   /** Curriculum difficulty buckets: `ntile(n)` within each stratum under
@@ -183,17 +214,11 @@ object Pipeline {
     * window stage anywhere in the plan (PlanSpec asserts this). */
   def packByTokenBudget(
       df: DataFrame, idCol: Column, tokensCol: Column,
-      budget: Int): DataFrame = {
-    val (ranged, off) = rangedWithOffsets(df, tokensCol.cast("long"), Seq(idCol))
-    val local = Window.partitionBy(col("_pid")).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("cum_tokens", sum(tokensCol.cast("long")).over(local) + off)
+      budget: Int): DataFrame =
+    globalRunningSum(df, tokensCol, "cum_tokens", Seq(idCol))
       .withColumn("bin",
         floor((col("cum_tokens") - tokensCol).cast("double") / budget)
           .cast("int"))
-      .drop("_pid")
-  }
 
   /** Mixture sampling: downsample sources so the OUTPUT hits target
     * proportions (the domain-mixing step of training-data assembly —
@@ -512,13 +537,8 @@ object Pipeline {
     * form of `row_number()` over an unpartitioned window (same two-phase
     * scheme: per-partition counts, broadcast offsets, local row_number). */
   def globalPosition(
-      df: DataFrame, posName: String, orderCols: Column*): DataFrame = {
-    val (ranged, off) = rangedWithOffsets(df, lit(1L), orderCols)
-    val local = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
-    ranged
-      .withColumn(posName, row_number().over(local).cast("long") + off)
-      .drop("_pid")
-  }
+      df: DataFrame, posName: String, orderCols: Column*): DataFrame =
+    globalRunningSum(df, lit(1L), posName, orderCols)
 
   /** Global inclusive running total of `valueCol` (LONG) under
     * `orderCols` — `sum() OVER (ORDER BY …)` without the SinglePartition
@@ -526,14 +546,8 @@ object Pipeline {
     * curve / cumulative-count primitive. */
   def runningTotal(
       df: DataFrame, valueCol: Column, totalName: String,
-      orderCols: Column*): DataFrame = {
-    val (ranged, off) = rangedWithOffsets(df, valueCol.cast("long"), orderCols)
-    val local = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn(totalName, sum(valueCol.cast("long")).over(local) + off)
-      .drop("_pid")
-  }
+      orderCols: Column*): DataFrame =
+    globalRunningSum(df, valueCol, totalName, orderCols)
 
   /** Deterministic source-interleaved training order: rank docs within
     * each source (keyed window), then order globally by (within-source

@@ -384,10 +384,22 @@ object Similarity {
   /** All pairs above a cosine threshold — BRUTE-FORCE BASELINE (bounded
     * all-pairs comparison). This is the verification/oracle tool, not the
     * scale path: use `srpNearDupPairs` for the bucketed variant that
-    * shuffles on LSH keys instead of materializing n² pairs. */
+    * shuffles on LSH keys instead of materializing n² pairs.
+    *
+    * SCALE-GUARDED: refuses inputs above `maxRows` (one bounded count —
+    * the sortedNeighborhoodPairsRanged refuse-bad-input rule) so the n²
+    * path cannot be invoked at corpus scale by accident; the default
+    * admits every fixture (≤ 5k rows at sf0.1) with a 10× margin.
+    * Raise it EXPLICITLY for a bigger labeled oracle run. */
   def bruteForceNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 50000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"bruteForceNearDupPairs is an ALL-PAIRS oracle baseline: got $n " +
+        s"rows > maxRows=$maxRows (~${n * n / 2} pairs). Use " +
+        "srpNearDupPairs (bucketed LSH) at scale, or raise maxRows " +
+        "explicitly for a larger labeled oracle run.")
     val t = df.select(col(idCol).as("sim_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     t.alias("a").join(t.alias("b"), col("a.sim_id") < col("b.sim_id"))

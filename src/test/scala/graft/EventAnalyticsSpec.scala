@@ -242,6 +242,31 @@ class EventAnalyticsSpec extends GraftSuite {
       (1L, 1L, 6L, 0.6), (2L, 2L, 9L, 0.9), (3L, 3L, 10L, 1.0)))
   }
 
+  test("funnel and lorenzCurve pin their reused frames; release frees them") {
+    import spark.implicits._
+    // funnel: each stage's completion frame feeds BOTH the next stage's
+    // join and the final union count, and union branches do not share
+    // exchanges (plan-verified, 1 of 22 reused) — unpinned that is O(k²)
+    // scans of the event log. lorenzCurve: the user-grain rollup feeds
+    // two prefix-sum offset jobs (separate actions — no cross-job
+    // exchange reuse) plus the grand total — three corpus scans unpinned
+    // (round-16 review).
+    val cm = spark.sharedState.cacheManager
+    graft.ops.Pipeline.releaseCaches()
+    val cleanBefore = cm.isEmpty
+    val events = (1 to 30).map(i =>
+      (i.toLong, (i % 5).toLong, ts(i), Seq("a", "b", "c")(i % 3)))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+      Seq("a", "b", "c")).count()
+    assert(!cm.isEmpty, "funnel must pin per-stage completions")
+    graft.ops.Pipeline.releaseCaches()
+    EventAnalytics.lorenzCurve(events, "user_id").count()
+    assert(!cm.isEmpty, "lorenzCurve must pin the user rollup")
+    graft.ops.Pipeline.releaseCaches()
+    if (cleanBefore) assert(cm.isEmpty)
+  }
+
   test("gapRegularity: metronome flagged as bot, bursty human is not") {
     import spark.implicits._
     def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)

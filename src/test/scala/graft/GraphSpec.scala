@@ -197,6 +197,21 @@ class GraphSpec extends GraftSuite {
       6L -> 1L, 7L -> 1L))
   }
 
+  test("kHopCounts pins its adjacency; releaseCaches frees it") {
+    // every expansion round joins the adjacency and the final rollup
+    // reads it again — unpinned, the canonical distinct shuffle re-ran
+    // k+1 times over the full edge list (round-16 review; pageRank and
+    // labelPropagation already persisted theirs)
+    val cm = spark.sharedState.cacheManager
+    graft.ops.Pipeline.releaseCaches()
+    val cleanBefore = cm.isEmpty
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    Graph.kHopCounts(e, 3).count() // the consuming action
+    assert(!cm.isEmpty, "adjacency must be pinned for the rollup")
+    graft.ops.Pipeline.releaseCaches()
+    if (cleanBefore) assert(cm.isEmpty)
+  }
+
   test("labelPropagation: bridge-joined triangles split, CC would merge") {
     // triangles {1,2,3} and {4,5,6} joined by one bridge edge 3-4 —
     // hand-traced 3 sync rounds with (count desc, label asc) tie-break

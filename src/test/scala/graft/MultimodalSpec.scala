@@ -369,4 +369,44 @@ class MultimodalSpec extends GraftSuite {
       .select("media_id", "feat_sum").orderBy("media_id")
     assert(rows(mm2op) === rows(mm2tr), "mm2 pooled features drifted")
   }
+
+  test("corrupt WAV with an overflowing chunk size falls back, never throws") {
+    import spark.implicits._
+    // a hostile/corrupt RIFF chunk size near Int.MaxValue used to
+    // overflow the int bounds check (pos + 8 + sz), walk the chunk
+    // cursor negative and throw inside the task — violating the
+    // fall-back-to-stub contract every decode path documents
+    // (round-16 review). Valid RIFF/WAVE magic, then one chunk whose
+    // declared size is Int.MaxValue - 4.
+    val evil = new Array[Byte](64)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, evil, 0, 4)
+    System.arraycopy("WAVE".getBytes("US-ASCII"), 0, evil, 8, 4)
+    System.arraycopy("fmt ".getBytes("US-ASCII"), 0, evil, 12, 4)
+    val bb = java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, Int.MaxValue - 4) // chunk size: int-overflows pos+8+sz
+    val df = Seq((1L, "audio", evil))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(lit(8).as("width"), lit(8).as("height"),
+        lit(16000).as("sample_rate"), lit(1000).as("duration_ms")))
+    val row = Multimodal.audioFingerprint(df).collect().head
+    assert(row.getBoolean(2) === false, "must fall back to the stub")
+    // extractFeatures takes the same decode path — also must not throw
+    assert(Multimodal.extractFeatures(df).count() === 1)
+  }
+
+  test("null video payload samples stub frames instead of NPE-ing") {
+    import spark.implicits._
+    // payload is nullable in the media schema and every sibling decode
+    // path null-falls-back; the sampleFrames stub branch read
+    // payload.length (round-16 review)
+    val df = Seq((1L, "video")).toDF("media_id", "kind")
+      .withColumn("payload", lit(null).cast("binary"))
+      .withColumn("meta", struct(lit(8).as("width"), lit(8).as("height"),
+        lit(16000).as("sample_rate"), lit(3000).as("duration_ms")))
+    val frames = Multimodal.sampleFrames(df).collect()
+    assert(frames.length === 3) // duration-derived frame count, dur/1000
+    assert(frames.forall(!_.getBoolean(3)), "stub frames, real_decode=false")
+    assert(frames.forall(_.getAs[Array[Byte]](2).length === 0))
+  }
 }

@@ -381,6 +381,26 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("prefix-sum phase 2 adds no second shuffle (one range exchange)") {
+    import spark.implicits._
+    // the old Window.partitionBy(_pid) phase 2 made Spark insert an
+    // Exchange hashpartitioning(_pid) after the range repartition — the
+    // corpus shuffled TWICE per prefix sum, keyed on ~numShufflePartitions
+    // distinct pids (round-16 review, plan-verified). Phase 2 is now a
+    // partition-local sort + sequential pass; pin the plan shape.
+    val df = (1 to 400).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "v")
+    for (out <- Seq(
+        Pipeline.runningTotal(df, col("v"), "cum", col("id")),
+        Pipeline.globalPosition(df, "pos", col("id")),
+        Pipeline.packByTokenBudget(df, col("id"), col("v"), budget = 7))) {
+      out.collect()
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("hashpartitioning(_pid"),
+        s"phase 2 re-shuffled on _pid:\n$p")
+      Pipeline.releaseCaches()
+    }
+  }
+
   test("source reweighting: weights positive and sum to 1") {
     val w = SparkEntry.queries("pl15_source_reweight")(spark, sf)
       .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))

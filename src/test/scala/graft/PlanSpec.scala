@@ -350,25 +350,31 @@ class PlanSpec extends GraftSuite {
     assert(offenders.isEmpty, s"unexpected cartesian products: $offenders")
   }
 
-  test("pl3 context packing plans no single-partition window stage") {
-    // The two-phase prefix sum must keep every window partition-local:
-    // an `Exchange SinglePartition` feeding a Window is the one-task
-    // bottleneck the old global-window implementation had.
+  test("pl3 context packing plans no single-partition stage, no pid re-shuffle") {
+    // The two-phase prefix sum must never funnel through one task — the
+    // one-task global window was the original hazard — and since round 16
+    // phase 2 is a partition-local sort + sequential pass (MapPartitions)
+    // instead of a Window: the old Window.partitionBy(_pid) form made
+    // Spark insert a SECOND full-data Exchange hashpartitioning(_pid)
+    // after the range shuffle (plan-verified).
     val p = plan(SparkEntry.queries("pl3_context_packing")(spark, sf))
-    assert(p.contains("Window"), p)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("hashpartitioning(_pid"), p)
   }
 
-  test("pl2 shuffle position plans no single-partition window stage") {
+  test("pl2 shuffle position plans no single-partition or pid re-shuffle stage") {
     val p = plan(SparkEntry.queries("pl2_deterministic_shuffle")(spark, sf))
-    assert(p.contains("Window"), p)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("hashpartitioning(_pid"), p)
   }
 
-  test("pl5 vocabulary id assignment plans no single-partition window stage") {
+  test("pl5 vocabulary id assignment plans no single-partition or pid re-shuffle stage") {
     val p = plan(SparkEntry.queries("pl5_vocabulary")(spark, sf))
-    assert(p.contains("Window"), p)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("hashpartitioning(_pid"), p)
   }
 
   test("event analytics and trending windows are partitioned, never single-task") {
@@ -393,10 +399,18 @@ class PlanSpec extends GraftSuite {
     // (the naive skyline is a global-order window); ev5: the lag window
     // partitions by user and the normalizer by from_type; ta14: the
     // rebuild is an aggregation, not a window at all.
-    Seq("o7_skyline", "ev5_transition_matrix", "ev10_user_growth").foreach { q =>
+    Seq("o7_skyline", "ev5_transition_matrix").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(p.contains("Window"), s"$q:\n$p")
       assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+    // ev10 rides runningTotal, which since round 16 plans a partition-
+    // local MapPartitions pass instead of any window
+    Seq("ev10_user_growth").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("MapPartitions"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      assert(!p.contains("hashpartitioning(_pid"), s"$q:\n$p")
     }
     val p = plan(SparkEntry.queries("ta14_boilerplate_strip")(spark, sf))
     assert(!p.contains("SinglePartition"), p)
@@ -413,19 +427,22 @@ class PlanSpec extends GraftSuite {
       case other => other +: other.children.flatMap(allNodes)
     }
     // the same precise property gates every two-phase global-order op:
-    // rank (ev13, equi-depth), running sum (ev13, weighted median) —
-    // all must run their window stages PARTITIONED
+    // rank (ev13, equi-depth), running sum (ev13, weighted median).
+    // Since round 16 the prefix sums plan NO window at all (partition-
+    // local MapPartitions pass) — so the property is: ANY window that
+    // remains must be partitioned, and no _pid re-shuffle sneaks in.
     Seq("ev13_lorenz_curve", "agg_equidepth", "agg_weighted_median")
       .foreach { q =>
         val df = SparkEntry.queries(q)(spark, sf)
         df.collect()
-        val windows = allNodes(df.queryExecution.executedPlan).collect {
-          case w: WindowExec => w }
-        assert(windows.nonEmpty, s"$q should plan window stages")
-        windows.foreach { w =>
+        val nodes = allNodes(df.queryExecution.executedPlan)
+        nodes.collect { case w: WindowExec => w }.foreach { w =>
           assert(w.partitionSpec.nonEmpty,
             s"$q window must be partitioned, got: $w")
         }
+        assert(!df.queryExecution.executedPlan.toString
+            .contains("hashpartitioning(_pid"),
+          s"$q re-shuffled on _pid")
       }
     graft.ops.Pipeline.releaseCaches()
   }

@@ -172,6 +172,27 @@ class SimilaritySpec extends GraftSuite {
       Option(c.getMessage).exists(_.contains("length mismatch"))))
   }
 
+  test("srp_buckets throws on vectors whose length differs from dim") {
+    import spark.implicits._
+    // ragged-input policy must AGREE across forms: the literal-plane
+    // reference form feeds vec_dot a dim-length plane so a mismatched
+    // vector throws there; the native form used to silently truncate at
+    // min(len, dim), which would latently break the documented
+    // bit-identity cross-check at non-fixture dims (round-16 advice)
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    for (vec <- Seq(Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f))) {
+      val df = Seq(Tuple1(vec)).toDF("v")
+      val e = intercept[Exception] {
+        df.select(Similarity.srpBuckets(col("v"), tables = 2, bits = 4,
+          dim = 4)).collect()
+      }
+      assert(chain(e).exists(c => Option(c.getMessage)
+          .exists(_.contains("vector length"))),
+        s"len ${vec.length} vs dim 4 must throw the srp_buckets message")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(10)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

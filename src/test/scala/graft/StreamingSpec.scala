@@ -222,6 +222,56 @@ class StreamingSpec extends GraftSuite {
     assert(spark.table("t_dedup").count() === 1000)
   }
 
+  test("dedup divergence envelope: out-of-horizon re-delivery kept by " +
+      "streaming, dropped by the batch dual (documented divergence)") {
+    // dropDuplicatesWithinWatermark evicts a key once the watermark
+    // passes first-seen + delay (10 min here) — that eviction is what
+    // bounds state at 100 TB (round-15 fix). The flip side is the
+    // divergence ENVELOPE this spec pins (the house documented-divergence
+    // pattern, like the reference's int-division avg): a re-delivery
+    // LATER than the horizon is treated as a brand-new event by the
+    // stream, while the batch dual's plain dropDuplicates — global, no
+    // horizon — still drops it. In-window re-deliveries agree (spec
+    // above); out-of-window ones diverge BY DESIGN.
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, t: String): (Long, Timestamp, Long, String, Double) =
+      (id, Timestamp.valueOf(t), id % 7, "view", 1.0)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // batch 1: first delivery of id 1; batch 2 advances the watermark to
+    // 00:20, past id 1's eviction point (00:00 + 10 min); batch 3 runs
+    // WITH that watermark and evicts id 1's state at its end (eviction
+    // lags the advance by one batch — measured, and consistent with
+    // state cleanup running per-batch against the batch's watermark);
+    // batch 4 re-delivers id 1 with an on-time ts → its state is gone,
+    // so the stream emits it AGAIN
+    val files = Seq(
+      Seq(ev(1L, "2024-01-01 00:00:00")),
+      Seq(ev(2L, "2024-01-01 00:30:00")),
+      Seq(ev(3L, "2024-01-01 00:32:00")),
+      Seq(ev(1L, "2024-01-01 00:33:00")))
+    val dir = Files.createTempDirectory("graft-dedup-div-").toString
+    files.foreach { rows =>
+      rows.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(50) // distinct mod-times: one file per micro-batch, in order
+    }
+    val q = EventStreams.dedupEvents(EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("t_dedup_div")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedIds = spark.table("t_dedup_div")
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    // streaming: id 1 emitted twice (out-of-horizon re-delivery)
+    assert(streamedIds === Seq(1L, 1L, 2L, 3L),
+      s"stream must re-emit the evicted key, got $streamedIds")
+    // batch dual: global dedup keeps exactly one row per id
+    val batchIds = EventStreams.dedupEvents(
+        spark.read.parquet(dir))
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(batchIds === Seq(1L, 2L, 3L))
+  }
+
   test("watermark drops late out-of-order events exactly like the batch dual's filter") {
     // Evidence for the late-data story beyond parity on ordered fixtures:
     // drive the SAME file-source path through a directory where a later

@@ -291,9 +291,18 @@ if os.path.exists(x100_path):
              ' SCALECURVE_X100.json exists')
     else:
         para = para_m.group(0)
+        # Fail fast if two artifact query names collapse to the same
+        # short prefix (e.g. q1_a and q1_b) — json dicts would silently
+        # keep only the last, the same silent-duplicate-key failure
+        # class round 15 fixed in RewriteAb/IvfPqSweep (round-16 advice).
+        prefixes = [q.split("_")[0] for q in x100["queries"]]
+        dupes = {p for p in prefixes if prefixes.count(p) > 1}
+        if dupes:
+            fail(f"SCALECURVE_X100.json has queries sharing a prefix"
+                 f" {sorted(dupes)} — α quotes would silently collapse")
         alphas = {q.split("_")[0]: v["exponent"]
                   for q, v in x100["queries"].items()}
-        quotes = re.findall(r"(q\d+) α ([\d.]+)", para)
+        quotes = re.findall(r"((?:q|ta)\d+) α ([\d.]+)", para)
         if not quotes:
             fail("SCALE.md ×100 paragraph quotes no α values")
         for nm, alpha in quotes:
@@ -348,6 +357,39 @@ if os.path.exists(ivfpq_path):
                 okrow = False
         if okrow:
             ok(f"SCALE.md ss20 point {lbl} {sec} s / {rec} == IVFPQAB.json")
+
+# ---- 3b3. planted-fixture sweep quotes vs IVFPQAB_PLANTED.json ------------
+# The round-16 structured-fixture re-audit quotes points as
+# "npN_mM_cbC planted X s / R" (min seconds / recall_l2@20 on the
+# planted-cluster embeddings). Disjoint from 3b2's format (the word
+# "planted" between label and seconds), so the two artifacts can never
+# cross-gate.
+planted_path = os.path.join(ROOT, "IVFPQAB_PLANTED.json")
+if os.path.exists(planted_path):
+    planted = json.load(open(planted_path))
+    pts = re.findall(r"(np\d+_m\d+_cb\d+) planted ([\d.]+)\s*s / ([\d.]+)",
+                     scale)
+    if not pts:
+        fail("SCALE.md quotes no 'npN_mM_cbC planted X s / R' points but"
+             " IVFPQAB_PLANTED.json exists")
+    for lbl, sec, rec in pts:
+        if lbl not in planted:
+            fail(f"SCALE.md quotes planted point {lbl} but"
+                 f" IVFPQAB_PLANTED.json has no such key")
+            continue
+        ent = planted[lbl]
+        okrow = True
+        for label, quoted, actual in [("sec", sec, ent["sec"]),
+                                      ("recall_l2@20", rec,
+                                       ent["recall_l2_at20"])]:
+            prec = len(quoted.split(".")[1]) if "." in quoted else 0
+            if float(quoted) != round(actual, prec):
+                fail(f"SCALE.md quotes planted {lbl} {label} {quoted} but"
+                     f" IVFPQAB_PLANTED.json says {actual:.4f}")
+                okrow = False
+        if okrow:
+            ok(f"SCALE.md planted point {lbl} {sec} s / {rec} =="
+               f" IVFPQAB_PLANTED.json")
 
 # ---- 3c. retry-pressure high-water vs BENCH_RECORD ------------------------
 # The drift-watch quotes the worst observed retry pressure (bounded
