@@ -203,7 +203,7 @@ object Bench {
     // a median-of-5 (r8's recorded headline doubled vs r6 purely from
     // rep-loop GC churn; per-query gc_ms up to 1.16 s proved it).
     (1 to 3).foreach { _ =>
-      headline.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+      headline.foreach(q => Force.run(SparkEntry.queries(q)(spark, sfDir)))
     }
     // GC settle before the timed reps: force a full collection and give
     // concurrent phases a beat to finish, so the timed loop starts from a
@@ -249,7 +249,7 @@ object Bench {
     def timedRun(q: String): (Double, Long) = {
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir).count()
+      Force.run(SparkEntry.queries(q)(spark, sfDir))
       ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
     }
     // Stall-retry budget (see retryFlagged): per-query bound on re-runs
@@ -349,7 +349,7 @@ object Bench {
         val qs = graft.queries.TpchQueries.queries.keys.toSeq
           .sortBy(n => n.drop(1).takeWhile(_.isDigit).toInt)
         try {
-          qs.foreach(q => SparkEntry.queries(q)(spark, sfDir).count()) // warmup/codegen
+          qs.foreach(q => Force.run(SparkEntry.queries(q)(spark, sfDir))) // warmup/codegen
           val acc = collection.mutable.Map(qs.map(_ -> Vector.empty[Double]): _*)
           val gcAcc = collection.mutable.Map(qs.map(_ -> Vector.empty[Long]): _*)
           (1 to 3).foreach { _ =>
@@ -429,7 +429,7 @@ object Bench {
         // warmup pass (plan + codegen for every query, so rep 1 of query
         // 1 doesn't pay a JIT storm its neighbors skip)
         suite.foreach { q =>
-          SparkEntry.queries(q)(spark, sfDir).count()
+          Force.run(SparkEntry.queries(q)(spark, sfDir))
           graft.ops.Pipeline.releaseCaches()
         }
         val acc = collection.mutable.Map(suite.map(_ -> Vector.empty[Double]): _*)
@@ -533,7 +533,7 @@ object Bench {
             def time(rs: Seq[(String, () => DataFrame)]) = rs.map { case (k, f) =>
               val reps = (1 to 3).map { _ =>
                 val t0 = System.nanoTime()
-                f().count()
+                Force.run(f())
                 (System.nanoTime() - t0) / 1e9
               }
               (k, reps)
@@ -567,10 +567,10 @@ object Bench {
             Tables.overrides("lineitem") = spark.table(li)
             Tables.overrides("orders") = spark.table(ord)
             try qs.map { q =>
-              SparkEntry.queries(q)(spark, sfDir).count() // warmup/codegen
+              Force.run(SparkEntry.queries(q)(spark, sfDir)) // warmup/codegen
               val reps = (1 to 3).map { _ =>
                 val t0 = System.nanoTime()
-                SparkEntry.queries(q)(spark, sfDir).count()
+                Force.run(SparkEntry.queries(q)(spark, sfDir))
                 (System.nanoTime() - t0) / 1e9
               }
               s"${q}_$suffix" -> reps.min
@@ -608,10 +608,10 @@ object Bench {
         // single-rep noise; same discipline as every other section now.
         def timeAll(run: String => org.apache.spark.sql.DataFrame): Double =
           TpchQueries.partsuppRaw.keys.toSeq.sorted.map { q =>
-            run(q).count() // warmup/codegen
+            Force.run(run(q)) // warmup/codegen
             (1 to 2).map { _ =>
               val t0 = System.nanoTime()
-              run(q).count()
+              Force.run(run(q))
               (System.nanoTime() - t0) / 1e9
             }.min
           }.sum
@@ -698,7 +698,7 @@ object Bench {
         val off = Map(
           "spark.sql.adaptive.enabled" -> "false",
           "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-        val (nNaive, tNaive) = leg(off)(li.join(dim, "skew_key").count())
+        val (nNaive, tNaive) = leg(off)(Force.run(li.join(dim, "skew_key")))
         val (nAqe, tAqe) = leg(Map(
           "spark.sql.adaptive.enabled" -> "true",
           "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -706,10 +706,10 @@ object Bench {
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
           "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
           "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2"))(
-          li.join(dim, "skew_key").count())
+          Force.run(li.join(dim, "skew_key")))
         val (nSalt, tSalt) = leg(off)(
-          graft.ops.Joins.saltedUniform(li, dim, "skew_key", "skew_key",
-            salt = 16).count())
+          Force.run(graft.ops.Joins.saltedUniform(li, dim, "skew_key",
+            "skew_key", salt = 16)))
         if (nNaive != nAqe || nNaive != nSalt) {
           System.err.println(
             s"[bench] skew legs disagree on rows ($nNaive/$nAqe/$nSalt), not reporting")

@@ -103,7 +103,7 @@ object IvfPqSweep {
         updates = 1)
     def timedRun(np: Int, m: Int, cb: Int): Double = {
       val t0 = System.nanoTime()
-      run(np, m, cb).count()
+      Force.run(run(np, m, cb))
       val sec = (System.nanoTime() - t0) / 1e9
       Pipeline.releaseCaches()
       sec

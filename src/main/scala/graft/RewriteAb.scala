@@ -115,23 +115,24 @@ object RewriteAb {
         .cache(); d.count(); d }
       val snKey = substring(
         regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 12)
-      // (name, rewrite plan, literal plan) — counts force full execution
+      // (name, rewrite plan, literal plan) — Force.run executes the full
+      // plan (a bare .count() lets Catalyst prune the compute, see Force)
       val tpchCases: Seq[(String, () => Unit, () => Unit)] = Seq(
         ("q2",
-          () => { SparkEntry.queries("q2_min_cost_supplier")(spark, dir).count(); () },
-          () => { spark.sql(graft.queries.TpchQueries.q2Raw).count(); () }),
+          () => { Force.run(SparkEntry.queries("q2_min_cost_supplier")(spark, dir)); () },
+          () => { Force.run(spark.sql(graft.queries.TpchQueries.q2Raw)); () }),
         ("q18",
-          () => { SparkEntry.queries("q18_large_volume")(spark, dir).count(); () },
-          () => { spark.sql(SparkEntry.oracleSql("q18_large_volume")).count(); () }),
+          () => { Force.run(SparkEntry.queries("q18_large_volume")(spark, dir)); () },
+          () => { Force.run(spark.sql(SparkEntry.oracleSql("q18_large_volume"))); () }),
         ("q20",
-          () => { q20Probe(spark, dir).count(); () },
-          () => { spark.sql(graft.queries.TpchQueries.q20Raw).count(); () }),
+          () => { Force.run(q20Probe(spark, dir)); () },
+          () => { Force.run(spark.sql(graft.queries.TpchQueries.q20Raw)); () }),
         ("q17",
-          () => { SparkEntry.queries("q17_small_quantity")(spark, dir).count(); () },
-          () => { spark.sql(graft.queries.TpchQueries.q17Sql).count(); () }),
+          () => { Force.run(SparkEntry.queries("q17_small_quantity")(spark, dir)); () },
+          () => { Force.run(spark.sql(graft.queries.TpchQueries.q17Sql)); () }),
         ("q21",
-          () => { SparkEntry.queries("q21_suppliers_waiting")(spark, dir).count(); () },
-          () => { spark.sql(graft.queries.TpchQueries.q21Sql).count(); () }))
+          () => { Force.run(SparkEntry.queries("q21_suppliers_waiting")(spark, dir)); () },
+          () => { Force.run(spark.sql(graft.queries.TpchQueries.q21Sql)); () }))
       // dd16 probe (round 15): single-sort ranged variant vs the
       // two-phase globalPosition catalog implementation. "rewrite" =
       // the probe, "literal" = the catalog entry (the q20 convention).
@@ -143,13 +144,13 @@ object RewriteAb {
       val dd16Cases: Seq[(String, () => Unit, () => Unit)] = Seq(
         ("dd16",
           () => {
-            graft.ops.Dedup.sortedNeighborhoodPairsRanged(docs,
-              col("doc_id"), col("text"), snKey, 5, 3, 0.5).count()
+            Force.run(graft.ops.Dedup.sortedNeighborhoodPairsRanged(docs,
+              col("doc_id"), col("text"), snKey, 5, 3, 0.5))
             graft.ops.Pipeline.releaseCaches()
           },
           () => {
-            graft.ops.Dedup.sortedNeighborhoodPairs(docs,
-              col("doc_id"), col("text"), snKey, 5, 3, 0.5).count()
+            Force.run(graft.ops.Dedup.sortedNeighborhoodPairs(docs,
+              col("doc_id"), col("text"), snKey, 5, 3, 0.5))
             graft.ops.Pipeline.releaseCaches()
           }))
       def runGroup(cases: Seq[(String, () => Unit, () => Unit)])

@@ -149,7 +149,7 @@ object ScaleCurve {
       // such fixtures even with replicas already generated).
       tableRows((f, "events")) = Tables.events(spark, dir).count()
       suite.foreach { q =>
-        SparkEntry.queries(q)(spark, dir).count() // warmup: plan + codegen
+        Force.run(SparkEntry.queries(q)(spark, dir)) // warmup: plan + codegen
         graft.ops.Pipeline.releaseCaches()
       }
       System.gc(); Thread.sleep(500)
@@ -159,7 +159,7 @@ object ScaleCurve {
         suite.foreach { q =>
           val gc0 = gcMillis()
           val t0 = System.nanoTime()
-          SparkEntry.queries(q)(spark, dir).count()
+          Force.run(SparkEntry.queries(q)(spark, dir))
           acc(q) :+= (System.nanoTime() - t0) / 1e9
           gcAcc(q) :+= gcMillis() - gc0
           graft.ops.Pipeline.releaseCaches()
