@@ -1061,9 +1061,17 @@ object Dedup {
   def signalAgreement(signals: Seq[(String, DataFrame)]): DataFrame = {
     val spark = signals.head._2.sparkSession
     import spark.implicits._
+    // persist the tagged union: it feeds the sizes aggregate AND both
+    // sides of the overlap self-join, and its leaves are the EXPENSIVE
+    // pair generators (trigram Jaccard, containment) — unpinned, those
+    // re-ran up to 3× (the honest Force-timed dd23 read 18.1 s at sf0.1;
+    // the same union-branch no-reuse class as funnel/lorenzCurve,
+    // round-16 review). Pinned via Pipeline.pinned, harness-released.
     val tagged = signals.map { case (name, df) =>
       df.select(lit(name).as("sig"), col("id_a"), col("id_b")).distinct()
     }.reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pinned.add(tagged)
     val sizes = tagged.groupBy("sig").agg(count(lit(1)).as("n"))
     val names = signals.map(_._1).toDF("sig")
     val common = tagged.alias("x")

@@ -634,6 +634,12 @@ class DedupSpec extends GraftSuite {
     val one = Dedup.signalAgreement(Seq("sa" -> dup, "sb" -> a))
       .collect().head
     assert(one.getLong(2) === 1L)
+    // the tagged union is pinned (its leaves are the expensive pair
+    // generators, consumed by sizes + both self-join sides — round-16
+    // review); releaseCaches frees it
+    assert(!graft.ops.Pipeline.pinned.isEmpty,
+      "signalAgreement must pin its tagged union")
+    graft.ops.Pipeline.releaseCaches()
   }
 
   test("bloomIngestGate: exact verdict survives a high-fp bloom; corpus never shuffles") {
