@@ -246,22 +246,45 @@ object TpchQueries extends QueryPack {
 
   val queries: Map[String, Fn] = Map(
     // Q1 — pricing summary report (flagship; scan+filter+group+agg+sort).
-    "q1_pricing_summary" -> ((s, d) =>
+    // q1 carries FOUR exact money aggregates over the full fact scan —
+    // the catalog's heaviest decimal consumer by far. The general
+    // moneySum/exactAvg policy (per-row DECIMAL(18,s) cast, decimal sum)
+    // costs 5.4× the plain-double plan here (Force-timed 1.56 vs 0.29 s
+    // at sf0.1 cached — Spark's sum widens to DECIMAL(28,s), off the
+    // compact-long fast path), so q1 uses the LONG-QUANTIZED exact form:
+    // each row quantizes to integer 10^-s units via floor(x·10^s + 0.5)
+    // — multiply, add and floor are correctly-rounded IEEE ops written
+    // IDENTICALLY in the oracle text, so both engines produce the same
+    // long — then SUMS exact integers (order-independent, the same
+    // reproducibility guarantee the decimal sum gives at 1000 executors)
+    // and casts once at the end (same long → same double everywhere).
+    // Semantics note: the quantization rounds the BINARY product (ties
+    // up), where the decimal cast rounds the shortest decimal repr —
+    // a defined, documented per-row rule, applied by both engines
+    // identically. Bound: Σ|x|·10^s must stay under 2^63 (scale-6 money
+    // sums reach ~4e16 at sf0.1; a 100 TB corpus partitions or falls
+    // back to the decimal helper — documented trade).
+    "q1_pricing_summary" -> ((s, d) => {
+      def units(c: org.apache.spark.sql.Column, s10: Double) =
+        floor(c * lit(s10) + lit(0.5)).cast("long")
+      def uSum(c: org.apache.spark.sql.Column, s10: Double) =
+        (sum(units(c, s10)).cast("double") / lit(s10))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          moneySum(col("l_extendedprice")).as("sum_base_price"),
-          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          uSum(col("l_extendedprice"), 1e2).as("sum_base_price"),
+          uSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1e4)
             .as("sum_disc_price"),
-          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
-          exactAvg(col("l_quantity")).as("avg_qty"),
-          exactAvg(col("l_extendedprice")).as("avg_price"),
-          exactAvg(col("l_discount")).as("avg_disc"),
+          uSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 1e6).as("sum_charge"),
+          (uSum(col("l_quantity"), 1e2) / count(lit(1))).as("avg_qty"),
+          (uSum(col("l_extendedprice"), 1e2) / count(lit(1))).as("avg_price"),
+          (uSum(col("l_discount"), 1e2) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
 
     // Q3 — shipping priority: 3-way join, filter both sides of the date,
     // revenue per order, top 10. customer/orders broadcast-sized relative
@@ -692,15 +715,18 @@ object TpchQueries extends QueryPack {
     "q17_small_quantity" -> q17Sql,
     "q20_part_promotion" -> q20Sql,
     "q21_suppliers_waiting" -> q21Sql,
+    // long-quantized exact sums, written as the IDENTICAL IEEE ops the
+    // Spark entry uses (floor(x*10^s + 0.5) -> BIGINT units, exact
+    // integer sum, one final cast) — see the q1 keep-note
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS sum_disc_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_charge,
+           CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 / count(*) AS avg_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 / count(*) AS avg_price,
+           CAST(sum(CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 / count(*) AS avg_disc,
            count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
