@@ -41,4 +41,59 @@ object OracleSafe {
     sum(dec(c, scale)).cast("double")
   def exactAvg(c: Column, scale: Int = 2): Column =
     moneySum(c, scale) / count(lit(1))
+
+  // ---- Long-quantized exact sums (the q1 fast path) -------------------
+  //
+  // `moneySum`'s decimal accumulation costs ~5× the codegen'd long path
+  // (Spark widens to DECIMAL(28,s), off the compact-long fast path), so
+  // hot scans quantize each row to integer 10^-s units — floor(x·10^s
+  // + 0.5) is a correctly-rounded IEEE expression both engines evaluate
+  // identically — and sum exact longs. Exactness has a PRECONDITION:
+  // Σ|units| must stay below 2^63. What happens past it depends on
+  // session config: under ANSI mode (the Spark 4 DEFAULT) the sum
+  // throws a generic mid-aggregation ARITHMETIC_OVERFLOW, but with
+  // spark.sql.ansi.enabled=false (common in sessions migrated from
+  // Spark 3) sum(long) WRAPS and the units cast SATURATES — both
+  // silently. Every quantized sum therefore ships with the
+  // refuse-loudly guard below (the dd5/dd6/dd7 rule: a scale limit
+  // must throw, not corrupt): config-independent, fires on the
+  // a-priori bound BEFORE any wrap, and names the decimal fallback.
+
+  /** A-priori overflow bound for long-quantized sums, with 2× slack:
+    * a group of `n` rows whose largest |unit| value is `m` satisfies
+    * |Σ units| ≤ n·m (every partial sum too), so n·m < 2^62 guarantees
+    * the exact long sum never nears 2^63; the slack absorbs the double
+    * rounding of the n·m product itself. */
+  val quantBound: Double = 4.6e18 // < 2^62 = 4.611686e18
+
+  /** Integer 10^-s units of `c` (s10 = 10^s), rounding half-up on the
+    * binary product — written identically in oracle SQL texts. */
+  def units(c: Column, s10: Double): Column =
+    floor(c * lit(s10) + lit(0.5)).cast("long")
+
+  /** Exact long-quantized sum emitted as DOUBLE (same long → same
+    * double everywhere). Callers MUST pair with [[quantGuarded]]. */
+  def quantSum(c: Column, s10: Double): Column =
+    sum(units(c, s10)).cast("double") / lit(s10)
+
+  /** Refuse-loudly overflow guard for long-quantized sums. Wrap ONE
+    * always-consumed output column (`through`, declared type `dtype`)
+    * of the post-aggregation projection with the per-group bound check
+    * `max|units| · rows < 2^62`; past the bound the query THROWS
+    * (raise_error) instead of returning silently wrapped sums — the
+    * caller partitions the input or falls back to [[moneySum]].
+    * `maxUnits`/`rows` come from the same aggregation as the sums
+    * (`max(abs(units(...)))`, `count(*)`) so the guard adds two cheap
+    * agg buffers and zero extra passes; a quantizing cast that
+    * saturated at Long.MaxValue trips the bound too. */
+  def quantGuarded(through: Column, maxUnits: Column, rows: Column,
+      dtype: String, query: String): Column =
+    when(maxUnits.cast("double") * rows.cast("double") < lit(quantBound),
+      through)
+    .otherwise(raise_error(concat(
+      lit(s"$query: long-quantized sum overflow risk - max|units| "),
+      maxUnits.cast("string"), lit(" x rows "), rows.cast("string"),
+      lit(" reaches 2^62; non-ANSI sum(long) would wrap silently. " +
+        "Partition the input or use the decimal moneySum fallback.")))
+      .cast(dtype))
 }

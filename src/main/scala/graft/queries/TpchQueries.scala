@@ -230,6 +230,64 @@ object TpchQueries extends QueryPack {
       .limit(10)
   }
 
+  /** Q1 body over a supplied lineitem relation — the flagship pricing
+    * summary on the LONG-QUANTIZED exact-sum fast path (see the keep-note
+    * on the `queries` entry), GUARDED against silent 2^63 wrap: the same
+    * aggregation also computes per-group `count` and `max|charge units|`
+    * (charge carries the largest scale, 10^6, so its units dominate every
+    * other quantized column's by ≥100×), and the projection refuses
+    * loudly via [[OracleSafe.quantGuarded]] when `max|units| · rows`
+    * reaches 2^62 — at sf0.1 the headroom is ~230×; a ~sf25+ run throws
+    * and falls back to [[q1Decimal]] instead of returning wrapped sums. */
+  def q1Body(li: DataFrame): DataFrame = {
+    def uSum(c: org.apache.spark.sql.Column, s10: Double) = quantSum(c, s10)
+    val charge = col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax"))
+    li
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        uSum(col("l_extendedprice"), 1e2).as("sum_base_price"),
+        uSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1e4)
+          .as("sum_disc_price"),
+        uSum(charge, 1e6).as("sum_charge"),
+        (uSum(col("l_quantity"), 1e2) / count(lit(1))).as("avg_qty"),
+        (uSum(col("l_extendedprice"), 1e2) / count(lit(1))).as("avg_price"),
+        (uSum(col("l_discount"), 1e2) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        max(abs(units(charge, 1e6))).as("_q1_max_units"))
+      .withColumn("count_order",
+        quantGuarded(col("count_order"), col("_q1_max_units"),
+          col("count_order"), "long", "q1_pricing_summary"))
+      .drop("_q1_max_units")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q1 on the decimal policy ([[OracleSafe.moneySum]]/[[OracleSafe
+    * .exactAvg]]) — the documented fallback past [[q1Body]]'s quantized
+    * bound (decimal sums widen to DECIMAL(28,s): no wrap below 10^10 ×
+    * the 100 TB point), and the independent semantic check that keeps
+    * the quantization rule falsifiable (TpchRewriteSpec compares the two
+    * within per-row quantization tolerance — the oracle text itself uses
+    * the identical quantized expressions, so it co-varies by design). */
+  def q1Decimal(li: DataFrame): DataFrame =
+    li
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        exactAvg(col("l_quantity"), 2).as("avg_qty"),
+        exactAvg(col("l_extendedprice"), 2).as("avg_price"),
+        exactAvg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** Q10 body over supplied base relations (see q3Body). */
   def q10Body(li0: DataFrame, ord0: DataFrame, cust0: DataFrame,
       nat0: DataFrame): DataFrame = {
@@ -262,29 +320,10 @@ object TpchQueries extends QueryPack {
     // up), where the decimal cast rounds the shortest decimal repr —
     // a defined, documented per-row rule, applied by both engines
     // identically. Bound: Σ|x|·10^s must stay under 2^63 (scale-6 money
-    // sums reach ~4e16 at sf0.1; a 100 TB corpus partitions or falls
-    // back to the decimal helper — documented trade).
-    "q1_pricing_summary" -> ((s, d) => {
-      def units(c: org.apache.spark.sql.Column, s10: Double) =
-        floor(c * lit(s10) + lit(0.5)).cast("long")
-      def uSum(c: org.apache.spark.sql.Column, s10: Double) =
-        (sum(units(c, s10)).cast("double") / lit(s10))
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          uSum(col("l_extendedprice"), 1e2).as("sum_base_price"),
-          uSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1e4)
-            .as("sum_disc_price"),
-          uSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")), 1e6).as("sum_charge"),
-          (uSum(col("l_quantity"), 1e2) / count(lit(1))).as("avg_qty"),
-          (uSum(col("l_extendedprice"), 1e2) / count(lit(1))).as("avg_price"),
-          (uSum(col("l_discount"), 1e2) / count(lit(1))).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
+    // sums reach ~4e16 at sf0.1) — GUARDED at runtime in q1Body:
+    // max|units|·rows ≥ 2^62 throws loudly (quantGuarded) instead of
+    // wrapping; past the bound, partition the input or use q1Decimal.
+    "q1_pricing_summary" -> ((s, d) => q1Body(Tables.lineitem(s, d))),
 
     // Q3 — shipping priority: 3-way join, filter both sides of the date,
     // revenue per order, top 10. customer/orders broadcast-sized relative

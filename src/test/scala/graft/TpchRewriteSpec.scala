@@ -271,4 +271,80 @@ class TpchRewriteSpec extends GraftSuite
     assert(rewrite.map(r => (r.getAs[String]("s_name"),
       r.getAs[Long]("numwait"))) === Seq(("S#1", 2L)))
   }
+
+  /** A lineitem frame with q1's exact column surface and a controllable
+    * price magnitude — built on the DEDICATED session (s2) so the ANSI
+    * toggle below cannot leak into concurrently-running suites. */
+  private def q1Fixture(price: Double, rows: Int): DataFrame = {
+    import s2.implicits._
+    (1 to rows).map(_ => (1.0, price, 0.0, 0.05, "N", "O"))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus")
+      .withColumn("l_shipdate", to_timestamp(lit("1997-01-01 00:00:00")))
+  }
+
+  private def messageChain(e: Throwable): String = {
+    var t = e; val sb = new StringBuilder
+    while (t != null) { sb.append(t.getMessage).append('\n'); t = t.getCause }
+    sb.toString
+  }
+
+  test("q1 quantized sums REFUSE past the 2^62 bound instead of wrapping") {
+    // charge units = price·(1-d)·(1+t)·10^6 ≈ 4.99e18 per row ≥ the
+    // 4.6e18 guard bound even at ONE row. A single row never overflows
+    // the sum itself (no addition), so under the session default (ANSI
+    // on, Spark 4) nothing else throws — proving the guard refuses on
+    // a-priori RISK, before any wrap, with an actionable message.
+    val e = intercept[Exception] {
+      Force.run(TpchQueries.q1Body(q1Fixture(5.0e12, rows = 1)))
+    }
+    assert(messageChain(e).contains("long-quantized sum overflow risk"),
+      s"expected the quantGuarded refusal, got: ${messageChain(e)}")
+
+    // The scenario the guard exists for: with spark.sql.ansi.enabled
+    // =false (common in sessions migrated from Spark 3), sum(long)
+    // WRAPS silently and the huge-double→long cast saturates silently —
+    // only the guard stands between the caller and a wrong answer.
+    s2.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e2 = intercept[Exception] {
+        Force.run(TpchQueries.q1Body(q1Fixture(5.0e12, rows = 3)))
+      }
+      assert(messageChain(e2).contains("long-quantized sum overflow risk"),
+        s"expected the quantGuarded refusal, got: ${messageChain(e2)}")
+    } finally s2.conf.unset("spark.sql.ansi.enabled")
+
+    // Well inside the bound: passes through untouched, guard column gone.
+    val ok = TpchQueries.q1Body(q1Fixture(1000.0, rows = 3)).collect()
+    assert(ok.length === 1 && ok.head.getAs[Long]("count_order") === 3L)
+    assert(!ok.head.schema.fieldNames.contains("_q1_max_units"))
+    // charge = 1000 · (1-0.0) · (1+0.05) = 1050 per row × 3 rows
+    assert(math.abs(ok.head.getAs[Double]("sum_charge") - 3150.0) < 1e-9)
+  }
+
+  test("q1 quantized form stays falsifiable against the decimal policy") {
+    // The ORACLE text carries the identical quantized expressions (both
+    // sides co-vary), so the independent semantic check is here: on real
+    // fixture data the quantized sums must agree with the decimal-cast
+    // policy within per-row quantization tolerance (each row's unit
+    // rounding differs from the decimal rounding by at most one 10^-s
+    // unit, only at representation boundaries → |Δ| ≤ n·10^-s).
+    val li = Tables.lineitem(spark, sf)
+    val q = TpchQueries.q1Body(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val d = TpchQueries.q1Decimal(li).collect()
+    assert(d.nonEmpty && d.length === q.size)
+    d.foreach { r =>
+      val qr = q((r.getString(0), r.getString(1)))
+      val n = r.getAs[Long]("count_order").toDouble
+      assert(qr.getAs[Long]("count_order") === r.getAs[Long]("count_order"))
+      for ((col, s) <- Seq("sum_base_price" -> 1e-2, "sum_disc_price" -> 1e-4,
+          "sum_charge" -> 1e-6, "avg_qty" -> 1e-2, "avg_price" -> 1e-2,
+          "avg_disc" -> 1e-2)) {
+        val dq = math.abs(qr.getAs[Double](col) - r.getAs[Double](col))
+        assert(dq <= n * s + 1e-9,
+          s"$col diverged beyond quantization tolerance: |Δ|=$dq n=$n s=$s")
+      }
+    }
+  }
 }
