@@ -201,7 +201,9 @@ object Dedup {
     * Shuffles: gram df-count, per-doc re-sort, prefix-token join — all on
     * keys, never n².
     *
-    * SCALE-GUARDED: refuses inputs above `maxRows` (one bounded count).
+    * SCALE-GUARDED: refuses inputs above `maxRows` (a DEFERRED one-row
+    * count embedded in the plan — construction/explain stay job-free,
+    * the refusal fires at first execution; see [[ScaleGuard]]).
     * Prefix filtering is lossless but admits huge candidate sets on
     * shared-token corpora (measured 107 s at sf0.1 vs 3 s at sf0.01 —
     * the steepest curve in the catalog), so this stays a labeled oracle
@@ -212,12 +214,10 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.6,
       maxRows: Long = 50000L): DataFrame = {
-    val nRows = docs.count()
-    require(nRows <= maxRows,
-      s"jaccardSimilarityJoin is a labeled oracle baseline: got $nRows " +
-        s"rows > maxRows=$maxRows. Use minhashNearDupPairs at scale, or " +
-        "raise maxRows explicitly.")
-    val base = docs.select(id.as("sj_id"), charNgrams(text, n).as("grams0"))
+    val guarded = ScaleGuard.maxRowsDeferred(docs, maxRows,
+      "jaccardSimilarityJoin is a labeled oracle baseline - use " +
+        "minhashNearDupPairs at scale")
+    val base = guarded.select(id.as("sj_id"), charNgrams(text, n).as("grams0"))
       .withColumn("grams", array_sort(col("grams0")))
       .withColumn("sz", size(col("grams")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -378,20 +378,19 @@ object Dedup {
     * value), exact pairwise within a bucket. Demonstration-scale blocking;
     * the 100 TB path is minhashNearDupPairs.
     *
-    * SCALE-GUARDED: refuses inputs above `maxRows` (one bounded count) —
-    * within-block work is |block|², so a fat block at corpus scale
-    * brute-forces by accident; the default admits every fixture with a
-    * 10× margin, raise it explicitly for a larger labeled oracle run. */
+    * SCALE-GUARDED: refuses inputs above `maxRows` (a DEFERRED one-row
+    * count embedded in the plan — see [[ScaleGuard]]) — within-block
+    * work is |block|², so a fat block at corpus scale brute-forces by
+    * accident; the default admits every fixture with a 10× margin,
+    * raise it explicitly for a larger labeled oracle run. */
   def ngramJaccardPairs(
       docs: DataFrame, id: Column, text: Column, block: Column,
       n: Int = 3, threshold: Double = 0.6,
       maxRows: Long = 50000L): DataFrame = {
-    val nRows = docs.count()
-    require(nRows <= maxRows,
-      s"ngramJaccardPairs is a blocked BRUTE-FORCE oracle baseline: got " +
-        s"$nRows rows > maxRows=$maxRows. Use minhashNearDupPairs at " +
-        "scale, or raise maxRows explicitly.")
-    val t = docs.select(id.as("ng_id"), block.as("blk"),
+    val guarded = ScaleGuard.maxRowsDeferred(docs, maxRows,
+      "ngramJaccardPairs is a blocked BRUTE-FORCE oracle baseline - " +
+        "use minhashNearDupPairs at scale")
+    val t = guarded.select(id.as("ng_id"), block.as("blk"),
       charNgramsSorted(text, n).as("grams"))
       .withColumn("gsz", size(col("grams")))
     t.alias("a")

@@ -35,7 +35,17 @@ object Pipeline {
     * (graft.Verify, graft.Bench, graft.ScaleCurve) call it between
     * queries so a full-catalog session ends with zero graft-pinned cache
     * entries; long-lived library callers should do the same after each
-    * consuming action. */
+    * consuming action.
+    *
+    * CONCURRENCY CAVEAT: the queue is GLOBAL, not scoped to the frame a
+    * call returned — releaseCaches() from one thread unpersists frames
+    * another thread's in-flight operator just pinned (its job still
+    * completes, Spark recomputes evicted blocks, but the recomputation
+    * re-runs the pinned stage and, for prefix sums, re-derived partition
+    * boundaries are not guaranteed to match the already-collected
+    * offsets). Concurrent pipelines in one JVM should either serialize
+    * release points or unpersist the returned frames themselves instead
+    * of calling this. */
   def releaseCaches(): Unit = {
     var df = pinned.poll()
     while (df != null) {
@@ -181,9 +191,21 @@ object Pipeline {
     val prsIdx = sorted.schema.fieldIndex("_prs")
     sorted.mapPartitions { it =>
       var run = 0L
+      var pid = Int.MinValue
       var seeded = false
       it.map { r =>
-        if (!seeded) { run = offsets.getOrElse(r.getInt(pidIdx), 0L); seeded = true }
+        val rowPid = r.getInt(pidIdx)
+        if (!seeded) { pid = rowPid; run = offsets.getOrElse(pid, 0L); seeded = true }
+        else if (rowPid != pid)
+          // correctness rests on every cached partition holding exactly
+          // one _pid (true by construction: _pid was materialized INTO
+          // the cached rows); if a future caching/partitioning change
+          // breaks that, fail loudly instead of corrupting totals
+          throw new IllegalStateException(
+            s"globalRunningSum invariant broken: one partition holds " +
+              s"_pid=$pid and _pid=$rowPid - offsets would misapply; " +
+              "the cached range partitioning no longer matches the " +
+              "materialized partition ids")
         if (!r.isNullAt(prsIdx)) run += r.getLong(prsIdx)
         Row.fromSeq(r.toSeq :+ run)
       }

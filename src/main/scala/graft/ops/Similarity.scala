@@ -386,21 +386,19 @@ object Similarity {
     * scale path: use `srpNearDupPairs` for the bucketed variant that
     * shuffles on LSH keys instead of materializing n² pairs.
     *
-    * SCALE-GUARDED: refuses inputs above `maxRows` (one bounded count —
-    * the sortedNeighborhoodPairsRanged refuse-bad-input rule) so the n²
-    * path cannot be invoked at corpus scale by accident; the default
+    * SCALE-GUARDED: refuses inputs above `maxRows` (a DEFERRED one-row
+    * count embedded in the plan — construction/explain stay job-free,
+    * the refusal fires at first execution; see [[ScaleGuard]]) so the
+    * n² path cannot be invoked at corpus scale by accident; the default
     * admits every fixture (≤ 5k rows at sf0.1) with a 10× margin.
     * Raise it EXPLICITLY for a bigger labeled oracle run. */
   def bruteForceNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxRows: Long = 50000L): DataFrame = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"bruteForceNearDupPairs is an ALL-PAIRS oracle baseline: got $n " +
-        s"rows > maxRows=$maxRows (~${n * n / 2} pairs). Use " +
-        "srpNearDupPairs (bucketed LSH) at scale, or raise maxRows " +
-        "explicitly for a larger labeled oracle run.")
-    val t = df.select(col(idCol).as("sim_id"), col(vecCol).as("vec"),
+    val guarded = ScaleGuard.maxRowsDeferred(df, maxRows,
+      "bruteForceNearDupPairs is an ALL-PAIRS oracle baseline - use " +
+        "srpNearDupPairs (bucketed LSH) at scale")
+    val t = guarded.select(col(idCol).as("sim_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     t.alias("a").join(t.alias("b"), col("a.sim_id") < col("b.sim_id"))
       .withColumn("cos",

@@ -76,12 +76,16 @@ object OracleSafe {
   def quantSum(c: Column, s10: Double): Column =
     sum(units(c, s10)).cast("double") / lit(s10)
 
-  /** Refuse-loudly overflow guard for long-quantized sums. Wrap ONE
-    * always-consumed output column (`through`, declared type `dtype`)
-    * of the post-aggregation projection with the per-group bound check
+  /** Refuse-loudly overflow guard for long-quantized sums. Wrap EVERY
+    * quantized output column (`through`, declared type `dtype`) of the
+    * post-aggregation projection with the per-group bound check
     * `max|units| · rows < 2^62`; past the bound the query THROWS
     * (raise_error) instead of returning silently wrapped sums — the
     * caller partitions the input or falls back to [[moneySum]].
+    * Wrapping every quantized column (not one designated carrier)
+    * matters: Catalyst prunes unreferenced project expressions, so a
+    * guard on a column the caller did not select would vanish with it —
+    * this way whichever wrappable values ARE consumed carry the check.
     * `maxUnits`/`rows` come from the same aggregation as the sums
     * (`max(abs(units(...)))`, `count(*)`) so the guard adds two cheap
     * agg buffers and zero extra passes; a quantizing cast that

@@ -243,6 +243,13 @@ object TpchQueries extends QueryPack {
     def uSum(c: org.apache.spark.sql.Column, s10: Double) = quantSum(c, s10)
     val charge = col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
       (lit(1.0) + col("l_tax"))
+    // EVERY quantized output column carries the guard (not just one):
+    // Catalyst prunes unreferenced project expressions, so a guard
+    // attached only to an unconsumed column would vanish with it —
+    // this way any consumed subset of the wrappable values checks.
+    def g(name: String) =
+      quantGuarded(col(name), col("_q1_max_units"), col("count_order"),
+        "double", "q1_pricing_summary").as(name)
     li
       .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
@@ -257,10 +264,9 @@ object TpchQueries extends QueryPack {
         (uSum(col("l_discount"), 1e2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"),
         max(abs(units(charge, 1e6))).as("_q1_max_units"))
-      .withColumn("count_order",
-        quantGuarded(col("count_order"), col("_q1_max_units"),
-          col("count_order"), "long", "q1_pricing_summary"))
-      .drop("_q1_max_units")
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        g("sum_base_price"), g("sum_disc_price"), g("sum_charge"),
+        g("avg_qty"), g("avg_price"), g("avg_disc"), col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 

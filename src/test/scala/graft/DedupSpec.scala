@@ -783,22 +783,39 @@ class DedupSpec extends GraftSuite {
     // invoke at corpus scale by ACCIDENT — refuse loudly above maxRows,
     // overridable only explicitly (round-16 verdict item 7). Exercised
     // with a tiny maxRows so the spec stays fixture-sized.
-    val e1 = intercept[IllegalArgumentException] {
-      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        col("source"), n = 3, threshold = 0.6, maxRows = 3L)
+    //
+    // Round 17: the guard is DEFERRED (ScaleGuard.maxRowsDeferred) —
+    // construction and explain stay job-free; the refusal surfaces at
+    // the first ACTION, wrapped in Spark's task-failure chain.
+    def chain(e: Throwable): String = {
+      var t = e; val sb = new StringBuilder
+      while (t != null) { sb.append(t.getMessage).append('\n'); t = t.getCause }
+      sb.toString
     }
-    assert(e1.getMessage.contains("minhashNearDupPairs"))
-    val e2 = intercept[IllegalArgumentException] {
-      Dedup.jaccardSimilarityJoin(docs, col("doc_id"), col("text"),
-        n = 3, threshold = 0.6, maxRows = 3L)
+    // construction alone runs NO job and throws nothing (laziness pin)
+    val deferred = Dedup.ngramJaccardPairs(docs, col("doc_id"),
+      col("text"), col("source"), n = 3, threshold = 0.6, maxRows = 3L)
+    deferred.explain() // plan-only use: must not throw either
+    val e1 = intercept[Exception] { Force.run(deferred) }
+    assert(chain(e1).contains("minhashNearDupPairs"))
+    val e2 = intercept[Exception] {
+      Force.run(Dedup.jaccardSimilarityJoin(docs, col("doc_id"),
+        col("text"), n = 3, threshold = 0.6, maxRows = 3L))
     }
-    assert(e2.getMessage.contains("maxRows"))
+    assert(chain(e2).contains("maxRows"))
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val e3 = intercept[IllegalArgumentException] {
-      graft.ops.Similarity.bruteForceNearDupPairs(
-        emb, "vec_id", "embedding", 0.4, maxRows = 3L)
+    val e3 = intercept[Exception] {
+      Force.run(graft.ops.Similarity.bruteForceNearDupPairs(
+        emb, "vec_id", "embedding", 0.4, maxRows = 3L))
     }
-    assert(e3.getMessage.contains("srpNearDupPairs"))
+    assert(chain(e3).contains("srpNearDupPairs"))
+    // the guard survives even a bare count (filter-based: column
+    // pruning cannot remove it — the round-16 pruning lesson)
+    val e4 = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        col("source"), n = 3, threshold = 0.6, maxRows = 3L).count()
+    }
+    assert(chain(e4).contains("minhashNearDupPairs"))
     // the defaults admit every fixture (the catalog queries stay green)
     assert(Dedup.ngramJaccardPairs(docs.limit(20), col("doc_id"),
       col("text"), col("source")).count() >= 0L)
