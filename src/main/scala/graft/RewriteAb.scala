@@ -20,6 +20,9 @@ import graft.sources.Tables
   *     re-measurable after Spark upgrades)
   *   - q17 agg-first rewrite     vs the literal correlated-avg text
   *   - q21 window rewrite        vs the literal EXISTS/NOT-EXISTS text
+  *   - ta16 constant-factor forms vs the retired round-16 expressions
+  *     (array_intersect stop-hits + regexp_count symbols vs 8
+  *     array_contains scans + replaced-string length)
   * Literal texts run over the same cached-partsupp views the catalog
   * uses (`Tables.registerAll`), so the A/B isolates plan shape, not
   * caching.
@@ -28,8 +31,47 @@ import graft.sources.Tables
   * sf0.1 ×1 plus the ScaleCurve work dirs x10/x30). Output:
   * SPARK_GRAFT_ABRW_OUT (default ABRW.json), one object per
   * (factor, query): {"rewrite": minSec, "literal": minSec, reps...}.
+  * SPARK_GRAFT_ABRW_CASES selects a case subset (requires an explicit
+  * OUT path; merge focused rows into ABRW.json deliberately).
   */
 object RewriteAb {
+
+  /** The pre-round-17 ta16 expression forms — stop-hits as 8 interpreted
+    * `array_contains` lambda scans (one per stopword) and the symbol
+    * count as `length(regexp_replace(...))` (builds a stripped copy of
+    * the document) — kept here as the measured A/B baseline for the
+    * round-17 constant-factor pass (the q20/dd16 convention: the
+    * retired side lives in the harness, re-measurable after Spark
+    * upgrades). Values are bit-identical to the catalog form. */
+  private def ta16LegacyProbe(docs: DataFrame): DataFrame = {
+    import graft.ops.TextAnalysis.gopherStopwords
+    val text = col("text")
+    val toks = split(text, " ")
+    val nWords = size(toks)
+    val meanWordLen =
+      (length(text) - (nWords - lit(1))).cast("double") / nWords.cast("double")
+    val symbolRatio =
+      length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+        nWords.cast("double")
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") /
+        nWords.cast("double")
+    val stopHits = size(filter(
+      typedLit(gopherStopwords), w => array_contains(toks, w)))
+    val wordsOk = nWords >= 20 && nWords <= 100000
+    val lenOk = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val symOk = symbolRatio <= 0.1
+    val alphaOk = alphaFrac >= 0.8
+    val stopOk = stopHits >= 2
+    docs.select(col("doc_id"),
+      nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stopword_hits"),
+      wordsOk.as("words_ok"), lenOk.as("len_ok"), symOk.as("symbol_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wordsOk && lenOk && symOk && alphaOk && stopOk).as("pass"))
+      .orderBy("doc_id")
+  }
 
   /** The round-14 q20 rewrite probe (semi-join-first aggregation) — see
     * the keep-note on TpchQueries "q20_part_promotion" for why this is
@@ -63,6 +105,21 @@ object RewriteAb {
   }
 
   def main(args: Array[String]): Unit = {
+    // A case subset must NOT overwrite the full artifact of record with
+    // a partial one (the ScaleCurve subset-guard convention): selecting
+    // SPARK_GRAFT_ABRW_CASES requires an explicit SPARK_GRAFT_ABRW_OUT;
+    // merge the focused rows into ABRW.json deliberately afterwards.
+    require(!sys.env.contains("SPARK_GRAFT_ABRW_CASES") ||
+        sys.env.contains("SPARK_GRAFT_ABRW_OUT"),
+      "SPARK_GRAFT_ABRW_CASES selects a subset: set SPARK_GRAFT_ABRW_OUT " +
+        "explicitly so the run cannot overwrite ABRW.json")
+    val caseFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_ABRW_CASES") match {
+        case Some(cs) =>
+          val names = cs.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          names.contains
+        case None => _ => true
+      }
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "/tmp/graft_scale")
     val dirs: Seq[String] =
       if (args.nonEmpty) args.toSeq
@@ -153,6 +210,20 @@ object RewriteAb {
               col("doc_id"), col("text"), snKey, 5, 3, 0.5))
             graft.ops.Pipeline.releaseCaches()
           }))
+      // ta16 constant-factor A/B (round 17): the catalog gopherRules
+      // (one array_intersect stop-hit pass + regexp_count symbol count)
+      // vs the retired forms (8 array_contains scans + replaced-string
+      // length). Both sides run the full rule table over the SAME
+      // cached docs frame, so the A/B isolates expression cost.
+      val ta16Cases: Seq[(String, () => Unit, () => Unit)] = Seq(
+        ("ta16",
+          () => {
+            Force.run(docs.select(col("doc_id") +:
+              graft.ops.TextAnalysis.gopherRules(col("text"), 20): _*)
+              .orderBy("doc_id"))
+            ()
+          },
+          () => { Force.run(ta16LegacyProbe(docs)); () }))
       def runGroup(cases: Seq[(String, () => Unit, () => Unit)])
           : Seq[(String, Vector[Double], Vector[Double])] = {
         cases.foreach { case (_, rw, lt) => rw(); lt() } // warmup
@@ -167,7 +238,10 @@ object RewriteAb {
         }
         acc.map { case (n, (a, b)) => (n, a, b) }.toSeq
       }
-      val measured = runGroup(tpchCases) ++ runGroup(dd16Cases)
+      val measured =
+        runGroup(tpchCases.filter(c => caseFilter(c._1))) ++
+          runGroup(dd16Cases.filter(c => caseFilter(c._1))) ++
+          runGroup(ta16Cases.filter(c => caseFilter(c._1)))
       val fields = measured.map { case (name, rw, lt) =>
         f""""$name":{"rewrite":${rw.min}%.4f,"literal":${lt.min}%.4f,""" +
           s""""rewrite_reps":${rw.map(v => f"$v%.4f").mkString("[", ",", "]")},""" +

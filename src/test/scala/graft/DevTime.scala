@@ -10,9 +10,10 @@ object DevTime {
     val spark = SparkTestBase.spark
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
-      SparkEntry.queries(n)(spark, sfDir).count() // warmup
+      // Force.run, not .count(): a count lets Catalyst prune the compute
+      Force.run(SparkEntry.queries(n)(spark, sfDir)) // warmup
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
+      Force.run(SparkEntry.queries(n)(spark, sfDir))
       println(f"[devtime] $n%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -181,6 +181,52 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got(4L).getDouble(got(4L).fieldIndex("mean_word_len")) === 2.0)
   }
 
+  test("gopherRules round-17 fast forms == retired forms on edge shapes") {
+    // The constant-factor pass swapped stop-hits to one array_intersect
+    // pass (was 8 array_contains lambda scans) and the symbol count to
+    // regexp_count of the negated class (was length(regexp_replace)).
+    // Bit-equivalence pinned here against the RETIRED expressions on
+    // the shapes where the two families could diverge: empty text,
+    // consecutive spaces (empty tokens), duplicate stopwords (distinct
+    // semantics), non-[a-z0-9 ] whitespace (tab/newline count as
+    // symbols in both), uppercase (neither class matches A-Z).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),
+      (2L, "the  the   of"),           // dup stopwords + empty tokens
+      (3L, "a\tb\nc the of"),          // tab/newline are symbols
+      (4L, "The OF and #### 12x"),     // case-sensitive classes
+      (5L, "the be to of and that have with")) // all 8 stopwords
+      .toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val oldStop = size(filter(
+      typedLit(TextAnalysis.gopherStopwords), w => array_contains(toks, w)))
+    val oldRatio =
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        nWords.cast("double")
+    val newCols = TextAnalysis.gopherRules(col("text"), minWords = 2)
+    val newStop = newCols.find(_.toString.contains("stopword_hits")).get
+    val newRatio = newCols.find(_.toString.contains("symbol_ratio")).get
+    val got = docs.select(col("doc_id"), oldStop.as("old_stop"),
+        oldRatio.as("old_ratio"), newStop, newRatio)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(3),
+        s"stop hits diverged on doc ${r.getLong(0)}: $r")
+      // identical int operands -> identical IEEE division, bit-exact
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(4)),
+        s"symbol ratio diverged on doc ${r.getLong(0)}: $r")
+    }
+    // and the planted expectations hold
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getInt(3) === 2) // the, of — distinct
+    assert(byId(5L).getInt(3) === 8)
+    // "a\tb\nc" is ONE space-split token: 2 symbol chars / 3 tokens
+    assert(byId(3L).getDouble(4) === 2.0 / 3.0)
+  }
+
   test("script mix: per-script counts, dominance priority on ties") {
     import spark.implicits._
     val docs = Seq(
