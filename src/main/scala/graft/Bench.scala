@@ -400,8 +400,10 @@ object Bench {
     // against exact truth, that is its point), so its honest Force-timed
     // cost is the baselines' quadratic 18 s, which would be a third of
     // llm_total while measuring the generators the suite already
-    // excludes. The agreement JOIN itself is pair-set-sized and its
-    // 100 TB form runs over LSH pair sets (dd3/dd8/dd9).
+    // excludes. Round 17 restores the timed row as dd27: the SAME
+    // agreement matrix composed over the bucketed scale-path signals
+    // (exact/prefix md5 equi-joins + dd3's MinHash-LSH + dd8's SimHash
+    // buckets) — the 100 TB form, every input shuffle-keyed, never n².
     // Each rep also records its stop-the-world GC delta (`llm_gc_ms` in
     // the artifact): a rep-2-style stall cluster (r10 saw dd16 39.1 s in
     // one rep) is then attributable from the JSON alone — fat gc_ms on
@@ -433,7 +435,10 @@ object Bench {
         // (its number includes codebook training — the honest cost of
         // the deterministic oracle-checkable trainer)
         "dd26_dup_spans", "pl29_source_caps", "ev26_contribution_cap",
-        "ss20_ivfpq_topk")
+        "ss20_ivfpq_topk",
+        // round-17 addition: the scale-path signal-agreement matrix
+        // (dd23's timed dual over bucketed signals — see the dd23 note)
+        "dd27_lsh_signal_agreement")
         // warmup pass (plan + codegen for every query, so rep 1 of query
         // 1 doesn't pay a JIT storm its neighbors skip)
         suite.foreach { q =>

@@ -81,6 +81,32 @@ object DedupQueries extends QueryPack {
         .orderBy("sig_a", "sig_b")
     }),
 
+    // The SCALE-PATH signal-agreement composition (round 17 — dd23's
+    // timed dual): the same agreement matrix, composed over the
+    // bucketed/bounded signals a 100 TB pipeline would actually compare
+    // — exact text + prefix64 (md5-keyed equi-joins), MinHash-LSH (dd3's
+    // exact configuration), SimHash chunk-buckets (dd8's) — instead of
+    // dd23's quadratic dd5/dd15 truth generators. Every input shuffles
+    // on keys (digest / (band,key) / chunk), never n², so THIS form is
+    // the one in the timed llm suite; dd23 stays the methodology audit
+    // against exact truth, bench-excluded with its generators.
+    "dd27_lsh_signal_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.signalAgreement(Seq(
+        "exact_text" -> Dedup.keyEqualityPairs(
+          docs, col("doc_id"), col("text")),
+        "prefix64" -> Dedup.keyEqualityPairs(
+          docs, col("doc_id"), substring(col("text"), 1, 64)),
+        "minhash_j05" -> Dedup.minhashNearDupPairs(
+          docs, col("doc_id"), col("text"),
+          shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          .select("id_a", "id_b"),
+        "simhash_h3" -> Dedup.simhashNearDupPairs(
+          docs, col("doc_id"), col("text"), maxHamming = 3)
+          .select("id_a", "id_b")))
+        .orderBy("sig_a", "sig_b")
+    }),
+
     // Bloom-filter exact-dup ingest pre-gate: same batch/corpus split as
     // dd21; the dedup key is a leading-64-char prefix fingerprint (the
     // boilerplate-heavy-page heuristic — full-text md5 is the other
@@ -519,6 +545,65 @@ object DedupQueries extends QueryPack {
            GROUP BY sig),
          nm(sig) AS (VALUES ('exact_text'), ('prefix64'),
            ('trigram_j06'), ('containment_c08')),
+         com AS (SELECT x.sig AS sig_a, y.sig AS sig_b,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM all_p x JOIN all_p y
+             ON x.id_a = y.id_a AND x.id_b = y.id_b AND x.sig < y.sig
+           GROUP BY 1, 2),
+         pr AS (SELECT a.sig AS sig_a, b.sig AS sig_b
+           FROM nm a JOIN nm b ON a.sig < b.sig)
+         SELECT pr.sig_a AS sig_a, pr.sig_b AS sig_b,
+           COALESCE(sa.n, 0) AS n_a, COALESCE(sb.n, 0) AS n_b,
+           COALESCE(com.n_common, 0) AS n_common,
+           CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                     - COALESCE(com.n_common, 0) = 0 THEN NULL
+                ELSE CAST(COALESCE(com.n_common, 0) AS DOUBLE) /
+                  (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                   - COALESCE(com.n_common, 0)) END AS jaccard
+         FROM pr LEFT JOIN com
+             ON com.sig_a = pr.sig_a AND com.sig_b = pr.sig_b
+           LEFT JOIN sz sa ON sa.sig = pr.sig_a
+           LEFT JOIN sz sb ON sb.sig = pr.sig_b
+         ORDER BY sig_a, sig_b""",
+    // dd27: the scale-path agreement dual — exact/prefix pair sets
+    // recomputed outright (as in dd23), the MinHash set from the truth
+    // bands + exact Jaccard (the dd3 dual verbatim), the SimHash set
+    // from truth signatures via bit_count/xor (the dd8 dual verbatim),
+    // then the identical sizes / overlap / zero-preserving cross join.
+    "dd27_lsh_signal_agreement" ->
+      s"""WITH ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM documents a JOIN documents b
+             ON a.text = b.text AND a.doc_id < b.doc_id),
+         px AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM documents a JOIN documents b
+             ON substr(a.text, 1, 64) = substr(b.text, 1, 64)
+                AND a.doc_id < b.doc_id),
+         bb AS (SELECT * FROM read_parquet('$truth/bands.parquet/*.parquet')),
+         dd AS (SELECT doc_id, shingles
+                FROM read_parquet('$truth/docs.parquet/*.parquet')),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bb x JOIN bb y
+                    ON x.band = y.band AND x.key = y.key
+                       AND x.doc_id < y.doc_id),
+         mh AS (SELECT id_a, id_b
+           FROM cand JOIN dd da ON cand.id_a = da.doc_id
+                     JOIN dd db ON cand.id_b = db.doc_id
+           WHERE $jaccardSql >= 0.5),
+         sd AS (SELECT doc_id, simhash
+                FROM read_parquet('$truth/docs.parquet/*.parquet')),
+         sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sd a, sd b
+           WHERE a.doc_id < b.doc_id
+             AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         all_p AS (
+           SELECT 'exact_text' AS sig, id_a, id_b FROM ex
+           UNION ALL SELECT 'prefix64', id_a, id_b FROM px
+           UNION ALL SELECT 'minhash_j05', id_a, id_b FROM mh
+           UNION ALL SELECT 'simhash_h3', id_a, id_b FROM sh),
+         sz AS (SELECT sig, CAST(count(*) AS BIGINT) AS n FROM all_p
+           GROUP BY sig),
+         nm(sig) AS (VALUES ('exact_text'), ('prefix64'),
+           ('minhash_j05'), ('simhash_h3')),
          com AS (SELECT x.sig AS sig_a, y.sig AS sig_b,
              CAST(count(*) AS BIGINT) AS n_common
            FROM all_p x JOIN all_p y
