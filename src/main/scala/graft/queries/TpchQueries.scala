@@ -216,16 +216,45 @@ object TpchQueries extends QueryPack {
   /** Q3 body over supplied base relations — `Bench`'s bucketed mode reuses
     * it with pre-bucketed lineitem/orders so the fact-to-fact join runs
     * with zero exchanges. */
+  /** The headline revenue expression. */
+  private val revExpr =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Guarded long-quantized `revenue` aggregation at scale 10^4 — the
+    * q1 technique rolled out to the other headline money sums (round-17
+    * stretch item; measured ~1.1× per query at sf0.1, the joins bound
+    * these queries more than the aggregation did q1's). Returns the agg
+    * columns (revenue + the guard's max-units and count carriers);
+    * follow with [[quantRevenueGuard]] on the grouped result. Bound
+    * audit at scale 1e4: max |row units| = price·(1−d)·1e4 ≤ ~2e10 at
+    * ANY SF (prices are bounded per part, not by data size), so a group
+    * needs ≥ 2×10^8 rows before max·n reaches 2^62 — per-order (q3)
+    * and per-customer (q10) groups sit orders of magnitude under that
+    * at 100 TB; global sums (q6/q14/q19) and per-nation groups (q5)
+    * cross it around sf ≈ 3×10^3, where the guard refuses loudly and
+    * the decimal [[OracleSafe.moneySum]] fallback applies (the q1
+    * trade, enforced per group at runtime, not assumed). */
+  private def quantRevenueAgg(e: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = Seq(
+    quantSum(e, 1e4).as("revenue"),
+    max(abs(units(e, 1e4))).as("_mu"),
+    count(lit(1)).as("_n"))
+
+  private def quantRevenueGuard(df: DataFrame, query: String): DataFrame =
+    df.withColumn("revenue",
+        quantGuarded(col("revenue"), col("_mu"), col("_n"), "double", query))
+      .drop("_mu", "_n")
+
   def q3Body(li0: DataFrame, ord0: DataFrame, cust0: DataFrame): DataFrame = {
     val cust = cust0.filter(col("c_mktsegment") === "BUILDING")
     val ord = ord0.filter(col("o_orderdate") < lit("1999-06-01").cast("timestamp"))
     val li = li0.filter(col("l_shipdate") > lit("1999-06-01").cast("timestamp"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey")) // AQE broadcasts while it fits
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
                col("o_orderpriority"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-        .as("revenue"))
+      .agg(quantRevenueAgg(revExpr).head, quantRevenueAgg(revExpr).tail: _*)
+    quantRevenueGuard(agg, "q3_shipping_priority")
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -298,12 +327,12 @@ object TpchQueries extends QueryPack {
   def q10Body(li0: DataFrame, ord0: DataFrame, cust0: DataFrame,
       nat0: DataFrame): DataFrame = {
     val li = li0.filter(col("l_returnflag") === "R")
-    li.join(ord0, col("l_orderkey") === col("o_orderkey"))
+    val agg = li.join(ord0, col("l_orderkey") === col("o_orderkey"))
       .join(cust0, col("o_custkey") === col("c_custkey")) // SF-scaled: AQE decides
       .join(broadcast(nat0), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-        .as("revenue"))
+      .agg(quantRevenueAgg(revExpr).head, quantRevenueAgg(revExpr).tail: _*)
+    quantRevenueGuard(agg, "q10_returned_items")
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
   }
@@ -348,7 +377,7 @@ object TpchQueries extends QueryPack {
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val cust = Tables.customer(s, d)
       val supp = Tables.supplier(s, d)
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey")) // SF-scaled: AQE decides
         .join(supp,
           col("l_suppkey") === col("s_suppkey") &&
@@ -356,21 +385,27 @@ object TpchQueries extends QueryPack {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .as("revenue"))
+        .agg(quantRevenueAgg(revExpr).head, quantRevenueAgg(revExpr).tail: _*)
+      quantRevenueGuard(agg, "q5_local_supplier")
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
     // Q6 — forecasting revenue change: pure scan+filter+global agg; the
     // filters all push to parquet (PushedFilters asserted in PlanSpec).
-    "q6_forecast_revenue" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    "q6_forecast_revenue" -> ((s, d) => {
+      val e = col("l_extendedprice") * col("l_discount")
+      val agg = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
                 col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
                 col("l_quantity") < 24.0)
-        .agg(moneySum(col("l_extendedprice") * col("l_discount"), 4)
-          .as("revenue"), count(lit(1)).as("n_rows"))),
+        .agg(quantSum(e, 1e4).as("revenue"), count(lit(1)).as("n_rows"),
+          max(abs(units(e, 1e4))).as("_mu"))
+      agg.withColumn("revenue",
+          quantGuarded(col("revenue"), col("_mu"), col("n_rows"),
+            "double", "q6_forecast_revenue"))
+        .drop("_mu")
+    }),
 
     // Q10-shape — returned-item reporting: who returned the most revenue.
     "q10_returned_items" -> ((s, d) =>
@@ -401,13 +436,20 @@ object TpchQueries extends QueryPack {
         .filter(col("l_shipdate") >= lit("1999-09-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1999-10-01").cast("timestamp"))
       val part = Tables.part(s, d)
-      li.join(part, col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
-        .agg(
-          (sum(when(col("p_type") === "PROMO",
-              dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-            .otherwise(dec(lit(0.0), 4))).cast("double") * 100.0 /
-           moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-             .cast("double")).as("promo_revenue_pct"))
+      // quantized: promo and total sums quantize the SAME per-row units
+      // (promo units are a subset of total units, so one max bounds
+      // both); division order mirrors the oracle text term-for-term
+      val promoQ = sum(when(col("p_type") === "PROMO", units(revExpr, 1e4))
+        .otherwise(lit(0L))).cast("double") / lit(1e4)
+      val agg = li.join(part, col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
+        .agg((promoQ * lit(100.0) / quantSum(revExpr, 1e4))
+            .as("promo_revenue_pct"),
+          max(abs(units(revExpr, 1e4))).as("_mu"),
+          count(lit(1)).as("_n"))
+      agg.withColumn("promo_revenue_pct",
+          quantGuarded(col("promo_revenue_pct"), col("_mu"), col("_n"),
+            "double", "q14_promo_effect"))
+        .drop("_mu", "_n")
     }),
 
     // Q4-shape — order-priority checking: EXISTS with a correlated date
@@ -738,7 +780,7 @@ object TpchQueries extends QueryPack {
     "q19_disjunctive_filter" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val part = Tables.part(s, d)
-      li.join(part, col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
+      val agg = li.join(part, col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
         .filter(
           (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 11) &&
             col("p_size").between(1, 5)) ||
@@ -746,8 +788,13 @@ object TpchQueries extends QueryPack {
             col("p_size").between(1, 10)) ||
           (col("p_brand") === "Brand#12" && col("l_quantity").between(20, 30) &&
             col("p_size").between(1, 15)))
-        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .as("revenue"), count(lit(1)).as("n_rows"))
+        .agg(quantSum(revExpr, 1e4).as("revenue"),
+          count(lit(1)).as("n_rows"),
+          max(abs(units(revExpr, 1e4))).as("_mu"))
+      agg.withColumn("revenue",
+          quantGuarded(col("revenue"), col("_mu"), col("n_rows"),
+            "double", "q19_disjunctive_filter"))
+        .drop("_mu")
     })
   )
 
@@ -777,9 +824,13 @@ object TpchQueries extends QueryPack {
          WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    // q3/q5/q6/q10/q14/q19: long-quantized exact sums, written as the
+    // IDENTICAL IEEE ops the Spark entries use (the q1 convention) —
+    // floor(expr * 1e4 + 0.5) -> BIGINT units, exact integer sum, one
+    // final cast + division; guarded on the Spark side (quantGuarded).
     "q3_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -789,7 +840,7 @@ object TpchQueries extends QueryPack {
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
     "q5_local_supplier" ->
       """SELECT n_name,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
          FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -802,7 +853,7 @@ object TpchQueries extends QueryPack {
          GROUP BY n_name
          ORDER BY revenue DESC, n_name ASC""",
     "q6_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue,
            count(*) AS n_rows
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -811,7 +862,7 @@ object TpchQueries extends QueryPack {
            AND l_quantity < 24.0""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
          FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -829,9 +880,9 @@ object TpchQueries extends QueryPack {
          GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q14_promo_effect" ->
       """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
-             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
-             ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0 /
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END) AS DOUBLE) / 1e4 * 100.0 /
+           (CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4)
              AS promo_revenue_pct
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
@@ -904,7 +955,7 @@ object TpchQueries extends QueryPack {
                              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          GROUP BY 1 ORDER BY cntrycode""",
     "q19_disjunctive_filter" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue,
            count(*) AS n_rows
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)

@@ -322,6 +322,62 @@ class TpchRewriteSpec extends GraftSuite
     assert(math.abs(ok.head.getAs[Double]("sum_charge") - 3150.0) < 1e-9)
   }
 
+  test("headline quantized revenue sums agree with the decimal policy") {
+    // Round-17 rollout of the q1 technique to q3/q5/q6/q10/q14/q19:
+    // their oracle texts now carry the identical quantized expressions
+    // (co-varying by design), so the independent semantic check is
+    // here — on real fixture data, per grouping of each query's row
+    // set, the quantized sum must agree with the decimal-cast policy
+    // within per-row quantization tolerance (|Δ| ≤ n·10^-4).
+    import graft.queries.OracleSafe._
+    val li = Tables.lineitem(spark, sf)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val pairs = Seq(
+      // (label, row set, grouping) covering the adopted groupings
+      ("q6_global", li.filter(col("l_discount") >= 0.05), Seq.empty[String]),
+      ("q3_per_order", li, Seq("l_orderkey")),
+      ("q10_style", li.filter(col("l_returnflag") === "R"), Seq("l_suppkey")))
+    pairs.foreach { case (label, df, keys) =>
+      val agg = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.head, keys.tail: _*)
+      val rows = agg.agg(
+          quantSum(rev, 1e4).as("q"),
+          moneySum(rev, 4).as("dec"),
+          count(lit(1)).as("n"))
+        .collect()
+      assert(rows.nonEmpty, label)
+      rows.foreach { r =>
+        val d = math.abs(r.getAs[Double]("q") - r.getAs[Double]("dec"))
+        val n = r.getAs[Long]("n").toDouble
+        assert(d <= n * 1e-4 + 1e-9,
+          s"$label diverged beyond quantization tolerance: |Δ|=$d n=$n")
+      }
+    }
+  }
+
+  test("grouped quantized revenue REFUSES past the bound (q3 wiring)") {
+    // the q1 refusal pin covers quantGuarded itself; this pins the
+    // grouped quantRevenueAgg/quantRevenueGuard wiring in q3Body with
+    // crafted base relations — one order's revenue units ≥ the bound.
+    import s2.implicits._
+    // scale 1e4: units = 5e14·1e4 = 5e18 ≥ the 4.6e18 bound at ONE row
+    // (one row sums without addition, so ANSI mode has nothing to catch
+    // — only the a-priori guard refuses, as in the q1 pin)
+    val li = Seq((1L, 5.0e14, 0.0, "1999-07-01"))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate_s")
+      .withColumn("l_shipdate", to_timestamp(col("l_shipdate_s")))
+      .drop("l_shipdate_s")
+    val ord = Seq((1L, 10L, "1999-01-01", "P1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate_s", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("o_orderdate_s")))
+      .drop("o_orderdate_s")
+    val cust = Seq((10L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+    val e = intercept[Exception] {
+      Force.run(TpchQueries.q3Body(li, ord, cust))
+    }
+    assert(messageChain(e).contains("long-quantized sum overflow risk"),
+      s"expected the grouped refusal, got: ${messageChain(e)}")
+  }
+
   test("q1 quantized form stays falsifiable against the decimal policy") {
     // The ORACLE text carries the identical quantized expressions (both
     // sides co-vary), so the independent semantic check is here: on real
