@@ -109,32 +109,63 @@ object IvfPqSweep {
       sec
     }
 
+    // ---- ANN family rows (round 17, r16 verdict stretch 8): ss2's
+    // SRP-LSH and ss4's IVF at their CATALOG configurations, measured
+    // against the same exact truths on the same fixture — so when this
+    // sweep runs on the planted-cluster dir, their recall claims become
+    // signal-rich the way ss20's did in round 16 (on uniform-random
+    // embeddings the recall specs bind on the random floor). Both
+    // operators rank by exact cosine over their candidate sets, so both
+    // truth legs apply unchanged.
+    val famPoints: Seq[(String,
+        (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("ss2_srp_t16_b6", (qs, k) => Similarity.annTopK(
+        qs, emb, "vec_id", "embedding", k, tables = 16, bits = 6, dim = 64)),
+      ("ss4_ivf_c16_np4", (qs, k) => Similarity.ivfTopK(
+        qs, emb, "vec_id", "embedding", k, numCentroids = 16, nprobe = 4)))
+
     // recall first (also the warmup/codegen pass for each point)
-    val recall: Map[String, Double] = points.map { case (lbl, np, m, cb) =>
+    val recall: Map[String, Double] = (points.map { case (lbl, np, m, cb) =>
       val approx = run(np, m, cb).select("qid", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       Pipeline.releaseCaches()
       lbl -> (exact.intersect(approx).size.toDouble / exact.size)
-    }.toMap
-    val recallL2: Map[String, Double] = points.map { case (lbl, np, m, cb) =>
+    } ++ famPoints.map { case (lbl, f) =>
+      val approx = f(q, 5).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Pipeline.releaseCaches()
+      lbl -> (exact.intersect(approx).size.toDouble / exact.size)
+    }).toMap
+    val recallL2: Map[String, Double] = (points.map { case (lbl, np, m, cb) =>
       val approx = run(np, m, cb, qWide, 20).select("qid", "vec_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       Pipeline.releaseCaches()
       lbl -> (exactL2.intersect(approx).size.toDouble / exactL2.size)
-    }.toMap
+    } ++ famPoints.map { case (lbl, f) =>
+      val approx = f(qWide, 20).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Pipeline.releaseCaches()
+      lbl -> (exactL2.intersect(approx).size.toDouble / exactL2.size)
+    }).toMap
 
-    val acc = points.map { case (lbl, _, _, _) =>
-      lbl -> Vector.empty[Double]
-    }.to(collection.mutable.LinkedHashMap)
+    val allLabels = points.map(_._1) ++ famPoints.map(_._1)
+    val acc = allLabels.map(_ -> Vector.empty[Double])
+      .to(collection.mutable.LinkedHashMap)
     (1 to 3).foreach { _ =>
       points.foreach { case (lbl, np, m, cb) =>
         acc(lbl) :+= timedRun(np, m, cb)
+      }
+      famPoints.foreach { case (lbl, f) =>
+        val t0 = System.nanoTime()
+        Force.run(f(q, 5))
+        acc(lbl) :+= (System.nanoTime() - t0) / 1e9
+        Pipeline.releaseCaches()
       }
     }
 
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val fields = points.map { case (lbl, _, _, _) =>
+    val fields = allLabels.map { lbl =>
       val reps = acc(lbl)
       s""""$lbl":{"sec":${jnum(reps.min)},""" +
         s""""reps":${reps.map(jnum).mkString("[", ",", "]")},""" +
@@ -145,9 +176,9 @@ object IvfPqSweep {
       s""""recall_l2_queries":100,$fields}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_OUT", "IVFPQAB.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
-    points.foreach { case (lbl, _, _, _) =>
+    allLabels.foreach { lbl =>
       System.err.println(
-        f"[ivfpq] $lbl%-12s min ${acc(lbl).min}%.3f s  recall@5 " +
+        f"[ivfpq] $lbl%-16s min ${acc(lbl).min}%.3f s  recall@5 " +
           f"${recall(lbl)}%.3f  recall_l2@20 ${recallL2(lbl)}%.3f")
     }
     System.err.println(s"[ivfpq] wrote $path")
