@@ -230,8 +230,8 @@ object TpchQueries extends QueryPack {
     * ANY SF (prices are bounded per part, not by data size), so a group
     * needs ≥ 2×10^8 rows before max·n reaches 2^62 — per-order (q3)
     * and per-customer (q10) groups sit orders of magnitude under that
-    * at 100 TB; global sums (q6/q14/q19) and per-nation groups (q5)
-    * cross it around sf ≈ 3×10^3, where the guard refuses loudly and
+    * at 100 TB; global sums (q6/q14/q19) and per-nation/region groups
+    * (q5/q7) cross it around sf ≈ 3×10^3, where the guard refuses loudly and
     * the decimal [[OracleSafe.moneySum]] fallback applies (the q1
     * trade, enforced per group at runtime, not assumed). */
   private def quantRevenueAgg(e: org.apache.spark.sql.Column)
@@ -479,7 +479,7 @@ object TpchQueries extends QueryPack {
         .select(col("n_nationkey").as("s_nk"), col("n_regionkey").as("supp_region"))
       val n2 = Tables.nation(s, d)
         .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("cust_region"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey")) // SF-scaled: AQE decides
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
@@ -489,8 +489,8 @@ object TpchQueries extends QueryPack {
                 col("supp_region") =!= col("cust_region"))
         .groupBy(col("supp_region"), col("cust_region"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .as("revenue"))
+        .agg(quantRevenueAgg(revExpr).head, quantRevenueAgg(revExpr).tail: _*)
+      quantRevenueGuard(agg, "q7_nation_volume")
         .orderBy("supp_region", "cust_region", "l_year")
     }),
 
@@ -899,7 +899,7 @@ object TpchQueries extends QueryPack {
     "q7_nation_volume" ->
       """SELECT n1.n_regionkey AS supp_region, n2.n_regionkey AS cust_region,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
          FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
            JOIN supplier ON l_suppkey = s_suppkey
