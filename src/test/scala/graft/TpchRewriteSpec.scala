@@ -378,6 +378,28 @@ class TpchRewriteSpec extends GraftSuite
       s"expected the grouped refusal, got: ${messageChain(e)}")
   }
 
+  test("quantized guards survive column pruning in the optimized plan") {
+    // The guard is attached per quantized output column precisely
+    // because Catalyst prunes unreferenced project expressions — this
+    // pins that a caller selecting ANY single quantized column still
+    // carries a RaiseError in the optimized plan (a future refactor
+    // back to a single designated guard column would fail here).
+    def pruned(name: String, keep: String) = TpchQueries
+      .queries(name)(spark, sf).select(keep)
+      .queryExecution.optimizedPlan.toString
+    assert(pruned("q1_pricing_summary", "sum_charge").contains("raise_error"))
+    assert(pruned("q1_pricing_summary", "avg_disc").contains("raise_error"))
+    assert(pruned("q3_shipping_priority", "revenue").contains("raise_error"))
+    assert(pruned("q6_forecast_revenue", "revenue").contains("raise_error"))
+    assert(pruned("q14_promo_effect", "promo_revenue_pct")
+      .contains("raise_error"))
+    // and the inverse documents the DESIGN: a projection of only
+    // unguarded columns (exact counts) legitimately prunes the guard —
+    // those values cannot be wrong, so nothing needs refusing
+    assert(!pruned("q1_pricing_summary", "count_order")
+      .contains("raise_error"))
+  }
+
   test("q1 quantized form stays falsifiable against the decimal policy") {
     // The ORACLE text carries the identical quantized expressions (both
     // sides co-vary), so the independent semantic check is here: on real
