@@ -31,6 +31,8 @@ object ScaleGuard {
     * always executes — so the guard survives any downstream column
     * subset, including a bare count. */
   def maxRowsDeferred(df: DataFrame, maxRows: Long, msg: String): DataFrame = {
+    require(!df.columns.contains("_sg_n"),
+      "maxRowsDeferred reserves the column name _sg_n")
     val n = df.agg(count(lit(1)).as("_sg_n"))
     df.crossJoin(broadcast(n))
       .filter(when(col("_sg_n") <= lit(maxRows), lit(true))
