@@ -262,16 +262,28 @@ object TpchQueries extends QueryPack {
   /** Q1 body over a supplied lineitem relation — the flagship pricing
     * summary on the LONG-QUANTIZED exact-sum fast path (see the keep-note
     * on the `queries` entry), GUARDED against silent 2^63 wrap: the same
-    * aggregation also computes per-group `count` and `max|charge units|`
-    * (charge carries the largest scale, 10^6, so its units dominate every
-    * other quantized column's by ≥100×), and the projection refuses
-    * loudly via [[OracleSafe.quantGuarded]] when `max|units| · rows`
-    * reaches 2^62 — at sf0.1 the headroom is ~230×; a ~sf25+ run throws
-    * and falls back to [[q1Decimal]] instead of returning wrapped sums. */
+    * aggregation also computes per-group `count` and the max unit
+    * magnitude over ALL FOUR quantized expressions (charge dominates by
+    * ≥100× on any data where (1−disc)·(1+tax) ≥ 10⁻⁴ — true for every
+    * TPC-H-shaped row — but quantity/discount quantize INDEPENDENT
+    * magnitudes, so the guard takes the greatest rather than assume
+    * the dominance), and the projection refuses loudly via
+    * [[OracleSafe.quantGuarded]] when `max|units| · rows` reaches 2^62
+    * — at sf0.1 the headroom is ~230×; a ~sf25+ run throws and falls
+    * back to [[q1Decimal]] instead of returning wrapped sums. */
   def q1Body(li: DataFrame): DataFrame = {
     def uSum(c: org.apache.spark.sql.Column, s10: Double) = quantSum(c, s10)
     val charge = col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
       (lit(1.0) + col("l_tax"))
+    // disc_price (scale 1e4) is omitted: charge = disc_price·(1+tax)·100
+    // dominates it 100× whenever tax ≥ 0 (a TPC-H schema invariant the
+    // other dominances are NOT — qty/disc/base-price magnitudes are
+    // independent of charge's, hence the explicit greatest)
+    val maxUnitMag = greatest(
+      abs(units(charge, 1e6)),
+      abs(units(col("l_extendedprice"), 1e2)),
+      abs(units(col("l_quantity"), 1e2)),
+      abs(units(col("l_discount"), 1e2)))
     // EVERY quantized output column carries the guard (not just one):
     // Catalyst prunes unreferenced project expressions, so a guard
     // attached only to an unconsumed column would vanish with it —
@@ -292,7 +304,7 @@ object TpchQueries extends QueryPack {
         (uSum(col("l_extendedprice"), 1e2) / count(lit(1))).as("avg_price"),
         (uSum(col("l_discount"), 1e2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"),
-        max(abs(units(charge, 1e6))).as("_q1_max_units"))
+        max(maxUnitMag).as("_q1_max_units"))
       .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
         g("sum_base_price"), g("sum_disc_price"), g("sum_charge"),
         g("avg_qty"), g("avg_price"), g("avg_disc"), col("count_order"))

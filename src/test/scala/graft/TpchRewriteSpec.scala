@@ -272,12 +272,14 @@ class TpchRewriteSpec extends GraftSuite
       r.getAs[Long]("numwait"))) === Seq(("S#1", 2L)))
   }
 
-  /** A lineitem frame with q1's exact column surface and a controllable
-    * price magnitude — built on the DEDICATED session (s2) so the ANSI
-    * toggle below cannot leak into concurrently-running suites. */
-  private def q1Fixture(price: Double, rows: Int): DataFrame = {
+  /** A lineitem frame with q1's exact column surface and controllable
+    * price/quantity magnitudes — built on the DEDICATED session (s2) so
+    * the ANSI toggle below cannot leak into concurrently-running
+    * suites. */
+  private def q1Fixture(price: Double, rows: Int,
+      qty: Double = 1.0): DataFrame = {
     import s2.implicits._
-    (1 to rows).map(_ => (1.0, price, 0.0, 0.05, "N", "O"))
+    (1 to rows).map(_ => (qty, price, 0.0, 0.05, "N", "O"))
       .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus")
       .withColumn("l_shipdate", to_timestamp(lit("1997-01-01 00:00:00")))
@@ -313,6 +315,16 @@ class TpchRewriteSpec extends GraftSuite
       assert(messageChain(e2).contains("long-quantized sum overflow risk"),
         s"expected the quantGuarded refusal, got: ${messageChain(e2)}")
     } finally s2.conf.unset("spark.sql.ansi.enabled")
+
+    // The guard carrier is the GREATEST unit magnitude across the
+    // quantized expressions, not charge alone: a huge QUANTITY with a
+    // tiny price (charge units ~1e6, qty units 5e18) must refuse too —
+    // qty/disc magnitudes are independent of charge's.
+    val eq = intercept[Exception] {
+      Force.run(TpchQueries.q1Body(q1Fixture(1.0, rows = 1, qty = 5.0e16)))
+    }
+    assert(messageChain(eq).contains("long-quantized sum overflow risk"),
+      s"expected the qty-magnitude refusal, got: ${messageChain(eq)}")
 
     // Well inside the bound: passes through untouched, guard column gone.
     val ok = TpchQueries.q1Body(q1Fixture(1000.0, rows = 3)).collect()
