@@ -189,7 +189,17 @@ object RewriteAb {
           () => { Force.run(spark.sql(graft.queries.TpchQueries.q17Sql)); () }),
         ("q21",
           () => { Force.run(SparkEntry.queries("q21_suppliers_waiting")(spark, dir)); () },
-          () => { Force.run(spark.sql(graft.queries.TpchQueries.q21Sql)); () }))
+          () => { Force.run(spark.sql(graft.queries.TpchQueries.q21Sql)); () }),
+        // q15 single-scan rewrite (round 17): aggregate-once + pinned
+        // per-supplier frame + broadcast max vs the literal CTE text,
+        // whose plan re-executes the fact aggregation under the
+        // scalar-max subquery. The rewrite pins — release after.
+        ("q15",
+          () => {
+            Force.run(SparkEntry.queries("q15_top_supplier")(spark, dir))
+            graft.ops.Pipeline.releaseCaches()
+          },
+          () => { Force.run(spark.sql(graft.queries.TpchQueries.q15Sql)); () }))
       // dd16 probe (round 15): single-sort ranged variant vs the
       // two-phase globalPosition catalog implementation. "rewrite" =
       // the probe, "literal" = the catalog entry (the q20 convention).

@@ -54,6 +54,21 @@ object TpchQueries extends QueryPack {
     "q11_important_stock" -> q11Raw, "q16_supplier_count" -> q16Raw,
     "q20_part_promotion" -> q20Raw)
 
+  /** Q15's literal CTE + scalar-max text — the ORACLE form and the
+    * RewriteAb literal side (quantized revenue, the q1 convention). */
+  val q15Sql: String =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+
   lazy val q2Sql: String = withPartsupp(q2Raw)
   lazy val q9Sql: String = withPartsupp(q9Raw)
   lazy val q11Sql: String = withPartsupp(q11Raw)
@@ -518,23 +533,39 @@ object TpchQueries extends QueryPack {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
-    // Q15-shape — top supplier via CTE + scalar-max subquery; decimal
-    // revenue makes the max-equality join exact.
+    // Q15-shape — top supplier via CTE + scalar-max subquery. The
+    // oracle keeps the literal CTE text; Spark's plan for that text
+    // executes the revenue CTE TWICE (the FROM leg and the scalar-max
+    // leg each re-aggregate the full fact scan — plan-verified, the
+    // q2/q18 single-scan class). The Spark path aggregates ONCE into
+    // the per-supplier frame (|suppliers| rows — persistable at any
+    // SF), pins it (both the max and the equality probe consume it —
+    // the union-branch no-reuse rule), takes the 1-row max as a
+    // broadcast, and filters by exact equality: revenue is the
+    // long-quantized sum (guarded), so equal longs → equal doubles on
+    // both engines and the max-equality join is exact, as the decimal
+    // form was. One fact scan, one suppkey shuffle.
     "q15_top_supplier" -> ((s, d) => {
-      Tables.registerAll(s, d)
-      s.sql("""WITH revenue AS (
-                 SELECT l_suppkey AS supplier_no,
-                   sum(CAST(l_extendedprice * (1.0 - l_discount)
-                     AS DECIMAL(18,4))) AS total_revenue
-                 FROM lineitem
-                 WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
-                   AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
-                 GROUP BY l_suppkey)
-               SELECT s_suppkey, s_name,
-                 CAST(total_revenue AS DOUBLE) AS total_revenue
-               FROM supplier JOIN revenue ON s_suppkey = supplier_no
-               WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-               ORDER BY s_suppkey""")
+      val rev0 = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(quantSum(revExpr, 1e4).as("total_revenue"),
+          max(abs(units(revExpr, 1e4))).as("_mu"),
+          count(lit(1)).as("_n"))
+      val rev = rev0.withColumn("total_revenue",
+          quantGuarded(col("total_revenue"), col("_mu"), col("_n"),
+            "double", "q15_top_supplier"))
+        .drop("_mu", "_n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Pipeline.pinned.add(rev)
+      val mx = broadcast(rev.agg(max(col("total_revenue")).as("_mx")))
+      rev.crossJoin(mx)
+        .filter(col("total_revenue") === col("_mx"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("supplier_no") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     }),
 
     // Q18-shape — large-volume customers: IN over a group-having subquery.
@@ -928,20 +959,7 @@ object TpchQueries extends QueryPack {
            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey)
          GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
-    "q15_top_supplier" ->
-      """WITH revenue AS (
-           SELECT l_suppkey AS supplier_no,
-             sum(CAST(l_extendedprice * (1.0 - l_discount)
-               AS DECIMAL(18,4))) AS total_revenue
-           FROM lineitem
-           WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
-             AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
-           GROUP BY l_suppkey)
-         SELECT s_suppkey, s_name,
-           CAST(total_revenue AS DOUBLE) AS total_revenue
-         FROM supplier JOIN revenue ON s_suppkey = supplier_no
-         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-         ORDER BY s_suppkey""",
+    "q15_top_supplier" -> q15Sql,
     "q18_large_volume" ->
       """SELECT c_custkey, o_orderkey, o_totalprice,
            sum(l_quantity) AS total_qty

@@ -162,7 +162,14 @@ class TpchRewriteSpec extends GraftSuite
       (105L, 9L, 2L, 3, 1.0, 1.0, "1996-01-10 00:00:00"),
       (106L, 9L, 2L, 1, 1.0, 1.0, "1996-06-01 00:00:00"),
       (106L, 9L, 4L, 2, 1.0, 1.0, "1996-06-01 00:00:00"),
-      (107L, 9L, 4L, 1, 1.0, 1.0, "1996-06-01 00:00:00"))
+      (107L, 9L, 4L, 1, 1.0, 1.0, "1996-06-01 00:00:00"),
+      // q15 (ship dates inside [1999-01-01, 1999-04-01) — OUTSIDE every
+      // other test's window): s1 and s2 TIED at the max revenue 100.0
+      // (both must survive the max-equality), s4 below at 50.0.
+      (300L, 9L, 1L, 1, 1.0, 60.0, "1999-02-01 00:00:00"),
+      (300L, 9L, 1L, 2, 1.0, 40.0, "1999-02-01 00:00:00"),
+      (300L, 9L, 2L, 3, 1.0, 100.0, "1999-02-01 00:00:00"),
+      (300L, 9L, 4L, 4, 1.0, 50.0, "1999-02-01 00:00:00"))
     li.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_shipdate_s")
       .withColumn("l_discount", lit(0.0))
@@ -388,6 +395,18 @@ class TpchRewriteSpec extends GraftSuite
     }
     assert(messageChain(e).contains("long-quantized sum overflow risk"),
       s"expected the grouped refusal, got: ${messageChain(e)}")
+  }
+
+  test("q15 single-scan rewrite == literal CTE/scalar-max SQL on a max tie") {
+    // s1 reaches the max 100.0 across TWO lines (60+40 — the quantized
+    // sum must aggregate before comparing), s2 ties it on one line;
+    // both must survive the max-equality; s4 (50.0) must not.
+    val rewrite = rowsOf(TpchQueries.queries("q15_top_supplier")(s2, dir))
+    val literal = rowsOf(literalSql("q15_top_supplier"))
+    graft.ops.Pipeline.releaseCaches()
+    assert(rewrite === literal)
+    assert(rewrite.map(r => (r.getAs[Long]("s_suppkey"),
+      r.getAs[Double]("total_revenue"))) === Seq((1L, 100.0), (2L, 100.0)))
   }
 
   test("quantized guards survive column pruning in the optimized plan") {
