@@ -89,10 +89,17 @@ object OracleSafe {
     * `maxUnits`/`rows` come from the same aggregation as the sums
     * (`max(abs(units(...)))`, `count(*)`) so the guard adds two cheap
     * agg buffers and zero extra passes; a quantizing cast that
-    * saturated at Long.MaxValue trips the bound too. */
+    * saturated at Long.MaxValue trips the bound too.
+    * Empty input is in-bound by definition: a global aggregate over
+    * zero rows has `max(abs(units))` NULL (and rows 0), the sums are
+    * NULL, and no wrap is possible — without the explicit NULL/zero
+    * arm the when-predicate would evaluate NULL and fall through to
+    * raise_error, a spurious refusal on a legitimate empty filter
+    * match (e.g. q19's narrow brand/size predicates at small SF). */
   def quantGuarded(through: Column, maxUnits: Column, rows: Column,
       dtype: String, query: String): Column =
-    when(maxUnits.cast("double") * rows.cast("double") < lit(quantBound),
+    when(rows === lit(0L) || maxUnits.isNull ||
+        maxUnits.cast("double") * rows.cast("double") < lit(quantBound),
       through)
     .otherwise(raise_error(concat(
       lit(s"$query: long-quantized sum overflow risk - max|units| "),

@@ -341,6 +341,31 @@ class TpchRewriteSpec extends GraftSuite
     assert(math.abs(ok.head.getAs[Double]("sum_charge") - 3150.0) < 1e-9)
   }
 
+  test("quantGuarded treats an EMPTY global aggregate as in-bound") {
+    // A global .agg over zero matching rows still emits one row:
+    // count 0, max(abs(units)) NULL, sum NULL. No wrap is possible on
+    // zero rows, so the guard must pass the NULL sum through — before
+    // the explicit NULL/zero arm, the predicate (NULL·0 < bound)
+    // evaluated NULL and fell through to raise_error, a spurious
+    // refusal on a legitimate empty filter match (q19's narrow
+    // brand/size predicates can match nothing at small SF) while the
+    // DuckDB oracle returns the NULL-revenue row.
+    import graft.queries.OracleSafe._
+    val empty = q1Fixture(1000.0, rows = 3)
+      .filter(col("l_quantity") < 0.0) // matches nothing
+    val e = col("l_extendedprice") * col("l_discount")
+    val out = empty
+      .agg(quantSum(e, 1e4).as("revenue"), count(lit(1)).as("n_rows"),
+        max(abs(units(e, 1e4))).as("_mu"))
+      .withColumn("revenue", quantGuarded(col("revenue"), col("_mu"),
+        col("n_rows"), "double", "empty_pin"))
+      .drop("_mu")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("revenue")))
+    assert(out.head.getAs[Long]("n_rows") === 0L)
+  }
+
   test("headline quantized revenue sums agree with the decimal policy") {
     // Round-17 rollout of the q1 technique to q3/q5/q6/q10/q14/q19:
     // their oracle texts now carry the identical quantized expressions
