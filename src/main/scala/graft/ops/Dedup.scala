@@ -453,7 +453,7 @@ object Dedup {
         charNgramsSorted(text, n).as("g"))
       .withColumn("gsz", size(col("g")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pipeline.pinned.add(grams) // released with the two-phase caches
+    Pipeline.pin(grams) // released with the two-phase caches
     cand
       .join(grams.select(col("g_id").as("id_l"), col("g").as("g_l"),
         col("gsz").as("sz_l")), "id_l")
@@ -542,7 +542,7 @@ object Dedup {
         s"${window - 1} rows (got ${sizes.map(_._2).min} min over " +
         s"${sizes.length} slices, contiguous=$contiguous); use " +
         "sortedNeighborhoodPairs for corpora this small or skewed")
-    Pipeline.pinned.add(ranged)
+    Pipeline.pin(ranged)
     val w = window // avoid capturing `this` in the task closure
     // (kind, a, b, pid): P = candidate pair (a=id_l, b=id_r);
     // T = tail-strip row (a=id, b=rows-from-slice-end, 0-based);
@@ -887,8 +887,8 @@ object Dedup {
     // pinned → released by Pipeline.releaseCaches after the consuming
     // action, so repeated per-batch ingest calls (and the multi-hundred-
     // query verify session) don't accumulate cache entries for the session
-    Pipeline.pinned.add(ex)
-    Pipeline.pinned.add(in)
+    Pipeline.pin(ex)
+    Pipeline.pin(in)
     val cand = in.select(col("in_id"), explode(col("in_bkeys")).as("bkey"))
       .join(ex.select(col("ex_id"), explode(col("ex_bkeys")).as("bkey")),
         "bkey")
@@ -1065,12 +1065,12 @@ object Dedup {
     // pair generators (trigram Jaccard, containment) — unpinned, those
     // re-ran up to 3× (the honest Force-timed dd23 read 18.1 s at sf0.1;
     // the same union-branch no-reuse class as funnel/lorenzCurve,
-    // round-16 review). Pinned via Pipeline.pinned, harness-released.
+    // round-16 review). Pinned via Pipeline.pin (caller-scoped), harness-released.
     val tagged = signals.map { case (name, df) =>
       df.select(lit(name).as("sig"), col("id_a"), col("id_b")).distinct()
     }.reduce(_.unionByName(_))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pipeline.pinned.add(tagged)
+    Pipeline.pin(tagged)
     val sizes = tagged.groupBy("sig").agg(count(lit(1)).as("n"))
     val names = signals.map(_._1).toDF("sig")
     val common = tagged.alias("x")

@@ -68,11 +68,11 @@ object EventAnalytics {
         // verified: 1 of 22 exchanges reused — AQE re-plans each branch)
         // — so without the pin stage i's filter+agg re-ran once per later
         // stage, O(k²) scans of the event log for a k-step funnel
-        // (round-16 review). Pinned via Pipeline.pinned; released by the
+        // (round-16 review). Pinned via Pipeline.pin (caller-scoped); released by the
         // harness (or the library caller) after the consuming action.
         val completed = reached.groupBy("u").agg(min(col("t")).as("t"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Pipeline.pinned.add(completed)
+        Pipeline.pin(completed)
         acc :+ completed
       }
     val counts = completions.zipWithIndex.map { case (df, i) =>
@@ -608,12 +608,12 @@ object EventAnalytics {
     // runningTotal (whose offset jobs run as SEPARATE actions — no
     // exchange reuse across job boundaries) AND the grand-total branch,
     // so without the pin the event corpus was scanned and user-shuffled
-    // three times (round-16 review). Pinned via Pipeline.pinned, the
+    // three times (round-16 review). Pinned via Pipeline.pin (caller-scoped), the
     // same release contract as the prefix sums it feeds.
     val per = events.groupBy(col(userCol))
       .agg(count(lit(1)).as("n_events"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pipeline.pinned.add(per)
+    Pipeline.pin(per)
     val order = Seq(col("n_events").desc, col(userCol).asc)
     val ranked = Pipeline.globalPosition(per, "rank", order: _*)
       .select(col(userCol), col("rank"))

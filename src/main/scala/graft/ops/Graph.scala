@@ -448,7 +448,7 @@ object Graph {
     // so without the pin the canonical `distinct` shuffle re-ran k+1
     // times over the full edge list (round-16 review — pageRank and
     // labelPropagation already persisted theirs). Pinned via
-    // Pipeline.pinned because the returned frame still reads it at the
+    // Pipeline.pin because the returned frame still reads it at the
     // CALLER's action time (the pageRank-style unpersist-after-loop only
     // works when the result was eagerly checkpointed); the harness —
     // and, per the documented contract, library callers — release via
@@ -456,7 +456,7 @@ object Graph {
     val adj = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
       .unionAll(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pipeline.pinned.add(adj)
+    Pipeline.pin(adj)
     var reach = adj
     var frontier = adj
     (2 to k).foreach { _ =>

@@ -547,7 +547,7 @@ object Multimodal {
     // persist: both sides of the chunk-bucket self-join derive from this
     // frame — without the pin the mapPartitions decode+aHash pass (and
     // the lag window) would execute twice, a double full decode of the
-    // video corpus. Pinned via Pipeline.pinned; the caller (harness OR
+    // video corpus. Pinned via Pipeline.pin (caller-scoped); the caller (harness OR
     // direct library user) must invoke Pipeline.releaseCaches() after
     // the action consuming the result, else the persisted keyframe frame
     // leaks for the session (see the releaseCaches caller contract).
@@ -558,7 +558,7 @@ object Multimodal {
           .cast("int") >= cutThreshold)
       .select("media_id", "frame_idx", "ahash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pipeline.pinned.add(keyframes)
+    Pipeline.pin(keyframes)
     val chunks = array((0 until 4).map(c =>
       shiftright(col("ahash"), c * 16).bitwiseAND(lit(0xffffL))): _*)
     val buckets = keyframes.select(col("media_id"), col("frame_idx"),

@@ -10,26 +10,69 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Frames persisted mid-operator and released by [[releaseCaches]] —
-    * the shared release point for every graft operator that must pin an
-    * intermediate: the two-phase prefix sums here, sibling two-phase
-    * operators (e.g. [[Relational.skyline2D]]), and
-    * [[Multimodal.keyframeNearDups]]'s decoded-keyframe frame (both
-    * sides of its chunk-bucket self-join derive from it). Package-private
-    * to `graft` so those operators enqueue into the one queue. */
-  private[graft] val pinned =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** A pin scope: frames persisted mid-operator land in exactly one
+    * scope, and only that scope's [[release]] unpersists them. Scoping
+    * (round-18, closing the round-17 concurrency caveat) is what makes
+    * pinning safe under concurrent callers in one JVM: each caller
+    * wraps its operator calls in [[Pipeline.withScope]] and releases its
+    * own token — a global release point can no longer unpersist frames
+    * another thread's in-flight operator just pinned (which forced a
+    * recompute whose re-derived prefix-sum partition boundaries are not
+    * guaranteed to match already-collected offsets). */
+  final class PinScope {
+    private val frames =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private[graft] def add(df: DataFrame): Unit = frames.add(df)
+    def isEmpty: Boolean = frames.isEmpty
+    /** Unpersist every frame pinned into THIS scope. Call AFTER the
+      * action(s) consuming their results — a further action on an
+      * already-returned frame would re-run the pinned stage (see the
+      * recompute hazard above). */
+    def release(): Unit = {
+      var df = frames.poll()
+      while (df != null) {
+        df.unpersist(blocking = false)
+        df = frames.poll()
+      }
+    }
+  }
 
-  /** Unpersist every frame pinned through [[pinned]] (the prefix-sum
-    * operators, skyline, multimodal keyframes). Call AFTER the action(s)
-    * consuming their results — a further action on an already-returned
-    * frame would re-run the pinned stage, and e.g. recomputed prefix-sum
-    * partition boundaries are not guaranteed to match the broadcast
-    * offsets (that re-computation hazard is exactly why the frame is
-    * pinned in the first place).
+  /** The default scope: callers that never opt into [[withScope]] pin
+    * here and release through the classic [[releaseCaches]] — the
+    * single-harness behavior, unchanged. */
+  private[graft] val defaultScope = new PinScope
+
+  /** Back-compat alias for specs/tools that inspect the default queue. */
+  private[graft] def pinned: PinScope = defaultScope
+
+  /** The scope pins currently route to. DynamicVariable rides an
+    * InheritableThreadLocal, so the binding holds across the operator
+    * call stack on the caller's thread (where graft operators persist
+    * and pin — all pinning happens at plan-construction/collect time on
+    * the driver) and is inherited by threads SPAWNED inside the scope;
+    * unrelated threads keep the default scope. */
+  private val currentScope =
+    new scala.util.DynamicVariable[PinScope](defaultScope)
+
+  /** Pin `df` into the caller's current scope (the operator-side entry
+    * point — every graft operator that persists an intermediate calls
+    * this instead of touching a queue directly). */
+  private[graft] def pin(df: DataFrame): Unit = currentScope.value.add(df)
+
+  /** Run `body` with all graft pins routed to `scope`. The caller owns
+    * the token: release it with `scope.release()` AFTER the actions
+    * consuming the returned frames (NOT inside this block — results are
+    * usually consumed later). Reentrant; nested scopes shadow outer
+    * ones on the same thread. */
+  def withScope[T](scope: PinScope)(body: => T): T =
+    currentScope.withValue(scope)(body)
+
+  /** Unpersist every frame pinned into the DEFAULT scope (the prefix-sum
+    * operators, skyline, multimodal keyframes, … when called without
+    * [[withScope]]). Call AFTER the action(s) consuming their results.
     *
     * CALLER CONTRACT for direct library use: a session that invokes a
-    * pinning operator and never calls this leaks one persisted frame per
+    * pinning operator and never releases leaks one persisted frame per
     * call (Spark's LRU bounds the memory, but disk blocks and
     * cache-manager entries persist for the session). The harness loops
     * (graft.Verify, graft.Bench, graft.ScaleCurve) call it between
@@ -37,22 +80,11 @@ object Pipeline {
     * entries; long-lived library callers should do the same after each
     * consuming action.
     *
-    * CONCURRENCY CAVEAT: the queue is GLOBAL, not scoped to the frame a
-    * call returned — releaseCaches() from one thread unpersists frames
-    * another thread's in-flight operator just pinned (its job still
-    * completes, Spark recomputes evicted blocks, but the recomputation
-    * re-runs the pinned stage and, for prefix sums, re-derived partition
-    * boundaries are not guaranteed to match the already-collected
-    * offsets). Concurrent pipelines in one JVM should either serialize
-    * release points or unpersist the returned frames themselves instead
-    * of calling this. */
-  def releaseCaches(): Unit = {
-    var df = pinned.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = pinned.poll()
-    }
-  }
+    * CONCURRENCY: this releases ONLY the default scope. Concurrent
+    * pipelines in one JVM isolate themselves with [[withScope]] — their
+    * pins are untouchable from here — rather than serializing release
+    * points (the round-17 workaround this replaces). */
+  def releaseCaches(): Unit = defaultScope.release()
 
   /** Stratified sample: per-stratum Bernoulli fractions, seeded. The
     * standard class-balancing primitive (e.g., downsample over-represented
@@ -173,7 +205,7 @@ object Pipeline {
       .withColumn("_pid", spark_partition_id())
       .withColumn("_prs", perRow.cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pinned.add(ranged)
+    pin(ranged)
     var acc = 0L
     val offsets: Map[Int, Long] = ranged
       .groupBy(col("_pid"))

@@ -207,7 +207,7 @@ object Relational {
     val ranged = pts.repartitionByRange(parts, col("x"), col("y"))
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pipeline.pinned.add(ranged)
+    Pipeline.pin(ranged)
     val mins = ranged.groupBy(col("_pid"))
       .agg(min(col("y").cast("double")).as("_min_y"))
       .collect()

@@ -545,6 +545,13 @@ object TpchQueries extends QueryPack {
     // long-quantized sum (guarded), so equal longs → equal doubles on
     // both engines and the max-equality join is exact, as the decimal
     // form was. One fact scan, one suppkey shuffle.
+    // CONSTRUCTION-TIME SIDE EFFECT: the persist+pin below runs when
+    // this entry BUILDS its plan (no job — persist is lazy — but one
+    // pinned cache-manager entry per construction). A loop that
+    // constructs per rep (explain sweeps, bench harnesses) must release
+    // between constructions — RewriteAb and the Bench/Verify loops do;
+    // dev mains follow the same rule (DevQ15). Callers needing isolation
+    // from OTHER threads' release points wrap in Pipeline.withScope.
     "q15_top_supplier" -> ((s, d) => {
       val rev0 = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
@@ -558,7 +565,7 @@ object TpchQueries extends QueryPack {
             "double", "q15_top_supplier"))
         .drop("_mu", "_n")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.ops.Pipeline.pinned.add(rev)
+      graft.ops.Pipeline.pin(rev)
       val mx = broadcast(rev.agg(max(col("total_revenue")).as("_mx")))
       rev.crossJoin(mx)
         .filter(col("total_revenue") === col("_mx"))

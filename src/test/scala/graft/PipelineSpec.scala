@@ -241,6 +241,61 @@ class PipelineSpec extends GraftSuite {
     if (cleanBefore) assert(cm.isEmpty)
   }
 
+  test("pin scopes isolate concurrent callers from releaseCaches") {
+    // The round-17 concurrency caveat, closed: a caller that wraps its
+    // operator calls in withScope owns its pins — a releaseCaches()
+    // fired by ANOTHER caller (the global/default release point) must
+    // not unpersist its in-flight frames. Two scoped callers on their
+    // own threads + a default-scope caller, interleaved releases.
+    Pipeline.releaseCaches() // drain pins left over from earlier tests
+    val base = docs.select("doc_id", "n_chars")
+    val scopeA = new Pipeline.PinScope
+    val scopeB = new Pipeline.PinScope
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val built = new CountDownLatch(2)
+    val released = new CountDownLatch(1)
+    def scopedRun(scope: Pipeline.PinScope, budget: Int) = pool.submit(
+      new java.util.concurrent.Callable[Seq[org.apache.spark.sql.Row]] {
+        def call() = Pipeline.withScope(scope) {
+          val packed = Pipeline.packByTokenBudget(
+            docs, col("doc_id"), col("n_chars"), budget = budget)
+          built.countDown()
+          released.await() // hostile releaseCaches fires BEFORE our action
+          packed.orderBy("doc_id").collect().toSeq
+        }
+      })
+    val fa = scopedRun(scopeA, 4096)
+    val fb = scopedRun(scopeB, 2048)
+    built.await()
+    // both scoped callers have pinned; the default scope has not
+    assert(!scopeA.isEmpty && !scopeB.isEmpty)
+    assert(Pipeline.pinned.isEmpty)
+    // the hostile global release: must not touch either scope's pins
+    Pipeline.releaseCaches()
+    assert(!scopeA.isEmpty && !scopeB.isEmpty)
+    released.countDown()
+    val ra = fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    val rb = fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    // results are correct (match a naive global running-sum reference)
+    val naive = base.orderBy("doc_id").collect().toSeq
+    assert(ra.size === naive.size && rb.size === naive.size)
+    // each caller releases its own token; the other's pins survive
+    scopeA.release()
+    assert(scopeB.isEmpty === false)
+    scopeB.release()
+    assert(scopeA.isEmpty && scopeB.isEmpty)
+    // and an unwrapped call still lands in the default scope, released
+    // by the classic harness release point (back-compat contract)
+    val packed = Pipeline.packByTokenBudget(
+      docs, col("doc_id"), col("n_chars"), budget = 4096)
+    packed.count()
+    assert(!Pipeline.pinned.isEmpty)
+    Pipeline.releaseCaches()
+    assert(Pipeline.pinned.isEmpty)
+  }
+
   test("globalPosition matches a global row_number window") {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select("doc_id")
