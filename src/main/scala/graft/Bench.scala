@@ -408,6 +408,52 @@ object Bench {
     // the artifact): a rep-2-style stall cluster (r10 saw dd16 39.1 s in
     // one rep) is then attributable from the JSON alone — fat gc_ms on
     // the blown rep says heap churn, flat gc_ms says external stall.
+    // --- ss20 train/serve split (round 18) -------------------------------
+    // The old ss20_ivfpq_topk llm row bundled PQ codebook TRAINING
+    // (k-means — once-per-corpus at 100 TB) with query SERVING, so the
+    // per-query figure misstated the serve cost and the training job was
+    // the stall source in two consecutive gated captures. Split: the
+    // model is trained ONCE into its own pin scope (which the per-rep
+    // releaseCaches cannot touch — the scoped-pinning contract), serve
+    // reps probe the pinned code frame, and training cost is its own
+    // gated section (`ss20_train`: reps + min + gc + stall sentinel,
+    // fresh scope per rep released outside the timed window).
+    // `ss20_ivfpq_topk` (the composed one-call form) stays the
+    // oracle-checked catalog entry; it is not re-timed here.
+    val ss20Scope = new graft.ops.Pipeline.PinScope
+    var ss20Model: Option[graft.ops.Similarity.IvfPqModel] = None
+    def ss20Train(): graft.ops.Similarity.IvfPqModel =
+      graft.ops.Similarity.ivfPqTrain(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        dim = 64, numCoarse = 8, m = 8, codebookSize = 16, updates = 1)
+    def ss20Trained(): graft.ops.Similarity.IvfPqModel =
+      ss20Model.getOrElse {
+        val mdl = graft.ops.Pipeline.withScope(ss20Scope)(ss20Train())
+        Force.run(mdl.encoded) // materialize the code frame train-side
+        ss20Model = Some(mdl)
+        mdl
+      }
+    def ss20ServePlan(): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(spark, sfDir)
+      graft.ops.Similarity.ivfPqServe(
+        emb.filter(col("vec_id") < 20), ss20Trained(),
+        "vec_id", "embedding", 5, nprobe = 2)
+    }
+    // One timed end-to-end training run: coarse collect + residual
+    // materialization + Lloyd rounds + encoded-frame materialization,
+    // pinned into a throwaway scope released AFTER the timed window.
+    def ss20TrainTimed(): (Double, Long) = {
+      val scope = new graft.ops.Pipeline.PinScope
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      val mdl = graft.ops.Pipeline.withScope(scope)(ss20Train())
+      Force.run(mdl.encoded)
+      val r = ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
+      scope.release()
+      r
+    }
+
     val llmRepsFull: Seq[(String, Seq[Double], Seq[Long])] = informational("llm") {
       if (sys.env.get("SPARK_GRAFT_BENCH_LLM").contains("0")) Nil
       else {
@@ -431,26 +477,40 @@ object Bench {
         // the crawl-admission flagship (all three ingest gates composed)
         "dd25_ingest_pipeline",
         // round-10 additions: span-level dedup, the source-cap/
-        // contribution-cap balancers, and the composed IVF-PQ index
-        // (its number includes codebook training — the honest cost of
-        // the deterministic oracle-checkable trainer)
+        // contribution-cap balancers, and the IVF-PQ SERVE row —
+        // round 18 split the old ss20_ivfpq_topk bundle: codebook
+        // training (once-per-corpus at 100 TB, and the stall source in
+        // the r16+r17 gated captures) is timed separately as
+        // `ss20_train`; this row is the per-query serve cost against
+        // the pinned trained model (scoped pins keep the model alive
+        // across the per-rep releaseCaches)
         "dd26_dup_spans", "pl29_source_caps", "ev26_contribution_cap",
-        "ss20_ivfpq_topk",
+        "ss20_serve",
         // round-17 addition: the scale-path signal-agreement matrix
         // (dd23's timed dual over bucketed signals — see the dd23 note)
         "dd27_lsh_signal_agreement")
+        // ss20_serve resolves through the shared model; every other row
+        // is its unmodified SparkEntry catalog entry
+        def llmPlan(q: String): DataFrame =
+          if (q == "ss20_serve") ss20ServePlan()
+          else SparkEntry.queries(q)(spark, sfDir)
         // warmup pass (plan + codegen for every query, so rep 1 of query
-        // 1 doesn't pay a JIT storm its neighbors skip)
+        // 1 doesn't pay a JIT storm its neighbors skip); ss20_serve's
+        // warmup also trains+pins the model it serves against
         suite.foreach { q =>
-          Force.run(SparkEntry.queries(q)(spark, sfDir))
+          Force.run(llmPlan(q))
           graft.ops.Pipeline.releaseCaches()
         }
         val acc = collection.mutable.Map(suite.map(_ -> Vector.empty[Double]): _*)
         val gcAcc = collection.mutable.Map(suite.map(_ -> Vector.empty[Long]): _*)
-        // same measurement as the rep loop: caches released AFTER the
-        // timed window, exactly like the in-loop reps
+        // same measurement as timedRun (shared gc/clock discipline),
+        // routed through llmPlan; caches released AFTER the timed
+        // window, exactly like the in-loop reps
         def llmRun(q: String): (Double, Long) = {
-          val r = timedRun(q)
+          val gc0 = gcMillis()
+          val t0 = System.nanoTime()
+          Force.run(llmPlan(q))
+          val r = ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
           graft.ops.Pipeline.releaseCaches()
           r
         }
@@ -468,6 +528,26 @@ object Bench {
         rows
       }
     }
+    // Gated training rows: same reps+min+gc+retry discipline as every
+    // timed section. Runs AFTER the llm sweep so its throwaway training
+    // scopes never interleave with serve reps; shares the llm kill
+    // switch (train and serve are the two halves of one split row).
+    val ss20TrainRaw: Seq[(String, Seq[Double], Seq[Long])] =
+      informational("ss20_train") {
+        if (sys.env.get("SPARK_GRAFT_BENCH_LLM").contains("0")) Nil
+        else {
+          ss20TrainTimed() // warmup (training-plan codegen)
+          val reps = (1 to 3).map(_ => ss20TrainTimed())
+          val rows0 = Seq(("ss20_train",
+            reps.map(_._1): Seq[Double], reps.map(_._2): Seq[Long]))
+          val (rows, prov) = retryFlagged("ss20_train", rows0,
+            _ => ss20TrainTimed(), retryBudget)
+          retryProv ++= prov
+          rows
+        }
+      }
+    // the serve model's pins are no longer needed once both halves ran
+    ss20Scope.release()
     val llmRepsRaw: Seq[(String, Seq[Double])] =
       llmRepsFull.map { case (q, reps, _) => (q, reps) }
     // Per-query MIN is the reported number (steady-state cost; immune to
@@ -759,6 +839,14 @@ object Bench {
       else s""","llm_total":${llmSuite.map(_._2).sum},"llm":${jsonMap(llmSuite)}""" +
         s""","llm_reps":${jsonRepMap(llmRepsRaw)}""" +
         s""","llm_gc_ms":${jsonGcMap(llmRepsFull.map { case (q, _, g) => (q, g) })}"""
+    val ss20TrainField =
+      if (ss20TrainRaw.isEmpty) ""
+      else {
+        val (_, reps, gcs) = ss20TrainRaw.head
+        s""","ss20_train_sec":${reps.min}""" +
+          s""","ss20_train_reps":${reps.map(r => f"$r%.4f").mkString("[", ",", "]")}""" +
+          s""","ss20_train_gc_ms":${gcs.mkString("[", ",", "]")}"""
+      }
     val skewField =
       if (skew.isEmpty) "" else s""","skew":${jsonMap(skew)}"""
     val psmatField =
@@ -787,7 +875,8 @@ object Bench {
     val allFlags =
       stallFlags("headline", timed) ++
       stallFlags("tpch22", tpch22Raw) ++
-      stallFlags("llm", llmRepsFull)
+      stallFlags("llm", llmRepsFull) ++
+      stallFlags("ss20_train", ss20TrainRaw)
     val retries = retryProv.result()
     val stallField =
       s""","stall_flag_count":${allFlags.size}""" +
@@ -809,7 +898,7 @@ object Bench {
     val slim =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":$sfField}"""
     val full =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$layoutTag$llmField$psmatField$skewField$layoutField$e2eField$stallField,"sf":$sfField,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":${jsonMap(results)},"queries_min":$minField,"reps":$repsField,"gc_ms":$gcField$tpch22Field$layoutTag$llmField$ss20TrainField$psmatField$skewField$layoutField$e2eField$stallField,"sf":$sfField,"sf_dir":"$sfDir"}"""
     println(slim)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     spark.stop()

@@ -853,11 +853,38 @@ object Similarity {
     (0 until m).map(j => trained(j).map(_._2))
   }
 
-  def ivfPqTopK(
-      queriesDf: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, topK: Int, dim: Int, numCoarse: Int = 8,
-      nprobe: Int = 2, m: Int = 8, codebookSize: Int = 16,
-      updates: Int = 1): DataFrame = {
+  /** A trained IVF-PQ index: the bounded driver state (coarse seeds +
+    * per-subspace codebooks) plus the PQ-encoded corpus
+    * (`vec_id, cid, _c0.._c{m-1}` — persisted and pinned into the
+    * caller's [[Pipeline]] scope; at cluster scale this frame is what
+    * [[writeIvfIndex]] lays down at rest, partitioned by cid).
+    * Train ONCE per corpus with [[ivfPqTrain]]; answer any number of
+    * query batches with [[ivfPqServe]] — the round-18 split that keeps
+    * the once-per-corpus k-means cost out of the per-query serve path
+    * (the bundled ivfPqTopK row stall-flagged in two consecutive gated
+    * captures precisely because each rep re-trained). */
+  final case class IvfPqModel private[graft] (
+      coarse: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]],
+      encoded: DataFrame,
+      m: Int, sub: Int)
+
+  /** Train the IVF-PQ index over `corpus`: coarse seeds (lowest-id,
+    * bounded collect), residual frame (persisted + pinned — re-read by
+    * every Lloyd pass and the encoder; uncached that recomputes the
+    * assignment m·updates+2 times, measured 7.7 s → 2.6 s at sf0.1),
+    * per-subspace codebooks ([[trainSubspaceBooks]]), and the encoded
+    * corpus (persisted + pinned: serving reads codes, never re-encodes).
+    * Both pins land in the caller's current [[Pipeline]] scope — wrap in
+    * `Pipeline.withScope` to keep a long-lived model alive across other
+    * callers' release points, or rely on the default-scope
+    * `releaseCaches` in single-harness loops. Training is lazy Spark-
+    * side: the codebook collects run here, but `encoded` materializes at
+    * the caller's first action (force it to charge encoding to train). */
+  def ivfPqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numCoarse: Int = 8, m: Int = 8, codebookSize: Int = 16,
+      updates: Int = 1): IvfPqModel = {
     import org.apache.spark.sql.functions.broadcast
     require(dim % m == 0, "dim must be divisible by m")
     val sub = dim / m
@@ -870,19 +897,12 @@ object Similarity {
     val spark = corp.sparkSession
     import spark.implicits._
     val coarseDf = broadcast(coarse.toDF("cid", "cvec"))
-    // Pinned: the residual frame (a window + broadcast join over the
-    // corpus) is re-read by every per-subspace codebook training pass
-    // (m × (1 + updates) scans), the encoder, and the final plan —
-    // uncached that recomputes the assignment m·updates+2 times
-    // (measured 7.7 s → 2.6 s at sf0.1). Registered with the shared
-    // release point (Pipeline.releaseCaches) like every graft-pinned
-    // frame, so harness loops stay cache-clean.
     val residuals = kmeansAssign(corp, coarse)
       .join(coarseDf, "cid")
       .withColumn("rvec", zip_with(col("vec"), col("cvec"), (x, c) => x - c))
       .select("vec_id", "cid", "rvec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pipeline.pinned.add(residuals)
+    Pipeline.pin(residuals)
     // Shared per-subspace residual codebooks — ALL m trained together
     // in one pass per Lloyd round (see [[trainSubspaceBooks]]).
     val books: Seq[Seq[Seq[Double]]] =
@@ -896,9 +916,27 @@ object Similarity {
     val encoded = residuals.select(
       col("vec_id") +: col("cid") +:
         (0 until m).map(j => codeExpr(j).as(s"_c$j")): _*)
-    // probe side: nprobe nearest coarse cells per query (same L2/tie
-    // rule as the corpus assignment), then a LUT per (query, cell) over
-    // the QUERY residual against each codebook
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pin(encoded)
+    IvfPqModel(coarse, books, encoded, m, sub)
+  }
+
+  /** Serve a query batch against a trained [[IvfPqModel]]: probe the
+    * nprobe nearest coarse cells per query (same L2/tie rule as the
+    * corpus assignment), build a LUT per (query, cell) over the QUERY
+    * residual against each codebook, broadcast the probe side into an
+    * equi join on cid, and rank by left-fold ADC. Touches only the
+    * pinned code frame — no k-means, no encoding, no corpus scan beyond
+    * the probed cells. */
+  def ivfPqServe(
+      queriesDf: DataFrame, model: IvfPqModel, idCol: String,
+      vecCol: String, topK: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    val IvfPqModel(coarse, books, encoded, m, sub) = model
+    val coarseDf = broadcast(coarse.toDF("cid", "cvec"))
+    def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
     val probedBase = queriesDf
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
       .crossJoin(coarseDf)
@@ -925,6 +963,19 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("qid"), col("rank"), col("vec_id"))
   }
+
+  /** The composed one-call form (train + serve in one plan) — the
+    * oracle-checked catalog entry. Identical math to the split form by
+    * construction: it IS `ivfPqServe(ivfPqTrain(...))`. */
+  def ivfPqTopK(
+      queriesDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, topK: Int, dim: Int, numCoarse: Int = 8,
+      nprobe: Int = 2, m: Int = 8, codebookSize: Int = 16,
+      updates: Int = 1): DataFrame =
+    ivfPqServe(queriesDf,
+      ivfPqTrain(corpus, idCol, vecCol, dim, numCoarse, m,
+        codebookSize, updates),
+      idCol, vecCol, topK, nprobe)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * near-duplicate pruning — cluster the embedding space, then compare

@@ -78,6 +78,52 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("ivf-pq train/serve split: one model serves many batches, scoped pins") {
+    // The round-18 split of the bundled ss20 row: training (k-means
+    // codebooks + encoded corpus) happens ONCE per corpus; serving is a
+    // pure probe. The split form must be bit-identical to the one-call
+    // form, the model's pins must live in the caller's scope (immune to
+    // the global releaseCaches between bench reps), and a SECOND query
+    // batch must serve correctly off the same pinned model.
+    import graft.ops.Pipeline
+    val q1 = emb.filter(col("vec_id") < 20)
+    val q2 = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.select("qid", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val oneCall = rows(Similarity.ivfPqTopK(
+      q1, emb, "vec_id", "embedding", 5, dim = 64, numCoarse = 8,
+      nprobe = 2, m = 8, codebookSize = 16, updates = 1))
+    Pipeline.releaseCaches()
+    val scope = new Pipeline.PinScope
+    val model = Pipeline.withScope(scope) {
+      Similarity.ivfPqTrain(emb, "vec_id", "embedding", dim = 64,
+        numCoarse = 8, m = 8, codebookSize = 16, updates = 1)
+    }
+    // train pinned into the caller's scope, not the default queue
+    assert(!scope.isEmpty && Pipeline.pinned.isEmpty)
+    // a hostile global release (what the bench rep loop fires) must not
+    // unpersist the model
+    Pipeline.releaseCaches()
+    assert(model.encoded.storageLevel.useMemory,
+      "model code frame must stay persisted across releaseCaches")
+    val served = rows(Similarity.ivfPqServe(
+      q1, model, "vec_id", "embedding", 5, nprobe = 2))
+    assert(served === oneCall)
+    // second batch off the SAME model: sane shape, no self matches
+    val b2 = rows(Similarity.ivfPqServe(
+      q2, model, "vec_id", "embedding", 5, nprobe = 2))
+    assert(b2.nonEmpty)
+    b2.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted === (1 to rs.length))
+      assert(!rs.exists(_._3 == qid))
+    }
+    scope.release()
+    assert(scope.isEmpty)
+    assert(model.encoded.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("ivf-pq ann joins codes to broadcast LUTs and overlaps exact top-k") {
     val q = emb.filter(col("vec_id") < 20)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
