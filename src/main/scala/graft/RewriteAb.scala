@@ -233,7 +233,24 @@ object RewriteAb {
               .orderBy("doc_id"))
             ()
           },
-          () => { Force.run(ta16LegacyProbe(docs)); () }))
+          () => { Force.run(ta16LegacyProbe(docs)); () }),
+        // ta14 window-clustering A/B (round 18): the lag-based
+        // single-(chunk_md5)-clustering candidate (one exchange+sort
+        // for both window functions) vs the catalog two-window form
+        // ((md5, doc_id) marker then (md5) sum — two full-data
+        // exchange+sort passes). Bit-equivalence pinned in
+        // TextAnalysisSpec; adopt-or-keep by the dd16 wash rule.
+        ("ta14",
+          () => {
+            Force.run(graft.ops.TextAnalysis.stripBoilerplateChunksLag(
+              docs, col("doc_id"), col("text"), 8, 1L).orderBy("doc_id"))
+            ()
+          },
+          () => {
+            Force.run(graft.ops.TextAnalysis.stripBoilerplateChunks(
+              docs, col("doc_id"), col("text"), 8, 1L).orderBy("doc_id"))
+            ()
+          }))
       def runGroup(cases: Seq[(String, () => Unit, () => Unit)])
           : Seq[(String, Vector[Double], Vector[Double])] = {
         cases.foreach { case (_, rw, lt) => rw(); lt() } // warmup

@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   * one-row count aggregate, bound check fused in via `raise_error`,
   * broadcast-cross-joined onto the input. Construction and `explain`
   * stay job-free, and the refusal fires at FIRST EXECUTION of any
-  * derived plan. Execution cost is the same single count pass the eager
-  * guard paid (over an input that is, by these operators' contract,
-  * small), now lazy.
+  * derived plan. Execution cost: one count pass PER PLAN REFERENCE to
+  * the guarded frame — an operator that self-joins its guarded input
+  * (bruteForceNearDupPairs, ngramJaccardPairs) embeds the count subtree
+  * on both sides, so each execution counts (and re-scans the uncached
+  * upstream) twice. Acceptable by the same contract that admits these
+  * operators at all — the input is bounded small — and cheaper than the
+  * eager guard's construction-time job for plan-only uses; an operator
+  * with an internal persist could instead guard after the pin to count
+  * once.
   */
 object ScaleGuard {
 

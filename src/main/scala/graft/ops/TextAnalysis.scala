@@ -413,6 +413,64 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Round-18 ta14 A/B candidate: [[stripBoilerplateChunks]] with the
+    * distinct-doc count computed from ONE md5-keyed window clustering
+    * instead of two. The catalog form's first-occurrence marker windows
+    * on (chunk_md5, doc_id) and its partition-total sum on (chunk_md5)
+    * — two different clusterings, so the planner inserts TWO full-data
+    * exchange+sort passes. Here BOTH window functions share
+    * partitionBy(chunk_md5): the marker becomes a lag-based doc-id
+    * boundary detector under (doc_id asc-nulls-first, chunk_idx asc)
+    * ordering — 1 exactly where a non-null doc_id's run begins, so the
+    * partition sum is the same distinct-non-null-doc count, bit-exactly
+    * (TextAnalysisSpec pins equivalence on dup-chunks-within-doc and
+    * null-doc shapes). Skew is unchanged: the hot chunk's rows already
+    * coalesced onto one task in the catalog form's second window. */
+  private[graft] def stripBoilerplateChunksLag(
+      docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column,
+      chunkSize: Int, maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val chunks = docs
+      .select(id.as("doc_id"), split(text, " ").as("toks"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ((size(col("toks")) - 1) / lit(chunkSize)).cast("int"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)))
+          .as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+    val wOrdered = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col("doc_id").asc_nulls_first, col("chunk_idx").asc)
+    val wChunk = Window.partitionBy(col("chunk_md5"))
+    val prevDoc = lag(col("doc_id"), 1).over(wOrdered)
+    val rebuilt = chunks
+      // run-boundary marker: 1 at the first row of each non-null
+      // doc_id's run (partition head, or previous row's doc differs /
+      // was null — nulls sort first, so a null prev means this non-null
+      // doc is still its own first occurrence)
+      .withColumn("_first",
+        when(col("doc_id").isNotNull &&
+          (prevDoc.isNull || prevDoc =!= col("doc_id")), 1L).otherwise(0L))
+      .withColumn("chunk_df", sum(col("_first")).over(wChunk))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count_if(col("chunk_df") <= maxDocFreq).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("chunk_df") <= maxDocFreq,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          c => c.getField("chunk_text"))).as("clean_text"))
+    docs.select(id.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** PII redaction: email addresses and NANP-style phone numbers replaced
     * with `[EMAIL]` / `[PHONE]` placeholder tokens — the standard scrub
     * pass before a corpus feeds a training run. Pure regexp_replace column

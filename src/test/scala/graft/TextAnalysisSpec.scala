@@ -225,6 +225,25 @@ class TextAnalysisSpec extends GraftSuite {
     assert(byId(5L).getInt(3) === 8)
     // "a\tb\nc" is ONE space-split token: 2 symbol chars / 3 tokens
     assert(byId(3L).getDouble(4) === 2.0 / 3.0)
+
+    // NULL-text contract (round-18, r17 advice): the intersect form
+    // yields NULL stopword_hits / stop_ok / pass on NULL text — a
+    // DELIBERATE divergence from the retired filter form (which
+    // returned 0 / false): every OTHER gopher metric (n_words,
+    // mean_word_len, symbol_ratio, …) is already NULL on NULL text in
+    // both forms, so NULL-in → NULL-out is the uniform contract; the
+    // fixture documents carry no NULL text (count(text) = count(*)
+    // checked at generation scale) so no oracle row exercises it.
+    // A consumer gating on `pass` must coalesce(pass, false) — NULL
+    // text neither passes nor silently counts as measured.
+    val nullRow = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+      .select(col("doc_id"), struct(
+        TextAnalysis.gopherRules(col("text"), minWords = 2): _*).as("g"))
+      .select("doc_id", "g.stopword_hits", "g.stop_ok", "g.pass",
+        "g.n_words")
+      .collect().head
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3)
+      && nullRow.isNullAt(4), s"NULL-text contract broken: $nullRow")
   }
 
   test("script mix: per-script counts, dominance priority on ties") {
@@ -284,6 +303,40 @@ class TextAnalysisSpec extends GraftSuite {
       .filter(col("doc_id") === 1L).collect()
     assert(strip.head.getAs[Long]("n_kept") >= 1L,
       s"null doc id inflated chunk_df: ${strip.mkString}")
+  }
+
+  test("ta14 lag-window candidate == catalog form on divergence shapes") {
+    // The round-18 single-clustering candidate replaces the
+    // (chunk_md5, doc_id) row_number marker with a lag-based doc-run
+    // boundary under (doc_id nulls-first, chunk_idx) ordering on the
+    // (chunk_md5) partition. Bit-equivalence pinned on the shapes where
+    // a marker rewrite could diverge: a chunk repeated WITHIN one doc
+    // (must count that doc once), a chunk shared ACROSS docs (df = 2 →
+    // stripped at maxDocFreq=1), a null doc id adjacent to real docs in
+    // the sort order (must not count, must not break the boundary
+    // detector), and a pure-boilerplate doc (comes back empty).
+    import spark.implicits._
+    val docs = Seq(
+      (Option(1L), "aa bb aa bb cc dd"), // "aa bb" twice within doc 1
+      (Option(2L), "aa bb zz yy"),       // shares "aa bb" with doc 1
+      (Option(3L), "aa bb"),             // PURE boilerplate → empty
+      (Option.empty[Long], "aa bb qq rr"), // null doc: df must ignore
+      (Option(4L), "uu vv ww xx"))       // untouched
+      .toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, Int, Long) => org.apache.spark.sql.DataFrame) =
+      f(docs, col("doc_id"), col("text"), 2, 1L)
+        .collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
+    val legacy = run(TextAnalysis.stripBoilerplateChunks)
+    val lagged = run(TextAnalysis.stripBoilerplateChunksLag)
+    assert(lagged === legacy)
+    // and the planted expectations hold on the catalog form
+    val byId = legacy.flatMap(r => r._1.map(_ -> r)).toMap
+    assert(byId(1L)._2 === "cc dd" && byId(1L)._3 === 3L && byId(1L)._4 === 1L)
+    assert(byId(3L)._2 === "" && byId(3L)._4 === 0L)
+    assert(byId(4L)._2 === "uu vv ww xx")
   }
 
   test("readability: exact counts and Flesch formula, sentence floor") {
