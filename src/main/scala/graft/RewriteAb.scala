@@ -234,20 +234,20 @@ object RewriteAb {
             ()
           },
           () => { Force.run(ta16LegacyProbe(docs)); () }),
-        // ta14 window-clustering A/B (round 18): the lag-based
-        // single-(chunk_md5)-clustering candidate (one exchange+sort
-        // for both window functions) vs the catalog two-window form
-        // ((md5, doc_id) marker then (md5) sum — two full-data
-        // exchange+sort passes). Bit-equivalence pinned in
-        // TextAnalysisSpec; adopt-or-keep by the dd16 wash rule.
+        // ta14 window-clustering A/B (round 18, ADOPTED): the catalog
+        // lag-based single-(chunk_md5)-clustering form (one
+        // exchange+sort for both window functions) vs the retired
+        // two-window form ((md5, doc_id) marker then (md5) sum — two
+        // full-data exchange+sort passes). Bit-equivalence pinned in
+        // TextAnalysisSpec; adopted on 1.03–1.13× wins at every point.
         ("ta14",
           () => {
-            Force.run(graft.ops.TextAnalysis.stripBoilerplateChunksLag(
+            Force.run(graft.ops.TextAnalysis.stripBoilerplateChunks(
               docs, col("doc_id"), col("text"), 8, 1L).orderBy("doc_id"))
             ()
           },
           () => {
-            Force.run(graft.ops.TextAnalysis.stripBoilerplateChunks(
+            Force.run(graft.ops.TextAnalysis.stripBoilerplateChunksTwoWindow(
               docs, col("doc_id"), col("text"), 8, 1L).orderBy("doc_id"))
             ()
           }))

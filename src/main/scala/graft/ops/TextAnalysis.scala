@@ -362,77 +362,72 @@ object TextAnalysis {
     * Output: `(doc_id, clean_text, n_chunks, n_kept)`.
     *
     * Scale shape: chunking is scan-local and runs ONCE; doc-frequency
-    * keys on the 32-byte chunk md5 as two window passes over one
-    * hash-keyed exchange — a row_number first-occurrence marker per
-    * (hash, doc) summed over the hash partition IS the distinct-doc
-    * count, with counter-only window state (a collect_set window would
-    * buffer every doc id of a universal boilerplate chunk on one row;
-    * the doc-frequency-table-joined-back alternative re-chunks the
-    * corpus for the join's second scan) — never pairwise; the rebuild
-    * keys on doc_id with an order-stable array_sort re-join, not a
-    * window. */
+    * keys on the 32-byte chunk md5 with BOTH window functions sharing
+    * the one (chunk_md5) clustering (round-18 adoption — the retired
+    * two-window form below paid a second full-data exchange+sort for
+    * its (md5, doc) marker clustering; gated A/B: 1.03–1.13× at
+    * ×1/×10/×30, exchange census 4→3, sorts 3→2): a lag-based doc-run
+    * boundary marker under (doc_id nulls-first, chunk_idx) ordering is
+    * 1 exactly where a non-null doc's run begins, so the partition sum
+    * IS the distinct-non-null-doc count, with counter-only window state
+    * (a collect_set window would buffer every doc id of a universal
+    * boilerplate chunk on one row; the doc-frequency-table-joined-back
+    * alternative re-chunks the corpus for the join's second scan) —
+    * never pairwise; the rebuild keys on doc_id with an order-stable
+    * array_sort re-join, not a window. Bit-equivalence vs the retired
+    * form pinned in TextAnalysisSpec on dup-within-doc / cross-doc /
+    * null-doc / pure-boilerplate shapes. */
   def stripBoilerplateChunks(
       docs: org.apache.spark.sql.DataFrame,
       id: Column, text: Column,
       chunkSize: Int, maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val chunks = docs
-      .select(id.as("doc_id"), split(text, " ").as("toks"))
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0),
-          ((size(col("toks")) - 1) / lit(chunkSize)).cast("int"))))
-      .select(col("doc_id"), col("chunk_idx"),
-        concat_ws(" ",
-          slice(col("toks"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)))
-          .as("chunk_text"))
-      .withColumn("chunk_md5", md5(col("chunk_text")))
-    val wDocMark = Window.partitionBy(col("chunk_md5"), col("doc_id"))
-      .orderBy(col("chunk_idx").asc)
+    val chunks = chunked(docs, id, text, chunkSize)
+    val wOrdered = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col("doc_id").asc_nulls_first, col("chunk_idx").asc)
     val wChunk = Window.partitionBy(col("chunk_md5"))
-    val rebuilt = chunks
-      // the marker mirrors count_distinct's null handling: a null doc id
-      // must not count as a distinct document toward chunk_df
-      .withColumn("_first",
-        when(row_number().over(wDocMark) === 1 &&
-          col("doc_id").isNotNull, 1L).otherwise(0L))
-      .withColumn("chunk_df", sum(col("_first")).over(wChunk))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        count_if(col("chunk_df") <= maxDocFreq).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("chunk_df") <= maxDocFreq,
-            struct(col("chunk_idx"), col("chunk_text"))))),
-          c => c.getField("chunk_text"))).as("clean_text"))
-    docs.select(id.as("doc_id"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    val prevDoc = lag(col("doc_id"), 1).over(wOrdered)
+    // run-boundary marker: 1 at the first row of each non-null doc_id's
+    // run (partition head, or previous row's doc differs / was null —
+    // nulls sort first, so a null prev means this non-null doc is still
+    // its own first occurrence). Mirrors count_distinct's null handling:
+    // a null doc id never counts toward chunk_df.
+    val first = when(col("doc_id").isNotNull &&
+      (prevDoc.isNull || prevDoc =!= col("doc_id")), 1L).otherwise(0L)
+    rebuild(docs, id, maxDocFreq,
+      chunks.withColumn("_first", first)
+        .withColumn("chunk_df", sum(col("_first")).over(wChunk)))
   }
 
-  /** Round-18 ta14 A/B candidate: [[stripBoilerplateChunks]] with the
-    * distinct-doc count computed from ONE md5-keyed window clustering
-    * instead of two. The catalog form's first-occurrence marker windows
-    * on (chunk_md5, doc_id) and its partition-total sum on (chunk_md5)
-    * — two different clusterings, so the planner inserts TWO full-data
-    * exchange+sort passes. Here BOTH window functions share
-    * partitionBy(chunk_md5): the marker becomes a lag-based doc-id
-    * boundary detector under (doc_id asc-nulls-first, chunk_idx asc)
-    * ordering — 1 exactly where a non-null doc_id's run begins, so the
-    * partition sum is the same distinct-non-null-doc count, bit-exactly
-    * (TextAnalysisSpec pins equivalence on dup-chunks-within-doc and
-    * null-doc shapes). Skew is unchanged: the hot chunk's rows already
-    * coalesced onto one task in the catalog form's second window. */
-  private[graft] def stripBoilerplateChunksLag(
+  /** The retired pre-round-18 ta14 form, kept re-runnable as the gated
+    * A/B literal (the dd16 convention): first-occurrence marker via
+    * row_number over (chunk_md5, doc_id), partition-total sum over
+    * (chunk_md5) — two DIFFERENT window clusterings, so the planner
+    * inserts two full-data exchange+sort passes where the adopted form
+    * needs one. Output bit-identical to [[stripBoilerplateChunks]]. */
+  private[graft] def stripBoilerplateChunksTwoWindow(
       docs: org.apache.spark.sql.DataFrame,
       id: Column, text: Column,
       chunkSize: Int, maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val chunks = docs
+    val chunks = chunked(docs, id, text, chunkSize)
+    val wDocMark = Window.partitionBy(col("chunk_md5"), col("doc_id"))
+      .orderBy(col("chunk_idx").asc)
+    val wChunk = Window.partitionBy(col("chunk_md5"))
+    val first = when(row_number().over(wDocMark) === 1 &&
+      col("doc_id").isNotNull, 1L).otherwise(0L)
+    rebuild(docs, id, maxDocFreq,
+      chunks.withColumn("_first", first)
+        .withColumn("chunk_df", sum(col("_first")).over(wChunk)))
+  }
+
+  /** Shared ta14 chunking prelude: scan-local token windows + md5. */
+  private def chunked(docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column, chunkSize: Int)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(id.as("doc_id"), split(text, " ").as("toks"))
       .withColumn("chunk_idx",
         explode(sequence(lit(0),
@@ -442,19 +437,13 @@ object TextAnalysis {
           slice(col("toks"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)))
           .as("chunk_text"))
       .withColumn("chunk_md5", md5(col("chunk_text")))
-    val wOrdered = Window.partitionBy(col("chunk_md5"))
-      .orderBy(col("doc_id").asc_nulls_first, col("chunk_idx").asc)
-    val wChunk = Window.partitionBy(col("chunk_md5"))
-    val prevDoc = lag(col("doc_id"), 1).over(wOrdered)
-    val rebuilt = chunks
-      // run-boundary marker: 1 at the first row of each non-null
-      // doc_id's run (partition head, or previous row's doc differs /
-      // was null — nulls sort first, so a null prev means this non-null
-      // doc is still its own first occurrence)
-      .withColumn("_first",
-        when(col("doc_id").isNotNull &&
-          (prevDoc.isNull || prevDoc =!= col("doc_id")), 1L).otherwise(0L))
-      .withColumn("chunk_df", sum(col("_first")).over(wChunk))
+
+  /** Shared ta14 rebuild: drop over-frequent chunks, re-join in order,
+    * restore pure-boilerplate/empty docs via the left join. */
+  private def rebuild(docs: org.apache.spark.sql.DataFrame, id: Column,
+      maxDocFreq: Long, marked: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rebuilt = marked
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),

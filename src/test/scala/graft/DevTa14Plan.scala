@@ -31,9 +31,9 @@ object DevTa14Plan {
       val (ex, so) = walk(df.queryExecution.executedPlan)
       println(s"[devta14plan] $lbl exchanges=$ex sorts=$so")
     }
-    census("catalog", graft.ops.TextAnalysis.stripBoilerplateChunks(
+    census("retired_2w", graft.ops.TextAnalysis.stripBoilerplateChunksTwoWindow(
       docs, col("doc_id"), col("text"), 8, 1L).orderBy("doc_id"))
-    census("lag", graft.ops.TextAnalysis.stripBoilerplateChunksLag(
+    census("catalog_lag", graft.ops.TextAnalysis.stripBoilerplateChunks(
       docs, col("doc_id"), col("text"), 8, 1L).orderBy("doc_id"))
     spark.stop()
   }

@@ -329,11 +329,11 @@ class TextAnalysisSpec extends GraftSuite {
         .collect()
         .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
           r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
-    val legacy = run(TextAnalysis.stripBoilerplateChunks)
-    val lagged = run(TextAnalysis.stripBoilerplateChunksLag)
-    assert(lagged === legacy)
+    val retired = run(TextAnalysis.stripBoilerplateChunksTwoWindow)
+    val adopted = run(TextAnalysis.stripBoilerplateChunks)
+    assert(adopted === retired)
     // and the planted expectations hold on the catalog form
-    val byId = legacy.flatMap(r => r._1.map(_ -> r)).toMap
+    val byId = adopted.flatMap(r => r._1.map(_ -> r)).toMap
     assert(byId(1L)._2 === "cc dd" && byId(1L)._3 === 3L && byId(1L)._4 === 1L)
     assert(byId(3L)._2 === "" && byId(3L)._4 === 0L)
     assert(byId(4L)._2 === "uu vv ww xx")
