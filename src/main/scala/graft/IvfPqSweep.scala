@@ -174,6 +174,72 @@ object IvfPqSweep {
       }
     }
 
+    // ---- self-truthed composition rows (round 18, r17 stretch 7) ----
+    // The last two query-shaped similarity surfaces without a
+    // signal-rich recall number, each scored against ITS OWN objective
+    // truth (not L2 — see the famPoints metric note):
+    //   ss11_mips_srp65 — MIPS served through the Shrivastava-Li
+    //     augmentation (append sqrt(M²−‖x‖²) corpus-side, 0
+    //     query-side) + the ss2 SRP-LSH index over the 65-dim
+    //     augmented space; recall@20 vs exact INNER-PRODUCT truth
+    //     (mipsTopK — magnitude-aware, MIPS's actual objective).
+    //   ss18_mmr_ivf — the MMR re-rank composed with ss4's IVF
+    //     candidate generator (the corpus-scale form the mmrTopK
+    //     scaladoc names); recall = selection overlap@5 vs the
+    //     exact-candidate MMR selection (MMR has no ranked truth
+    //     beyond its own greedy objective).
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (qAug, cAug) = {
+      val c0 = emb.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("vec"))
+        .withColumn("_n2", Similarity.dot(col("vec"), col("vec")))
+      val m2 = c0.agg(max(col("_n2")).as("_m2"))
+      val ca = c0.crossJoin(org.apache.spark.sql.functions.broadcast(m2))
+        .select(col("vec_id"),
+          concat(col("vec"), array(sqrt(col("_m2") - col("_n2"))))
+            .as("vec"))
+      val qa = qWide.select(col("vec_id"),
+        concat(Similarity.asDouble(col("embedding")), array(lit(0.0)))
+          .as("vec"))
+      (qa, ca)
+    }
+    def ss11Plan(k: Int) = Similarity.annTopK(
+      qAug, cAug, "vec_id", "vec", k, tables = 16, bits = 6, dim = 65)
+    def ss18Plan() = Similarity.mmrRerank(
+      Similarity.ivfTopK(qWide, emb, "vec_id", "embedding", 10,
+        numCentroids = 16, nprobe = 4),
+      emb, "vec_id", "embedding", 5, 0.5)
+    val exactIp20 = pairSet(
+      Similarity.mipsTopK(qWide, emb, "vec_id", "embedding", 20))
+    val ss11Recall = {
+      val r = pairSet(ss11Plan(20)).intersect(exactIp20).size.toDouble /
+        exactIp20.size
+      Pipeline.releaseCaches(); r
+    }
+    val exactSel = pairSet(Similarity.mmrTopK(
+      qWide, emb, "vec_id", "embedding", m = 10, k = 5, lambda = 0.5))
+    val ss18Recall = {
+      val r = pairSet(ss18Plan()).intersect(exactSel).size.toDouble /
+        exactSel.size
+      Pipeline.releaseCaches(); r
+    }
+    val selfRows: Seq[(String, () => Unit, Double, String)] = Seq(
+      ("ss11_mips_srp65", () => { Force.run(ss11Plan(20)); () },
+        ss11Recall, "ip@20"),
+      ("ss18_mmr_ivf", () => { Force.run(ss18Plan()); () },
+        ss18Recall, "mmr_selection@5"))
+    val selfAcc = selfRows.map { case (lbl, f, _, _) =>
+      f(); Pipeline.releaseCaches() // warmup/codegen
+      lbl -> (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f()
+        val s = (System.nanoTime() - t0) / 1e9
+        Pipeline.releaseCaches(); s
+      }.toVector
+    }.toMap
+
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val fields = allLabels.map { lbl =>
@@ -183,14 +249,25 @@ object IvfPqSweep {
         s""""recall":${jnum(recall(lbl))},""" +
         s""""recall_l2_at20":${jnum(recallL2(lbl))}}"""
     }.mkString(",")
+    val selfFields = selfRows.map { case (lbl, _, rec, truth) =>
+      val reps = selfAcc(lbl)
+      s""""$lbl":{"sec":${jnum(reps.min)},""" +
+        s""""reps":${reps.map(jnum).mkString("[", ",", "]")},""" +
+        s""""recall_self":${jnum(rec)},"truth":"$truth"}"""
+    }.mkString(",")
     val json = s"""{"sf_dir":"$sfDir","k":5,"num_coarse":8,"queries":20,""" +
-      s""""recall_l2_queries":100,$fields}"""
+      s""""recall_l2_queries":100,$fields,$selfFields}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_OUT", "IVFPQAB.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
     allLabels.foreach { lbl =>
       System.err.println(
         f"[ivfpq] $lbl%-16s min ${acc(lbl).min}%.3f s  recall@5 " +
           f"${recall(lbl)}%.3f  recall_l2@20 ${recallL2(lbl)}%.3f")
+    }
+    selfRows.foreach { case (lbl, _, rec, truth) =>
+      System.err.println(
+        f"[ivfpq] $lbl%-16s min ${selfAcc(lbl).min}%.3f s  " +
+          f"recall_self $rec%.3f  (truth: $truth)")
     }
     System.err.println(s"[ivfpq] wrote $path")
     spark.stop()

@@ -276,10 +276,24 @@ object Similarity {
     * Output: (qid, sel_rank, vec_id, mmr_score). */
   def mmrTopK(
       queriesDf: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, m: Int, k: Int, lambda: Double = 0.5): DataFrame = {
+      vecCol: String, m: Int, k: Int, lambda: Double = 0.5): DataFrame =
+    mmrRerank(bruteForceTopK(queriesDf, corpus, idCol, vecCol, m),
+      corpus, idCol, vecCol, k, lambda)
+
+  /** The MMR re-rank stage alone, over an EXTERNAL candidate set
+    * `(qid, vec_id, cos)` — exactly what [[mmrTopK]] runs after its
+    * brute-force generator ([[mmrTopK]] IS this method composed with
+    * [[bruteForceTopK]], so the shipped ss18 path is unchanged). Feed it
+    * [[annTopK]]/[[ivfTopK]] output to compose diversity re-ranking with
+    * an ANN candidate generator at corpus scale — the round-18 planted
+    * sweep measures that composition's selection recall vs the
+    * exact-candidate selection. */
+  def mmrRerank(
+      candidates: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val withVec = bruteForceTopK(queriesDf, corpus, idCol, vecCol, m)
+    val withVec = candidates
       .join(corpus.select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("cvec")), "vec_id")
       .select("qid", "vec_id", "cos", "cvec")

@@ -380,9 +380,15 @@ if os.path.exists(planted_path):
             continue
         ent = planted[lbl]
         okrow = True
+        # recall field: recall_l2_at20 for the L2-truthed PQ/family
+        # points; recall_self for the round-18 self-truthed composition
+        # rows (ss11 ip@20, ss18 mmr_selection@5 — the "truth" field in
+        # the artifact names each row's objective)
+        rec_actual = ent.get("recall_l2_at20", ent.get("recall_self"))
+        rec_name = ("recall_l2@20" if "recall_l2_at20" in ent
+                    else f"recall_self({ent.get('truth', '?')})")
         for label, quoted, actual in [("sec", sec, ent["sec"]),
-                                      ("recall_l2@20", rec,
-                                       ent["recall_l2_at20"])]:
+                                      (rec_name, rec, rec_actual)]:
             prec = len(quoted.split(".")[1]) if "." in quoted else 0
             if float(quoted) != round(actual, prec):
                 fail(f"SCALE.md quotes planted {lbl} {label} {quoted} but"
