@@ -118,6 +118,15 @@ class SimilaritySpec extends GraftSuite {
       assert(rs.map(_._2).sorted === (1 to rs.length))
       assert(!rs.exists(_._3 == qid))
     }
+    // the serve PLAN must read the pinned code frame (InMemory scan),
+    // not re-derive codes from a fresh corpus scan — re-encoding per
+    // query batch is exactly the cost the train/serve split removes
+    val servePlan = Similarity.ivfPqServe(
+      q1, model, "vec_id", "embedding", 5, nprobe = 2)
+    servePlan.collect()
+    val planStr = servePlan.queryExecution.executedPlan.toString
+    assert(planStr.contains("InMemoryTableScan"),
+      "serve must scan the pinned encoded frame, not recompute it")
     scope.release()
     assert(scope.isEmpty)
     assert(model.encoded.storageLevel ===
