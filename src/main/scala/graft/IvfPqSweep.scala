@@ -191,22 +191,12 @@ object IvfPqSweep {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val (qAug, cAug) = {
-      val c0 = emb.select(col("vec_id"),
-          Similarity.asDouble(col("embedding")).as("vec"))
-        .withColumn("_n2", Similarity.dot(col("vec"), col("vec")))
-      val m2 = c0.agg(max(col("_n2")).as("_m2"))
-      val ca = c0.crossJoin(org.apache.spark.sql.functions.broadcast(m2))
-        .select(col("vec_id"),
-          concat(col("vec"), array(sqrt(col("_m2") - col("_n2"))))
-            .as("vec"))
-      val qa = qWide.select(col("vec_id"),
-        concat(Similarity.asDouble(col("embedding")), array(lit(0.0)))
-          .as("vec"))
-      (qa, ca)
-    }
+    // the exact transform the catalog's mipsViaCosine composes — shared
+    // helper, so the row measures the shipped augmentation (r18 review)
+    val (qAug, cAug) =
+      Similarity.mipsAugment(qWide, emb, "vec_id", "embedding")
     def ss11Plan(k: Int) = Similarity.annTopK(
-      qAug, cAug, "vec_id", "vec", k, tables = 16, bits = 6, dim = 65)
+      qAug, cAug, "id", "vec", k, tables = 16, bits = 6, dim = 65)
     def ss18Plan() = Similarity.mmrRerank(
       Similarity.ivfTopK(qWide, emb, "vec_id", "embedding", 10,
         numCentroids = 16, nprobe = 4),

@@ -18,7 +18,20 @@ object Pipeline {
     * own token — a global release point can no longer unpersist frames
     * another thread's in-flight operator just pinned (which forced a
     * recompute whose re-derived prefix-sum partition boundaries are not
-    * guaranteed to match already-collected offsets). */
+    * guaranteed to match already-collected offsets).
+    *
+    * LIMIT (r18 review): isolation is of release LIFECYCLE, not of the
+    * cache entries themselves — Spark's cache manager keys entries by
+    * canonicalized PLAN, so two callers running the IDENTICAL operator
+    * over the IDENTICAL input share ONE entry even across scopes, and
+    * the first scope's release uncaches it for both (the survivor
+    * recomputes; measured on this repo's Spark 4.1.2). The offset-
+    * consistency hazard that recompute creates is therefore closed
+    * DOWNSTREAM, not here: the two-phase operators verify a
+    * per-partition content fingerprint at execution and refuse loudly
+    * on membership drift ([[runningSumPass]]; Relational.skyline2D's
+    * deferred check), so a cross-scope uncache costs a recompute or a
+    * loud retryable error, never a silent wrong answer. */
   final class PinScope {
     private val frames =
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
@@ -198,50 +211,123 @@ object Pipeline {
   private def globalRunningSum(
       df: DataFrame, perRow: Column, name: String,
       orderCols: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // _ph: a content hash over (order keys, per-row value) materialized
+    // into the cached rows — the partition-membership fingerprint the
+    // offsets collect records and phase 2 re-verifies (see below).
+    // Callers may pass SortOrder-wrapped order columns (asc/desc), which
+    // repartitionByRange accepts but a hash expression cannot evaluate —
+    // strip to the child column for the fingerprint.
+    val keyCols =
+      orderCols.map(org.apache.spark.sql.GraftBridge.stripSortOrder)
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_prs", perRow.cast("long"))
+      .withColumn("_ph", xxhash64(keyCols :+ coalesce(
+        perRow.cast("long"), lit(Long.MinValue)): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pin(ranged)
     var acc = 0L
-    val offsets: Map[Int, Long] = ranged
+    val phase1 = ranged
       .groupBy(col("_pid"))
-      .agg(coalesce(sum(col("_prs")), lit(0L)).as("_subtotal"))
+      .agg(coalesce(sum(col("_prs")), lit(0L)).as("_subtotal"),
+        count(lit(1)).as("_n"),
+        expr("bit_xor(_ph)").as("_hx"))
       .collect()
       .sortBy(_.getInt(0))
+    val offsets: Map[Int, Long] = phase1
       .map { r => val e = r.getInt(0) -> acc; acc += r.getLong(1); e }
       .toMap
-    val sorted = ranged.sortWithinPartitions(orderCols: _*)
+    val expected: Map[Int, (Long, Long)] = phase1
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    runningSumPass(ranged.sortWithinPartitions(orderCols: _*),
+      name, offsets, expected)
+  }
+
+  /** Phase 2 of the prefix sum: the partition-local sequential pass,
+    * seeded per partition from `offsets` keyed by the STORED `_pid`, and
+    * GUARDED by the per-partition content fingerprint collected in
+    * phase 1 (`expected`: pid → (row count, xor of stored `_ph`)).
+    *
+    * The guard exists because correctness leans on the pinned frame's
+    * partition membership being EXACTLY what the offsets collect
+    * observed — and Spark cannot promise that: the cache manager keys
+    * entries by canonicalized PLAN (a plan-identical frame pinned by a
+    * concurrent caller shares this entry, and either side's unpersist
+    * drops it for both), and LRU pressure can evict it wholesale; a
+    * later action then re-executes repartitionByRange, whose re-sampled
+    * boundaries need not reproduce the observed mapping while the
+    * re-derived `_pid` stays self-consistent (so the one-pid-per-
+    * partition check alone cannot fire). Verifying (count, hash-xor)
+    * per partition at iterator exhaustion turns every such membership
+    * drift into a LOUD IllegalStateException before the action
+    * completes, instead of silently wrong running sums. XOR is the
+    * order-independent accumulator that cannot overflow under ANSI;
+    * with the callers' total orders (unique keys — the repo's
+    * determinism convention) pair-cancellation needs a 64-bit hash
+    * collision, i.e. never in honest recomputes. Package-private so the
+    * refusal is unit-testable with a doctored expectation map. */
+  private[graft] def runningSumPass(
+      sorted: DataFrame, name: String, offsets: Map[Int, Long],
+      expected: Map[Int, (Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(sorted.schema.fields :+
       StructField(name, LongType, nullable = false))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     val pidIdx = sorted.schema.fieldIndex("_pid")
     val prsIdx = sorted.schema.fieldIndex("_prs")
+    val phIdx = sorted.schema.fieldIndex("_ph")
     sorted.mapPartitions { it =>
       var run = 0L
       var pid = Int.MinValue
       var seeded = false
-      it.map { r =>
+      var n = 0L
+      var hx = 0L
+      var checked = false
+      val rows = it.map { r =>
         val rowPid = r.getInt(pidIdx)
         if (!seeded) { pid = rowPid; run = offsets.getOrElse(pid, 0L); seeded = true }
         else if (rowPid != pid)
-          // correctness rests on every cached partition holding exactly
-          // one _pid (true by construction: _pid was materialized INTO
-          // the cached rows); if a future caching/partitioning change
-          // breaks that, fail loudly instead of corrupting totals
+          // every cached partition holds exactly one _pid by
+          // construction (_pid was materialized INTO the cached rows);
+          // if a caching/partitioning change breaks that, fail loudly
           throw new IllegalStateException(
             s"globalRunningSum invariant broken: one partition holds " +
               s"_pid=$pid and _pid=$rowPid - offsets would misapply; " +
               "the cached range partitioning no longer matches the " +
               "materialized partition ids")
+        n += 1L
+        hx ^= r.getLong(phIdx)
         if (!r.isNullAt(prsIdx)) run += r.getLong(prsIdx)
         Row.fromSeq(r.toSeq :+ run)
       }
-    }(enc).drop("_pid", "_prs")
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && seeded && !checked) {
+            checked = true
+            val (en, ehx) = expected.getOrElse(pid, (0L, 0L))
+            if (n != en || hx != ehx)
+              throw new IllegalStateException(
+                s"globalRunningSum fingerprint mismatch for _pid=$pid: " +
+                  s"phase 1 observed (rows=$en, hash=$ehx) but phase 2 " +
+                  s"streamed (rows=$n, hash=$hx) - the pinned range-" +
+                  "partitioned frame was recomputed with different " +
+                  "partition boundaries after the offsets were " +
+                  "collected (cache evicted, or a plan-identical frame " +
+                  "was unpersisted by another caller); the broadcast " +
+                  "offsets no longer describe these partitions. Re-run " +
+                  "the operator; keep the pinned frame alive until its " +
+                  "consuming action (Pipeline.withScope isolates " +
+                  "release points across callers).")
+          }
+          h
+        }
+        def next(): Row = rows.next()
+      }
+    }(enc).drop("_pid", "_prs", "_ph")
   }
 
   /** Curriculum difficulty buckets: `ntile(n)` within each stratum under

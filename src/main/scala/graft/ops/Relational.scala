@@ -208,8 +208,13 @@ object Relational {
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Pipeline.pin(ranged)
+    // one driver pass collects the per-partition minima AND the
+    // membership fingerprint (count + xor of a content hash) the
+    // deferred guard below re-verifies
     val mins = ranged.groupBy(col("_pid"))
-      .agg(min(col("y").cast("double")).as("_min_y"))
+      .agg(min(col("y").cast("double")).as("_min_y"),
+        count(lit(1)).as("_n"),
+        expr("bit_xor(xxhash64(x, y))").as("_hx"))
       .collect()
       .sortBy(_.getInt(0))
     var run = Double.NaN
@@ -228,9 +233,39 @@ object Relational {
     val globalPrefix = least(
       coalesce(localPrefix.cast("double"), lit(Double.PositiveInfinity)),
       coalesce(partPrefix, lit(Double.PositiveInfinity)))
+    // Deferred fingerprint guard (round 18, same hazard as the prefix
+    // sums): correctness leans on the pinned frame's partition
+    // membership matching what the minima collect observed, and Spark
+    // cannot promise that — the cache is plan-keyed (a plan-identical
+    // frame unpersisted by a concurrent caller drops this entry too)
+    // and LRU can evict it, after which a re-executed
+    // repartitionByRange may re-sample different boundaries while the
+    // re-derived _pid stays self-consistent. The 1-row check re-scans
+    // the (cached) frame at action time and the filter REFUSES loudly
+    // on any membership drift instead of emitting a wrong skyline.
+    val expN = typedLit(mins.map(r => r.getInt(0) -> r.getLong(2)).toMap)
+    val expH = typedLit(mins.map(r => r.getInt(0) -> r.getLong(3)).toMap)
+    val fpOk = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n2"),
+        expr("bit_xor(xxhash64(x, y))").as("_hx2"))
+      .agg(
+        (count(lit(1)) === lit(mins.length.toLong) &&
+          coalesce(sum(when(element_at(expN, col("_pid")) === col("_n2") &&
+              element_at(expH, col("_pid")) === col("_hx2"), 0L)
+            .otherwise(1L)), lit(0L)) === lit(0L)).as("_fp_ok"))
     ranged
       .withColumn("_prefix_min", globalPrefix)
       .where(col("y").cast("double") < col("_prefix_min"))
+      .crossJoin(broadcast(fpOk))
+      .filter(when(col("_fp_ok"), lit(true)).otherwise(raise_error(lit(
+        "skyline2D fingerprint mismatch: the pinned range-partitioned " +
+          "frame was recomputed with different partition boundaries " +
+          "after the prefix minima were collected (cache evicted, or a " +
+          "plan-identical frame unpersisted by another caller) - the " +
+          "broadcast prefix minima no longer describe these " +
+          "partitions. Re-run the operator; keep the pinned frame " +
+          "alive until the consuming action (Pipeline.withScope " +
+          "isolates release points across callers).")).cast("boolean")))
       .select(col("x"), col("y"), col("n_rows"))
   }
 }

@@ -377,9 +377,16 @@ object Similarity {
     * serve MIPS with zero new index machinery. The augmentation is one
     * scan-local map per side; exactness of the RANKING is spec-asserted
     * against [[mipsTopK]]. */
-  def mipsViaCosine(
+  /** The Shrivastava–Li augmentation alone: corpus vectors get
+    * `sqrt(M² − ‖x‖²)` appended (M = max corpus norm, a 1-row
+    * broadcast), queries get `0` — returns `(augmented queries,
+    * augmented corpus)`, both as `(id, vec)` with dim+1 components.
+    * Factored out (r18 review) so [[mipsViaCosine]] and the IvfPqSweep
+    * ss11 row compose the SAME transform with different search
+    * backends — any fix here reaches both. */
+  def mipsAugment(
       queriesDf: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, topK: Int): DataFrame = {
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.broadcast
     val c0 = corpus.select(col(idCol).as("id"),
         asDouble(col(vecCol)).as("vec"))
@@ -392,6 +399,13 @@ object Similarity {
         concat(col("vec"), array(sqrt(col("_m2") - col("_n2")))).as("vec"))
     val qAug = queriesDf.select(col(idCol).as("id"),
         concat(asDouble(col(vecCol)), array(lit(0.0))).as("vec"))
+    (qAug, cAug)
+  }
+
+  def mipsViaCosine(
+      queriesDf: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int): DataFrame = {
+    val (qAug, cAug) = mipsAugment(queriesDf, corpus, idCol, vecCol)
     bruteForceTopK(qAug, cAug, "id", "vec", topK)
   }
 
@@ -881,6 +895,7 @@ object Similarity {
       coarse: Seq[(Long, Seq[Double])],
       books: Seq[Seq[Seq[Double]]],
       encoded: DataFrame,
+      residuals: DataFrame,
       m: Int, sub: Int)
 
   /** Train the IVF-PQ index over `corpus`: coarse seeds (lowest-id,
@@ -932,7 +947,7 @@ object Similarity {
         (0 until m).map(j => codeExpr(j).as(s"_c$j")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Pipeline.pin(encoded)
-    IvfPqModel(coarse, books, encoded, m, sub)
+    IvfPqModel(coarse, books, encoded, residuals, m, sub)
   }
 
   /** Serve a query batch against a trained [[IvfPqModel]]: probe the
@@ -948,7 +963,7 @@ object Similarity {
     import org.apache.spark.sql.functions.broadcast
     val spark = model.encoded.sparkSession
     import spark.implicits._
-    val IvfPqModel(coarse, books, encoded, m, sub) = model
+    val IvfPqModel(coarse, books, encoded, _, m, sub) = model
     val coarseDf = broadcast(coarse.toDF("cid", "cvec"))
     def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
     val probedBase = queriesDf

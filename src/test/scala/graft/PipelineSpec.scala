@@ -296,6 +296,55 @@ class PipelineSpec extends GraftSuite {
     assert(Pipeline.pinned.isEmpty)
   }
 
+  test("prefix-sum phase 2 REFUSES on a partition-fingerprint mismatch") {
+    // The round-18 guard: phase 2 verifies per-partition (row count,
+    // xor of the materialized content hash) against what the offsets
+    // collect observed. A pinned range-partitioned frame recomputed
+    // with different boundaries (cache evicted under LRU, or a
+    // plan-identical frame unpersisted by another caller — Spark's
+    // cache manager keys entries by canonicalized PLAN, not DataFrame
+    // handle) keeps a self-consistent _pid, so only this content check
+    // can catch it; stale broadcast offsets would otherwise produce
+    // silently wrong running sums. Unit-tested with a doctored
+    // expectation map against the package-private phase-2 pass.
+    import spark.implicits._
+    val frame = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("id", "v")
+      .repartition(1)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_prs", col("v"))
+      .withColumn("_ph", xxhash64(col("id"), col("v")))
+      .sortWithinPartitions("id")
+    val truth = frame.groupBy("_pid")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(_ph)").as("hx"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val offsets = truth.keys.map(_ -> 0L).toMap
+    // matching fingerprint: passes and sums correctly
+    val ok = Pipeline.runningSumPass(frame, "run", offsets, truth)
+      .orderBy("id").select("id", "run").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.toSeq === Seq((1L, 10L), (2L, 30L), (3L, 60L)))
+    // doctored count: refuses loudly
+    val badN = truth.map { case (p, (n, hx)) => p -> ((n + 1L, hx)) }
+    val e1 = intercept[Exception] {
+      Pipeline.runningSumPass(frame, "run", offsets, badN).collect()
+    }
+    assert(chain(e1).contains("fingerprint mismatch"), chain(e1))
+    // doctored content hash: refuses loudly
+    val badH = truth.map { case (p, (n, hx)) => p -> ((n, hx ^ 42L)) }
+    val e2 = intercept[Exception] {
+      Pipeline.runningSumPass(frame, "run", offsets, badH).collect()
+    }
+    assert(chain(e2).contains("fingerprint mismatch"), chain(e2))
+  }
+
+  private def chain(e: Throwable): String = {
+    var t = e; val sb = new StringBuilder
+    while (t != null) { sb.append(t.getMessage).append('\n'); t = t.getCause }
+    sb.toString
+  }
+
   test("globalPosition matches a global row_number window") {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select("doc_id")

@@ -387,6 +387,10 @@ if os.path.exists(planted_path):
         rec_actual = ent.get("recall_l2_at20", ent.get("recall_self"))
         rec_name = ("recall_l2@20" if "recall_l2_at20" in ent
                     else f"recall_self({ent.get('truth', '?')})")
+        if rec_actual is None:
+            fail(f"SCALE.md quotes planted point {lbl} but its artifact"
+                 f" entry has neither recall_l2_at20 nor recall_self")
+            continue
         for label, quoted, actual in [("sec", sec, ent["sec"]),
                                       (rec_name, rec, rec_actual)]:
             prec = len(quoted.split(".")[1]) if "." in quoted else 0
