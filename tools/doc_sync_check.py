@@ -120,7 +120,11 @@ else:
         ("q17", r"q17\s+([\d.]+)\s*s", "tpch22.q17_small_quantity"),
         ("q18", r"q18\s+([\d.]+)\s*s", "tpch22.q18_large_volume"),
         ("q22", r"q22\s+([\d.]+)\s*s", "tpch22.q22_global_sales"),
-        ("ss20", r"codebook training\s+([\d.]+)\s*s", "llm.ss20_ivfpq_topk"),
+        ("q15", r"q15\s+([\d.]+)\s*s", "tpch22.q15_top_supplier"),
+        # round-18 split: the serve row lives in the llm suite, training
+        # is its own top-level gated section
+        ("ss20_serve", r"ss20_serve\s+([\d.]+)\s*s", "llm.ss20_serve"),
+        ("ss20_train", r"ss20_train\s+([\d.]+)\s*s", "ss20_train_sec"),
     ]:
         m = re.search(pattern, para)
         if not m:
