@@ -133,6 +133,33 @@ class SimilaritySpec extends GraftSuite {
       org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("ivf-pq serve and mmr rerank edge shapes: empty batch, unknown ids") {
+    import graft.ops.Pipeline
+    val scope = new Pipeline.PinScope
+    val model = Pipeline.withScope(scope) {
+      Similarity.ivfPqTrain(emb, "vec_id", "embedding", dim = 64,
+        numCoarse = 8, m = 8, codebookSize = 16, updates = 1)
+    }
+    // an empty query batch serves to an empty result, no error — the
+    // shape a scheduler hits between arriving batches
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.ivfPqServe(
+      empty, model, "vec_id", "embedding", 5, nprobe = 2).count() === 0L)
+    scope.release()
+    // double release is idempotent (the second drains an empty queue)
+    scope.release()
+    assert(scope.isEmpty)
+    // mmrRerank drops candidates whose vec_id is absent from the corpus
+    // (inner vector join) instead of failing or emitting null vectors
+    import spark.implicits._
+    val cands = Seq((1L, 2L, 0.9), (1L, 999999999L, 0.8))
+      .toDF("qid", "vec_id", "cos")
+    val got = Similarity.mmrRerank(cands, emb, "vec_id", "embedding",
+      k = 2, lambda = 0.5).collect()
+    assert(got.map(_.getLong(2)).toSet === Set(2L),
+      s"unknown candidate id must drop, got: ${got.mkString}")
+  }
+
   test("ivf-pq ann joins codes to broadcast LUTs and overlaps exact top-k") {
     val q = emb.filter(col("vec_id") < 20)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
