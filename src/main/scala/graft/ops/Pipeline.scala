@@ -266,7 +266,18 @@ object Pipeline {
     * with the callers' total orders (unique keys — the repo's
     * determinism convention) pair-cancellation needs a 64-bit hash
     * collision, i.e. never in honest recomputes. Package-private so the
-    * refusal is unit-testable with a doctored expectation map. */
+    * refusal is unit-testable with a doctored expectation map.
+    *
+    * KNOWN GAP, stated honestly: the check fires at partition
+    * EXHAUSTION, so a consumer that truncates consumption (a pushed
+    * `limit` draining only the head of partition 0) can read rows
+    * without the verification ever running. The wrongness window needs
+    * BOTH a mid-lifetime recompute AND a limit-truncated consumer —
+    * every oracle/bench/catalog path consumes fully; an eager
+    * verify-before-emit would need either partition buffering
+    * (unbounded memory) or a second cached-scan aggregation per
+    * execution (the skyline2D deferred-check cost, not a wash for the
+    * hot prefix-sum rows), so exhaustion-time is the chosen point. */
   private[graft] def runningSumPass(
       sorted: DataFrame, name: String, offsets: Map[Int, Long],
       expected: Map[Int, (Long, Long)]): DataFrame = {
