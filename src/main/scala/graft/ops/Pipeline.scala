@@ -37,6 +37,13 @@ object Pipeline {
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     private[graft] def add(df: DataFrame): Unit = frames.add(df)
     def isEmpty: Boolean = frames.isEmpty
+    /** Snapshot of the queued frames — spec-only introspection (the
+      * plan-identity limit is pinned by test against real cache
+      * state). */
+    private[graft] def snapshot: Seq[DataFrame] = {
+      import scala.jdk.CollectionConverters._
+      frames.iterator().asScala.toSeq
+    }
     /** Unpersist every frame pinned into THIS scope. Call AFTER the
       * action(s) consuming their results — a further action on an
       * already-returned frame would re-run the pinned stage (see the

@@ -290,9 +290,21 @@ class PipelineSpec extends GraftSuite {
     // results are correct (match a naive global running-sum reference)
     val naive = base.orderBy("doc_id").collect().toSeq
     assert(ra.size === naive.size && rb.size === naive.size)
-    // each caller releases its own token; the other's pins survive
+    // each caller releases its own token; the other's QUEUE survives —
+    // but pin the documented plan-identity LIMIT against real cache
+    // state: these two callers' pinned frames are plan-identical, so
+    // they shared ONE cache entry and A's release dropped it for B too
+    // (B is protected downstream by the fingerprint guard, not here)
+    val bFrames = scopeB.snapshot
+    assert(bFrames.nonEmpty)
     scopeA.release()
     assert(scopeB.isEmpty === false)
+    assert(bFrames.forall(_.storageLevel ===
+        org.apache.spark.storage.StorageLevel.NONE),
+      "plan-identical cross-scope entries share cache: A's release " +
+        "must have dropped B's entry too (if this ever starts FAILING, " +
+        "Spark made caching handle-scoped and the PinScope scaladoc + " +
+        "fingerprint-guard rationale should be revisited)")
     scopeB.release()
     assert(scopeA.isEmpty && scopeB.isEmpty)
     // and an unwrapped call still lands in the default scope, released
