@@ -104,6 +104,48 @@ object RewriteAb {
       .orderBy("s_suppkey")
   }
 
+  /** Round-19 q7 probe: pre-aggregate the lineitem⋈supplier⋈nation side
+    * by (l_orderkey, supp_region, l_year) BEFORE the orders/customer
+    * joins — lineitem→order is ~4:1 and the supplier-region filter
+    * keeps 2 of 5 regions, so far fewer rows cross the two remaining
+    * joins. Values identical to the catalog text: quantized unit sums
+    * are associative longs, and the guard carriers compose exactly
+    * (max of partial maxes, sum of partial counts). The catalog keeps
+    * the literal four-join text unless this wins — q7's verdict-audited
+    * plan is "right but four joins"; this is the one untried idea. */
+  private def q7Probe(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.OracleSafe.{units, quantGuarded}
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"),
+        col("n_regionkey").as("supp_region"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey").as("cust_region"))
+    val pre = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .filter(col("supp_region").isin(0, 1))
+      .groupBy(col("l_orderkey"), col("supp_region"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(units(rev, 1e4)).as("_u"),
+        max(abs(units(rev, 1e4))).as("_mu1"),
+        count(lit(1)).as("_n1"))
+    pre
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("cust_region").isin(0, 1) &&
+        col("supp_region") =!= col("cust_region"))
+      .groupBy(col("supp_region"), col("cust_region"), col("l_year"))
+      .agg((sum(col("_u")).cast("double") / lit(1e4)).as("revenue"),
+        max(col("_mu1")).as("_mu"), sum(col("_n1")).as("_n"))
+      .withColumn("revenue", quantGuarded(col("revenue"), col("_mu"),
+        col("_n"), "double", "q7_probe"))
+      .drop("_mu", "_n")
+      .orderBy("supp_region", "cust_region", "l_year")
+  }
+
   def main(args: Array[String]): Unit = {
     // A case subset must NOT overwrite the full artifact of record with
     // a partial one (the ScaleCurve subset-guard convention): selecting
@@ -199,7 +241,14 @@ object RewriteAb {
             Force.run(SparkEntry.queries("q15_top_supplier")(spark, dir))
             graft.ops.Pipeline.releaseCaches()
           },
-          () => { Force.run(spark.sql(graft.queries.TpchQueries.q15Sql)); () }))
+          () => { Force.run(spark.sql(graft.queries.TpchQueries.q15Sql)); () }),
+        // q7 probe-and-measure (round 19): order-level pre-aggregation
+        // before the customer join vs the kept four-join catalog text
+        // (the q20 convention — the probe lives only here unless it
+        // wins). "rewrite" = probe, "literal" = catalog entry.
+        ("q7",
+          () => { Force.run(q7Probe(spark, dir)); () },
+          () => { Force.run(SparkEntry.queries("q7_nation_volume")(spark, dir)); () }))
       // dd16 probe (round 15): single-sort ranged variant vs the
       // two-phase globalPosition catalog implementation. "rewrite" =
       // the probe, "literal" = the catalog entry (the q20 convention).
@@ -218,6 +267,27 @@ object RewriteAb {
           () => {
             Force.run(graft.ops.Dedup.sortedNeighborhoodPairs(docs,
               col("doc_id"), col("text"), snKey, 5, 3, 0.5))
+            graft.ops.Pipeline.releaseCaches()
+          }),
+        // dd16 verification-gate A/B (round 19): the shared gram-merge
+        // verification stage with the lossless mask-bound pre-gate +
+        // early-exit merge (preGate=true) vs the ungated full-merge
+        // incumbent (the catalog default — the A/B was a WASH, see the
+        // verifySortedNeighborhoodCand keep-note; kept re-measurable
+        // here per the q20 convention). Both sides run the SAME
+        // two-phase candidate pipeline, so this isolates verification
+        // cost. Pair-set bit-equality pinned in DedupSpec.
+        ("dd16gate",
+          () => {
+            Force.run(graft.ops.Dedup.sortedNeighborhoodPairs(docs,
+              col("doc_id"), col("text"), snKey, 5, 3, 0.5,
+              preGate = true))
+            graft.ops.Pipeline.releaseCaches()
+          },
+          () => {
+            Force.run(graft.ops.Dedup.sortedNeighborhoodPairs(docs,
+              col("doc_id"), col("text"), snKey, 5, 3, 0.5,
+              preGate = false))
             graft.ops.Pipeline.releaseCaches()
           }))
       // ta16 constant-factor A/B (round 17): the catalog gopherRules
@@ -249,6 +319,30 @@ object RewriteAb {
           () => {
             Force.run(graft.ops.TextAnalysis.stripBoilerplateChunksTwoWindow(
               docs, col("doc_id"), col("text"), 8, 1L).orderBy("doc_id"))
+            ()
+          }),
+        // dd22 Bloom-pair A/B (round 19): Catalyst's BloomFilterAggregate
+        // + BloomFilterMightContain (codegen'd long probe) vs the
+        // broadcast-UDF string probe — the one remaining hot-path UDF.
+        // Both sides build their sketch per rep (the dd22 catalog entry
+        // builds per call) and share the exact verification, so the A/B
+        // isolates sketch build + probe cost. Verdicts identical (no
+        // false negatives either way; fps die in the exact semi-join).
+        ("dd22bloom",
+          () => {
+            Force.run(graft.ops.Dedup.bloomIngestGateNative(
+              docs.filter(col("doc_id") % 5 =!= 0),
+              docs.filter(col("doc_id") % 5 === 0),
+              col("doc_id"), substring(col("text"), 1, 64),
+              expectedItems = 1000L, fpp = 0.01).orderBy("incoming_id"))
+            ()
+          },
+          () => {
+            Force.run(graft.ops.Dedup.bloomIngestGate(
+              docs.filter(col("doc_id") % 5 =!= 0),
+              docs.filter(col("doc_id") % 5 === 0),
+              col("doc_id"), substring(col("text"), 1, 64),
+              expectedItems = 1000L).orderBy("incoming_id"))
             ()
           }))
       def runGroup(cases: Seq[(String, () => Unit, () => Unit)])

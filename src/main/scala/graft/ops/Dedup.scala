@@ -102,6 +102,43 @@ object Dedup {
   def jaccardSizePrune(sizeA: Column, sizeB: Column, t: Double): Column =
     least(sizeA, sizeB).cast("double") / greatest(sizeA, sizeB) >= t
 
+  /** Mask width (64-bit words) for [[gramMask]]: 2048 bits ≈ 4–8× the
+    * fixture corpus' distinct char-trigram counts (docs are ≤577 chars →
+    * ≤575 distinct grams, ~250 typical), keeping the OR-mask load factor
+    * low enough that dissimilar pairs are killed by the bound. Lossless
+    * at ANY width — a saturated mask only weakens the bound to "no
+    * prune", never to a wrong one. */
+  val GramMaskWords: Int = 32
+
+  /** Per-doc gram OR-mask for [[jaccardMaskPrune]] — computed ONCE per
+    * doc in the gram frame (O(|grams|) hashes), amortized across every
+    * candidate pair the doc appears in. */
+  def gramMask(grams: Column): Column =
+    graft.functions.SortedArrays.gram_mask(grams, GramMaskWords)
+
+  /** Lossless mask-bound prune for a Jaccard threshold (round 19):
+    * popcount(mA & ~mB) ≤ |A\B| (every such bit was set by a gram B
+    * lacks), so inter = |A| − |A\B| ≤ |A| − popcount(mA & ~mB), ditto
+    * mirrored — the tighter of the two upper-bounds the pair's Jaccard.
+    * Pure bit ops per pair (2×[[GramMaskWords]] words) vs the O(|A|+|B|)
+    * string merge it front-runs; fl() monotonicity makes the rounded
+    * bound dominate the rounded exact value, so no ≥ t pair is pruned. */
+  def jaccardMaskPrune(sizeA: Column, sizeB: Column,
+      maskA: Column, maskB: Column, t: Double): Column = {
+    import graft.functions.SortedArrays.mask_diff_bits
+    val upper = least(sizeA - mask_diff_bits(maskA, maskB),
+      sizeB - mask_diff_bits(maskB, maskA))
+    upper.cast("double") / (sizeA + sizeB - upper).cast("double") >= t
+  }
+
+  /** Threshold-gated exact Jaccard: same double as [[jaccardSorted]]
+    * for any pair that can still reach `t`; −1.0 (filtered by the ≥ t
+    * consumer) the moment the sorted merge proves it cannot. See
+    * [[graft.functions.SortedArrays.jaccardGe]] for the losslessness
+    * argument. */
+  def jaccardSortedGe(a: Column, b: Column, t: Double): Column =
+    graft.functions.SortedArrays.sorted_jaccard_ge(a, b, t)
+
   /** Full MinHash-LSH near-dup pipeline over (id, text): signature → bands
     * → candidate pairs → exact-Jaccard verification at `threshold`. */
   def minhashNearDupPairs(
@@ -421,7 +458,8 @@ object Dedup {
     * Verification = exact sorted-merge char-n-gram Jaccard. */
   def sortedNeighborhoodPairs(
       docs: DataFrame, id: Column, text: Column, sortKey: Column,
-      window: Int = 5, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      window: Int = 5, n: Int = 3, threshold: Double = 0.5,
+      preGate: Boolean = false): DataFrame = {
     require(window >= 2, "window must be >= 2")
     // positions travel SLIM (id, key, pos): the gram arrays are ~KBs per
     // row, and carrying them through the w−1-way explode would replicate
@@ -439,29 +477,64 @@ object Dedup {
       .join(pos.select(col("sn_id").as("id_r"), col("sn_pos").as("r_pos")),
         col("_tgt") === col("r_pos"))
       .select(col("id_l"), col("id_r"))
-    verifySortedNeighborhoodCand(docs, id, text, n, threshold, cand)
+    verifySortedNeighborhoodCand(docs, id, text, n, threshold, cand, preGate)
   }
 
   /** Shared verification leg for the sorted-neighborhood variants: join
     * the candidate ID pairs back to per-doc sorted char-n-gram sets and
     * keep pairs at/above the Jaccard threshold. Grams shuffle exactly
-    * once per side, by id. */
+    * once per side, by id.
+    *
+    * `preGate=true` (round 19, the ta16 playbook applied to the stage
+    * both round-15 A/B variants shared): two additional LOSSLESS kills
+    * before/inside the O(|A|+|B|) sorted-merge —
+    *   1. [[jaccardMaskPrune]]: a per-doc 2048-bit gram OR-mask bound
+    *      (pure bit ops per pair) rejects dissimilar pairs without
+    *      touching the gram arrays;
+    *   2. [[jaccardSortedGe]]: survivors merge with threshold-aware
+    *      early exit (abort once matched + min(remaining) < required).
+    * Same pair set, bit-identical jaccards (pinned in DedupSpec); only
+    * the constant factor moves.
+    *
+    * KEEP-NOTE (round 19, measured in ABRW.json "dd16gate", gated A/B
+    * at ×1/×10/×30): a WASH — gated vs ungated mins 2.52 vs 2.47 s
+    * (×1), 23.45 vs 22.83 (×10), 73.20 vs 79.27 (×30, reps noisy both
+    * sides) — so the UNGATED incumbent stays the default
+    * (preGate=false), per the dd26 wash rule. The diagnosis the wash
+    * buys: after the r15 candidate-stage wash, this rules out the merge
+    * COMPUTE too — dd16's cost is the gram-array payload (KBs/row)
+    * moving through the two id-joins' exchanges plus the per-doc gram
+    * construction, which no per-pair gate touches. The gate's extra
+    * mask bytes per row would only grow that shuffle at 100 TB, so the
+    * ungated default is also the scale-correct call; the gated form
+    * stays the measured library alternative for corpora where pair
+    * count ≫ doc count (fatter windows, heavier blocking). */
   private def verifySortedNeighborhoodCand(
       docs: DataFrame, id: Column, text: Column, n: Int, threshold: Double,
-      cand: DataFrame): DataFrame = {
-    val grams = docs.select(id.as("g_id"),
+      cand: DataFrame, preGate: Boolean): DataFrame = {
+    val base = docs.select(id.as("g_id"),
         charNgramsSorted(text, n).as("g"))
       .withColumn("gsz", size(col("g")))
+    val grams = (if (preGate) base.withColumn("gmask", gramMask(col("g")))
+      else base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Pipeline.pin(grams) // released with the two-phase caches
-    cand
-      .join(grams.select(col("g_id").as("id_l"), col("g").as("g_l"),
-        col("gsz").as("sz_l")), "id_l")
-      .join(grams.select(col("g_id").as("id_r"), col("g").as("g_r"),
-        col("gsz").as("sz_r")), "id_r")
+    def side(tag: String) = grams.select(Seq(
+        col("g_id").as(s"id_$tag"), col("g").as(s"g_$tag"),
+        col("gsz").as(s"sz_$tag")) ++
+      (if (preGate) Seq(col("gmask").as(s"gm_$tag")) else Nil): _*)
+    val sized = cand
+      .join(side("l"), "id_l")
+      .join(side("r"), "id_r")
       // lossless size prune kills hopeless pairs before any merge work
       .filter(jaccardSizePrune(col("sz_l"), col("sz_r"), threshold))
-      .withColumn("jaccard", jaccardSorted(col("g_l"), col("g_r")))
+    val gated = if (preGate) sized.filter(jaccardMaskPrune(
+        col("sz_l"), col("sz_r"), col("gm_l"), col("gm_r"), threshold))
+      else sized
+    gated
+      .withColumn("jaccard",
+        if (preGate) jaccardSortedGe(col("g_l"), col("g_r"), threshold)
+        else jaccardSorted(col("g_l"), col("g_r")))
       .filter(col("jaccard") >= threshold)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("jaccard"))
@@ -503,7 +576,8 @@ object Dedup {
     * library alternative. */
   def sortedNeighborhoodPairsRanged(
       docs: DataFrame, id: Column, text: Column, sortKey: Column,
-      window: Int = 5, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      window: Int = 5, n: Int = 3, threshold: Double = 0.5,
+      preGate: Boolean = false): DataFrame = {
     require(window >= 2, "window must be >= 2")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -585,7 +659,7 @@ object Dedup {
       .filter(col("back") + col("fwd") < w)
       .select(col("id_l"), col("id_r"))
     verifySortedNeighborhoodCand(docs, id, text, n, threshold,
-      localPairs.unionByName(boundary))
+      localPairs.unionByName(boundary), preGate)
   }
 
   /** Repeated-passage detection — the chunk-level form of exact-substring
@@ -1140,6 +1214,79 @@ object Dedup {
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
     existing.select(md5(key).as("digest"))
       .stat.bloomFilter("digest", expectedItems, fpp)
+
+  /** Native-expression variant of the Bloom gate (round-19 A/B probe of
+    * the ONE remaining hot-path UDF): builds the snapshot sketch with
+    * Catalyst's `BloomFilterAggregate` over `xxhash64(digest)` (the
+    * runtime-filter pair Spark's own InjectRuntimeFilter uses) and
+    * probes with `BloomFilterMightContain` — a codegen'd long-probe
+    * that stays inside whole-stage codegen, vs the UDF's per-row
+    * UTF8String→String conversion + murmur of a 32-char string outside
+    * it. The verdict column is identical either way: BOTH sketches
+    * contain every existing digest (no false negatives), and false
+    * positives die in the same exact semi-join verification — only the
+    * candidate-set size (≈fpp of the batch) and per-row probe cost can
+    * differ. Scale note: the sketch bytes ride the plan as a LITERAL
+    * (shipped with every task binary) where the UDF form broadcasts —
+    * at snapshot sizes past tens of MB the broadcast form travels
+    * better; at the ~KB–MB snapshot sizes the gate targets the literal
+    * is free.
+    *
+    * KEEP-NOTE (round 19, ABRW.json "dd22bloom", native listed first):
+    * a WASH — 0.40 vs 0.42 s (×1), 0.49 vs 0.51 (×10), 1.01 vs 0.97
+    * (×30). The gate probes only the (small) ingest BATCH, so per-row
+    * probe cost is microseconds either way and job/stage overhead plus
+    * the corpus-side sketch build dominate both forms. The UDF
+    * incumbent stays the catalog/streaming default (wash rule + the
+    * broadcast travels better at big snapshots); this pair stays the
+    * measured alternative for batch-heavy regimes where per-row probe
+    * cost would surface, re-runnable from RewriteAb. */
+  def buildDigestBloomNative(
+      existing: DataFrame, key: Column, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(md5(key))),
+      Literal(expectedItems), Literal(numBits))
+    existing.select(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[bloomIngestGate]] with the native probe — see
+    * [[buildDigestBloomNative]]. Same (incoming_id, digest, is_dup)
+    * output. */
+  def bloomIngestGateNative(
+      existing: DataFrame, incoming: DataFrame, id: Column, key: Column,
+      bloomBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val ex = existing.select(md5(key).as("digest"))
+    val in = incoming.select(id.as("incoming_id"), md5(key).as("digest"))
+    val probe = GraftBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(xxhash64(col("digest")))))
+    val candDigests = in
+      .filter(col("digest").isNotNull && probe)
+      .select("digest").distinct()
+    val dupDigests = ex
+      .join(broadcast(candDigests), Seq("digest"), "left_semi")
+      .distinct()
+    in.join(broadcast(dupDigests.withColumn("is_dup", lit(true))),
+        Seq("digest"), "left")
+      .na.fill(false, Seq("is_dup"))
+      .select("incoming_id", "digest", "is_dup")
+  }
+
+  /** One-call form of the native-pair gate (the dd22 shape). */
+  def bloomIngestGateNative(
+      existing: DataFrame, incoming: DataFrame, id: Column, key: Column,
+      expectedItems: Long, fpp: Double): DataFrame =
+    bloomIngestGateNative(existing, incoming, id, key,
+      buildDigestBloomNative(existing, key, expectedItems, fpp))
 
   // One Spark broadcast per DISTINCT bloom object, not per call: the
   // streaming gate invokes [[bloomIngestGate]] once per micro-batch with

@@ -495,6 +495,15 @@ object TpchQueries extends QueryPack {
 
     // Q7-shape — volume shipping between nation pairs (supplier nation ×
     // customer nation per year).
+    // KEEP-NOTE (round 19, ABRW.json "q7"): the one untried idea from
+    // the r18 plan audit — pre-aggregating the lineitem⋈supplier⋈nation
+    // side by (l_orderkey, supp_region, l_year) before the orders/
+    // customer joins (RewriteAb.q7Probe) — LOSES at every point: probe
+    // 1.06/3.16/5.57 s vs this text 0.95/2.84/5.18 s at ×1/×10/×30.
+    // The order-level groupBy keys on nearly one group per 4 input rows,
+    // so its full-width shuffle + hash aggregate costs more than the
+    // 4:1 row reduction saves the two remaining joins. The four-join
+    // literal text stays; q7's cost is the joins, as adjudicated.
     "q7_nation_volume" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val ord = Tables.orders(s, d)

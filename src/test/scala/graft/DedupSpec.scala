@@ -397,6 +397,84 @@ class DedupSpec extends GraftSuite {
     graft.ops.Pipeline.releaseCaches()
   }
 
+  test("verification pre-gate: gated pair set bit-identical to ungated (dd16 pin)") {
+    // the round-19 constant-factor pass on the verification stage (mask
+    // pre-gate + early-exit merge) must be a pure cost change: ids AND
+    // jaccard doubles identical to the ungated full merge on the real
+    // corpus — the ABRW "dd16gate" adoption rests on this pin
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val key = substring(
+      regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 12)
+    def run(gate: Boolean) = Dedup.sortedNeighborhoodPairs(
+        docs, col("doc_id"), col("text"), key, window = 5, n = 3,
+        threshold = 0.5, preGate = gate)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val gated = run(true)
+    val full = run(false)
+    assert(full.nonEmpty && gated === full)
+    graft.ops.Pipeline.releaseCaches()
+  }
+
+  test("jaccardGe and the mask-bound prune are lossless vs the full merge") {
+    // randomized (fixed seed) adversarial check of the two round-19
+    // primitives directly against the reference merge:
+    //  - jaccardGe returns the BIT-IDENTICAL double for any pair at or
+    //    above t, and something < t (the early-exit -1 or the true
+    //    value) below it;
+    //  - the mask upper bound never falls below the exact jaccard, so
+    //    the pre-gate can never kill a surviving pair — at ANY width,
+    //    including a deliberately saturated 1-word mask.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.SortedArrays
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 400).map(i => f"g$i%03d")
+    def randSet(): Array[String] =
+      rnd.shuffle(pool).take(1 + rnd.nextInt(60)).sorted.toArray
+    def ad(a: Array[String]) =
+      new GenericArrayData(a.map(UTF8String.fromString).toSeq)
+    (1 to 300).foreach { _ =>
+      val a = randSet(); val b = randSet()
+      val aa = ad(a); val bb = ad(b)
+      val inter = SortedArrays.intersectCount(aa, bb)
+      val exact = inter.toDouble / (a.length + b.length - inter).toDouble
+      for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); words <- Seq(1, 32)) {
+        val ge = SortedArrays.jaccardGe(aa, bb, t)
+        if (exact >= t) assert(ge === exact, s"t=$t")
+        else assert(ge < t, s"t=$t got $ge exact $exact")
+        val ma = SortedArrays.gramMask(aa, words)
+        val mb = SortedArrays.gramMask(bb, words)
+        val upper = math.min(
+          a.length - SortedArrays.maskDiffBits(ma, mb),
+          b.length - SortedArrays.maskDiffBits(mb, ma))
+        val bound =
+          upper.toDouble / (a.length + b.length - upper).toDouble
+        assert(bound >= exact, s"mask bound $bound < exact $exact")
+      }
+    }
+  }
+
+  test("bloomIngestGateNative: verdicts identical to the UDF-probe gate") {
+    // the round-19 native-pair probe (BloomFilterAggregate +
+    // BloomFilterMightContain) must agree row-for-row with the
+    // broadcast-UDF gate: different sketches, same NO-false-negative
+    // guarantee, same exact verification — so identical verdicts
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ex = docs.filter(col("doc_id") % 5 =!= 0)
+    val in = docs.filter(col("doc_id") % 5 === 0)
+    val key = substring(col("text"), 1, 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        .toSet
+    val udfGate = rows(Dedup.bloomIngestGate(
+      ex, in, col("doc_id"), key, expectedItems = 1000L))
+    val native = rows(Dedup.bloomIngestGateNative(
+      ex, in, col("doc_id"), key, expectedItems = 1000L, fpp = 0.01))
+    assert(udfGate.nonEmpty && native === udfGate)
+    assert(udfGate.exists(_._3), "fixture must contain at least one dup")
+  }
+
   test("sortedNeighborhoodPairsRanged refuses slices thinner than the window") {
     // a range slice with < window-1 rows would let a neighborhood span
     // non-adjacent slices — the precondition must fail LOUDLY, never

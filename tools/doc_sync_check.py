@@ -260,7 +260,8 @@ if os.path.exists(abrw_path):
     # quote added anywhere else would otherwise escape the gate (the
     # pattern is specific enough that false positives are implausible).
     pairs = re.findall(
-        r"((?:q|dd|ss|ta)\d+) ([\d.]+)\s*vs\s*([\d.]+)\s*s \(×(\d+)\)", scale)
+        r"((?:q|dd|ss|ta)\d+(?:gate|bloom)?) ([\d.]+)\s*vs\s*([\d.]+)"
+        r"\s*s \(×(\d+)\)", scale)
     if not pairs:
         fail("SCALE.md quotes no 'qN A vs B s (×F)' A/B pairs but"
              " ABRW.json exists")
@@ -405,6 +406,27 @@ if os.path.exists(planted_path):
         if okrow:
             ok(f"SCALE.md planted point {lbl} {sec} s / {rec} =="
                f" IVFPQAB_PLANTED.json")
+
+# ---- 3b4. strict ×10 oracle sweep vs STRICT_X10.json ----------------------
+# The round-19 correctness-above-fixture-scale net: a full Verify dump on
+# the ×10 synthetic replica strict-compared against DuckDB
+# (tools/oracle_check_strict.py). SCALE.md must quote the artifact's
+# counts exactly — a re-run that regresses would otherwise leave stale
+# prose claiming a green sweep.
+strictx10_path = os.path.join(ROOT, "STRICT_X10.json")
+if os.path.exists(strictx10_path):
+    sx = json.load(open(strictx10_path))
+    m = re.search(r"strict_ok=(\d+) bad=(\d+) err=(\d+) at ×10", scale)
+    if not m:
+        fail("STRICT_X10.json exists but SCALE.md quotes no"
+             " 'strict_ok=N bad=N err=N at ×10' line")
+    else:
+        for name, quoted in zip(("strict_ok", "bad", "err"), m.groups()):
+            if int(quoted) != sx.get(name, -1):
+                fail(f"SCALE.md quotes {name}={quoted} at ×10 but"
+                     f" STRICT_X10.json says {sx.get(name)}")
+            else:
+                ok(f"SCALE.md ×10 strict {name}={quoted} == STRICT_X10.json")
 
 # ---- 3c. retry-pressure high-water vs BENCH_RECORD ------------------------
 # The drift-watch quotes the worst observed retry pressure (bounded
