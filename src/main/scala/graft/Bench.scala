@@ -471,6 +471,20 @@ object Bench {
     // this scope.release() would unpersist the serve model's frames
     // (r18 review finding).
     def ss20TrainTimed(): (Double, Long) = {
+      // Machine-check of the must-run-after-release ordering (round-19
+      // advice — it previously lived only in comments): a still-pinned
+      // serve model would turn this "training" run into a
+      // plan-identical cache READ, and this scope's release would then
+      // unpersist the serve model out from under any later consumer.
+      // Both halves checked: the scope queue is drained AND the model's
+      // encoded frame has actually left the cache manager (release()
+      // removes entries synchronously even with blocking=false).
+      require(ss20Scope.isEmpty && ss20Model.forall(
+          _.encoded.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+        "ss20TrainTimed must run only after ss20Scope.release(): a " +
+          "cached plan-identical serve model would make this a cache " +
+          "read, and releasing the throwaway scope would unpersist the " +
+          "serve model (r18 cache-identity finding)")
       val scope = new graft.ops.Pipeline.PinScope
       val r = timedBody {
         val mdl = graft.ops.Pipeline.withScope(scope)(ss20Train())

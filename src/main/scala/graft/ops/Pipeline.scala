@@ -280,11 +280,16 @@ object Pipeline {
     * `limit` draining only the head of partition 0) can read rows
     * without the verification ever running. The wrongness window needs
     * BOTH a mid-lifetime recompute AND a limit-truncated consumer —
-    * every oracle/bench/catalog path consumes fully; an eager
-    * verify-before-emit would need either partition buffering
-    * (unbounded memory) or a second cached-scan aggregation per
-    * execution (the skyline2D deferred-check cost, not a wash for the
-    * hot prefix-sum rows), so exhaustion-time is the chosen point. */
+    * every oracle/bench/catalog path consumes fully, and since round 19
+    * that invariant is MACHINE-CHECKED, not prose: EntrySpec's
+    * "guard-gap pin" walks every catalog query's analyzed plan
+    * (subqueries included) and fails if any Limit sits above a
+    * `_ph`-fingerprinted MapPartitions without a full-consumption
+    * barrier (Sort/Aggregate) between them. An eager verify-before-emit
+    * would need either partition buffering (unbounded memory) or a
+    * second cached-scan aggregation per execution (the skyline2D
+    * deferred-check cost, not a wash for the hot prefix-sum rows), so
+    * exhaustion-time plus the spec pin is the chosen point. */
   private[graft] def runningSumPass(
       sorted: DataFrame, name: String, offsets: Map[Int, Long],
       expected: Map[Int, (Long, Long)]): DataFrame = {
@@ -693,7 +698,17 @@ object Pipeline {
 
   /** Global 1-based position of each row under `orderCols` — the scalable
     * form of `row_number()` over an unpartitioned window (same two-phase
-    * scheme: per-partition counts, broadcast offsets, local row_number). */
+    * scheme: per-partition counts, broadcast offsets, local row_number).
+    *
+    * PRECONDITION (shared with [[runningTotal]] and every other
+    * prefix-sum entry point): `orderCols` must be a TOTAL order with
+    * UNIQUE keys per row — the repo's determinism convention, but here
+    * it is also what gives the recompute fingerprint its teeth: the
+    * drift guard xors a per-row content hash, and two IDENTICAL
+    * (order-key, per-row-value) rows swapping partitions leave both the
+    * count and the xor unchanged, so duplicate keys would re-open
+    * exactly the silent-drift window the guard closes. With unique keys
+    * a silent swap needs a 64-bit hash collision. */
   def globalPosition(
       df: DataFrame, posName: String, orderCols: Column*): DataFrame =
     globalRunningSum(df, lit(1L), posName, orderCols)
@@ -701,7 +716,9 @@ object Pipeline {
   /** Global inclusive running total of `valueCol` (LONG) under
     * `orderCols` — `sum() OVER (ORDER BY …)` without the SinglePartition
     * window (same two-phase scheme as [[globalPosition]]). The growth
-    * curve / cumulative-count primitive. */
+    * curve / cumulative-count primitive. Same unique-total-order
+    * precondition as [[globalPosition]] — see its scaladoc for why the
+    * drift guard needs it. */
   def runningTotal(
       df: DataFrame, valueCol: Column, totalName: String,
       orderCols: Column*): DataFrame =

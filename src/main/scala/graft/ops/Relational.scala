@@ -241,8 +241,29 @@ object Relational {
     // and LRU can evict it, after which a re-executed
     // repartitionByRange may re-sample different boundaries while the
     // re-derived _pid stays self-consistent. The 1-row check re-scans
-    // the (cached) frame at action time and the filter REFUSES loudly
-    // on any membership drift instead of emitting a wrong skyline.
+    // the (cached) frame as the broadcast subtree at the START of the
+    // action and the filter REFUSES loudly on any membership drift
+    // instead of emitting a wrong skyline.
+    //
+    // COVERAGE, stated honestly (round-19 advice): because the guard
+    // scan and the main window scan are two scans of the same cached
+    // frame within one action, an eviction landing BETWEEN them — after
+    // the broadcast read ranged, before the probe stage does — escapes
+    // detection (a TOCTOU window runningSumPass's in-stream
+    // exhaustion check does not have). An in-stream check here would
+    // need the window consumer rewritten as the prefix sums'
+    // mapPartitions pass; the window form is the adjudicated plan
+    // (PlanSpec pins it) and the window needs an eviction timed inside
+    // a single action rather than merely a cross-action recompute, so
+    // the narrower guard is the chosen point.
+    //
+    // try_element_at, not element_at: a drift that surfaces a _pid
+    // ABSENT from the phase-1 maps must reach the crafted raise_error
+    // below. On this Spark (4.1.2, ANSI on) plain element_at already
+    // returns NULL for a missing map key (measured round 19 — the
+    // null condition falls to the mismatch arm), but that behavior is
+    // exactly what an ANSI tightening would change, so the intent is
+    // spelled with the try_ variant.
     val expN = typedLit(mins.map(r => r.getInt(0) -> r.getLong(2)).toMap)
     val expH = typedLit(mins.map(r => r.getInt(0) -> r.getLong(3)).toMap)
     val fpOk = ranged.groupBy(col("_pid"))
@@ -250,8 +271,9 @@ object Relational {
         expr("bit_xor(xxhash64(x, y))").as("_hx2"))
       .agg(
         (count(lit(1)) === lit(mins.length.toLong) &&
-          coalesce(sum(when(element_at(expN, col("_pid")) === col("_n2") &&
-              element_at(expH, col("_pid")) === col("_hx2"), 0L)
+          coalesce(sum(when(
+              try_element_at(expN, col("_pid")) === col("_n2") &&
+              try_element_at(expH, col("_pid")) === col("_hx2"), 0L)
             .otherwise(1L)), lit(0L)) === lit(0L)).as("_fp_ok"))
     ranged
       .withColumn("_prefix_min", globalPrefix)
