@@ -45,11 +45,29 @@ object IvfPqSweep {
   /** (label, nprobe, m, codebookSize) — label doubles as the JSON key. */
   val points: Seq[(String, Int, Int, Int)] = Seq(
     ("np1_m8_cb16", 1, 8, 16),
-    ("np2_m8_cb16", 2, 8, 16), // the shipped ss20 configuration
+    ("np2_m8_cb16", 2, 8, 16), // shipped r15–r18 (bundled cost model)
     ("np4_m8_cb16", 4, 8, 16),
     ("np2_m4_cb16", 2, 4, 16),
     ("np2_m8_cb8", 2, 8, 8),
     ("np2_m4_cb8", 2, 4, 8))
+
+  /** Round-19 SERVE-split points (the verdict's re-adjudication): the
+    * round-15 keep of (nprobe=2, m=8, cb=16) priced RE-TRAINING into
+    * every rep; with `ivfPqTrain`/`ivfPqServe` amortizing the
+    * once-per-corpus k-means, the operating point should be chosen on
+    * serve cost alone. nprobe sweeps the probed-cell fraction at the
+    * shipped tree (np8 of numCoarse=8 = exhaustive probe, i.e. the PQ
+    * quantization-error recall CEILING at this tree); the cb32/m16
+    * trees probe whether a finer quantizer lifts that ceiling toward
+    * ~0.9 for an acceptable serve (and once-per-corpus train) delta. */
+  val servePoints: Seq[(String, Int, Int, Int)] = Seq(
+    ("serve_np1_m8_cb16", 1, 8, 16),
+    ("serve_np2_m8_cb16", 2, 8, 16), // shipped r15–r18
+    ("serve_np4_m8_cb16", 4, 8, 16),
+    ("serve_np8_m8_cb16", 8, 8, 16),
+    ("serve_np2_m8_cb32", 2, 8, 32),
+    ("serve_np4_m8_cb32", 4, 8, 32), // ADOPTED round 19 (see ss20 note)
+    ("serve_np4_m16_cb16", 4, 16, 16))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -174,6 +192,53 @@ object IvfPqSweep {
       }
     }
 
+    // ---- serve-split sweep (round 19) ----
+    // One tree at a time, STRICTLY sequential: train in its own scope,
+    // measure every nprobe point against the pinned model, release the
+    // scope BEFORE the next tree trains — two live trees would share
+    // the plan-identical residual frame (same corpus, same numCoarse),
+    // and releasing one scope would unpersist it under the other (the
+    // r18 cache-identity finding; the Bench ss20TrainTimed ordering
+    // rule, applied here by construction).
+    val serveByTree = servePoints.groupBy(p => (p._3, p._4)).toSeq
+      .sortBy(_._1)
+    val serveResults: Seq[(String, Double, Vector[Double], Double, Double)] =
+      serveByTree.flatMap { case ((m, cb), pts) =>
+        val scope = new Pipeline.PinScope
+        val t0 = System.nanoTime()
+        val model = Pipeline.withScope(scope)(
+          Similarity.ivfPqTrain(emb, "vec_id", "embedding",
+            dim = 64, numCoarse = 8, m = m, codebookSize = cb, updates = 1))
+        Force.run(model.encoded)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        def serve(qs: org.apache.spark.sql.DataFrame, k: Int, np: Int) =
+          Similarity.ivfPqServe(qs, model, "vec_id", "embedding", k, np)
+        // recall legs double as the per-point warmup (codegen)
+        val recalls = pts.map { case (lbl, np, _, _) =>
+          val r5 = serve(q, 5, np).select("qid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val r20 = serve(qWide, 20, np).select("qid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          lbl -> ((exact.intersect(r5).size.toDouble / exact.size,
+            exactL2.intersect(r20).size.toDouble / exactL2.size))
+        }.toMap
+        val reps = pts.map { case (lbl, _, _, _) =>
+          lbl -> Vector.empty[Double]
+        }.to(collection.mutable.LinkedHashMap)
+        (1 to 3).foreach { _ =>
+          pts.foreach { case (lbl, np, _, _) =>
+            val s0 = System.nanoTime()
+            Force.run(serve(q, 5, np))
+            reps(lbl) :+= (System.nanoTime() - s0) / 1e9
+          }
+        }
+        scope.release()
+        pts.map { case (lbl, _, _, _) =>
+          val (r5, r20) = recalls(lbl)
+          (lbl, trainSec, reps(lbl), r5, r20)
+        }
+      }
+
     // ---- self-truthed composition rows (round 18, r17 stretch 7) ----
     // The last two query-shaped similarity surfaces without a
     // signal-rich recall number, each scored against ITS OWN objective
@@ -245,8 +310,15 @@ object IvfPqSweep {
         s""""reps":${reps.map(jnum).mkString("[", ",", "]")},""" +
         s""""recall_self":${jnum(rec)},"truth":"$truth"}"""
     }.mkString(",")
+    val serveFields = serveResults.map {
+      case (lbl, trainSec, reps, r5, r20) =>
+        s""""$lbl":{"sec":${jnum(reps.min)},""" +
+          s""""reps":${reps.map(jnum).mkString("[", ",", "]")},""" +
+          s""""train_sec":${jnum(trainSec)},""" +
+          s""""recall":${jnum(r5)},"recall_l2_at20":${jnum(r20)}}"""
+    }.mkString(",")
     val json = s"""{"sf_dir":"$sfDir","k":5,"num_coarse":8,"queries":20,""" +
-      s""""recall_l2_queries":100,$fields,$selfFields}"""
+      s""""recall_l2_queries":100,$fields,$selfFields,$serveFields}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_OUT", "IVFPQAB.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
     allLabels.foreach { lbl =>
@@ -258,6 +330,11 @@ object IvfPqSweep {
       System.err.println(
         f"[ivfpq] $lbl%-16s min ${selfAcc(lbl).min}%.3f s  " +
           f"recall_self $rec%.3f  (truth: $truth)")
+    }
+    serveResults.foreach { case (lbl, trainSec, reps, r5, r20) =>
+      System.err.println(
+        f"[ivfpq] $lbl%-20s serve ${reps.min}%.3f s  train $trainSec%.2f s" +
+          f"  recall@5 $r5%.3f  recall_l2@20 $r20%.3f")
     }
     System.err.println(s"[ivfpq] wrote $path")
     spark.stop()

@@ -407,13 +407,15 @@ object SignatureTruth {
 
     // ---- IVF-PQ/ADC truth (ss20): coarse = 8 lowest-id vectors (fixed
     // seeds, no Lloyd), corpus assigned by (squared-L2 asc, cid asc);
-    // shared residual codebooks per subspace seeded from the 16
+    // shared residual codebooks per subspace seeded from the cb20=32
     // lowest-id residual slices + ONE decimal-mean Lloyd round;
-    // first-minimum encoding; left-fold ADC over the nprobe=2 probed
+    // first-minimum encoding; left-fold ADC over the nprobe=4 probed
     // cells; top-5 by (d2 asc, id asc), self excluded. Same decimal
-    // rounding / fold orders as the ss10 replication above.
+    // rounding / fold orders as the ss10 replication above. (nprobe/
+    // cb20 track the catalog entry's round-19 adopted operating point;
+    // ss10 keeps the shared cbSize=16 tree.)
     {
-      val nCoarse = 8; val nprobe = 2
+      val nCoarse = 8; val nprobe = 4; val cb20 = 32
       val coarse: Seq[(Long, Array[Double])] =
         corpusIds.take(nCoarse).map(id => id -> dvecs(id)).toSeq
       val cById = coarse.toMap
@@ -429,7 +431,7 @@ object SignatureTruth {
         residOf(id, assignedCid(id)).slice(j * sub, j * sub + sub)
       val books20: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
         var cents: Seq[(Long, Array[Double])] =
-          corpusIds.take(cbSize).map(id => id -> rslice(id, j)).toSeq
+          corpusIds.take(cb20).map(id => id -> rslice(id, j)).toSeq
         // one Lloyd update: assign by (d2 asc, seed-id asc), decimal mean
         val byCid = corpusIds.toSeq.groupBy { id =>
           cents.map { case (cid, cv) => (cid, sqd(rslice(id, j), cv)) }

@@ -165,17 +165,30 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // IVF-PQ (IVFADC) ANN top-5 — the composed at-scale index: IVF
-    // coarse cells prune WHICH lists a query reads (nprobe=2 of 8), PQ
-    // residual codes compress WHAT they store (8×16, 32×), ADC scores
-    // codes against broadcast per-(query, cell) LUTs. Value-checked
-    // against SignatureTruth's scalar replication of the full
-    // coarse/residual/train/encode/probe/ADC pipeline (ss20.parquet);
-    // SimilaritySpec additionally bounds recall vs the exact top-5.
+    // coarse cells prune WHICH lists a query reads (nprobe=4 of 8), PQ
+    // residual codes compress WHAT they store (8×32, still 32× — the
+    // code frame width is unchanged), ADC scores codes against
+    // broadcast per-(query, cell) LUTs. Value-checked against
+    // SignatureTruth's scalar replication of the full coarse/residual/
+    // train/encode/probe/ADC pipeline (ss20.parquet); SimilaritySpec
+    // additionally bounds recall vs the exact top-5.
+    // OPERATING POINT (round 19, ADOPTED — IVFPQAB_PLANTED.json serve
+    // sweep): the round-15 keep of (nprobe=2, m=8, cb=16) was priced
+    // under the old bundled cost model that re-trained per query; on
+    // SERVE cost alone (ivfPqTrain amortized once-per-corpus),
+    // (nprobe=4, m=8, cb=32) buys recall_l2@20 0.835 → 0.934 on the
+    // planted fixture for serve 0.660 → 1.162 s and train 1.94 → 3.20 s
+    // — with the index width and 32× compression UNCHANGED (8 code
+    // columns; only the once-per-corpus codebooks grow 16→32 entries).
+    // The rejected alternatives: more nprobe at the old tree is capped
+    // by quantizer error (np4 0.842, np8 DEGRADES to 0.813 — extra
+    // cells inject ADC-noise candidates); (m=16, cb=16) reaches 0.948
+    // but HALVES compression — the wrong 100 TB trade for +0.014.
     "ss20_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
-        dim = 64, numCoarse = 8, nprobe = 2, m = 8, codebookSize = 16,
+        dim = 64, numCoarse = 8, nprobe = 4, m = 8, codebookSize = 32,
         updates = 1)
         .orderBy("qid", "rank")
     }),

@@ -22,8 +22,35 @@ class IvfPqSweepSpec extends AnyFunSuite {
     assert(lbls.distinct.size === lbls.size)
   }
 
-  test("the shipped ss20 configuration (nprobe=2, m=8, cb=16) is swept") {
+  test("the r15–r18 ss20 configuration (nprobe=2, m=8, cb=16) is swept") {
+    // the bundled-cost-model incumbent stays in the full-run sweep so
+    // the r15 keep and the r19 serve-split adoption both remain
+    // re-measurable against it
     assert(IvfPqSweep.points.exists(_ == ("np2_m8_cb16", 2, 8, 16)))
+  }
+
+  test("serve-split labels encode their parameters and are unique") {
+    IvfPqSweep.servePoints.foreach { case (lbl, np, m, cb) =>
+      assert(lbl === s"serve_np${np}_m${m}_cb$cb")
+    }
+    val all = (IvfPqSweep.points ++ IvfPqSweep.servePoints).map(_._1)
+    assert(all.distinct.size === all.size)
+  }
+
+  test("serve sweep covers the incumbent, the adopted point, the probe" +
+      " ceiling, and a finer tree") {
+    val pts = IvfPqSweep.servePoints.toSet
+    // the r15–r18 incumbent — a re-adjudication must measure it
+    assert(pts.exists { case (_, np, m, cb) => np == 2 && m == 8 && cb == 16 })
+    // the round-19 ADOPTED catalog operating point (nprobe=4, m=8,
+    // cb=32) — a future re-sweep must keep measuring the incumbent
+    assert(pts.contains(("serve_np4_m8_cb32", 4, 8, 32)))
+    // exhaustive probe of all numCoarse=8 cells = the PQ recall ceiling
+    // at the old tree — separates nprobe loss from quantizer loss
+    assert(pts.exists { case (_, np, m, cb) => np == 8 && m == 8 && cb == 16 })
+    // at least one finer quantizer (more codes or more subspaces) that
+    // could lift the ceiling toward the ~0.9 target
+    assert(pts.exists { case (_, _, m, cb) => cb > 16 || m > 8 })
   }
 
   test("both dials move around the shipped point: nprobe at fixed tree," +

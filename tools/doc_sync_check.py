@@ -373,7 +373,8 @@ planted_path = os.path.join(ROOT, "IVFPQAB_PLANTED.json")
 if os.path.exists(planted_path):
     planted = json.load(open(planted_path))
     pts = re.findall(
-        r"((?:np\d+_m\d+_cb\d+|ss\d+_\w+)) planted ([\d.]+)\s*s / ([\d.]+)",
+        r"((?:serve_)?np\d+_m\d+_cb\d+|ss\d+_\w+) planted ([\d.]+)"
+        r"\s*s / ([\d.]+)",
         scale)
     if not pts:
         fail("SCALE.md quotes no 'npN_mM_cbC planted X s / R' points but"
