@@ -24,7 +24,12 @@ only = set(sys.argv[3:])
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[: -len(".parquet")]
-    con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{p}'")
+    # the driver fixtures are single parquet FILES; the synthetic scale
+    # replicas (ScaleCurve work dirs) are Spark-written DIRECTORIES of
+    # part files — glob inside for those
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE OR REPLACE VIEW {name} AS"
+                f" SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
