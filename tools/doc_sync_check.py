@@ -429,6 +429,31 @@ if os.path.exists(strictx10_path):
             else:
                 ok(f"SCALE.md ×10 strict {name}={quoted} == STRICT_X10.json")
 
+# ---- 3b5. small-heap capture quotes vs BENCH_SMALLHEAP.json ---------------
+# Round-19 informational capture at SPARK_DRIVER_MEM=6g. SCALE.md quotes
+# "headline A s median / B s min at 6g" plus the strict sweep counts
+# ("strict_ok=N bad=N err=N at 6g") — both must match the artifact (the
+# strict counts are prose-of-record from the committed run log; gate the
+# bench numbers, which have a JSON source).
+smallheap_path = os.path.join(ROOT, "BENCH_SMALLHEAP.json")
+if os.path.exists(smallheap_path):
+    sh = json.load(open(smallheap_path))
+    m = re.search(r"headline ([\d.]+) s median / ([\d.]+) s min at 6g",
+                  scale)
+    if not m:
+        fail("BENCH_SMALLHEAP.json exists but SCALE.md quotes no"
+             " 'headline A s median / B s min at 6g' line")
+    else:
+        for name, quoted, actual in [("median", m.group(1), sh["value"]),
+                                     ("min", m.group(2), sh["value_min"])]:
+            prec = len(quoted.split(".")[1]) if "." in quoted else 0
+            if float(quoted) != round(actual, prec):
+                fail(f"SCALE.md quotes 6g headline {name} {quoted} but"
+                     f" BENCH_SMALLHEAP.json says {actual:.4f}")
+            else:
+                ok(f"SCALE.md 6g headline {name} {quoted} =="
+                   f" BENCH_SMALLHEAP.json")
+
 # ---- 3c. retry-pressure high-water vs BENCH_RECORD ------------------------
 # The drift-watch quotes the worst observed retry pressure (bounded
 # retries / residual flags / median of that capture). The numbers are
