@@ -441,9 +441,10 @@ object Bench {
     var ss20Model: Option[graft.ops.Similarity.IvfPqModel] = None
     // Parameters track the catalog entry's round-19 adopted operating
     // point (nprobe=4, m=8, cb=32 — see the ss20_ivfpq_topk keep-note):
-    // serve cost roughly doubles vs the old (np2, cb16) rows for
-    // recall_l2@20 0.835 → 0.934, so compare ss20_serve/ss20_train
-    // across the r18→r19 boundary per-configuration, not per-row.
+    // measured at 32g/sf0.1, ss20_serve moved 0.91–0.98 → ~1.48 s and
+    // ss20_train 1.7–1.9 → ~2.8 s for recall_l2@20 0.835 → 0.934, so
+    // compare the two rows across the r18→r19 boundary
+    // per-configuration, not per-row.
     def ss20Train(): graft.ops.Similarity.IvfPqModel =
       graft.ops.Similarity.ivfPqTrain(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding",
