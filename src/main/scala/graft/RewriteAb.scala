@@ -289,6 +289,23 @@ object RewriteAb {
               col("doc_id"), col("text"), snKey, 5, 3, 0.5,
               preGate = false))
             graft.ops.Pipeline.releaseCaches()
+          }),
+        // dd16 payload-slimming A/B (round 19, the remedy the dd16gate
+        // wash diagnosed): hashed-gram verification (sorted xxhash64
+        // arrays — half the join payload, long merges) vs the
+        // string-gram catalog form. Pair-set equality pinned in
+        // DedupSpec (64-bit collisions ≈ 1e-14/pair; the string form
+        // stays the oracle-exact catalog entry regardless).
+        ("dd16hash",
+          () => {
+            Force.run(graft.ops.Dedup.sortedNeighborhoodPairsHashed(docs,
+              col("doc_id"), col("text"), snKey, 5, 3, 0.5))
+            graft.ops.Pipeline.releaseCaches()
+          },
+          () => {
+            Force.run(graft.ops.Dedup.sortedNeighborhoodPairs(docs,
+              col("doc_id"), col("text"), snKey, 5, 3, 0.5))
+            graft.ops.Pipeline.releaseCaches()
           }))
       // ta16 constant-factor A/B (round 17): the catalog gopherRules
       // (one array_intersect stop-hit pass + regexp_count symbol count)

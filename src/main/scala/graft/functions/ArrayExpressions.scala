@@ -105,8 +105,29 @@ object SortedArrays {
     c
   }
 
+  /** [[jaccardGe]] over two SORTED distinct LONG arrays (the hashed-gram
+    * payload-slimmed path) — identical early-exit/threshold semantics,
+    * long comparisons instead of UTF8String compares. */
+  def jaccardGeLong(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    val required = requiredOverlap(n + m, t)
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      if (c + math.min(n - i, m - j) < required) return -1.0
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c.toDouble / (n + m - c).toDouble
+  }
+
   def sorted_jaccard_ge(a: Column, b: Column, t: Double): Column =
     GraftBridge.column(SortedJaccardGe(
+      GraftBridge.expression(a), GraftBridge.expression(b), t))
+
+  def sorted_jaccard_ge_long(a: Column, b: Column, t: Double): Column =
+    GraftBridge.column(SortedJaccardGeLong(
       GraftBridge.expression(a), GraftBridge.expression(b), t))
 
   def gram_mask(c: Column, words: Int): Column =
@@ -172,6 +193,35 @@ case class SortedJaccardGe(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "sorted_jaccard_ge"
+}
+
+/** Threshold-gated Jaccard over two SORTED distinct long arrays —
+  * see [[SortedArrays.jaccardGeLong]]. */
+case class SortedJaccardGeLong(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_jaccard_ge_long needs two array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedArrays.jaccardGeLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedArrays.jaccardGeLong($a, $b, $threshold)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_jaccard_ge_long"
 }
 
 /** Per-doc gram OR-mask (array<string> → array<long> of `words`) —

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native n-gram/shingle expressions.
@@ -127,6 +127,38 @@ object Ngrams {
     GraftBridge.column(CharNgrams(GraftBridge.expression(c), n))
   def char_ngrams_sorted(c: Column, n: Int): Column =
     GraftBridge.column(CharNgramsSorted(GraftBridge.expression(c), n))
+
+  /** Sorted-distinct xxhash64 values (seed 42) of the character n-grams
+    * — the 100 TB payload-slimmed form of [[charNgramsSorted]]: 8 fixed
+    * bytes per gram instead of a padded UTF8String (~16 B at n=3), long
+    * comparisons instead of byte-wise string compares in both the
+    * per-doc sort and every downstream merge. Hash-Jaccard equals
+    * string-Jaccard unless two DISTINCT grams of the same pair's union
+    * collide in 64 bits (≈|union|²/2⁶⁵ per pair — ~1e-14 at 500 grams;
+    * stated, not hidden: the string form stays the oracle-exact
+    * catalog path). Dedup happens on the HASHES, so a collision can
+    * only shrink a set by 1, never corrupt the order. */
+  def charNgramHashesSorted(s: UTF8String, n: Int): ArrayData = {
+    val count = math.max(s.numChars() - (n - 1), 1)
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(s.substringSQL(i + 1, n), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    var j = 0
+    while (j < count) {
+      if (m == 0 || hs(j) != hs(m - 1)) { hs(m) = hs(j); m += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (m == count) hs else hs.take(m))
+  }
+
+  def char_ngram_hashes_sorted(c: Column, n: Int): Column =
+    GraftBridge.column(CharNgramHashesSorted(GraftBridge.expression(c), n))
   /** Sorted-distinct word shingles — `array_sort(array_distinct(
     * wordShingles(...)))` fused into one loop (see [[sortedDistinct]]). */
   def wordShinglesSorted(arr: ArrayData, n: Int): ArrayData = {
@@ -181,6 +213,26 @@ case class CharNgramsSorted(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "char_ngrams_sorted"
+}
+
+/** Sorted-distinct xxhash64 char-n-gram values over a string →
+  * array<bigint> — see [[Ngrams.charNgramHashesSorted]]. */
+case class CharNgramHashesSorted(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string child, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Ngrams.charNgramHashesSorted(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Ngrams.charNgramHashesSorted($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "char_ngram_hashes_sorted"
 }
 
 /** Word shingles over array<string> → array<string> (≥ 1 element). */

@@ -461,23 +461,82 @@ object Dedup {
       window: Int = 5, n: Int = 3, threshold: Double = 0.5,
       preGate: Boolean = false): DataFrame = {
     require(window >= 2, "window must be >= 2")
-    // positions travel SLIM (id, key, pos): the gram arrays are ~KBs per
-    // row, and carrying them through the w−1-way explode would replicate
-    // them across the offset shuffle (measured 4× the whole operator's
-    // cost at sf0.1) — candidate ID pairs are built first, grams join in
-    // afterwards by id, each side shuffled exactly once.
+    verifySortedNeighborhoodCand(docs, id, text, n, threshold,
+      sortedNeighborhoodCandidates(docs, id, sortKey, window), preGate)
+  }
+
+  /** The two-phase candidate stage shared by the string and hashed
+    * sorted-neighborhood variants. Positions travel SLIM (id, key,
+    * pos): the gram arrays are ~KBs per row, and carrying them through
+    * the w−1-way explode would replicate them across the offset shuffle
+    * (measured 4× the whole operator's cost at sf0.1) — candidate ID
+    * pairs are built first, grams join in afterwards by id, each side
+    * shuffled exactly once. */
+  private def sortedNeighborhoodCandidates(
+      docs: DataFrame, id: Column, sortKey: Column,
+      window: Int): DataFrame = {
     val slim = docs.select(id.as("sn_id"), sortKey.as("sn_key"))
     val pos = Pipeline.globalPosition(slim, "sn_pos",
         col("sn_key"), col("sn_id"))
       .select(col("sn_id"), col("sn_pos"))
-    val cand = pos
+    pos
       .withColumn("_tgt", explode(array(
         (1 until window).map(j => col("sn_pos") + lit(j.toLong)): _*)))
       .select(col("sn_id").as("id_l"), col("_tgt"))
       .join(pos.select(col("sn_id").as("id_r"), col("sn_pos").as("r_pos")),
         col("_tgt") === col("r_pos"))
       .select(col("id_l"), col("id_r"))
-    verifySortedNeighborhoodCand(docs, id, text, n, threshold, cand, preGate)
+  }
+
+  /** Payload-slimmed sorted-neighborhood variant (round 19 — the 100 TB
+    * remedy the dd16gate wash diagnosed): identical candidate stage,
+    * but verification carries sorted-distinct xxhash64 GRAM HASHES
+    * (array<bigint>, 8 fixed bytes/gram) instead of the gram strings
+    * (~16 B/gram padded in UnsafeArrayData at n=3) — the join payload
+    * both r15 and r19 A/Bs proved is where dd16's cost lives roughly
+    * halves, the per-doc sort and the per-pair merge compare longs
+    * instead of byte-wise strings, and the early-exit merge rides
+    * along. Hash-Jaccard equals string-Jaccard unless two distinct
+    * grams in a pair's union collide in 64 bits (≈|union|²/2⁶⁵ ≈ 1e-14
+    * per pair at 500 grams) — a collision can only merge two set
+    * elements, shifting one pair's Jaccard by ~1/|union|, never
+    * corrupting others. The string form stays the oracle-exact catalog
+    * entry; this is the library scale path, A/B'd as "dd16hash" in
+    * ABRW.json with pair-set equality pinned in DedupSpec.
+    *
+    * MEASURED (round 19, gated): a consistent 1.37–1.39× WIN at every
+    * scale — 2.03 vs 2.82 s (×1), 18.92 vs 26.21 (×10), 56.46 vs 77.26
+    * (×30), hashed listed first — confirming the dd16gate diagnosis
+    * (the operator is payload-bound, so halving bytes/gram and
+    * replacing string compares with longs moves it where per-pair
+    * gating could not). NOT adopted as the catalog entry: dd16's
+    * oracle is an independent DuckDB SQL dual over the gram STRINGS,
+    * and DuckDB cannot reproduce xxhash64 — adopting would downgrade
+    * the check to a truth-parquet self-replication for a bench-row
+    * improvement correctness cannot audit as strongly. At 100 TB, use
+    * this form. */
+  def sortedNeighborhoodPairsHashed(
+      docs: DataFrame, id: Column, text: Column, sortKey: Column,
+      window: Int = 5, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val cand = sortedNeighborhoodCandidates(docs, id, sortKey, window)
+    val grams = docs.select(id.as("g_id"),
+        graft.functions.Ngrams.char_ngram_hashes_sorted(lower(text), n)
+          .as("g"))
+      .withColumn("gsz", size(col("g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pipeline.pin(grams)
+    def side(tag: String) = grams.select(col("g_id").as(s"id_$tag"),
+      col("g").as(s"g_$tag"), col("gsz").as(s"sz_$tag"))
+    cand
+      .join(side("l"), "id_l")
+      .join(side("r"), "id_r")
+      .filter(jaccardSizePrune(col("sz_l"), col("sz_r"), threshold))
+      .withColumn("jaccard", graft.functions.SortedArrays
+        .sorted_jaccard_ge_long(col("g_l"), col("g_r"), threshold))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("jaccard"))
   }
 
   /** Shared verification leg for the sorted-neighborhood variants: join

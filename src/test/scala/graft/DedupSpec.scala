@@ -455,6 +455,54 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("sortedNeighborhoodPairsHashed: pair set identical to the string form") {
+    // the payload-slimmed variant must agree with the catalog form on
+    // the real corpus — ids AND jaccard doubles (equal set sizes and
+    // intersection counts give bit-equal divisions); a 64-bit gram
+    // collision is the only divergence mode (~1e-14/pair, absent here)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val key = substring(
+      regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 12)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val str = collect(Dedup.sortedNeighborhoodPairs(
+      docs, col("doc_id"), col("text"), key, window = 5, n = 3,
+      threshold = 0.5))
+    val hashed = collect(Dedup.sortedNeighborhoodPairsHashed(
+      docs, col("doc_id"), col("text"), key, window = 5, n = 3,
+      threshold = 0.5))
+    assert(str.nonEmpty && hashed === str)
+    graft.ops.Pipeline.releaseCaches()
+  }
+
+  test("charNgramHashesSorted = sorted distinct hashes of charNgramsSorted") {
+    // the hashed gram set must be EXACTLY the image of the string gram
+    // set under xxhash64(seed 42) — same substring extraction, same
+    // dedup semantics — so hash-Jaccard provably equals string-Jaccard
+    // in the absence of collisions
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import graft.functions.Ngrams
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val len = 1 + rnd.nextInt(80)
+      val s = UTF8String.fromString(
+        (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val viaStrings = {
+        val g = Ngrams.charNgramsSorted(s, 3)
+        (0 until g.numElements())
+          .map(i => XXH64.hashUTF8String(g.getUTF8String(i), 42L))
+          .sorted.toSeq
+      }
+      val direct = {
+        val h = Ngrams.charNgramHashesSorted(s, 3)
+        (0 until h.numElements()).map(h.getLong).toSeq
+      }
+      assert(direct === viaStrings, s"input len $len")
+    }
+  }
+
   test("bloomIngestGateNative: verdicts identical to the UDF-probe gate") {
     // the round-19 native-pair probe (BloomFilterAggregate +
     // BloomFilterMightContain) must agree row-for-row with the

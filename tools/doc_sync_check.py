@@ -260,7 +260,7 @@ if os.path.exists(abrw_path):
     # quote added anywhere else would otherwise escape the gate (the
     # pattern is specific enough that false positives are implausible).
     pairs = re.findall(
-        r"((?:q|dd|ss|ta)\d+(?:gate|bloom)?) ([\d.]+)\s*vs\s*([\d.]+)"
+        r"((?:q|dd|ss|ta)\d+(?:gate|bloom|hash)?) ([\d.]+)\s*vs\s*([\d.]+)"
         r"\s*s \(×(\d+)\)", scale)
     if not pairs:
         fail("SCALE.md quotes no 'qN A vs B s (×F)' A/B pairs but"
