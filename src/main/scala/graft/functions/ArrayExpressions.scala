@@ -40,9 +40,12 @@ object SortedArrays {
     * with the final double filter at a rounding boundary. */
   def requiredOverlap(total: Int, t: Double): Int = {
     var c = math.max(0, math.ceil(t * total / (1.0 + t)).toInt - 1)
-    // NaN guard: 0/0 (both-empty pair) compares false both ways and the
-    // loops stop — required 0 means "never exit early", matching the
-    // full merge's NaN-jaccard-filtered-out behavior.
+    // NaN guard: for total=0 (both-empty pair) 0/0 compares false both
+    // ways, so the first loop steps once to c=1 and the second cannot
+    // undo it — required 1 > total is returned. That stays correct:
+    // [[jaccardGe]]'s merge loop never runs for empty inputs (the
+    // early-exit test is unreachable), and its final NaN jaccard is
+    // dropped by the >= t consumer, matching the full merge.
     while (c <= total && !(c.toDouble / (total - c).toDouble >= t)) c += 1
     while (c > 0 && (c - 1).toDouble / (total - (c - 1)).toDouble >= t) c -= 1
     c

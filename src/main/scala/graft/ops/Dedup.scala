@@ -509,12 +509,16 @@ object Dedup {
     * (×30), hashed listed first — confirming the dd16gate diagnosis
     * (the operator is payload-bound, so halving bytes/gram and
     * replacing string compares with longs moves it where per-pair
-    * gating could not). NOT adopted as the catalog entry: dd16's
-    * oracle is an independent DuckDB SQL dual over the gram STRINGS,
-    * and DuckDB cannot reproduce xxhash64 — adopting would downgrade
-    * the check to a truth-parquet self-replication for a bench-row
-    * improvement correctness cannot audit as strongly. At 100 TB, use
-    * this form. */
+    * gating could not). ROUND-AUDITED since round 20: cataloged as
+    * `dd28_sorted_neighborhood_hashed` against dd16's EXISTING
+    * independent DuckDB string-gram dual — legitimate because the
+    * outputs are pair-set + jaccard bit-equal to the string form
+    * (pinned in DedupSpec), so the oracle audits RESULTS, not hash
+    * internals; DuckDB cannot reproduce xxhash64 and doesn't need to.
+    * A ~1e-14 gram collision would fail that row loudly (correct
+    * behavior). dd16 keeps the string form so the gram construction
+    * itself also stays independently checked. At 100 TB, use this
+    * form. */
   def sortedNeighborhoodPairsHashed(
       docs: DataFrame, id: Column, text: Column, sortKey: Column,
       window: Int = 5, n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -1311,8 +1315,23 @@ object Dedup {
     val agg = new BloomFilterAggregate(
       GraftBridge.expression(xxhash64(md5(key))),
       Literal(expectedItems), Literal(numBits))
-    existing.select(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
+    val bytes = existing
+      .select(GraftBridge.column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+    if (bytes != null) bytes
+    else {
+      // Empty snapshot: BloomFilterAggregate yields NULL (no rows seen).
+      // Return an explicitly EMPTY sketch in the same wire format
+      // (sketch.BloomFilter — what BloomFilterMightContain deserializes)
+      // so the probe is a well-defined all-false gate, instead of a null
+      // Literal whose correctness rests on implicit null propagation in
+      // the filter (round-19 advice).
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(1L, expectedItems), numBits)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** [[bloomIngestGate]] with the native probe — see

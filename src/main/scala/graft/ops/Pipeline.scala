@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Name of the per-row content-fingerprint column the running-sum
+    * two-phase pass materializes and [[runningSumPass]] re-verifies at
+    * partition exhaustion. Exported (and deliberately namespaced) so
+    * EntrySpec's guard-gap pin recognizes a fingerprint-guarded
+    * MapPartitions by THIS exact marker — a user/catalog column that
+    * happened to be named `_ph` can no longer be misclassified as one
+    * (round-19 advice). Internal-only: dropped before any operator
+    * output. */
+  val RunningSumFingerprintCol: String = "_graft_rsum_ph"
+
   /** A pin scope: frames persisted mid-operator land in exactly one
     * scope, and only that scope's [[release]] unpersists them. Scoping
     * (round-18, closing the round-17 concurrency caveat) is what makes
@@ -219,7 +229,8 @@ object Pipeline {
       df: DataFrame, perRow: Column, name: String,
       orderCols: Seq[Column]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // _ph: a content hash over (order keys, per-row value) materialized
+    // RunningSumFingerprintCol: a content hash over (order keys,
+    // per-row value) materialized
     // into the cached rows — the partition-membership fingerprint the
     // offsets collect records and phase 2 re-verifies (see below).
     // Callers may pass SortOrder-wrapped order columns (asc/desc), which
@@ -230,7 +241,7 @@ object Pipeline {
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_prs", perRow.cast("long"))
-      .withColumn("_ph", xxhash64(keyCols :+ coalesce(
+      .withColumn(RunningSumFingerprintCol, xxhash64(keyCols :+ coalesce(
         perRow.cast("long"), lit(Long.MinValue)): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pin(ranged)
@@ -239,7 +250,7 @@ object Pipeline {
       .groupBy(col("_pid"))
       .agg(coalesce(sum(col("_prs")), lit(0L)).as("_subtotal"),
         count(lit(1)).as("_n"),
-        expr("bit_xor(_ph)").as("_hx"))
+        expr(s"bit_xor($RunningSumFingerprintCol)").as("_hx"))
       .collect()
       .sortBy(_.getInt(0))
     val offsets: Map[Int, Long] = phase1
@@ -254,7 +265,8 @@ object Pipeline {
   /** Phase 2 of the prefix sum: the partition-local sequential pass,
     * seeded per partition from `offsets` keyed by the STORED `_pid`, and
     * GUARDED by the per-partition content fingerprint collected in
-    * phase 1 (`expected`: pid → (row count, xor of stored `_ph`)).
+    * phase 1 (`expected`: pid → (row count, xor of the stored
+    * [[RunningSumFingerprintCol]])).
     *
     * The guard exists because correctness leans on the pinned frame's
     * partition membership being EXACTLY what the offsets collect
@@ -284,7 +296,7 @@ object Pipeline {
     * that invariant is MACHINE-CHECKED, not prose: EntrySpec's
     * "guard-gap pin" walks every catalog query's analyzed plan
     * (subqueries included) and fails if any Limit sits above a
-    * `_ph`-fingerprinted MapPartitions without a full-consumption
+    * [[RunningSumFingerprintCol]]-fingerprinted MapPartitions without a full-consumption
     * barrier (Sort/Aggregate) between them. An eager verify-before-emit
     * would need either partition buffering (unbounded memory) or a
     * second cached-scan aggregation per execution (the skyline2D
@@ -301,7 +313,7 @@ object Pipeline {
       .encoderFor(schema)
     val pidIdx = sorted.schema.fieldIndex("_pid")
     val prsIdx = sorted.schema.fieldIndex("_prs")
-    val phIdx = sorted.schema.fieldIndex("_ph")
+    val phIdx = sorted.schema.fieldIndex(RunningSumFingerprintCol)
     sorted.mapPartitions { it =>
       var run = 0L
       var pid = Int.MinValue
@@ -350,7 +362,7 @@ object Pipeline {
         }
         def next(): Row = rows.next()
       }
-    }(enc).drop("_pid", "_prs", "_ph")
+    }(enc).drop("_pid", "_prs", RunningSumFingerprintCol)
   }
 
   /** Curriculum difficulty buckets: `ntile(n)` within each stratum under

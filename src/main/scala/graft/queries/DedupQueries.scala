@@ -334,6 +334,22 @@ object DedupQueries extends QueryPack {
         substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
           1, 12),
         window = 5, n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // The 100 TB sorted-neighborhood path (round-19 payload-slimming
+    // win, 1.37-1.39x at x1/x10/x30): same candidate stage as dd16,
+    // verification over sorted xxhash64 gram LONGS instead of gram
+    // strings. Audited against dd16's INDEPENDENT DuckDB string-gram
+    // dual: the outputs are pair-set + jaccard bit-equal unless two
+    // distinct grams in one pair's union collide in 64 bits (~1e-14
+    // per pair) - the oracle audits RESULTS, not hash internals, and a
+    // collision fails the row loudly (correct behavior).
+    "dd28_sorted_neighborhood_hashed" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairsHashed(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+          1, 12),
+        window = 5, n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"))
   )
 
@@ -895,7 +911,17 @@ object DedupQueries extends QueryPack {
     // row_number over (sort key, id) ≡ the Spark side's two-phase
     // globalPosition; neighbor pairs = position offset in [1, 4]; same
     // char-trigram Jaccard as dd5 (integer counts + one division)
-    "dd16_sorted_neighborhood" ->
+    "dd16_sorted_neighborhood" -> sortedNeighborhoodSql,
+    // dd28 reuses dd16's string-gram dual VERBATIM: the hashed form's
+    // pair set and jaccards are bit-equal to the string form's (pinned
+    // in DedupSpec), so the same independent oracle audits the shipped
+    // scale path - a 64-bit gram collision (~1e-14/pair) would surface
+    // as a loud hash mismatch on this row, exactly as it should.
+    "dd28_sorted_neighborhood_hashed" -> sortedNeighborhoodSql
+    // dd2/dd3/dd4/dd8/dd9/dd21: SignatureTruth oracles (head of this map).
+  )
+
+  private lazy val sortedNeighborhoodSql: String =
       """WITH t AS (SELECT doc_id,
              substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
                1, 12) AS k,
@@ -913,6 +939,4 @@ object DedupQueries extends QueryPack {
          SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, jaccard
          FROM c WHERE jaccard >= 0.5
          ORDER BY id_a, id_b"""
-    // dd2/dd3/dd4/dd8/dd9/dd21: SignatureTruth oracles (head of this map).
-  )
 }

@@ -523,6 +523,24 @@ class DedupSpec extends GraftSuite {
     assert(udfGate.exists(_._3), "fixture must contain at least one dup")
   }
 
+  test("bloomIngestGateNative: empty snapshot is a stated all-false gate") {
+    // round-19 advice: BloomFilterAggregate over zero rows yields a NULL
+    // sketch; buildDigestBloomNative must hand back an explicit EMPTY
+    // bloom (not a null literal whose behavior rests on null
+    // propagation), so every incoming row passes the gate as is_dup=false
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val empty = docs.filter(lit(false))
+    val in = docs.limit(20)
+    val key = substring(col("text"), 1, 64)
+    val bytes = Dedup.buildDigestBloomNative(
+      empty, key, expectedItems = 1000L, fpp = 0.01)
+    assert(bytes != null && bytes.nonEmpty,
+      "empty snapshot must serialize an explicit empty sketch")
+    val out = Dedup.bloomIngestGateNative(
+      empty, in, col("doc_id"), key, bytes).collect()
+    assert(out.length == 20 && out.forall(!_.getBoolean(2)))
+  }
+
   test("sortedNeighborhoodPairsRanged refuses slices thinner than the window") {
     // a range slice with < window-1 rows would let a neighborhood span
     // non-adjacent slices — the precondition must fail LOUDLY, never

@@ -46,7 +46,8 @@ class EntrySpec extends GraftSuite {
     // documented "no catalog path truncates" invariant mechanically: in
     // every catalog query's analyzed plan — subqueries included — no
     // Limit sits above a running-sum MapPartitions (recognized by the
-    // `_ph` fingerprint column in its subtree) unless a full-consumption
+    // dedicated Pipeline.RunningSumFingerprintCol marker in its
+    // subtree) unless a full-consumption
     // barrier (Sort or Aggregate: both drain their child completely
     // before emitting their first row) lies between them. A future
     // catalog query that breaks the invariant fails HERE, turning the
@@ -54,7 +55,8 @@ class EntrySpec extends GraftSuite {
     import org.apache.spark.sql.catalyst.plans.logical._
     def fingerprinted(p: LogicalPlan): Boolean =
       p.collectFirst {
-        case n if n.output.exists(_.name == "_ph") => n
+        case n if n.output.exists(
+          _.name == graft.ops.Pipeline.RunningSumFingerprintCol) => n
       }.isDefined
     def walk(p: LogicalPlan, limitAbove: Boolean): Seq[LogicalPlan] = {
       val here = p match {

@@ -334,10 +334,11 @@ class PipelineSpec extends GraftSuite {
       .repartition(1)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_prs", col("v"))
-      .withColumn("_ph", xxhash64(col("id"), col("v")))
+      .withColumn(Pipeline.RunningSumFingerprintCol,
+        xxhash64(col("id"), col("v")))
       .sortWithinPartitions("id")
     val truth = frame.groupBy("_pid")
-      .agg(count(lit(1)).as("n"), expr("bit_xor(_ph)").as("hx"))
+      .agg(count(lit(1)).as("n"), expr(s"bit_xor(${Pipeline.RunningSumFingerprintCol})").as("hx"))
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     val offsets = truth.keys.map(_ -> 0L).toMap
