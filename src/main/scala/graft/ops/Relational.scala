@@ -188,13 +188,15 @@ object Relational {
     * [[Pipeline.packByTokenBudget]]: range-partition by `(x, y)`, take the
     * per-partition y-minimum (one tiny row per partition on the driver),
     * broadcast the exclusive prefix-minima, and combine with a
-    * partition-local running min — every stage balanced, no
-    * SinglePartition window anywhere (PlanSpec asserts).
+    * partition-local sequential running-min pass ([[skylineEmit]] —
+    * sortWithinPartitions + mapPartitions on the cached range
+    * partitioning, no window, no `_pid` re-shuffle) — every stage
+    * balanced, no SinglePartition anywhere in the emitting scan
+    * (PlanSpec asserts).
     *
     * `x`/`y` must be numeric (compared as their native types; the
     * broadcast prefix map is double, exact for values < 2^53). */
   def skyline2D(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val pts = df
       .where(xCol.isNotNull && yCol.isNotNull)
@@ -210,7 +212,7 @@ object Relational {
     Pipeline.pin(ranged)
     // one driver pass collects the per-partition minima AND the
     // membership fingerprint (count + xor of a content hash) the
-    // deferred guard below re-verifies
+    // in-stream guard in skylineEmit re-verifies at exhaustion
     val mins = ranged.groupBy(col("_pid"))
       .agg(min(col("y").cast("double")).as("_min_y"),
         count(lit(1)).as("_n"),
@@ -224,70 +226,101 @@ object Relational {
       run = if (run.isNaN || m < run) m else run
       e
     }.toMap.filterNot(_._2.isNaN) // partitions with no preceding minimum
-    val local = Window.partitionBy(col("_pid")).orderBy(col("x"), col("y"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val localPrefix = min(col("y")).over(local)
-    val partPrefix =
-      if (prefix.isEmpty) lit(null).cast("double")
-      else element_at(typedLit(prefix), col("_pid"))
-    val globalPrefix = least(
-      coalesce(localPrefix.cast("double"), lit(Double.PositiveInfinity)),
-      coalesce(partPrefix, lit(Double.PositiveInfinity)))
-    // Deferred fingerprint guard (round 18, same hazard as the prefix
-    // sums): correctness leans on the pinned frame's partition
-    // membership matching what the minima collect observed, and Spark
-    // cannot promise that — the cache is plan-keyed (a plan-identical
-    // frame unpersisted by a concurrent caller drops this entry too)
-    // and LRU can evict it, after which a re-executed
-    // repartitionByRange may re-sample different boundaries while the
-    // re-derived _pid stays self-consistent. The 1-row check re-scans
-    // the (cached) frame as the broadcast subtree at the START of the
-    // action and the filter REFUSES loudly on any membership drift
-    // instead of emitting a wrong skyline.
-    //
-    // COVERAGE, stated honestly (round-19 advice): because the guard
-    // scan and the main window scan are two scans of the same cached
-    // frame within one action, an eviction landing BETWEEN them — after
-    // the broadcast read ranged, before the probe stage does — escapes
-    // detection (a TOCTOU window runningSumPass's in-stream
-    // exhaustion check does not have). An in-stream check here would
-    // need the window consumer rewritten as the prefix sums'
-    // mapPartitions pass; the window form is the adjudicated plan
-    // (PlanSpec pins it) and the window needs an eviction timed inside
-    // a single action rather than merely a cross-action recompute, so
-    // the narrower guard is the chosen point.
-    //
-    // try_element_at, not element_at: a drift that surfaces a _pid
-    // ABSENT from the phase-1 maps must reach the crafted raise_error
-    // below. On this Spark (4.1.2, ANSI on) plain element_at already
-    // returns NULL for a missing map key (measured round 19 — the
-    // null condition falls to the mismatch arm), but that behavior is
-    // exactly what an ANSI tightening would change, so the intent is
-    // spelled with the try_ variant.
-    val expN = typedLit(mins.map(r => r.getInt(0) -> r.getLong(2)).toMap)
-    val expH = typedLit(mins.map(r => r.getInt(0) -> r.getLong(3)).toMap)
-    val fpOk = ranged.groupBy(col("_pid"))
-      .agg(count(lit(1)).as("_n2"),
-        expr("bit_xor(xxhash64(x, y))").as("_hx2"))
-      .agg(
-        (count(lit(1)) === lit(mins.length.toLong) &&
-          coalesce(sum(when(
-              try_element_at(expN, col("_pid")) === col("_n2") &&
-              try_element_at(expH, col("_pid")) === col("_hx2"), 0L)
-            .otherwise(1L)), lit(0L)) === lit(0L)).as("_fp_ok"))
-    ranged
-      .withColumn("_prefix_min", globalPrefix)
-      .where(col("y").cast("double") < col("_prefix_min"))
-      .crossJoin(broadcast(fpOk))
-      .filter(when(col("_fp_ok"), lit(true)).otherwise(raise_error(lit(
-        "skyline2D fingerprint mismatch: the pinned range-partitioned " +
-          "frame was recomputed with different partition boundaries " +
-          "after the prefix minima were collected (cache evicted, or a " +
-          "plan-identical frame unpersisted by another caller) - the " +
-          "broadcast prefix minima no longer describe these " +
-          "partitions. Re-run the operator; keep the pinned frame " +
-          "alive until the consuming action (Pipeline.withScope " +
-          "isolates release points across callers).")).cast("boolean")))
-      .select(col("x"), col("y"), col("n_rows"))
+    val expected: Map[Int, (Long, Long)] =
+      mins.map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    skylineEmit(ranged.sortWithinPartitions(col("x"), col("y")),
+      prefix, expected)
+  }
+
+  /** Phase 2 of [[skyline2D]] — the partition-local sequential
+    * running-min pass, seeded per partition from the broadcast exclusive
+    * prefix minima keyed by the STORED `_pid`, with the fingerprint
+    * guard IN-STREAM (round 20, closing the round-19 TOCTOU note): the
+    * per-partition (row count, xor of xxhash64(x, y)) is accumulated
+    * over the rows THIS scan actually consumes and checked against the
+    * phase-1 observation at iterator exhaustion — exactly
+    * [[Pipeline.runningSumPass]]'s shape. The previous form verified
+    * the fingerprint in a SECOND broadcast scan of the cached frame,
+    * which left an eviction-between-scans escape; one scan has no
+    * between. The rewrite also deletes that plan's
+    * `Exchange hashpartitioning(_pid)` (the `_pid` window re-shuffled
+    * the full frame; sortWithinPartitions + mapPartitions keeps the
+    * cached range partitioning — the round-16 prefix-sum lesson), so
+    * the guard upgrade is also the better 100 TB plan. As with
+    * runningSumPass, membership drift that moves rows BETWEEN
+    * partitions is caught on every affected partition; the check fires
+    * at exhaustion, and o7's catalog/oracle consumers drain fully
+    * (EntrySpec's guard-gap pin machine-checks the no-truncation
+    * invariant for the running sums; the same full-consumption
+    * convention holds here). Package-private so the refusal is
+    * unit-testable with a doctored expectation map. */
+  private[graft] def skylineEmit(
+      sorted: DataFrame, prefix: Map[Int, Double],
+      expected: Map[Int, (Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val withAux = sorted
+      .withColumn("_yd", col("y").cast("double"))
+      .withColumn("_rh", xxhash64(col("x"), col("y")))
+    val schema = withAux.schema
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val pidIdx = schema.fieldIndex("_pid")
+    val ydIdx = schema.fieldIndex("_yd")
+    val rhIdx = schema.fieldIndex("_rh")
+    withAux.mapPartitions { it =>
+      var run = Double.PositiveInfinity
+      var pid = Int.MinValue
+      var seeded = false
+      var n = 0L
+      var hx = 0L
+      var checked = false
+      val rows = it.flatMap { r =>
+        val rowPid = r.getInt(pidIdx)
+        if (!seeded) {
+          pid = rowPid
+          run = prefix.getOrElse(pid, Double.PositiveInfinity)
+          seeded = true
+        } else if (rowPid != pid)
+          // every cached partition holds exactly one _pid by
+          // construction (_pid was materialized INTO the cached rows);
+          // if a caching/partitioning change breaks that, fail loudly
+          throw new IllegalStateException(
+            s"skyline2D invariant broken: one partition holds " +
+              s"_pid=$pid and _pid=$rowPid - the broadcast prefix " +
+              "minima would misapply; the cached range partitioning " +
+              "no longer matches the materialized partition ids")
+        n += 1L
+        hx ^= r.getLong(rhIdx)
+        val y = r.getDouble(ydIdx)
+        val emit = y < run
+        if (emit) run = y
+        if (emit) Some(r) else None
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && seeded && !checked) {
+            checked = true
+            val (en, ehx) = expected.getOrElse(pid, (0L, 0L))
+            if (n != en || hx != ehx)
+              throw new IllegalStateException(
+                s"skyline2D fingerprint mismatch for _pid=$pid: " +
+                  s"phase 1 observed (rows=$en, hash=$ehx) but the " +
+                  s"emitting scan consumed (rows=$n, hash=$hx) - the " +
+                  "pinned range-partitioned frame was recomputed with " +
+                  "different partition boundaries after the prefix " +
+                  "minima were collected (cache evicted, or a " +
+                  "plan-identical frame unpersisted by another " +
+                  "caller); the broadcast prefix minima no longer " +
+                  "describe these partitions. Re-run the operator; " +
+                  "keep the pinned frame alive until its consuming " +
+                  "action (Pipeline.withScope isolates release points " +
+                  "across callers).")
+          }
+          h
+        }
+        def next(): Row = rows.next()
+      }
+    }(enc).select(col("x"), col("y"), col("n_rows"))
   }
 }

@@ -399,11 +399,9 @@ class PlanSpec extends GraftSuite {
     // (the naive skyline is a global-order window); ev5: the lag window
     // partitions by user and the normalizer by from_type; ta14: the
     // rebuild is an aggregation, not a window at all.
-    // o7's plan since round 18 carries a LEGITIMATE bounded
-    // SinglePartition: the 1-row fingerprint-guard aggregate (≤
-    // shuffle-partitions input rows) cross-joined as a broadcast — the
-    // ev13 grand-total class. The property that matters stays precise:
-    // the running-min WINDOW itself must be partition-local.
+    // o7's plan since round 20 is the runningSumPass shape: a
+    // partition-local MapPartitions running min with the fingerprint
+    // guard in-stream — no window, no guard cross-join, asserted below.
     Seq("ev5_transition_matrix").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(p.contains("Window"), s"$q:\n$p")
@@ -449,20 +447,22 @@ class PlanSpec extends GraftSuite {
             .contains("hashpartitioning(_pid"),
           s"$q re-shuffled on _pid")
       }
-    // o7_skyline windows by design on the materialized _pid (its local
-    // running min is partition-local; the _pid window is the point), so
-    // the no-_pid-reshuffle rule doesn't apply — assert only that every
-    // window is partitioned.
+    // o7_skyline: since round 20 the running min is a partition-local
+    // MapPartitions pass with the fingerprint guard IN-STREAM (the
+    // runningSumPass shape) — no window at all, no _pid re-shuffle, and
+    // the old 1-row guard aggregate's SinglePartition is gone with the
+    // second scan it rode on.
     locally {
       val df = SparkEntry.queries("o7_skyline")(spark, sf)
       df.collect()
-      val windows = allNodes(df.queryExecution.executedPlan)
-        .collect { case w: WindowExec => w }
-      assert(windows.nonEmpty, "o7_skyline must window its running min")
-      windows.foreach { w =>
-        assert(w.partitionSpec.nonEmpty,
-          s"o7_skyline window must be partitioned, got: $w")
-      }
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("MapPartitions"),
+        s"o7_skyline must plan the running-min MapPartitions pass:\n$p")
+      assert(!p.contains("hashpartitioning(_pid"),
+        s"o7_skyline re-shuffled on _pid:\n$p")
+      assert(allNodes(df.queryExecution.executedPlan)
+          .collect { case w: WindowExec => w }.isEmpty,
+        s"o7_skyline must not window (in-stream guarded pass):\n$p")
     }
     graft.ops.Pipeline.releaseCaches()
   }
