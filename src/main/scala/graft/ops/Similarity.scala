@@ -60,6 +60,48 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * two bounded ranked retrieval lists — the standard hybrid
+    * lexical+vector retrieval combiner: fused score(d) =
+    * Σ_channels 1/(k + rank_ch(d)) over the channels that retrieved d.
+    * Rank-based, so the channels' incomparable score scales (BM25 vs
+    * cosine) never mix, and a doc surfaced by BOTH channels outranks
+    * one surfaced by either alone at similar depth.
+    *
+    * Scale shape: the inputs are top-m lists (≤ m rows each), so at ANY
+    * corpus scale the fusion itself is a join of two tiny frames — one
+    * full-outer join on doc id plus rank arithmetic, no new shuffle
+    * shape. The expensive work stays in the channels, which scale
+    * independently ([[TextAnalysis.bm25Search]] for lexical,
+    * [[bruteForceTopK]]/[[ivfTopK]]/[[ivfPqServe]] for vector). The
+    * final re-rank is a row_number over ≤ 2m fused rows — a bounded
+    * single-partition window, the grand-total class.
+    *
+    * Determinism: 1/(k+rank) is one IEEE division per channel and one
+    * fixed-order (lex + vec) sum; ties break by doc id — hash-exact vs
+    * the DuckDB dual (catalog row `ss21_hybrid_rrf`). */
+  def rrfFuse(
+      lex: DataFrame, lexId: String, lexRank: String,
+      vec: DataFrame, vecId: String, vecRank: String,
+      k: Int = 60, topK: Int = 20): DataFrame = {
+    require(k >= 0 && topK > 0)
+    val l = lex.select(col(lexId).as("doc_id"),
+      col(lexRank).cast("int").as("lex_rank"))
+    val v = vec.select(col(vecId).as("doc_id"),
+      col(vecRank).cast("int").as("vec_rank"))
+    // null rank (channel missed the doc) → null contribution → 0
+    def contrib(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(k) + rank).cast("double"), lit(0.0))
+    val fused = l.join(v, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        contrib(col("lex_rank")) + contrib(col("vec_rank")))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select("doc_id", "lex_rank", "vec_rank", "rrf", "fused_rank")
+  }
+
   /** k-NN classification: majority label among the query's top-k cosine
     * neighbors (self excluded), ties to the smallest label — the
     * classic embedding-space labeler (weak-label propagation from a

@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Similarity search over the embeddings table (array<float>, 64-dim):
@@ -23,6 +24,26 @@ object SimilarityQueries extends QueryPack {
         emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
         .select("qid", "rank", "vec_id")
         .orderBy("qid", "rank")
+    }),
+
+    // Hybrid lexical+vector retrieval via reciprocal-rank fusion: the
+    // ta10 BM25 top-20 (lexical channel) fused with the exact cosine
+    // top-20 for query vector 0 (vector channel; documents and
+    // embeddings align 1:1 on id in the fixtures). Rank arithmetic
+    // only — both channels' ranks are oracle-reproducible, so the
+    // fused list is hash-exact.
+    "ss21_hybrid_rrf" -> ((s, d) => {
+      val lexW = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = TextAnalysis.bm25Search(
+          Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("hash", "join", "spark", "dup"), topK = 20)
+        .withColumn("lex_rank", row_number().over(lexW))
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 20)
+      Similarity.rrfFuse(lex, "doc_id", "lex_rank", vec, "vec_id", "rank",
+          k = 60, topK = 20)
+        .orderBy("fused_rank")
     }),
 
     // Hard-negative mining: top-3 nearest OTHER-label neighbors for the
@@ -529,6 +550,39 @@ object SimilarityQueries extends QueryPack {
           FROM sc)
           SELECT label, vec_id, dist2_nano, rank, rank <= 5 AS is_outlier
           FROM r ORDER BY label, rank""",
+    // lexical channel = ta10's CTE verbatim (TextQueries.bm25Cte) with
+    // a rank projected on top; vector channel = ss1's cosine shape for
+    // qid 0; fusion = one IEEE division per channel + a fixed-order
+    // (lex + vec) sum, mirrored term-by-term with the Spark side
+    "ss21_hybrid_rrf" ->
+      s"""WITH ${TextQueries.bm25Cte},
+          lexs AS (SELECT doc_id, list_sum(list(sc ORDER BY token)) AS bm25
+            FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+          lex AS (SELECT doc_id, CAST(row_number() OVER (
+              ORDER BY bm25 DESC, doc_id ASC) AS INT) AS lex_rank
+            FROM lexs),
+          q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          sc2 AS (SELECT vec_id, ${cosSql("qvec", "cvec")} AS cos
+            FROM (SELECT vec_id, embedding AS cvec FROM embeddings
+                  WHERE vec_id <> 0) c CROSS JOIN q),
+          vr0 AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS vec_rank
+            FROM sc2),
+          vr AS (SELECT doc_id, vec_rank FROM vr0 WHERE vec_rank <= 20),
+          f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+              l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+              COALESCE(CAST(1 AS DOUBLE) /
+                  CAST(60 + l.lex_rank AS DOUBLE), CAST(0 AS DOUBLE)) +
+              COALESCE(CAST(1 AS DOUBLE) /
+                  CAST(60 + v.vec_rank AS DOUBLE), CAST(0 AS DOUBLE))
+                AS rrf
+            FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id),
+          fr AS (SELECT doc_id, lex_rank, vec_rank, rrf,
+              CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                AS INT) AS fused_rank
+            FROM f)
+          SELECT doc_id, lex_rank, vec_rank, rrf, fused_rank
+          FROM fr WHERE fused_rank <= 20 ORDER BY fused_rank""",
     "ss1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
             FROM embeddings WHERE vec_id < 20),

@@ -343,6 +343,35 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id"))
   )
 
+  /** The ta10 BM25 scoring chain as a reusable CTE body (`s` yields
+    * per-(doc, term) scores) — shared verbatim with the ss21 hybrid-RRF
+    * dual in SimilarityQueries, so the lexical channel of the fusion is
+    * audited by the SAME arithmetic ta10 pins hash-exact. */
+  private[queries] val bm25Cte: String =
+    """tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+         dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+             FROM documents),
+         corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tk WHERE token IN ('hash', 'join', 'spark', 'dup')
+           GROUP BY doc_id, token),
+         dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY token),
+         s AS (SELECT t.doc_id, t.token,
+             (((c.n - f.df) + 0.5) / (f.df + 0.5)) *
+             (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) /
+             (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+               ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+                (CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE)) / c.avgdl))
+             AS sc
+           FROM tf t
+           JOIN dl d ON d.doc_id = t.doc_id
+           JOIN dfreq f ON f.token = t.token
+           CROSS JOIN corpus c)"""
+
   private val enList = "('the','a','of','and','is','to','in')"
   private val deList = "('der','die','und','das','ist','ein')"
   private val frList = "('le','la','et','les','des','un')"
@@ -677,29 +706,7 @@ object TextQueries extends QueryPack {
     // expression shapes mirror TextAnalysis.bm25Search term by term
     // (left-associative, rational idf, ordered list_sum fold)
     "ta10_bm25_search" ->
-      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-             FROM documents),
-         dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
-             FROM documents),
-         corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-           FROM dl),
-         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-           FROM tk WHERE token IN ('hash', 'join', 'spark', 'dup')
-           GROUP BY doc_id, token),
-         dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
-           FROM tf GROUP BY token),
-         s AS (SELECT t.doc_id, t.token,
-             (((c.n - f.df) + 0.5) / (f.df + 0.5)) *
-             (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) /
-             (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-               ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
-                (CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE)) / c.avgdl))
-             AS sc
-           FROM tf t
-           JOIN dl d ON d.doc_id = t.doc_id
-           JOIN dfreq f ON f.token = t.token
-           CROSS JOIN corpus c)
+      s"""WITH $bm25Cte
          SELECT doc_id, list_sum(list(sc ORDER BY token)) AS bm25,
            CAST(count(*) AS BIGINT) AS n_terms
          FROM s GROUP BY doc_id

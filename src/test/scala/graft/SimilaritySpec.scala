@@ -25,6 +25,42 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("rrf fusion: planted recall beats both channels, arithmetic exact") {
+    // Planted hybrid-retrieval fixture: 10 relevant docs (1-10). The
+    // lexical channel surfaces relevant 1-5 at ranks 1-5 (irrelevant
+    // 101+ below), the vector channel surfaces relevant 6-10 at ranks
+    // 1-5 (irrelevant 201+ below) — each channel alone has recall@10
+    // 0.5. RRF (k=60): every relevant doc scores >= 1/65 (rank <= 5 in
+    // its channel) while every irrelevant doc scores <= 1/66 (rank >= 6
+    // in exactly one channel), so the fused top-10 is EXACTLY the
+    // relevant set — recall 1.0 > max(0.5, 0.5), the fusion >=
+    // max(single-channel) property the operator exists for.
+    import spark.implicits._
+    val lex = ((1L to 5L) ++ (101L to 115L)).zipWithIndex
+      .map { case (id, i) => (id, i + 1) }.toDF("doc_id", "lex_rank")
+    val vec = ((6L to 10L) ++ (201L to 215L)).zipWithIndex
+      .map { case (id, i) => (id, i + 1) }.toDF("doc_id", "vec_rank")
+    val relevant = (1L to 10L).toSet
+    def recallAt10(ids: Seq[Long]): Double =
+      (ids.take(10).toSet intersect relevant).size.toDouble / relevant.size
+    val lexIds = lex.orderBy("lex_rank").collect().map(_.getLong(0)).toSeq
+    val vecIds = vec.orderBy("vec_rank").collect().map(_.getLong(0)).toSeq
+    val good = Similarity.rrfFuse(
+        lex, "doc_id", "lex_rank", vec, "doc_id", "vec_rank",
+        k = 60, topK = 20)
+      .orderBy("fused_rank").collect()
+    val fusedIds = good.map(_.getLong(0)).toSeq
+    assert(recallAt10(fusedIds) == 1.0)
+    assert(recallAt10(fusedIds) >= math.max(recallAt10(lexIds), recallAt10(vecIds)))
+    // exact RRF arithmetic on a doc present in one channel only:
+    // doc 1 (lex rank 1) scores exactly 1/61
+    val d1 = good.find(_.getLong(0) == 1L).get
+    assert(d1.getDouble(3) == 1.0 / 61.0)
+    // ranks carried through: doc 6 came from the vector channel only
+    val d6 = good.find(_.getLong(0) == 6L).get
+    assert(d6.isNullAt(1) && d6.getInt(2) == 1)
+  }
+
   test("ann results are a subset of valid ids and ranked consistently") {
     val q = emb.filter(col("vec_id") < 5)
     val res = Similarity.annTopK(q, emb, "vec_id", "embedding", 5)
