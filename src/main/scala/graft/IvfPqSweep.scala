@@ -66,8 +66,25 @@ object IvfPqSweep {
     ("serve_np4_m8_cb16", 4, 8, 16),
     ("serve_np8_m8_cb16", 8, 8, 16),
     ("serve_np2_m8_cb32", 2, 8, 32),
+    ("serve_np3_m8_cb32", 3, 8, 32), // round-20 probe (r19 advice)
     ("serve_np4_m8_cb32", 4, 8, 32), // ADOPTED round 19 (see ss20 note)
     ("serve_np4_m16_cb16", 4, 16, 16))
+
+  /** Round-20 refinement points (the r19 verdict's serve-time-recovery
+    * probe): ADC retrieves a candidate pool (`_rrP` = pool size), exact
+    * L2 over reconstructed vectors re-ranks it, top-k kept —
+    * [[Similarity.ivfPqServeReranked]], the IVFADC+R shape. Re-ranking
+    * fixes ADC-noise displacement (the measured np8 recall DROP), so
+    * the question is whether a cheaper tree/probe + rerank reaches the
+    * adopted recall (≥0.93) below the adopted serve cost (~1.2 s
+    * planted). (label, nprobe, m, codebookSize, pool). */
+  val rerankPoints: Seq[(String, Int, Int, Int, Int)] = Seq(
+    ("serve_np2_m8_cb16_rr50", 2, 8, 16, 50),
+    ("serve_np4_m8_cb16_rr50", 4, 8, 16, 50),
+    ("serve_np8_m8_cb16_rr50", 8, 8, 16, 50),
+    ("serve_np2_m8_cb32_rr50", 2, 8, 32, 50),
+    ("serve_np3_m8_cb32_rr50", 3, 8, 32, 50),
+    ("serve_np4_m8_cb32_rr50", 4, 8, 32, 50))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -200,10 +217,14 @@ object IvfPqSweep {
     // and releasing one scope would unpersist it under the other (the
     // r18 cache-identity finding; the Bench ss20TrainTimed ordering
     // rule, applied here by construction).
-    val serveByTree = servePoints.groupBy(p => (p._3, p._4)).toSeq
-      .sortBy(_._1)
+    val serveByTree = (servePoints.map(p => (p._3, p._4)) ++
+        rerankPoints.map(p => (p._3, p._4))).distinct.sorted
+      .map { tree =>
+        (tree, servePoints.filter(p => (p._3, p._4) == tree),
+          rerankPoints.filter(p => (p._3, p._4) == tree))
+      }
     val serveResults: Seq[(String, Double, Vector[Double], Double, Double)] =
-      serveByTree.flatMap { case ((m, cb), pts) =>
+      serveByTree.flatMap { case ((m, cb), pts, rpts) =>
         val scope = new Pipeline.PinScope
         val t0 = System.nanoTime()
         val model = Pipeline.withScope(scope)(
@@ -213,6 +234,13 @@ object IvfPqSweep {
         val trainSec = (System.nanoTime() - t0) / 1e9
         def serve(qs: org.apache.spark.sql.DataFrame, k: Int, np: Int) =
           Similarity.ivfPqServe(qs, model, "vec_id", "embedding", k, np)
+        // rerank pool keeps its k:pool RATIO for the two recall legs
+        // (pool is quoted for k=20; the k=5 leg scales it down 4×) so
+        // one label means one over-retrieval factor, not two
+        def serveRr(qs: org.apache.spark.sql.DataFrame, k: Int, np: Int,
+            pool: Int) =
+          Similarity.ivfPqServeReranked(qs, model, "vec_id", "embedding",
+            k, np, math.max(k, pool * k / 20))
         // recall legs double as the per-point warmup (codegen)
         val recalls = pts.map { case (lbl, np, _, _) =>
           val r5 = serve(q, 5, np).select("qid", "vec_id").collect()
@@ -221,9 +249,16 @@ object IvfPqSweep {
             .map(r => (r.getLong(0), r.getLong(1))).toSet
           lbl -> ((exact.intersect(r5).size.toDouble / exact.size,
             exactL2.intersect(r20).size.toDouble / exactL2.size))
+        }.toMap ++ rpts.map { case (lbl, np, _, _, pool) =>
+          val r5 = serveRr(q, 5, np, pool).select("qid", "vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val r20 = serveRr(qWide, 20, np, pool).select("qid", "vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          lbl -> ((exact.intersect(r5).size.toDouble / exact.size,
+            exactL2.intersect(r20).size.toDouble / exactL2.size))
         }.toMap
-        val reps = pts.map { case (lbl, _, _, _) =>
-          lbl -> Vector.empty[Double]
+        val reps = (pts.map(_._1) ++ rpts.map(_._1)).map {
+          lbl => lbl -> Vector.empty[Double]
         }.to(collection.mutable.LinkedHashMap)
         (1 to 3).foreach { _ =>
           pts.foreach { case (lbl, np, _, _) =>
@@ -231,9 +266,14 @@ object IvfPqSweep {
             Force.run(serve(q, 5, np))
             reps(lbl) :+= (System.nanoTime() - s0) / 1e9
           }
+          rpts.foreach { case (lbl, np, _, _, pool) =>
+            val s0 = System.nanoTime()
+            Force.run(serveRr(q, 5, np, pool))
+            reps(lbl) :+= (System.nanoTime() - s0) / 1e9
+          }
         }
         scope.release()
-        pts.map { case (lbl, _, _, _) =>
+        (pts.map(_._1) ++ rpts.map(_._1)).map { lbl =>
           val (r5, r20) = recalls(lbl)
           (lbl, trainSec, reps(lbl), r5, r20)
         }

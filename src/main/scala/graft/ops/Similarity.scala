@@ -1035,6 +1035,53 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"))
   }
 
+  /** [[ivfPqServe]] with exact-L2 refinement — the standard IVFADC+R
+    * shape (Jégou et al. 2011, "Searching in one billion vectors:
+    * re-rank with source coding"): ADC retrieves a candidate POOL of
+    * `pool` ≥ topK ids per query, then the pool is re-ranked by EXACT
+    * L2 against reconstructed corpus vectors (centroid + stored
+    * residual — bit-close to the raw vector, ≤ 1 ulp/component from
+    * the train-time subtraction) and the top-k of that order is kept.
+    * Re-ranking fixes ADC-noise DISPLACEMENT — the failure mode the
+    * round-19 sweep measured (probing more cells DROPPED recall
+    * because quantization-noise candidates displaced true neighbors) —
+    * without touching candidate GENERATION, so recall is bounded by
+    * pool membership but no longer by ADC ordering.
+    *
+    * Scale shape: the pool is queries × pool rows (bounded by the
+    * serve batch, like the probe side), so it BROADCASTS into one
+    * equi-join against the pinned residual frame — no corpus shuffle,
+    * no second scan beyond the cached residuals; the exact distance
+    * evaluates on pool×queries rows only. */
+  def ivfPqServeReranked(
+      queriesDf: DataFrame, model: IvfPqModel, idCol: String,
+      vecCol: String, topK: Int, nprobe: Int, pool: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(pool >= topK, "pool must be >= topK")
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    val cand = ivfPqServe(queriesDf, model, idCol, vecCol, pool, nprobe)
+      .select(col("qid"), col("vec_id"))
+    val coarseDf = broadcast(model.coarse.toDF("cid", "cvec"))
+    // candidates join FIRST, reconstruction after: xvec evaluates on
+    // pool×queries rows, never on the whole (cached) residual frame —
+    // the ordering that matters at corpus scale
+    val q = queriesDf.select(col(idCol).as("qid"),
+      asDouble(col(vecCol)).as("qvec"))
+    model.residuals
+      .join(broadcast(cand), "vec_id")
+      .join(coarseDf, "cid")
+      .withColumn("xvec",
+        zip_with(col("rvec"), col("cvec"), (r, c) => r + c))
+      .join(broadcast(q), "qid")
+      .withColumn("d2", sqDist(col("qvec"), col("xvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"))
+  }
+
   /** The composed one-call form (train + serve in one plan) — the
     * oracle-checked catalog entry. Identical math to the split form by
     * construction: it IS `ivfPqServe(ivfPqTrain(...))`. */

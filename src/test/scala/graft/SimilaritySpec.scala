@@ -169,6 +169,44 @@ class SimilaritySpec extends GraftSuite {
       org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("ivf-pq reranked serve: full probe + full pool = exact L2 top-k") {
+    // IVFADC+R sanity pin: with every coarse cell probed and the pool
+    // covering the whole corpus, the ADC stage is candidate-complete
+    // and the exact-L2 rerank must reproduce the exact L2 top-5
+    // (reconstruction is centroid + stored residual — within an ulp of
+    // the raw vector, far below the fixture's distance gaps). A small
+    // pool must still emit dense ranks 1..k per query.
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 10)
+    val model = Similarity.ivfPqTrain(emb, "vec_id", "embedding",
+      dim = 64, numCoarse = 8, m = 8, codebookSize = 16, updates = 1)
+    val rr = Similarity.ivfPqServeReranked(
+        q, model, "vec_id", "embedding", topK = 5, nprobe = 8, pool = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val qq = q.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qvec"))
+    val cc = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2").asc, col("vec_id").asc)
+    val exactL2 = qq.crossJoin(cc).filter(col("qid") =!= col("vec_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qvec"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rr.toSet === exactL2.toSet)
+    val small = Similarity.ivfPqServeReranked(
+        q, model, "vec_id", "embedding", topK = 5, nprobe = 2, pool = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    small.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"qid $qid ranks")
+    }
+    graft.ops.Pipeline.releaseCaches()
+  }
+
   test("ivf-pq serve and mmr rerank edge shapes: empty batch, unknown ids") {
     import graft.ops.Pipeline
     val scope = new Pipeline.PinScope

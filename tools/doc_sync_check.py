@@ -373,7 +373,7 @@ planted_path = os.path.join(ROOT, "IVFPQAB_PLANTED.json")
 if os.path.exists(planted_path):
     planted = json.load(open(planted_path))
     pts = re.findall(
-        r"((?:serve_)?np\d+_m\d+_cb\d+|ss\d+_\w+) planted ([\d.]+)"
+        r"((?:serve_)?np\d+_m\d+_cb\d+(?:_rr\d+)?|ss\d+_\w+) planted ([\d.]+)"
         r"\s*s / ([\d.]+)",
         scale)
     if not pts:
@@ -414,20 +414,24 @@ if os.path.exists(planted_path):
 # (tools/oracle_check_strict.py). SCALE.md must quote the artifact's
 # counts exactly — a re-run that regresses would otherwise leave stale
 # prose claiming a green sweep.
-strictx10_path = os.path.join(ROOT, "STRICT_X10.json")
-if os.path.exists(strictx10_path):
-    sx = json.load(open(strictx10_path))
-    m = re.search(r"strict_ok=(\d+) bad=(\d+) err=(\d+) at ×10", scale)
+for factor in (10, 30):
+    strictx_path = os.path.join(ROOT, f"STRICT_X{factor}.json")
+    if not os.path.exists(strictx_path):
+        continue
+    sx = json.load(open(strictx_path))
+    m = re.search(
+        r"strict_ok=(\d+) bad=(\d+) err=(\d+) at ×" + str(factor), scale)
     if not m:
-        fail("STRICT_X10.json exists but SCALE.md quotes no"
-             " 'strict_ok=N bad=N err=N at ×10' line")
+        fail(f"STRICT_X{factor}.json exists but SCALE.md quotes no"
+             f" 'strict_ok=N bad=N err=N at ×{factor}' line")
     else:
         for name, quoted in zip(("strict_ok", "bad", "err"), m.groups()):
             if int(quoted) != sx.get(name, -1):
-                fail(f"SCALE.md quotes {name}={quoted} at ×10 but"
-                     f" STRICT_X10.json says {sx.get(name)}")
+                fail(f"SCALE.md quotes {name}={quoted} at ×{factor} but"
+                     f" STRICT_X{factor}.json says {sx.get(name)}")
             else:
-                ok(f"SCALE.md ×10 strict {name}={quoted} == STRICT_X10.json")
+                ok(f"SCALE.md ×{factor} strict {name}={quoted} =="
+                   f" STRICT_X{factor}.json")
 
 # ---- 3b5. small-heap capture quotes vs BENCH_SMALLHEAP.json ---------------
 # Round-19 informational capture at SPARK_DRIVER_MEM=6g. SCALE.md quotes
