@@ -522,6 +522,14 @@ object Bench {
         "ss19_rocchio_expand", "pl27_source_interleave",
         // the crawl-admission flagship (all three ingest gates composed)
         "dd25_ingest_pipeline",
+        // round-20 addition: the payload-slimmed sorted-neighborhood
+        // path (xxhash64 grams, 8 B/gram through the id-join exchanges)
+        // cataloged as dd28 in the r20 build — timed NEXT TO dd16 so the
+        // string-oracle form and the shipped 100 TB form stay comparable
+        // in every capture (ABRW "dd16hash" measured the pair at
+        // 1.37–1.39× across ×1/×10/×30; llm_total grows by this row's
+        // cost at the r19→r20 boundary — compare per-query)
+        "dd28_sorted_neighborhood_hashed",
         // round-10 additions: span-level dedup, the source-cap/
         // contribution-cap balancers, and the IVF-PQ SERVE row —
         // round 18 split the old ss20_ivfpq_topk bundle: codebook

@@ -54,6 +54,43 @@ object Vectors {
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(
       VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Squared L2 — same contract and conventions as [[dot]]: one
+    * ascending sequential double fold `acc += (x−y)·(x−y)`, bit-identical
+    * to the declarative
+    * `aggregate(zip_with(a, b, (x, y) => (x−y)·(x−y)), 0.0, _+_)` on
+    * equal-length non-null-element arrays (the embedding contract);
+    * ragged inputs THROW (loud corruption signal, the vec_dot rule).
+    * Round-20: replaces the interpreted HOF chain on the IVF-PQ
+    * encode/serve and k-means assignment hot paths — the PQ encoder
+    * alone evaluates m·codebookSize folds per corpus row. */
+  def sqdist(arrA: ArrayData, arrB: ArrayData, isFloat: Boolean): Double = {
+    val n = arrA.numElements()
+    if (arrB.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_sqdist: length mismatch ($n vs ${arrB.numElements()}) — " +
+          "ragged vectors are data corruption, not a distance input")
+    var acc = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val d = arrA.getFloat(i).toDouble - arrB.getFloat(i).toDouble
+        acc += d * d
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val d = arrA.getDouble(i) - arrB.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+    }
+    acc
+  }
+
+  def vec_sqdist(a: Column, b: Column): Column =
+    GraftBridge.column(
+      VecSqDist(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 case class VecDot(left: Expression, right: Expression)
@@ -88,4 +125,40 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vec_dot"
+}
+
+/** Squared L2 distance — see [[Vectors.sqdist]]. */
+case class VecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_sqdist needs two array<float> or two array<double>, got " +
+          s"${left.dataType} and ${right.dataType}")
+    }
+
+  private lazy val isFloat: Boolean =
+    elemType(left.dataType).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Vectors.sqdist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Vectors.sqdist($a, $b, $isFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_sqdist"
 }

@@ -1452,10 +1452,13 @@ object Dedup {
       // sequence(1, size-(k-1)) would be sequence(1, 0) = [1, 0]
       // (descending) and slice(toks, 0, k) throws at position 0
       .filter(size(col("toks")) >= k)
+      // native word_ngrams (round 20): one codegen'd loop per doc —
+      // bit-identical to the retired transform(sequence(1, size−k+1),
+      // i => concat_ws(" ", slice(toks, i, k))) form (full windows only,
+      // space-joined, in position order; Ngrams.joinSlice IS concat_ws),
+      // which re-ran an interpreted HOF lambda per gram position
       .select(col("doc_id"), posexplode(
-        transform(
-          sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+        TextAnalysis.wordNgrams(col("toks"), k))
         .as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("gram"))

@@ -692,6 +692,17 @@ object Similarity {
     * the k-means metric, bit-identical to a sequential oracle
     * evaluation. */
   def sqDist(a: Column, b: Column): Column =
+    // native codegen'd expression (round 20) — same ascending sequential
+    // double fold as [[sqDistDeclarative]], so results are bit-identical;
+    // the PQ encoder evaluates m·codebookSize of these per corpus row and
+    // the HOF form ran every one through the interpreter
+    graft.functions.Vectors.vec_sqdist(a, b)
+
+  /** The retired declarative form of [[sqDist]] — kept (q20/dd16/vec_dot
+    * convention) as the re-measurable A/B baseline and the bit-equality
+    * oracle for the native expression (SimilaritySpec pins native ==
+    * declarative on planted + random vectors). */
+  private[graft] def sqDistDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, e) => acc + e)
 

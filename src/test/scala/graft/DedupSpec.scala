@@ -397,6 +397,29 @@ class DedupSpec extends GraftSuite {
     graft.ops.Pipeline.releaseCaches()
   }
 
+  test("duplicateSpans gram stream: native word_ngrams identical to the retired transform form") {
+    // round-20 swapped dd26's gram builder from an interpreted
+    // transform(sequence(1, size−k+1), i => concat_ws(" ", slice(toks,
+    // i, k))) HOF to the native codegen'd word_ngrams loop, on the
+    // claim that both emit the SAME strings at the SAME positions (full
+    // windows only, space-joined, position order) — pin it on the real
+    // corpus, positions included
+    val k = 5
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+    def stream(gramArr: org.apache.spark.sql.Column) = docs
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "gram")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val native = stream(graft.ops.TextAnalysis.wordNgrams(col("toks"), k))
+    val retired = stream(transform(
+      sequence(lit(1), size(col("toks")) - (k - 1)),
+      i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+    assert(native.nonEmpty && native === retired)
+  }
+
   test("verification pre-gate: gated pair set bit-identical to ungated (dd16 pin)") {
     // the round-19 constant-factor pass on the verification stage (mask
     // pre-gate + early-exit merge) must be a pure cost change: ids AND

@@ -328,6 +328,46 @@ class SimilaritySpec extends GraftSuite {
       Option(c.getMessage).exists(_.contains("length mismatch"))))
   }
 
+  test("vec_sqdist: bit-identical to the declarative fold; ragged throws") {
+    import spark.implicits._
+    // Deterministic non-round values (div by 7/11 → full mantissas) so
+    // the equality below is a real IEEE bit check, not an artifact of
+    // short decimals. The native expression must equal the retired
+    // aggregate(zip_with) fold EXACTLY — same ascending sequential
+    // order — because round-20 swapped it under the oracle-checked
+    // kmeans/IVF-PQ paths on that bit-identity claim.
+    val rows = (0 until 97).map { i =>
+      (Seq.tabulate(64)(j => (i * 64 + j).toDouble / 7.0),
+        Seq.tabulate(64)(j => (j * 97 + i).toDouble / 11.0))
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.Vectors.vec_sqdist(col("a"), col("b")).as("n"),
+      Similarity.sqDistDeclarative(col("a"), col("b")).as("d")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != declarative ${r.getDouble(1)}")
+    }
+    // float flavor: same fold over float→double upcasts
+    val fdf = Seq((Seq(1.5f, -2.25f, 3.0f), Seq(0.5f, 2.75f, -1.0f)))
+      .toDF("a", "b")
+    val f = fdf.select(
+      graft.functions.Vectors.vec_sqdist(col("a"), col("b"))).head.getDouble(0)
+    assert(f == (1.0 + 25.0 + 16.0))
+    // ragged vectors throw (vec_dot rule) — the declarative dual would
+    // yield NULL via zip_with's null padding, silently corrupting ranks
+    val ragged = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(
+        graft.functions.Vectors.vec_sqdist(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(chain).getOrElse(Nil)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("length mismatch"))))
+  }
+
   test("srp_buckets throws on vectors whose length differs from dim") {
     import spark.implicits._
     // ragged-input policy must AGREE across forms: the literal-plane
